@@ -1,0 +1,21 @@
+#!/bin/bash
+# Out-of-tree build of the reference fork (/root/reference, read-only) against the
+# stub FPGA driver (golden/fpga_stub.c), for generating golden test outputs.
+# Produces .golden/minimap2_ref . Nothing is written into /root/reference.
+set -euo pipefail
+REF=/root/reference
+OUT=/root/repo/.golden
+mkdir -p "$OUT"
+CFLAGS="-g -Wall -O2 -std=gnu99 -DHAVE_KALLOC"
+SRCS="fpga_chaindp kthread kalloc misc bseq sketch sdust options index chain align hit map format pe esterr main getopt"
+for s in $SRCS; do
+  gcc -c $CFLAGS "$REF/$s.c" -o "$OUT/$s.o" 2>"$OUT/$s.err" || { cat "$OUT/$s.err"; exit 1; }
+done
+# ksw2 kernels, sse2only-style build (no cpu dispatch)
+gcc -c $CFLAGS -msse2 "$REF/ksw2_ll_sse.c" -o "$OUT/ksw2_ll_sse.o"
+for k in extz2 extd2 exts2; do
+  gcc -c $CFLAGS -msse4.1 "$REF/ksw2_${k}_sse.c" -o "$OUT/ksw2_${k}_sse.o"
+done
+gcc -c $CFLAGS /root/repo/golden/fpga_stub.c -o "$OUT/fpga_stub.o"
+gcc $CFLAGS -o "$OUT/minimap2_ref" "$OUT"/*.o -lm -lz -lpthread
+echo "built $OUT/minimap2_ref"
