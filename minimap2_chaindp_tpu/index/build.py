@@ -1,0 +1,131 @@
+"""Minimizer index as flat sorted tables (TPU-native CSR layout).
+
+Replaces the reference's per-bucket khash (index.c:340-416) with one global
+sorted-key table + CSR offsets, the design SURVEY.md §7.3 calls for: lookup is a
+batched binary search (np.searchsorted host-side, jnp.searchsorted device-side)
+instead of hashing.  Semantics preserved from the reference:
+  * key = minimizer.x >> 8 (span dropped), runs of equal keys become one entry
+    (index.c:352-358)
+  * per-key occurrence list sorted by value y = rid<<32 | pos<<1 | strand
+    ascending (index.c:394 radix_sort_64 "sort by position")
+  * values keep the STOCK 64-bit encoding, not the fork's 21/21/21-bit pack
+    (which caps refs at 2^21 bp — see SURVEY.md §2 "Index build")
+  * 4-bit packed reference sequence S for getseq (index.c:480-505, mmpriv.h:29-30)
+  * occurrence-count quantile for mid_occ (mm_idx_cal_max_occ, index.c:307-328)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from ..constants import SEQ_NT4_TABLE
+from .sketch import sketch
+
+
+@dataclass
+class RefSeq:
+    name: str
+    offset: int  # offset into the packed S array
+    length: int
+
+
+@dataclass
+class MinimizerIndex:
+    k: int
+    w: int
+    flag: int  # MM_I_* flags
+    b: int = 14  # kept for reporting parity; CSR layout has no buckets
+    seqs: list[RefSeq] = field(default_factory=list)
+    S: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint8))  # 4-bit codes, 1/byte host-side
+    # CSR tables
+    keys: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+    starts: np.ndarray = field(default_factory=lambda: np.empty(1, dtype=np.int64))
+    values: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+    # lexicographic rank of each rid among target names (for ava-mode dual/diag
+    # skipping, reference index.c:560-592 rname_rid/rever_rid)
+    name_rank: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    sorted_names: list[str] = field(default_factory=list)
+
+    @property
+    def n_seq(self) -> int:
+        return len(self.seqs)
+
+    @property
+    def is_hpc(self) -> bool:
+        return bool(self.flag & 1)
+
+    def get(self, minier: int) -> np.ndarray:
+        """Occurrence list for one minimizer key (x>>8); reference mm_idx_get index.c:221."""
+        i = int(np.searchsorted(self.keys, np.uint64(minier)))
+        if i >= len(self.keys) or self.keys[i] != np.uint64(minier):
+            return self.values[0:0]
+        return self.values[self.starts[i]:self.starts[i + 1]]
+
+    def getseq(self, rid: int, st: int, en: int) -> np.ndarray:
+        """nt4 codes of reference rid in [st, en); reference mm_idx_getseq index.c:295."""
+        s = self.seqs[rid]
+        en = min(en, s.length)
+        return self.S[s.offset + st:s.offset + en]
+
+    def cal_max_occ(self, f: float) -> int:
+        """Occurrence-count quantile threshold (reference index.c:307-328)."""
+        if f <= 0.0 or len(self.keys) == 0:
+            return np.iinfo(np.int32).max
+        cnt = np.diff(self.starts).astype(np.uint32)
+        kk = int((1.0 - f) * len(cnt))
+        return int(np.partition(cnt, kk)[kk]) + 1
+
+    def name2id(self, name: str) -> int:
+        for i, s in enumerate(self.seqs):
+            if s.name == name:
+                return i
+        return -1
+
+    def stat(self) -> dict:
+        cnt = np.diff(self.starts)
+        return {
+            "distinct_minimizers": int(len(self.keys)),
+            "singleton_frac": float(np.mean(cnt == 1)) if len(cnt) else 0.0,
+            "avg_occurrences": float(np.mean(cnt)) if len(cnt) else 0.0,
+            "total_bases": sum(s.length for s in self.seqs),
+        }
+
+
+def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
+                flag: int = 0, bucket_bits: int = 14) -> MinimizerIndex:
+    """Build the CSR minimizer index from reference sequences."""
+    mi = MinimizerIndex(k=k, w=w, flag=flag, b=bucket_bits)
+    total = sum(len(s) for s in seq_strs)
+    mi.S = np.empty(total, dtype=np.uint8)
+    mvs = []
+    off = 0
+    for rid, (name, s) in enumerate(zip(names, seq_strs)):
+        codes = SEQ_NT4_TABLE[np.frombuffer(s.encode(), dtype=np.uint8)].copy()
+        # the reference packs ambiguous bases as a pseudo-random 0-3 code
+        # (index.c:497 uses lrand48 when c>=4); we keep 4 host-side and mask at
+        # alignment time instead, which matches ksw2 behavior for N bases.
+        mi.S[off:off + len(codes)] = codes
+        mi.seqs.append(RefSeq(name=name, offset=off, length=len(codes)))
+        off += len(codes)
+        if len(s) > 0:
+            mvs.append(sketch(s, w, k, rid, bool(flag & 1)))
+    mv = np.concatenate(mvs, axis=0) if mvs else np.empty((0, 2), dtype=np.uint64)
+    if len(mv):
+        key = mv[:, 0] >> np.uint64(8)
+        val = mv[:, 1]
+        order = np.lexsort((val, key))  # sort by key, then by value (index.c:349, 394)
+        key, val = key[order], val[order]
+        uniq, starts = np.unique(key, return_index=True)
+        mi.keys = uniq
+        mi.starts = np.concatenate([starts, [len(val)]]).astype(np.int64)
+        mi.values = val
+    # lexicographic name ranks (ava-mode ordering, index.c:560-592)
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    mi.sorted_names = [names[i] for i in order]
+    rank = np.empty(len(names), dtype=np.int64)
+    for r, i in enumerate(order):
+        rank[i] = r
+    mi.name_rank = rank
+    return mi

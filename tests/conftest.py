@@ -1,0 +1,15 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (driver validates the real-TPU path separately).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_TEST_DIR = "/root/reference/test"
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
