@@ -76,10 +76,13 @@ def collect_seed_hits(mi, flag: int, max_occ: int, mv: np.ndarray,
             rep_en = en
     rep_len += rep_en - rep_st
 
-    keep = found & ~over
-    m_idx = np.nonzero(keep)[0]
-    mini_pos = (mv[m_idx, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
-        | (mv[m_idx, 0] & np.uint64(0xFF)) << np.uint64(32)
+    # every non-over-occurring minimizer is a "match" and lands in mini_pos,
+    # even with zero occurrences in the index (map.c:131-138)
+    keep = ~over
+    m_all = np.nonzero(keep)[0]
+    mini_pos = (mv[m_all, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
+        | (mv[m_all, 0] & np.uint64(0xFF)) << np.uint64(32)
+    m_idx = np.nonzero(keep & found)[0]
 
     if len(m_idx) == 0:
         return SeedHits(np.empty((0, 2), dtype=np.uint64), int(rep_len), mini_pos)
