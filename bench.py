@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: chaining-DP throughput (anchors/s) of the Pallas kernel
+on the attached TPU vs the reference's single-core chain.c (mm_chain_dp_fpga).
+
+Prints ONE JSON line:
+  {"metric": "chaindp_anchors_per_s", "value": N, "unit": "anchors/s",
+   "vs_baseline": N / single_core_reference_anchors_per_s, ...}
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_READS = 1024
+ANCHORS_PER_READ = 1024
+MAX_DIST = 5000
+BW = 500
+MAX_SKIP = 25
+MIN_SC = 40
+
+
+def baseline_anchors_per_s(reads):
+    """Single-core reference chain.c throughput, measured via golden build."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, ".golden", "chain_bench")
+    if not os.path.exists(bench):
+        try:
+            subprocess.run(["bash", os.path.join(root, "golden", "build_reference.sh")],
+                           check=True, capture_output=True)
+            subprocess.run(
+                ["gcc", "-O2", "-std=gnu99", "-DHAVE_KALLOC", "-I/root/reference",
+                 os.path.join(root, "golden", "chain_bench.c"),
+                 os.path.join(root, ".golden", "chain.o"),
+                 os.path.join(root, ".golden", "kalloc.o"),
+                 os.path.join(root, ".golden", "misc.o"),
+                 "-o", bench, "-lm", "-lz", "-lpthread"],
+                check=True, capture_output=True)
+        except Exception:
+            return None
+    sub = reads[:64]
+    lines = [str(len(sub))]
+    for a in sub:
+        lines.append(str(len(a)))
+        lines.extend(f"{int(x):x} {int(y):x}" for x, y in a)
+    out = subprocess.run(
+        [bench, str(MAX_DIST), str(MAX_DIST), str(BW), str(MAX_SKIP), str(MIN_SC)],
+        input="\n".join(lines), capture_output=True, text=True, check=True)
+    total, secs = out.stdout.split()
+    return int(total) / float(secs)
+
+
+def main():
+    import jax
+    from minimap2_chaindp_tpu.utils.synth import synth_batch
+    from minimap2_chaindp_tpu.ops.chain_jax import split_anchors
+    from minimap2_chaindp_tpu.ops import chain_pallas as CP
+
+    dev = jax.devices()[0]
+    interpret = dev.platform not in ("tpu", "axon") and "TPU" not in str(dev)
+
+    anchors = synth_batch(N_READS, ANCHORS_PER_READ, seed=0)
+    reads = []
+    for a in anchors:
+        xhi, rpos, qpos, span, sid = split_anchors(a)
+        reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
+                          avg_qspan=np.float32(span.sum() / len(a))))
+    max_n = (ANCHORS_PER_READ + 127) // 128 * 128
+    packed, nn, tbl = CP.pack_reads(reads, max_n)
+    args = [jax.device_put(packed[k]) for k in ("xhi", "rpos", "qpos", "span", "sid")]
+    args += [jax.device_put(nn), jax.device_put(tbl)]
+
+    def run():
+        f, p, flag = CP.chain_scores_batch(
+            *args, max_n=max_n, max_dist_x=MAX_DIST, max_dist_y=MAX_DIST,
+            bw=BW, max_skip=MAX_SKIP, is_cdna=False, many_segs=False,
+            interpret=interpret)
+        return jax.block_until_ready(f), flag
+
+    run()  # warmup/compile
+    n_iter = 1 if interpret else 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        f, flag = run()
+    t1 = time.perf_counter()
+    total_anchors = N_READS * ANCHORS_PER_READ * n_iter
+    value = total_anchors / (t1 - t0)
+
+    base = baseline_anchors_per_s(anchors)
+    flagged = int(np.asarray(flag)[:, 0].sum())
+    rec = {
+        "metric": "chaindp_anchors_per_s",
+        "value": round(value, 1),
+        "unit": "anchors/s",
+        "vs_baseline": round(value / base, 3) if base else None,
+        "baseline_single_core_c": round(base, 1) if base else None,
+        "device": str(dev),
+        "reads": N_READS,
+        "anchors_per_read": ANCHORS_PER_READ,
+        "fallback_flagged_reads": flagged,
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""minimap2-compatible command-line interface.
+
+Mirrors the reference's option surface (main.c:42-82 long options, :319-428
+option loop) so reference users can switch without changing invocations:
+
+  mm2tpu [options] target.fa query.fa [query2.fa] > out.{paf,sam}
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import constants as C
+from .options import IndexOptions, MapOptions, set_opt, check_opt
+from .io.fastx import read_fastx, read_frags
+from .io.output import write_sam_hdr, parse_rg_id
+from .index.build import build_index
+from .models.pipeline import map_fragment_output
+
+VERSION = "0.1.0 (minimap2 2.10-r761 compatible)"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mm2tpu", add_help=True,
+        description="TPU-native minimap2-compatible long/short-read aligner")
+    a = p.add_argument
+    # indexing
+    a("-H", dest="hpc", action="store_true", help="use homopolymer-compressed k-mer")
+    a("-k", type=int, default=None, help="k-mer size")
+    a("-w", type=int, default=None, help="minimizer window size")
+    a("-I", dest="batch_size", default=None, help="split index for every ~NUM bases")
+    a("-d", dest="dump_index", default=None, help="dump index to file")
+    # mapping
+    a("-f", dest="mid_occ_frac", type=float, default=None)
+    a("-g", dest="max_gap", type=int, default=None)
+    a("-G", dest="max_intron_len", default=None)
+    a("-F", dest="max_frag_len", type=int, default=None)
+    a("-r", dest="bw", type=int, default=None)
+    a("-n", dest="min_cnt", type=int, default=None)
+    a("-m", dest="min_chain_score", type=int, default=None)
+    a("-X", dest="ava", action="store_true", help="skip self and dual mappings")
+    a("-p", dest="pri_ratio", type=float, default=None)
+    a("-N", dest="best_n", type=int, default=None)
+    # alignment
+    a("-A", dest="match", type=int, default=None)
+    a("-B", dest="mismatch", type=int, default=None)
+    a("-O", dest="gap_open", default=None)
+    a("-E", dest="gap_ext", default=None)
+    a("-z", dest="zdrop", default=None)
+    a("-s", dest="min_dp_max", type=int, default=None)
+    a("-u", dest="splice_strand", default=None)
+    # io
+    a("-a", dest="sam", action="store_true", help="output SAM")
+    a("-c", dest="cigar", action="store_true", help="output CIGAR in PAF")
+    a("-Q", dest="no_qual", action="store_true")
+    a("-L", dest="long_cigar", action="store_true")
+    a("-R", dest="rg", default=None, help="SAM read group line")
+    a("-t", dest="threads", type=int, default=3)
+    a("-K", dest="mini_batch", default=None)
+    a("-x", dest="preset", default=None)
+    a("--cs", dest="cs", nargs="?", const="short", default=None)
+    a("--MD", dest="md", action="store_true")
+    a("--eqx", action="store_true")
+    a("--for-only", action="store_true")
+    a("--rev-only", action="store_true")
+    a("--secondary", default=None, choices=["yes", "no"])
+    a("--frag", default=None, choices=["yes", "no"])
+    a("--sr", action="store_true")
+    a("--splice", action="store_true")
+    a("--no-long-join", action="store_true")
+    a("--max-intron-len", dest="max_intron_len2", default=None)
+    a("--soft-clipped", dest="softclip", action="store_true")
+    a("--device", default="auto", choices=["auto", "host", "tpu"],
+      help="compute path: host golden model or TPU kernels")
+    a("--version", action="version", version=VERSION)
+    a("target")
+    a("query", nargs="*")
+    return p
+
+
+def _si(v) -> int:
+    if v is None:
+        return 0
+    s = str(v)
+    mult = 1
+    if s[-1] in "kKmMgG":
+        mult = {"k": 1000, "m": 1000000, "g": 1000000000}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
+    if ns.hpc:
+        io.flag |= C.MM_I_HPC
+    if ns.k is not None:
+        io.k = ns.k
+    if ns.w is not None:
+        io.w = ns.w
+    if ns.batch_size is not None:
+        io.batch_size = _si(ns.batch_size)
+    if ns.mid_occ_frac is not None:
+        mo.mid_occ_frac = ns.mid_occ_frac
+    if ns.max_gap is not None:
+        mo.max_gap = ns.max_gap
+    if ns.max_frag_len is not None:
+        mo.max_frag_len = ns.max_frag_len
+    if ns.bw is not None:
+        mo.bw = ns.bw
+    if ns.min_cnt is not None:
+        mo.min_cnt = ns.min_cnt
+    if ns.min_chain_score is not None:
+        mo.min_chain_score = ns.min_chain_score
+    if ns.ava:
+        mo.flag |= C.MM_F_NO_DIAG | C.MM_F_NO_DUAL
+    if ns.pri_ratio is not None:
+        mo.pri_ratio = ns.pri_ratio
+    if ns.best_n is not None:
+        mo.best_n = ns.best_n
+    if ns.match is not None:
+        mo.a = ns.match
+    if ns.mismatch is not None:
+        mo.b = ns.mismatch
+    if ns.gap_open is not None:
+        parts = str(ns.gap_open).split(",")
+        mo.q = int(parts[0])
+        if len(parts) > 1:
+            mo.q2 = int(parts[1])
+    if ns.gap_ext is not None:
+        parts = str(ns.gap_ext).split(",")
+        mo.e = int(parts[0])
+        if len(parts) > 1:
+            mo.e2 = int(parts[1])
+    if ns.zdrop is not None:
+        parts = str(ns.zdrop).split(",")
+        mo.zdrop = int(parts[0])
+        if len(parts) > 1:
+            mo.zdrop_inv = int(parts[1])
+    if ns.min_dp_max is not None:
+        mo.min_dp_max = ns.min_dp_max
+    if ns.sam:
+        mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    if ns.cigar:
+        mo.flag |= C.MM_F_OUT_CG | C.MM_F_CIGAR
+    if ns.no_qual:
+        mo.flag |= C.MM_F_NO_QUAL
+    if ns.long_cigar:
+        mo.flag |= C.MM_F_LONG_CIGAR
+    if ns.cs is not None:
+        mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR
+        if ns.cs == "long":
+            mo.flag |= C.MM_F_OUT_CS_LONG
+    if ns.md:
+        mo.flag |= C.MM_F_OUT_MD | C.MM_F_CIGAR
+    if ns.for_only:
+        mo.flag |= C.MM_F_FOR_ONLY
+    if ns.rev_only:
+        mo.flag |= C.MM_F_REV_ONLY
+    if ns.secondary == "no":
+        mo.flag |= C.MM_F_NO_PRINT_2ND
+    if ns.frag == "yes":
+        mo.flag |= C.MM_F_FRAG_MODE
+    if ns.sr:
+        set_opt("sr", io, mo)
+    if ns.splice:
+        set_opt("splice", io, mo)
+    if ns.no_long_join:
+        mo.flag |= C.MM_F_NO_LJOIN
+    if ns.softclip:
+        mo.flag |= C.MM_F_SOFTCLIP
+    if ns.mini_batch is not None:
+        mo.mini_batch_size = _si(ns.mini_batch)
+    for v in (ns.max_intron_len, ns.max_intron_len2):
+        if v is not None:
+            mo.max_intron_len(_si(v))
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+    io, mo = set_opt(None)
+    if ns.preset:
+        set_opt(ns.preset, io, mo)
+    apply_args(ns, io, mo)
+    check_opt(io, mo)
+    if not ns.query and not ns.dump_index:
+        print("[ERROR] missing input: please specify a query file or -d",
+              file=sys.stderr)
+        return 1
+
+    refs = list(read_fastx(ns.target))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    if ns.dump_index:
+        from .index.serialize import dump_index
+        dump_index(mi, ns.dump_index)
+        if not ns.query:
+            return 0
+    mo.update(mi)
+
+    use_device = ns.device == "tpu"
+    if ns.device == "auto":
+        try:
+            import jax
+            use_device = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            use_device = False
+    if use_device:
+        from .models.runtime import DeviceRuntime
+        runtime = DeviceRuntime(mi, mo)
+    else:
+        runtime = None
+
+    out = sys.stdout
+    rg_id = parse_rg_id(ns.rg)
+    if mo.flag & C.MM_F_OUT_SAM:
+        cmdline = "mm2tpu " + " ".join(argv if argv is not None else sys.argv[1:])
+        print(write_sam_hdr(mi, ns.rg, "2.10-r761", cmdline), file=out)
+    frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
+    for batch in read_frags(ns.query, mo.mini_batch_size, frag_mode):
+        if runtime is not None:
+            for lines in runtime.map_batch(batch):
+                for line in lines:
+                    print(line, file=out)
+        else:
+            for frag in batch:
+                for line in map_fragment_output(mi, mo, frag.segs, rg_id):
+                    print(line, file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Multi-chip mapping step: sharded seed lookup + data-parallel chaining.
+
+The "model" being sharded is the mapping pipeline itself:
+  * "data" axis: read batches are data-parallel (the reference's kt_for over
+    fragments, SURVEY.md §2 parallelism #2)
+  * "index" axis: the sorted minimizer table is sharded across chips for
+    genomes larger than one chip's HBM; per-shard lookups are combined with a
+    psum over the index axis (the all-to-all seed-routing design from
+    BASELINE.json's north star). With index_shards=1 this reduces to the
+    replicated-index fast path with no hot-path collectives.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import chain_pallas as CP
+
+
+def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
+                          max_skip: int, interpret: bool = False):
+    """Build the jitted multi-chip mapping compute step.
+
+    Inputs (global shapes):
+      qkeys   (R, M) int32   — per-read query minimizer keys  [data-sharded]
+      xhi/rpos/qpos/span/sid (R, max_n) int32 — anchors       [data-sharded]
+      nn      (R, 128) int32 — per-read anchor counts          [data-sharded]
+      tbl     (R, 2048) int32 — per-read gap-cost tables       [data-sharded]
+      keys    (K,) int32     — sorted index keys               [index-sharded]
+    Returns f, p, flag (data-sharded) and occ (R, M) total occurrence counts
+    across all index shards (psum over "index").
+    """
+    dspec = P("data")
+    ispec = P("index")
+
+    def step(qkeys, xhi, rpos, qpos, span, sid, nn, tbl, keys):
+        # sharded-index seed lookup: local binary search + psum over shards
+        pos = jnp.searchsorted(keys, qkeys)
+        pos_c = jnp.minimum(pos, keys.shape[0] - 1)
+        hit = (keys[pos_c] == qkeys).astype(jnp.int32)
+        occ = jax.lax.psum(hit, "index")
+
+        f, p, flag = CP.chain_scores_batch(
+            xhi, rpos, qpos, span, sid, nn, tbl, max_n=max_n,
+            max_dist_x=max_dist, max_dist_y=max_dist, bw=bw,
+            max_skip=max_skip, is_cdna=False, many_segs=False,
+            interpret=interpret)
+        # cross-shard summary (stats/telemetry ride the ICI too)
+        total_flagged = jax.lax.psum(jnp.sum(flag[:, 0]), "data")
+        return f, p, flag, occ, total_flagged
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, ispec),
+        out_specs=(dspec, dspec, dspec, dspec, P()),
+        check_rep=False,
+    ))

@@ -1,0 +1,244 @@
+"""Pallas TPU kernel for the chaining-DP score pass — the centerpiece op.
+
+This is the TPU-native replacement for the reference's FPGA chaining offload
+(fpga_chaindp.c / chain.c mm_chain_dp_fpga). Design (see SURVEY.md §7.5):
+
+  * reads are batched 8 per grid program (the VPU sublane dimension); each
+    program runs the sequential anchor loop for its 8 reads in lockstep
+  * the predecessor window is scanned in 128-lane chunks aligned to the anchor
+    array, descending from anchor i, until every read's distance window is
+    exhausted — the full window is scanned (vector lanes make the reference's
+    max_skip early-break pointless as a speed trick)
+  * gap cost c_lin = trunc(dd * .01 * avg_qspan) is EXACT: a per-read table
+    (host-computed with C double semantics) is gathered with 128-wide
+    take_along_axis tiles; beyond the table c_lin provably exceeds c_log so
+    min(c_lin, c_log) = c_log
+  * max_skip semantics: a read is FLAGGED when some iteration scans more than
+    max_skip valid non-improving candidates before its argmax — only then can
+    the reference's stamp-driven early break change f/p (see ops/chain_jax.py)
+  * flagged reads are recomputed exactly on the host (the reference's own
+    err_flag software-fallback pattern, map.c:933-944)
+
+Outputs per read: f[], p[] (int32) and a flag; v[] and the compact offload
+arrays are reconstructed on the host (O(n) bookkeeping).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0x40000000
+LANES = 128
+SUBL = 8
+TBL = 2048  # c_lin table entries per read; requires bw < TBL
+
+
+def _suffix_max(x):
+    """Suffix (reverse cumulative) max along the lane dim of an (8,128) block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, n - s, 1)  # circular left-shift by s
+        shifted = jnp.where(lane < n - s, shifted, NEG_INF)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _extract_col(blk, off, lane):
+    """(8,1) value at dynamic lane offset `off` of an (8,128) block.
+    Fill must be INT32_MIN: rev-strand xhi values are -2^31."""
+    return jnp.max(jnp.where(lane == off, blk, jnp.int32(-0x80000000)),
+                   axis=1, keepdims=True)
+
+
+def _gather_tbl(tbl_ref, dd):
+    """Exact c_lin table lookup: (8,128) indices into the (8,TBL) per-read
+    table, via 128-wide take_along_axis tiles."""
+    within = dd & (LANES - 1)
+    tile = dd >> 7
+    res = jnp.zeros(dd.shape, jnp.int32)
+    for t in range(TBL // LANES):
+        part = jnp.take_along_axis(tbl_ref[:, t * LANES:(t + 1) * LANES],
+                                   within, axis=1)
+        res = jnp.where(tile == t, part, res)
+    return res
+
+
+def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
+                  tbl_ref, f_ref, p_ref, flag_ref,
+                  *, max_n, max_dist_x, max_dist_y, bw, max_skip,
+                  is_cdna, many_segs):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
+    n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
+    f_ref[:, :] = jnp.zeros((SUBL, max_n), jnp.int32)
+    p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
+    max_i = jnp.max(n_vec)
+
+    def outer(i, flags):
+        base_i = i // LANES * LANES
+        off = i - base_i
+        isl = pl.ds(base_i, LANES)
+        xi = _extract_col(xhi_ref[:, isl], off, lane)
+        ri = _extract_col(rpos_ref[:, isl], off, lane)
+        qi = _extract_col(qpos_ref[:, isl], off, lane)
+        qs = _extract_col(span_ref[:, isl], off, lane)
+        si = _extract_col(sid_ref[:, isl], off, lane)
+        act_read = (i < n_vec)
+
+        n_chunks = pl.cdiv(i, LANES)  # chunks covering [0, i)
+
+        def cond(state):
+            # NB: no memory reads here (Mosaic faults on loads in while conds);
+            # window exhaustion is evaluated in the body and carried in `go`
+            c, go = state[0], state[1]
+            return (c < n_chunks) & go
+
+        def chunk_body(state):
+            c, go, cur_max, best_j, cnt_best, nonimp_tot = state
+            base = (n_chunks - 1 - c) * LANES
+            j = base + lane
+            sl = pl.ds(base, LANES)
+            xh = xhi_ref[:, sl]
+            rp = rpos_ref[:, sl]
+            qp = qpos_ref[:, sl]
+            sd = sid_ref[:, sl]
+            fj = f_ref[:, sl]
+            dr = ri - rp
+            dq = qi - qp
+            same = sd == si
+            dd = jnp.abs(dr - dq)
+            valid = (j < i) & act_read & (xh == xi) & (dr <= max_dist_x)
+            valid &= ~((same & (dr == 0)) | (dq <= 0))
+            valid &= ~((same & (dq > max_dist_y)) | (dq > max_dist_x))
+            valid &= ~(same & (dd > bw))
+            if many_segs and not is_cdna:
+                valid &= ~(same & (dr > max_dist_y))
+
+            min_d = jnp.minimum(dq, dr)
+            sc = jnp.minimum(min_d, qs)
+            c_lin = _gather_tbl(tbl_ref, jnp.clip(dd, 0, TBL - 1))
+            dexp = (jax.lax.bitcast_convert_type(
+                jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+            log_dd = jnp.where(dd > 0, dexp, 0)
+            # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
+            # (requires avg_qspan >= 1.6, asserted host-side)
+            pen_other = jnp.where(dd >= TBL, log_dd, jnp.minimum(c_lin, log_dd))
+            pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
+            if is_cdna:
+                sc = jnp.where(~same & (dr == 0), sc + 1,
+                               jnp.where((dr > dq) | ~same, sc - pen_other,
+                                         sc - pen_same))
+            else:
+                sc = jnp.where(same, sc - pen_same,
+                               jnp.where(dr == 0, sc + 1, sc - pen_other))
+            sc = sc + fj
+            scv = jnp.where(valid, sc, NEG_INF)
+
+            # scan order is descending j = descending lane within the chunk
+            chunk_max = jnp.max(scv, axis=1, keepdims=True)
+            new_best = chunk_max > cur_max
+            best_lane = jnp.max(jnp.where(scv == chunk_max, lane, -1),
+                                axis=1, keepdims=True)
+            # improvements: sc > (max of later-lane values and the carry)
+            suf = _suffix_max(scv)
+            suf_excl = pltpu.roll(suf, LANES - 1, 1)  # left-shift by 1
+            suf_excl = jnp.where(lane < LANES - 1, suf_excl, NEG_INF)
+            prevmax = jnp.maximum(suf_excl, cur_max)
+            improve = valid & (scv > prevmax)
+            nonimp = valid & ~improve
+            cnt_above = jnp.sum(jnp.where(nonimp & (lane > best_lane), 1, 0),
+                                axis=1, keepdims=True)
+            cnt_best = jnp.where(new_best, nonimp_tot + cnt_above, cnt_best)
+            best_j = jnp.where(new_best, base + best_lane, best_j)
+            nonimp_tot = nonimp_tot + jnp.sum(nonimp.astype(jnp.int32),
+                                              axis=1, keepdims=True)
+            cur_max = jnp.maximum(cur_max, chunk_max)
+            # window exhaustion test for the NEXT chunk: its top element is
+            # this chunk's bottom minus one; distances only grow downward
+            next_top = base - 1
+            safe_top = jnp.maximum(next_top, 0)
+            tb = safe_top // LANES * LANES
+            xt = _extract_col(xhi_ref[:, pl.ds(tb, LANES)], safe_top - tb, lane)
+            rt = _extract_col(rpos_ref[:, pl.ds(tb, LANES)], safe_top - tb, lane)
+            go = (next_top >= 0) & jnp.any(
+                act_read & (xt == xi) & (ri - rt <= max_dist_x))
+            return (c + 1, go, cur_max, best_j, cnt_best, nonimp_tot)
+
+        zero8 = jnp.zeros((SUBL, 1), jnp.int32)
+        state0 = (jnp.int32(0), i > 0, qs, zero8 - 1, zero8, zero8)
+        _, _, cur_max, best_j, cnt_best, nonimp_tot = \
+            jax.lax.while_loop(cond, chunk_body, state0)
+
+        max_f = jnp.maximum(cur_max, qs)
+        have = cur_max > qs
+        p_new = jnp.where(have & act_read, best_j, -1)
+        f_new = jnp.where(act_read, max_f, 0)
+        fblk = f_ref[:, isl]
+        f_ref[:, isl] = jnp.where(lane == off, f_new, fblk)
+        pblk = p_ref[:, isl]
+        p_ref[:, isl] = jnp.where(lane == off, p_new, pblk)
+        skip_bad = have & (cnt_best > max_skip) & act_read
+        return flags | jnp.where(skip_bad, 1, 0)
+
+    flags = jax.lax.fori_loop(0, max_i,
+                              outer, jnp.zeros((SUBL, 1), jnp.int32))
+    flag_ref[:, :] = jnp.broadcast_to(flags, (SUBL, LANES))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
+    "many_segs", "interpret"))
+def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, tbl, *, max_n,
+                       max_dist_x, max_dist_y, bw, max_skip, is_cdna,
+                       many_segs, interpret=False):
+    """Batched chaining score pass. Inputs (R, max_n) int32 with R % 8 == 0;
+    nn: (R, 128) counts in col 0; tbl: (R, TBL) exact c_lin tables.
+    Returns f, p, flag."""
+    assert bw < TBL, "bandwidths >= TBL use the host/XLA path"
+    R = xhi.shape[0]
+    grid = (R // SUBL,)
+    kern = functools.partial(
+        _chain_kernel, max_n=max_n, max_dist_x=max_dist_x,
+        max_dist_y=max_dist_y, bw=bw, max_skip=max_skip, is_cdna=is_cdna,
+        many_segs=many_segs)
+    blk = lambda w: pl.BlockSpec((SUBL, w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    f, p, flag = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[blk(max_n)] * 5 + [blk(LANES), blk(TBL)],
+        out_specs=(blk(max_n), blk(max_n), blk(LANES)),
+        out_shape=(jax.ShapeDtypeStruct((R, max_n), jnp.int32),
+                   jax.ShapeDtypeStruct((R, max_n), jnp.int32),
+                   jax.ShapeDtypeStruct((R, LANES), jnp.int32)),
+        interpret=interpret,
+    )(xhi, rpos, qpos, span, sid, nn, tbl)
+    return f, p, flag
+
+
+def pack_reads(reads, max_n: int):
+    """Pack a list of per-read component dicts into (R, max_n) arrays plus
+    per-read counts and exact c_lin tables."""
+    R = (len(reads) + SUBL - 1) // SUBL * SUBL
+    out = {k: np.zeros((R, max_n), dtype=np.int32)
+           for k in ("xhi", "rpos", "qpos", "span", "sid")}
+    out["xhi"][:] = -1
+    nn = np.zeros((R, LANES), dtype=np.int32)
+    tbl = np.zeros((R, TBL), dtype=np.int32)
+    d = np.arange(TBL, dtype=np.float64)
+    for r, rd in enumerate(reads):
+        n = len(rd["rpos"])
+        for k in ("xhi", "rpos", "qpos", "span", "sid"):
+            out[k][r, :n] = rd[k]
+        nn[r, 0] = n
+        avg = np.float64(np.float32(rd["avg_qspan"]))
+        assert avg >= 1.6 or n == 0, "tiny avg_qspan breaks the c_log shortcut"
+        tbl[r] = (d * 0.01 * avg).astype(np.int32)  # exact C double semantics
+    return out, nn, tbl
