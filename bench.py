@@ -63,35 +63,42 @@ def main():
     dev = jax.devices()[0]
     interpret = dev.platform not in ("tpu", "axon") and "TPU" not in str(dev)
 
-    anchors = synth_batch(N_READS, ANCHORS_PER_READ, seed=0)
-    reads = []
-    for a in anchors:
-        xhi, rpos, qpos, span, sid = split_anchors(a)
-        reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
-                          avg_qspan=np.float32(span.sum() / len(a))))
     max_n = (ANCHORS_PER_READ + 127) // 128 * 128
-    packed, nn, tbl = CP.pack_reads(reads, max_n)
-    args = [jax.device_put(packed[k]) for k in ("xhi", "rpos", "qpos", "span", "sid")]
-    args += [jax.device_put(nn), jax.device_put(tbl)]
 
-    def run():
+    def pack(seed):
+        anchors = synth_batch(N_READS, ANCHORS_PER_READ, seed=seed)
+        reads = []
+        for a in anchors:
+            xhi, rpos, qpos, span, sid = split_anchors(a)
+            reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
+                              avg_qspan=np.float32(span.sum() / len(a))))
+        packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n)
+        args = [jax.device_put(packed[k])
+                for k in ("xhi", "rpos", "qpos", "span", "sid")]
+        args += [jax.device_put(nn), jax.device_put(w1), jax.device_put(exc)]
+        jax.block_until_ready(args)  # materialize host->HBM before timing
+        return anchors, args
+
+    def run(args):
         f, p, flag = CP.chain_scores_batch(
             *args, max_n=max_n, max_dist_x=MAX_DIST, max_dist_y=MAX_DIST,
             bw=BW, max_skip=MAX_SKIP, is_cdna=False, many_segs=False,
             interpret=interpret)
-        return jax.block_until_ready(f), flag
+        # fetch a tiny slice: defeats async dispatch illusions on tunneled
+        # backends where block_until_ready returns before execution finishes
+        return f, int(np.asarray(flag[:, 0]).sum())
 
-    run()  # warmup/compile
-    n_iter = 1 if interpret else 5
+    n_iter = 1 if interpret else 4
+    batches = [pack(s) for s in range(n_iter + 1)]
+    f, flagged = run(batches[0][1])  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        f, flag = run()
+    for it in range(n_iter):  # every timed call sees a never-executed batch
+        f, flagged = run(batches[it + 1][1])
     t1 = time.perf_counter()
     total_anchors = N_READS * ANCHORS_PER_READ * n_iter
     value = total_anchors / (t1 - t0)
 
-    base = baseline_anchors_per_s(anchors)
-    flagged = int(np.asarray(flag)[:, 0].sum())
+    base = baseline_anchors_per_s(batches[0][0])
     rec = {
         "metric": "chaindp_anchors_per_s",
         "value": round(value, 1),

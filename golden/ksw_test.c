@@ -4,7 +4,7 @@
  *   kind q e q2 e2 w zdrop end_bonus flag a b
  *   qseq (digits 0-4)
  *   tseq (digits 0-4)
- * kind: 0 = ksw_extd2_sse, 1 = ksw_ll_i16
+ * kind: 0 = ksw_extd2_sse, 1 = ksw_ll_i16, 2 = ksw_exts2_sse (e2 field = noncan)
  * Output: "score max zdropped max_q max_t mqe mqe_t mte mte_q reach_end CIGAR"
  * or for ll: "score qe te"
  */
@@ -42,10 +42,13 @@ int main(void)
         for (i = 0; i < qlen; ++i) qseq[i] = qs[i] - '0';
         for (i = 0; i < tlen; ++i) tseq[i] = ts[i] - '0';
         gen_simple_mat(5, mat, a, b);
-        if (kind == 0) {
+        if (kind == 0 || kind == 2) {
             ksw_extz_t ez;
             memset(&ez, 0, sizeof(ez));
-            ksw_extd2_sse(0, qlen, qseq, tlen, tseq, 5, mat, q, e, q2, e2, w, zdrop, end_bonus, flag, &ez);
+            if (kind == 0)
+                ksw_extd2_sse(0, qlen, qseq, tlen, tseq, 5, mat, q, e, q2, e2, w, zdrop, end_bonus, flag, &ez);
+            else
+                ksw_exts2_sse(0, qlen, qseq, tlen, tseq, 5, mat, q, e, q2, e2 /*noncan*/, zdrop, flag, &ez);
             printf("%d %d %d %d %d %d %d %d %d %d ", ez.score, ez.max, ez.zdropped,
                    ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte, ez.mte_q, ez.reach_end);
             for (i = 0; i < ez.n_cigar; ++i)

@@ -9,10 +9,12 @@ This is the TPU-native replacement for the reference's FPGA chaining offload
     array, descending from anchor i, until every read's distance window is
     exhausted — the full window is scanned (vector lanes make the reference's
     max_skip early-break pointless as a speed trick)
-  * gap cost c_lin = trunc(dd * .01 * avg_qspan) is EXACT: a per-read table
-    (host-computed with C double semantics) is gathered with 128-wide
-    take_along_axis tiles; beyond the table c_lin provably exceeds c_log so
-    min(c_lin, c_log) = c_log
+  * gap cost c_lin = trunc(dd * .01 * avg_qspan) is EXACT: the kernel computes
+    a float32 candidate trunc(f32(dd) * w1); the host verifies that candidate
+    against the C-double-exact value for EVERY dd < TBL and ships the (rare)
+    mismatches as an explicit exception list the kernel patches by equality
+    compare — reads with too many exceptions fall back to the host. Beyond
+    the table c_lin provably exceeds c_log so min(c_lin, c_log) = c_log
   * max_skip semantics: a read is FLAGGED when some iteration scans more than
     max_skip valid non-improving candidates before its argmax — only then can
     the reference's stamp-driven early break change f/p (see ops/chain_jax.py)
@@ -34,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
 LANES = 128
-SUBL = 8
-TBL = 2048  # c_lin table entries per read; requires bw < TBL
+SUBL = int(__import__("os").environ.get("MM2TPU_SUBL", "32"))  # reads per grid program
+TBL = 2048    # c_lin exactness domain; requires bw < TBL
+N_EXC = 8     # c_lin exception slots per read
 
 
 def _suffix_max(x):
@@ -58,25 +61,16 @@ def _extract_col(blk, off, lane):
                    axis=1, keepdims=True)
 
 
-def _gather_tbl(tbl_ref, dd):
-    """Exact c_lin table lookup: (8,128) indices into the (8,TBL) per-read
-    table, via 128-wide take_along_axis tiles."""
-    within = dd & (LANES - 1)
-    tile = dd >> 7
-    res = jnp.zeros(dd.shape, jnp.int32)
-    for t in range(TBL // LANES):
-        part = jnp.take_along_axis(tbl_ref[:, t * LANES:(t + 1) * LANES],
-                                   within, axis=1)
-        res = jnp.where(tile == t, part, res)
-    return res
-
-
 def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
-                  tbl_ref, f_ref, p_ref, flag_ref,
+                  w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, max_n, max_dist_x, max_dist_y, bw, max_skip,
                   is_cdna, many_segs):
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
+    w1 = w1_ref[:, 0:1]             # (8,1) f32: f32(0.01 * avg_qspan)
+    # exception slots: exc[:, 2k] = dd, exc[:, 2k+1] = exact c_lin
+    exc = [(exc_ref[:, 2 * k:2 * k + 1], exc_ref[:, 2 * k + 1:2 * k + 2])
+           for k in range(N_EXC)]
     f_ref[:, :] = jnp.zeros((SUBL, max_n), jnp.int32)
     p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
     max_i = jnp.max(n_vec)
@@ -123,7 +117,9 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
 
             min_d = jnp.minimum(dq, dr)
             sc = jnp.minimum(min_d, qs)
-            c_lin = _gather_tbl(tbl_ref, jnp.clip(dd, 0, TBL - 1))
+            c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
+            for dd_k, cl_k in exc:
+                c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
             dexp = (jax.lax.bitcast_convert_type(
                 jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
             log_dd = jnp.where(dd > 0, dexp, 0)
@@ -195,11 +191,12 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
 @functools.partial(jax.jit, static_argnames=(
     "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
     "many_segs", "interpret"))
-def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, tbl, *, max_n,
+def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, w1, exc, *, max_n,
                        max_dist_x, max_dist_y, bw, max_skip, is_cdna,
                        many_segs, interpret=False):
     """Batched chaining score pass. Inputs (R, max_n) int32 with R % 8 == 0;
-    nn: (R, 128) counts in col 0; tbl: (R, TBL) exact c_lin tables.
+    nn: (R, 128) counts in col 0; w1: (R, 128) f32 gap-cost slope in col 0;
+    exc: (R, 128) c_lin exceptions as (dd, value) pairs in cols 0..2*N_EXC.
     Returns f, p, flag."""
     assert bw < TBL, "bandwidths >= TBL use the host/XLA path"
     R = xhi.shape[0]
@@ -213,32 +210,49 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, tbl, *, max_n,
     f, p, flag = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[blk(max_n)] * 5 + [blk(LANES), blk(TBL)],
+        in_specs=[blk(max_n)] * 5 + [blk(LANES), blk(LANES), blk(LANES)],
         out_specs=(blk(max_n), blk(max_n), blk(LANES)),
         out_shape=(jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, LANES), jnp.int32)),
         interpret=interpret,
-    )(xhi, rpos, qpos, span, sid, nn, tbl)
+    )(xhi, rpos, qpos, span, sid, nn, w1, exc)
     return f, p, flag
 
 
 def pack_reads(reads, max_n: int):
-    """Pack a list of per-read component dicts into (R, max_n) arrays plus
-    per-read counts and exact c_lin tables."""
+    """Pack per-read component dicts into (R, max_n) arrays plus per-read
+    counts, f32 gap-cost slopes, and exception lists. Returns
+    (packed, nn, w1, exc, host_flag) where host_flag marks reads whose
+    exception list overflowed (must take the host path)."""
     R = (len(reads) + SUBL - 1) // SUBL * SUBL
     out = {k: np.zeros((R, max_n), dtype=np.int32)
            for k in ("xhi", "rpos", "qpos", "span", "sid")}
     out["xhi"][:] = -1
     nn = np.zeros((R, LANES), dtype=np.int32)
-    tbl = np.zeros((R, TBL), dtype=np.int32)
+    w1 = np.zeros((R, LANES), dtype=np.float32)
+    exc = np.full((R, LANES), -1, dtype=np.int32)
+    host_flag = np.zeros(R, dtype=bool)
     d = np.arange(TBL, dtype=np.float64)
+    df32 = d.astype(np.float32)
     for r, rd in enumerate(reads):
         n = len(rd["rpos"])
         for k in ("xhi", "rpos", "qpos", "span", "sid"):
             out[k][r, :n] = rd[k]
         nn[r, 0] = n
+        if n == 0:
+            continue
         avg = np.float64(np.float32(rd["avg_qspan"]))
-        assert avg >= 1.6 or n == 0, "tiny avg_qspan breaks the c_log shortcut"
-        tbl[r] = (d * 0.01 * avg).astype(np.int32)  # exact C double semantics
-    return out, nn, tbl
+        assert avg >= 1.6, "tiny avg_qspan breaks the c_log shortcut"
+        exact = (d * 0.01 * avg).astype(np.int64)  # C double semantics
+        w = np.float32(np.float64(0.01) * avg)
+        cand = (df32 * w).astype(np.int64)         # what the kernel computes
+        bad = np.nonzero(cand != exact)[0]
+        if len(bad) > N_EXC:
+            host_flag[r] = True
+            continue
+        w1[r, 0] = w
+        for k, dd in enumerate(bad):
+            exc[r, 2 * k] = dd
+            exc[r, 2 * k + 1] = exact[dd]
+    return out, nn, w1, exc, host_flag
