@@ -1,0 +1,78 @@
+"""ctypes bindings for the native (C++) host-runtime components.
+
+Builds `native/chain_epilogue.cc` on demand (g++ -O2 -shared) and exposes
+`chain_bottom_native` — the per-read chaining epilogue (compact construction +
+bottom-half backtrack). Falls back to the pure-Python implementations in
+ops/chain.py when the toolchain is unavailable."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "native", "chain_epilogue.cc")
+_SO = os.path.join(_ROOT, "native", "libmm2tpu_epilogue.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.mm2tpu_chain_bottom.restype = ctypes.c_int64
+        lib.mm2tpu_chain_bottom.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def chain_bottom_native(anchors: np.ndarray, f: np.ndarray, p: np.ndarray,
+                        min_cnt: int, min_sc: int):
+    """Native compact+backtrack from device (f, p). Returns a Chains or None
+    if the native library is unavailable."""
+    from .ops.chain import Chains
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(anchors)
+    if n == 0:
+        return Chains(np.empty((0, 2), np.uint64), np.empty(0, np.uint64))
+    ax = np.ascontiguousarray(anchors[:, 0], dtype=np.uint64)
+    ay = np.ascontiguousarray(anchors[:, 1], dtype=np.uint64)
+    f32 = np.ascontiguousarray(f, dtype=np.int32)
+    p32 = np.ascontiguousarray(p, dtype=np.int32)
+    out_a = np.empty((2 * n, 2), dtype=np.uint64)
+    out_u = np.empty(2 * n, dtype=np.uint64)
+    n_v = ctypes.c_int64(0)
+    ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    n_u = lib.mm2tpu_chain_bottom(
+        n, ptr(ax, ctypes.c_uint64), ptr(ay, ctypes.c_uint64),
+        ptr(f32, ctypes.c_int32), ptr(p32, ctypes.c_int32),
+        min_cnt, min_sc,
+        ptr(out_a, ctypes.c_uint64), ptr(out_u, ctypes.c_uint64),
+        ctypes.byref(n_v))
+    return Chains(out_a[:n_v.value].copy(), out_u[:n_u].copy())

@@ -1,0 +1,34 @@
+"""Device runtime (Pallas interpret on CPU) must produce output bit-identical
+to the host pipeline on the bundled test pairs."""
+import os
+
+import pytest
+
+from conftest import REF_TEST_DIR
+from minimap2_chaindp_tpu import constants as C
+from minimap2_chaindp_tpu.options import set_opt
+from minimap2_chaindp_tpu.io.fastx import read_fastx, Frag
+from minimap2_chaindp_tpu.index.build import build_index
+from minimap2_chaindp_tpu.models.pipeline import map_fragment_output
+from minimap2_chaindp_tpu.models.runtime import DeviceRuntime
+
+
+@pytest.mark.parametrize("ref_fa,q_fa,flags", [
+    ("MT-human.fa", "MT-orang.fa", C.MM_F_OUT_SAM | C.MM_F_CIGAR),
+    ("t-inv.fa", "q-inv.fa", C.MM_F_OUT_SAM | C.MM_F_CIGAR),
+    ("MT-human.fa", "MT-orang.fa", C.MM_F_OUT_CG | C.MM_F_CIGAR),
+])
+def test_device_runtime_matches_host(ref_fa, q_fa, flags):
+    io, mo = set_opt(None)
+    mo.flag |= flags
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, ref_fa)))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    frags = [Frag([q]) for q in read_fastx(os.path.join(REF_TEST_DIR, q_fa))]
+    rt = DeviceRuntime(mi, mo)
+    dev_lines = [l for ls in rt.map_batch(frags) for l in ls]
+    host_lines = []
+    for f in frags:
+        host_lines.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev_lines == host_lines
