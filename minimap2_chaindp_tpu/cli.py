@@ -189,11 +189,17 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    refs = list(read_fastx(ns.target))
-    mi = build_index([r.name for r in refs], [r.seq for r in refs],
-                     io.w, io.k, io.flag, io.bucket_bits)
+    from .index.serialize import dump_index, is_mm2tpu_index, load_index
+    if is_mm2tpu_index(ns.target):
+        mi = load_index(ns.target)
+        if mi.k != io.k or mi.w != io.w:
+            print(f"[WARNING] Indexing parameters (-k {mi.k} -w {mi.w}) "
+                  "overriding command line", file=sys.stderr)
+    else:
+        refs = list(read_fastx(ns.target))
+        mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                         io.w, io.k, io.flag, io.bucket_bits)
     if ns.dump_index:
-        from .index.serialize import dump_index
         dump_index(mi, ns.dump_index)
         if not ns.query:
             return 0

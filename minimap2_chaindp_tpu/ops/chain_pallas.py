@@ -36,7 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
 LANES = 128
-SUBL = int(__import__("os").environ.get("MM2TPU_SUBL", "32"))  # reads per grid program
+def pick_subl(max_n: int) -> int:
+    """Reads per grid program: as large as VMEM comfortably allows (more
+    sublanes per vector op = better VPU latency hiding)."""
+    import os
+    if "MM2TPU_SUBL" in os.environ:
+        return int(os.environ["MM2TPU_SUBL"])
+    budget = 8 * 1024 * 1024  # bytes of VMEM for the ~7 (subl, max_n) arrays
+    subl = budget // (max_n * 4 * 7)
+    return max(8, min(128, subl // 8 * 8))
 TBL = 2048    # c_lin exactness domain; requires bw < TBL
 N_EXC = 8     # c_lin exception slots per read
 
@@ -63,8 +71,9 @@ def _extract_col(blk, off, lane):
 
 def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
                   w1_ref, exc_ref, f_ref, p_ref, flag_ref,
-                  *, max_n, max_dist_x, max_dist_y, bw, max_skip,
+                  *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
                   is_cdna, many_segs):
+    SUBL = subl
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
     w1 = w1_ref[:, 0:1]             # (8,1) f32: f32(0.01 * avg_qspan)
@@ -75,8 +84,7 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
     p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
     max_i = jnp.max(n_vec)
 
-    def outer(i, carry):
-        flags, fcmax = carry  # fcmax[:, c] = max f over chunk c (upper bound)
+    def outer(i, flags):
         base_i = i // LANES * LANES
         off = i - base_i
         isl = pl.ds(base_i, LANES)
@@ -104,6 +112,7 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
             rp = rpos_ref[:, sl]
             qp = qpos_ref[:, sl]
             sd = sid_ref[:, sl]
+            fj = f_ref[:, sl]
             dr = ri - rp
             dq = qi - qp
             same = sd == si
@@ -115,68 +124,47 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
             if many_segs and not is_cdna:
                 valid &= ~(same & (dr > max_dist_y))
 
-            # upper-bound prune: sc <= f[j] + q_span + 1 for any pair, so if
-            # no read can beat its running max, every valid entry here is
-            # non-improving — count them and skip the score computation.
-            # This is EXACT: the skip-flag contract still sees these entries.
-            fub = _extract_col(fcmax, n_chunks - 1 - c, lane)
-            can_improve = jnp.any((fub + qs + 1 > cur_max)
-                                  & act_read & (c < n_chunks))
+            min_d = jnp.minimum(dq, dr)
+            sc = jnp.minimum(min_d, qs)
+            c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
+            for dd_k, cl_k in exc:
+                c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
+            dexp = (jax.lax.bitcast_convert_type(
+                jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+            log_dd = jnp.where(dd > 0, dexp, 0)
+            # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
+            # (requires avg_qspan >= 1.6, asserted host-side)
+            pen_other = jnp.where(dd >= TBL, log_dd, jnp.minimum(c_lin, log_dd))
+            pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
+            if is_cdna:
+                sc = jnp.where(~same & (dr == 0), sc + 1,
+                               jnp.where((dr > dq) | ~same, sc - pen_other,
+                                         sc - pen_same))
+            else:
+                sc = jnp.where(same, sc - pen_same,
+                               jnp.where(dr == 0, sc + 1, sc - pen_other))
+            sc = sc + fj
+            scv = jnp.where(valid, sc, NEG_INF)
 
-            def heavy(_):
-                fj = f_ref[:, sl]
-                min_d = jnp.minimum(dq, dr)
-                sc = jnp.minimum(min_d, qs)
-                c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
-                for dd_k, cl_k in exc:
-                    c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
-                dexp = (jax.lax.bitcast_convert_type(
-                    jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
-                log_dd = jnp.where(dd > 0, dexp, 0)
-                # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
-                # (requires avg_qspan >= 1.6, asserted host-side)
-                pen_other = jnp.where(dd >= TBL, log_dd,
-                                      jnp.minimum(c_lin, log_dd))
-                pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
-                if is_cdna:
-                    sc = jnp.where(~same & (dr == 0), sc + 1,
-                                   jnp.where((dr > dq) | ~same, sc - pen_other,
-                                             sc - pen_same))
-                else:
-                    sc = jnp.where(same, sc - pen_same,
-                                   jnp.where(dr == 0, sc + 1, sc - pen_other))
-                sc = sc + fj
-                scv = jnp.where(valid, sc, NEG_INF)
-
-                # scan order is descending j = descending lane in the chunk
-                chunk_max = jnp.max(scv, axis=1, keepdims=True)
-                new_best = chunk_max > cur_max
-                bl = jnp.max(jnp.where(scv == chunk_max, lane, -1),
-                             axis=1, keepdims=True)
-                # improvements: sc > (max of later-lane values and the carry)
-                suf = _suffix_max(scv)
-                suf_excl = pltpu.roll(suf, LANES - 1, 1)  # left-shift by 1
-                suf_excl = jnp.where(lane < LANES - 1, suf_excl, NEG_INF)
-                prevmax = jnp.maximum(suf_excl, cur_max)
-                improve = valid & (scv > prevmax)
-                nonimp = valid & ~improve
-                cnt_above = jnp.sum(jnp.where(nonimp & (lane > bl), 1, 0),
-                                    axis=1, keepdims=True)
-                cb = jnp.where(new_best, nonimp_tot + cnt_above, cnt_best)
-                bj = jnp.where(new_best, base + bl, best_j)
-                nit = nonimp_tot + jnp.sum(nonimp.astype(jnp.int32),
-                                           axis=1, keepdims=True)
-                cm = jnp.maximum(cur_max, chunk_max)
-                return cm, bj, cb, nit
-
-            def light(_):
-                nit = nonimp_tot + jnp.sum(valid.astype(jnp.int32),
-                                           axis=1, keepdims=True)
-                return cur_max, best_j, cnt_best, nit
-
-            cur_max, best_j, cnt_best, nonimp_tot = jax.lax.cond(
-                can_improve, heavy, light, 0)
-
+            # scan order is descending j = descending lane within the chunk
+            chunk_max = jnp.max(scv, axis=1, keepdims=True)
+            new_best = chunk_max > cur_max
+            best_lane = jnp.max(jnp.where(scv == chunk_max, lane, -1),
+                                axis=1, keepdims=True)
+            # improvements: sc > (max of later-lane values and the carry)
+            suf = _suffix_max(scv)
+            suf_excl = pltpu.roll(suf, LANES - 1, 1)  # left-shift by 1
+            suf_excl = jnp.where(lane < LANES - 1, suf_excl, NEG_INF)
+            prevmax = jnp.maximum(suf_excl, cur_max)
+            improve = valid & (scv > prevmax)
+            nonimp = valid & ~improve
+            cnt_above = jnp.sum(jnp.where(nonimp & (lane > best_lane), 1, 0),
+                                axis=1, keepdims=True)
+            cnt_best = jnp.where(new_best, nonimp_tot + cnt_above, cnt_best)
+            best_j = jnp.where(new_best, base + best_lane, best_j)
+            nonimp_tot = nonimp_tot + jnp.sum(nonimp.astype(jnp.int32),
+                                              axis=1, keepdims=True)
+            cur_max = jnp.maximum(cur_max, chunk_max)
             # window exhaustion test for the NEXT chunk: its top element is
             # this chunk's bottom minus one; distances only grow downward
             next_top = base - 1
@@ -201,14 +189,11 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
         f_ref[:, isl] = jnp.where(lane == off, f_new, fblk)
         pblk = p_ref[:, isl]
         p_ref[:, isl] = jnp.where(lane == off, p_new, pblk)
-        ichunk = i // LANES
-        fcmax2 = jnp.where(lane == ichunk, jnp.maximum(fcmax, f_new), fcmax)
         skip_bad = have & (cnt_best > max_skip) & act_read
-        return (flags | jnp.where(skip_bad, 1, 0), fcmax2)
+        return flags | jnp.where(skip_bad, 1, 0)
 
-    flags, _ = jax.lax.fori_loop(
-        0, max_i, outer,
-        (jnp.zeros((SUBL, 1), jnp.int32), jnp.zeros((SUBL, LANES), jnp.int32)))
+    flags = jax.lax.fori_loop(0, max_i,
+                              outer, jnp.zeros((SUBL, 1), jnp.int32))
     flag_ref[:, :] = jnp.broadcast_to(flags, (SUBL, LANES))
 
 
@@ -224,9 +209,12 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, w1, exc, *, max_n,
     Returns f, p, flag."""
     assert bw < TBL, "bandwidths >= TBL use the host/XLA path"
     R = xhi.shape[0]
+    SUBL = pick_subl(max_n)
+    while R % SUBL:
+        SUBL //= 2
     grid = (R // SUBL,)
     kern = functools.partial(
-        _chain_kernel, max_n=max_n, max_dist_x=max_dist_x,
+        _chain_kernel, subl=SUBL, max_n=max_n, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, max_skip=max_skip, is_cdna=is_cdna,
         many_segs=many_segs)
     blk = lambda w: pl.BlockSpec((SUBL, w), lambda g: (g, 0),
@@ -249,7 +237,7 @@ def pack_reads(reads, max_n: int):
     counts, f32 gap-cost slopes, and exception lists. Returns
     (packed, nn, w1, exc, host_flag) where host_flag marks reads whose
     exception list overflowed (must take the host path)."""
-    R = (len(reads) + SUBL - 1) // SUBL * SUBL
+    R = (len(reads) + 127) // 128 * 128  # divisible by any SUBL choice
     out = {k: np.zeros((R, max_n), dtype=np.int32)
            for k in ("xhi", "rpos", "qpos", "span", "sid")}
     out["xhi"][:] = -1

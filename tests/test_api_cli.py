@@ -1,0 +1,53 @@
+"""Library API (mappy-compatible) and CLI end-to-end checks."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import GOLDEN_DIR, REF_TEST_DIR
+
+
+def test_mappy_api():
+    import minimap2_chaindp_tpu.mappy as mp
+    a = mp.Aligner(os.path.join(REF_TEST_DIR, "MT-human.fa"))
+    assert a and a.n_seq == 1 and a.seq_names == ["MT_human"]
+    q = next(mp.fastx_read(os.path.join(REF_TEST_DIR, "MT-orang.fa")))
+    hits = list(a.map(q[1], name="MT_orang"))
+    assert len(hits) == 1
+    h = hits[0]
+    assert h.ctg == "MT_human" and h.strand == 1 and h.is_primary
+    assert h.mapq == 60
+    # coordinates match the golden PAF line
+    with open(os.path.join(GOLDEN_DIR, "mt.paf")) as f:
+        cols = f.readline().split("\t")
+    assert (h.q_st, h.q_en, h.r_st, h.r_en) == tuple(map(int, (cols[2], cols[3], cols[7], cols[8])))
+    assert h.NM == int(cols[12].split(":")[-1])
+    # seq fetch
+    s = a.seq("MT_human", 0, 10)
+    assert len(s) == 10
+
+
+def test_index_roundtrip(tmp_path):
+    import minimap2_chaindp_tpu.mappy as mp
+    idx = str(tmp_path / "mt.mm2i")
+    a1 = mp.Aligner(os.path.join(REF_TEST_DIR, "MT-human.fa"), fn_idx_out=idx)
+    a2 = mp.Aligner(idx)
+    q = next(mp.fastx_read(os.path.join(REF_TEST_DIR, "MT-orang.fa")))
+    h1 = next(a1.map(q[1], name="MT_orang"))
+    h2 = next(a2.map(q[1], name="MT_orang"))
+    assert str(h1) == str(h2)
+
+
+def test_cli_sam_golden():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a", "--device", "host",
+         os.path.join(REF_TEST_DIR, "MT-human.fa"),
+         os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    mine = [l for l in out.stdout.rstrip("\n").split("\n")
+            if not l.startswith("@PG")]
+    with open(os.path.join(GOLDEN_DIR, "mt.sam")) as f:
+        golden = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
+    assert mine == golden
