@@ -18,4 +18,7 @@ for k in extz2 extd2 exts2; do
 done
 gcc -c $CFLAGS /root/repo/golden/fpga_stub.c -o "$OUT/fpga_stub.o"
 gcc $CFLAGS -o "$OUT/minimap2_ref" "$OUT"/*.o -lm -lz -lpthread
-echo "built $OUT/minimap2_ref"
+gcc $CFLAGS -I"$REF" /root/repo/golden/ksw_test.c \
+  "$OUT"/ksw2_extd2_sse.o "$OUT"/ksw2_extz2_sse.o "$OUT"/ksw2_exts2_sse.o \
+  "$OUT"/ksw2_ll_sse.o "$OUT"/kalloc.o -o "$OUT/ksw_test" -lm -lz -lpthread
+echo "built $OUT/minimap2_ref + $OUT/ksw_test"

@@ -74,3 +74,13 @@ def test_sr_paired_end_paf():
 def test_sr_paired_end_sam():
     compare("pe.sr.sam", "sr", os.path.join(REF_TEST_DIR, "MT-human.fa"),
             [os.path.join(DATA, "pe_1.fq"), os.path.join(DATA, "pe_2.fq")], SAM)
+
+
+def test_splice_sam():
+    compare("splice.sam", "splice", os.path.join(DATA, "splice_genome.fa"),
+            [os.path.join(DATA, "splice_cdna.fa")], SAM)
+
+
+def test_splice_paf():
+    compare("splice.paf", "splice", os.path.join(DATA, "splice_genome.fa"),
+            [os.path.join(DATA, "splice_cdna.fa")], PAF_CG)
