@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-n", dest="min_cnt", type=int, default=None)
     a("-m", dest="min_chain_score", type=int, default=None)
     a("-X", dest="ava", action="store_true", help="skip self and dual mappings")
+    a("-T", dest="sdust_thres", type=int, default=None,
+      help="SDUST threshold; 0 to disable low-complexity minimizer masking")
     a("-p", dest="pri_ratio", type=float, default=None)
     a("-N", dest="best_n", type=int, default=None)
     # alignment
@@ -115,6 +117,8 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
         mo.min_chain_score = ns.min_chain_score
     if ns.ava:
         mo.flag |= C.MM_F_NO_DIAG | C.MM_F_NO_DUAL
+    if ns.sdust_thres is not None:
+        mo.sdust_thres = ns.sdust_thres
     if ns.pri_ratio is not None:
         mo.pri_ratio = ns.pri_ratio
     if ns.best_n is not None:

@@ -39,6 +39,12 @@ def collect_minimizers(opt, mi, seqs: list[str]) -> np.ndarray:
         if len(mv):
             mv = mv.copy()
             mv[:, 1] += np.uint64(total << 1)
+        if opt.sdust_thres > 0:
+            # NB applied after the segment q-offset, exactly like the
+            # reference (map.c:95-96 masks post-offset positions against
+            # per-segment LCR coordinates)
+            from ..sdust import dust_mask_minimizers
+            mv = dust_mask_minimizers(mv, s, opt.sdust_thres)
         parts.append(mv)
         total += len(s)
     if not parts:

@@ -84,3 +84,23 @@ def test_splice_sam():
 def test_splice_paf():
     compare("splice.paf", "splice", os.path.join(DATA, "splice_genome.fa"),
             [os.path.join(DATA, "splice_cdna.fa")], PAF_CG)
+
+
+def test_sdust_T20_sam():
+    """-T 20 low-complexity minimizer masking changes seeds; still byte-identical."""
+    io, mo = set_opt("map-ont")
+    mo.flag |= SAM
+    mo.sdust_thres = 20
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    lines = write_sam_hdr(mi, None, "2.10-r761", None).split("\n")
+    for batch in read_frags([os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+                            mo.mini_batch_size, False):
+        for frag in batch:
+            lines.extend(map_fragment_output(mi, mo, frag.segs))
+    with open(os.path.join(GOLDEN_DIR, "mt.T20.sam")) as f:
+        golden = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
+    mine = [l for l in lines if l and not l.startswith("@PG")]
+    assert mine == golden
