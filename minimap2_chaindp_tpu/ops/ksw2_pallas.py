@@ -1,0 +1,585 @@
+"""Pallas TPU wavefront kernel for batched dual-affine-gap extension (ksw2
+extd2) — the second hot compute path after chaining DP.
+
+TPU-native design (SURVEY.md §7.6): the reference's anti-diagonal
+("rotated") difference DP (ksw2_extd2_sse.c:26-47) is already the right
+dataflow for a wavefront machine — diagonal r depends only on r-1, and the
+state rows u, v, x, y, x2, y2 are per-band vectors.  This kernel runs SUBL
+independent extension problems in lockstep on the VPU sublanes, scanning the
+per-diagonal band in 128-lane chunks, and writes the backtrack-byte matrix
+`p` to HBM in RBLK-diagonal tiles via the Pallas grid.  Scores are carried in
+int32 with explicit int8 wraparound emulation so stale-lane behavior matches
+the reference's 16-lane SSE build bit-exactly (required for byte-identical
+CIGARs); the band start/end per diagonal uses the reference's 16-alignment
+(ksw2_extd2_sse.c:139) and the exact-max H row reproduces its lane-of-4
+tie-breaking scan order (:315-358).
+
+CIGAR backtrack stays on host (O(qlen+tlen), ksw2.h:119-151 semantics) using
+the closed-form per-diagonal band offsets, which the host recomputes
+deterministically from (qlen, tlen, w).
+
+Everything is validated against ops/ksw2.py (the NumPy model that is itself
+bit-exact against the reference kernels, see tests/test_ksw2_golden.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ksw2 as K
+
+LANES = 128
+SUBL = 8
+RBLK = 8           # rmax padding granularity (one diagonal per grid step)
+NEG = -0x80000000
+KSW_NEG_INF = K.KSW_NEG_INF
+
+# scal_ref column assignments (per-job scalar state carried across diagonals)
+C_LAST_ST, C_LAST_EN, C_MAX, C_MAX_T, C_MAX_Q, C_MQE, C_MQE_T, C_MTE, \
+    C_MTE_Q, C_SCORE, C_ZDROP, C_DONE, C_H0, C_H0T = range(14)
+
+# meta column assignments (per-job static inputs)
+M_QLEN, M_TLEN, M_W, M_ZDROP, M_RIGHT, M_APPROX, M_ADROP = range(7)
+
+
+def _w8(x):
+    """int8 wraparound of an int32 vector (sign-extend the low byte)."""
+    return ((x & 255) ^ 128) - 128
+
+
+def _band(r, qlen, tlen, w):
+    """Per-diagonal band bounds (reference ksw2_extd2_sse.c:131-139)."""
+    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    return st0, en0, st, en
+
+
+def _extract(arr, lane_t, idx, cond):
+    """(SUBL,1) value of `arr` at per-job absolute lane `idx` (masked max)."""
+    hit = (lane_t == idx) & cond
+    return jnp.max(jnp.where(hit, arr, NEG), axis=1, keepdims=True)
+
+
+def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
+                u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
+                scal_ref, *, q, e, q2, e2, mat0, sc_mis, sc_n,
+                long_thres, long_diff, tws, qoff, rmax, ncol):
+    nchunk = ncol // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
+    qlen = meta_ref[:, M_QLEN:M_QLEN + 1]
+    tlen = meta_ref[:, M_TLEN:M_TLEN + 1]
+    wj = meta_ref[:, M_W:M_W + 1]
+    zdropj = meta_ref[:, M_ZDROP:M_ZDROP + 1]
+    right = meta_ref[:, M_RIGHT:M_RIGHT + 1] != 0
+    approx = meta_ref[:, M_APPROX:M_APPROX + 1] != 0
+    adrop = meta_ref[:, M_ADROP:M_ADROP + 1] != 0
+    nrows = qlen + tlen - 1
+    qe_, qe2_ = q + e, q2 + e2
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        u_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
+        v_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
+        x_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
+        y_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
+        x2_ref[:, :] = jnp.full((SUBL, tws), -qe2_, jnp.int32)
+        y2_ref[:, :] = jnp.full((SUBL, tws), -qe2_, jnp.int32)
+        s_ref[:, :] = jnp.zeros((SUBL, tws), jnp.int32)
+        h_ref[:, :] = jnp.full((SUBL, tws), KSW_NEG_INF, jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
+        m_neg1 = ((col == C_LAST_ST) | (col == C_LAST_EN) | (col == C_MAX_T)
+                  | (col == C_MAX_Q) | (col == C_MQE_T) | (col == C_MTE_Q))
+        m_ninf = (col == C_MQE) | (col == C_MTE) | (col == C_SCORE)
+        scal_ref[:, :] = jnp.where(
+            m_neg1, -1, jnp.where(m_ninf, KSW_NEG_INF, 0))
+
+    def f_seed(r):
+        """First-column seed value (reference ksw2_extd2_sse.c:141-155)."""
+        return jnp.where(r == 0, -qe_,
+                         jnp.where(r < long_thres, -e,
+                                   jnp.where(r == long_thres, long_diff,
+                                             -e2)))
+
+    def row_body():
+        r = pl.program_id(1)
+        done = scal_ref[:, C_DONE:C_DONE + 1] != 0
+        act0 = (r < nrows) & ~done
+        st0, en0, st, en = _band(r, qlen, tlen, wj)
+        closed = act0 & (st0 > en0)
+        # band closed -> zdropped (reference :136-138)
+        zd = scal_ref[:, C_ZDROP:C_ZDROP + 1]
+        dn = scal_ref[:, C_DONE:C_DONE + 1]
+        scal_ref[:, C_ZDROP:C_ZDROP + 1] = jnp.where(closed, 1, zd)
+        scal_ref[:, C_DONE:C_DONE + 1] = jnp.where(closed, 1, dn)
+        act = act0 & ~closed
+        # common 128-aligned chunk base; min over ALL jobs with r < nrows
+        # (independent of zdrop state so the host can reproduce it)
+        st_all = jnp.where(r < nrows, st, 0x3FFFFFFF)
+        base0 = jnp.min(st_all)
+        base = jnp.where(base0 == 0x3FFFFFFF, 0, base0) // LANES * LANES
+        s_end = st0 + 16 * ((en0 - st0) // 16 + 1)
+
+        last_st = scal_ref[:, C_LAST_ST:C_LAST_ST + 1]
+        last_en = scal_ref[:, C_LAST_EN:C_LAST_EN + 1]
+
+        # ---- pre-pass: previous-row values at lane st-1 for the boundary
+        stm1 = st - 1
+        in_last = (last_st <= stm1) & (stm1 <= last_en) & (st > 0)
+
+        def prepass(c, carry):
+            x1, x21, v1 = carry
+            a0 = pl.multiple_of(jnp.maximum(base - LANES, 0) + c * LANES,
+                                LANES)
+            t = a0 + lane
+            xc = x_ref[:, pl.ds(a0, LANES)]
+            x2c = x2_ref[:, pl.ds(a0, LANES)]
+            vc = v_ref[:, pl.ds(a0, LANES)]
+            x1 = jnp.maximum(x1, _extract(xc, t, stm1, in_last))
+            x21 = jnp.maximum(x21, _extract(x2c, t, stm1, in_last))
+            v1 = jnp.maximum(v1, _extract(vc, t, stm1, in_last))
+            return x1, x21, v1
+
+        neg1 = jnp.full((SUBL, 1), NEG, jnp.int32)
+        x1, x21, v1 = jax.lax.fori_loop(0, nchunk + 1, prepass,
+                                        (neg1, neg1, neg1))
+        x1 = jnp.where(in_last, x1, -qe_)
+        x21 = jnp.where(in_last, x21, -qe2_)
+        v1 = jnp.where(st > 0, jnp.where(in_last, v1, -qe_), f_seed(r))
+        fr = f_seed(r)
+
+        # ---- chunk pass 1: the difference-DP recurrence + d bytes
+        def chunk1(c, carry):
+            xl, x2l, vl, h_en0m1, u_en0, v_en0, v_h0t, u_h0t1 = carry
+            a0 = pl.multiple_of(base + c * LANES, LANES)
+            t = a0 + lane
+            in_band = act & (t >= st) & (t <= en)
+            uc = u_ref[:, pl.ds(a0, LANES)]
+            vc = v_ref[:, pl.ds(a0, LANES)]
+            xc = x_ref[:, pl.ds(a0, LANES)]
+            yc = y_ref[:, pl.ds(a0, LANES)]
+            x2c = x2_ref[:, pl.ds(a0, LANES)]
+            y2c = y2_ref[:, pl.ds(a0, LANES)]
+            sc_old = s_ref[:, pl.ds(a0, LANES)]
+            # scores s[t]: blocks of 16 from st0 (stale outside, :158-166)
+            sq = sf_ref[:, pl.ds(a0, LANES)]
+            # qr read starts at an arbitrary (unaligned) lane offset; Mosaic
+            # vector loads need 128-aligned starts, so load two aligned
+            # chunks and recombine with a dynamic circular shift
+            qidx = qoff - r + a0
+            qal = pl.multiple_of(qidx // LANES * LANES, LANES)
+            sh = qidx - qal
+            qa = pltpu.roll(qr_ref[:, pl.ds(qal, LANES)], LANES - sh, 1)
+            qb = pltpu.roll(qr_ref[:, pl.ds(qal + LANES, LANES)],
+                            LANES - sh, 1)
+            stq = jnp.where(lane < LANES - sh, qa, qb)
+            s_new = jnp.where((sq == 4) | (stq == 4), sc_n,
+                              jnp.where(sq == stq, mat0, sc_mis))
+            in_s = act & (t >= st0) & (t < s_end)
+            s_cur = jnp.where(in_s, s_new, sc_old)
+            s_ref[:, pl.ds(a0, LANES)] = s_cur
+            # boundary injection at lane r (:141-149)
+            inj = act & (t == r) & (en >= r)
+            u_in = jnp.where(inj, fr, uc)
+            y_in = jnp.where(inj, -qe_, yc)
+            y2_in = jnp.where(inj, -qe2_, y2c)
+            # shifted-by-one x/x2/v with cross-chunk carry + st injection
+            def sh(cur, carry_in, bval):
+                prev = pltpu.roll(cur, 1, 1)
+                prev = jnp.where(lane == 0, carry_in, prev)
+                return jnp.where(act & (t == st), bval, prev)
+            xt1 = sh(xc, xl, x1)
+            x2t1 = sh(x2c, x2l, x21)
+            vt1 = sh(vc, vl, v1)
+            new_xl = xc[:, LANES - 1:LANES]
+            new_x2l = x2c[:, LANES - 1:LANES]
+            new_vl = vc[:, LANES - 1:LANES]
+            a_ = _w8(xt1 + vt1)
+            b_ = _w8(y_in + u_in)
+            a2_ = _w8(x2t1 + vt1)
+            b2_ = _w8(y2_in + u_in)
+            z = s_cur
+            # backtrack direction bits, left- vs right-aligned gaps (:220-314)
+            dl = jnp.where(a_ > z, 1, 0)
+            dr = jnp.where(z > a_, 0, 1)
+            z = jnp.maximum(z, a_)
+            dl = jnp.where(b_ > z, 2, dl)
+            dr = jnp.where(z > b_, dr, 2)
+            z = jnp.maximum(z, b_)
+            dl = jnp.where(a2_ > z, 3, dl)
+            dr = jnp.where(z > a2_, dr, 3)
+            z = jnp.maximum(z, a2_)
+            dl = jnp.where(b2_ > z, 4, dl)
+            dr = jnp.where(z > b2_, dr, 4)
+            z = jnp.maximum(z, b2_)
+            d = jnp.where(right, dr, dl)
+            z = jnp.minimum(z, mat0)
+            u_n = _w8(z - vt1)
+            v_n = _w8(z - u_in)
+            tmp = _w8(z - q)
+            ax = _w8(a_ - tmp)
+            bx = _w8(b_ - tmp)
+            tmp2 = _w8(z - q2)
+            a2x = _w8(a2_ - tmp2)
+            b2x = _w8(b2_ - tmp2)
+            # right-aligned keeps >= 0, left-aligned > 0: single threshold
+            rthr = jnp.where(right, -1, 0)
+            cond_a = ax > rthr
+            cond_b = bx > rthr
+            cond_a2 = a2x > rthr
+            cond_b2 = b2x > rthr
+            x_n = _w8(jnp.where(cond_a, ax, 0) - qe_)
+            y_n = _w8(jnp.where(cond_b, bx, 0) - qe_)
+            x2_n = _w8(jnp.where(cond_a2, a2x, 0) - qe2_)
+            y2_n = _w8(jnp.where(cond_b2, b2x, 0) - qe2_)
+            d = d | jnp.where(cond_a, 0x08, 0) | jnp.where(cond_b, 0x10, 0) \
+                  | jnp.where(cond_a2, 0x20, 0) | jnp.where(cond_b2, 0x40, 0)
+            u_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, u_n, uc)
+            v_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, v_n, vc)
+            x_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, x_n, xc)
+            y_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, y_n, yc)
+            x2_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, x2_n, x2c)
+            y2_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, y2_n, y2c)
+            p_ref[0, 0, :, pl.ds(c * LANES, LANES)] = jnp.where(
+                in_band, d, 0).astype(jnp.uint8)
+            # extracts for the H row and the approx-max tracker
+            hc = h_ref[:, pl.ds(a0, LANES)]
+            h_en0m1 = jnp.maximum(h_en0m1, _extract(hc, t, en0 - 1, act))
+            un_eff = jnp.where(in_band, u_n, uc)
+            vn_eff = jnp.where(in_band, v_n, vc)
+            u_en0 = jnp.maximum(u_en0, _extract(un_eff, t, en0, act))
+            v_en0 = jnp.maximum(v_en0, _extract(vn_eff, t, en0, act))
+            h0t = scal_ref[:, C_H0T:C_H0T + 1]
+            v_h0t = jnp.maximum(v_h0t, _extract(vn_eff, t, h0t, act))
+            u_h0t1 = jnp.maximum(u_h0t1, _extract(un_eff, t, h0t + 1, act))
+            return (new_xl, new_x2l, new_vl, h_en0m1, u_en0, v_en0,
+                    v_h0t, u_h0t1)
+
+        init1 = (neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1)
+        _, _, _, h_en0m1, u_en0, v_en0, v_h0t, u_h0t1 = \
+            jax.lax.fori_loop(0, nchunk, chunk1, init1)
+
+        # H[en0]: old H[en0-1] + new u[en0], or v-based forms (:315-327)
+        h_en0 = jnp.where(r == 0, v_en0 - qe_,
+                          jnp.where(en0 > 0, h_en0m1 + u_en0,
+                                    h_ref[:, 0:1] + v_en0))
+
+        # ---- chunk pass 2: H[st0..en0] update + max with exact tie order
+        en1 = st0 + (en0 - st0) // 4 * 4
+        nr4 = jnp.maximum((en1 - st0) >> 2, 1)
+
+        def chunk2(c, carry):
+            best_h, best_key, h_st0 = carry
+            a0 = pl.multiple_of(base + c * LANES, LANES)
+            t = a0 + lane
+            hc = h_ref[:, pl.ds(a0, LANES)]
+            vc = v_ref[:, pl.ds(a0, LANES)]
+            in_upd = act & (t >= st0) & (t < en0)
+            h_new = jnp.where(in_upd, hc + vc, hc)
+            h_new = jnp.where(act & (t == en0),
+                              jnp.broadcast_to(h_en0, (SUBL, LANES)), h_new)
+            h_ref[:, pl.ds(a0, LANES)] = h_new
+            # scan-order key: en0 first, then the lane-of-4 block scan of
+            # [st0, en1), then the trailing scalar loop [en1, en0)
+            off = t - st0
+            blk_key = 1 + (off & 3) * nr4 + (off >> 2)
+            key = jnp.where(t == en0, 0,
+                            jnp.where(t < en1, blk_key, 0x10000000 + t))
+            cand = act & (t >= st0) & (t <= en0)
+            hv = jnp.where(cand, h_new, KSW_NEG_INF - 1)
+            cmax = jnp.max(hv, axis=1, keepdims=True)
+            ckey = jnp.min(jnp.where(hv == cmax, key, 0x7FFFFFFF),
+                           axis=1, keepdims=True)
+            better = (cmax > best_h) | ((cmax == best_h) & (ckey < best_key))
+            best_key = jnp.where(better, ckey, best_key)
+            best_h = jnp.maximum(best_h, cmax)
+            h_st0 = jnp.maximum(h_st0, _extract(h_new, t, st0, act))
+            return best_h, best_key, h_st0
+
+        init2 = (jnp.full((SUBL, 1), KSW_NEG_INF - 1, jnp.int32),
+                 jnp.full((SUBL, 1), 0x7FFFFFFF, jnp.int32), neg1)
+        max_h, max_key, h_st0 = jax.lax.fori_loop(0, nchunk, chunk2, init2)
+        # decode max_t from the key
+        kk = max_key
+        blk_t = st0 + ((kk - 1) % nr4) * 4 + (kk - 1) // nr4
+        max_t = jnp.where(kk == 0, en0,
+                          jnp.where(kk >= 0x10000000, kk - 0x10000000, blk_t))
+
+        # ---- scalar epilogue (per job)
+        ez_max = scal_ref[:, C_MAX:C_MAX + 1]
+        ez_max_t = scal_ref[:, C_MAX_T:C_MAX_T + 1]
+        ez_max_q = scal_ref[:, C_MAX_Q:C_MAX_Q + 1]
+
+        def apply_zdrop(H, tt, upd_mask):
+            """reference ksw_apply_zdrop (ksw2.h:160-176)."""
+            better = upd_mask & (H > ez_max)
+            cand2 = upd_mask & ~better & (tt >= ez_max_t) \
+                & ((r - tt) >= ez_max_q)
+            tl_ = tt - ez_max_t
+            ql_ = (r - tt) - ez_max_q
+            ll = jnp.abs(tl_ - ql_)
+            dropped = cand2 & (zdropj >= 0) & (ez_max - H > zdropj + ll * e2)
+            return better, dropped
+
+        exact = act & ~approx
+        bet, drp = apply_zdrop(max_h, max_t, exact)
+        new_max = jnp.where(bet, max_h, ez_max)
+        new_max_t = jnp.where(bet, max_t, ez_max_t)
+        new_max_q = jnp.where(bet, r - max_t, ez_max_q)
+
+        # mte / mqe (:338-345)
+        mte = scal_ref[:, C_MTE:C_MTE + 1]
+        mte_q = scal_ref[:, C_MTE_Q:C_MTE_Q + 1]
+        mte_upd = exact & (en0 == tlen - 1) & (h_en0 > mte)
+        scal_ref[:, C_MTE:C_MTE + 1] = jnp.where(mte_upd, h_en0, mte)
+        scal_ref[:, C_MTE_Q:C_MTE_Q + 1] = jnp.where(mte_upd, r - en, mte_q)
+        mqe = scal_ref[:, C_MQE:C_MQE + 1]
+        mqe_t = scal_ref[:, C_MQE_T:C_MQE_T + 1]
+        mqe_upd = exact & (r - st0 == qlen - 1) & (h_st0 > mqe)
+        scal_ref[:, C_MQE:C_MQE + 1] = jnp.where(mqe_upd, h_st0, mqe)
+        scal_ref[:, C_MQE_T:C_MQE_T + 1] = jnp.where(mqe_upd, st0, mqe_t)
+
+        # approx-max greedy H0 tracker (:359-375)
+        h0 = scal_ref[:, C_H0:C_H0 + 1]
+        h0t = scal_ref[:, C_H0T:C_H0T + 1]
+        in_both = (st0 <= h0t) & (h0t <= en0) & (st0 <= h0t + 1) \
+            & (h0t + 1 <= en0)
+        in_one = (st0 <= h0t) & (h0t <= en0)
+        take_u = in_both & (u_h0t1 >= v_h0t)
+        h0_new = jnp.where(r == 0, v_en0 - qe_,
+                           jnp.where(in_both,
+                                     h0 + jnp.maximum(v_h0t, u_h0t1),
+                                     jnp.where(in_one, h0 + v_h0t,
+                                               h0 + u_h0t1)))
+        h0t_new = jnp.where(r == 0, 0,
+                            jnp.where(in_both & take_u, h0t + 1,
+                                      jnp.where(in_one, h0t, h0t + 1)))
+        apx = act & approx
+        scal_ref[:, C_H0:C_H0 + 1] = jnp.where(apx, h0_new, h0)
+        scal_ref[:, C_H0T:C_H0T + 1] = jnp.where(apx, h0t_new, h0t)
+        beta, drpa = apply_zdrop(h0_new, h0t_new, apx & adrop)
+        new_max = jnp.where(beta, h0_new, new_max)
+        new_max_t = jnp.where(beta, h0t_new, new_max_t)
+        new_max_q = jnp.where(beta, r - h0t_new, new_max_q)
+        scal_ref[:, C_MAX:C_MAX + 1] = new_max
+        scal_ref[:, C_MAX_T:C_MAX_T + 1] = new_max_t
+        scal_ref[:, C_MAX_Q:C_MAX_Q + 1] = new_max_q
+
+        dropped = drp | drpa
+        zd2 = scal_ref[:, C_ZDROP:C_ZDROP + 1]
+        dn2 = scal_ref[:, C_DONE:C_DONE + 1]
+        scal_ref[:, C_ZDROP:C_ZDROP + 1] = jnp.where(dropped, 1, zd2)
+        scal_ref[:, C_DONE:C_DONE + 1] = jnp.where(dropped, 1, dn2)
+
+        # final score (:356-358, 381-383) — only if not dropped this row
+        fin = act & ~dropped & (r == nrows - 1) & (en0 == tlen - 1)
+        sc_old2 = scal_ref[:, C_SCORE:C_SCORE + 1]
+        scal_ref[:, C_SCORE:C_SCORE + 1] = jnp.where(
+            fin, jnp.where(approx, h0_new, h_en0), sc_old2)
+        scal_ref[:, C_DONE:C_DONE + 1] = jnp.where(
+            act & (r == nrows - 1), 1, scal_ref[:, C_DONE:C_DONE + 1])
+
+        scal_ref[:, C_LAST_ST:C_LAST_ST + 1] = jnp.where(act, st, last_st)
+        scal_ref[:, C_LAST_EN:C_LAST_EN + 1] = jnp.where(act, en, last_en)
+
+    r0 = pl.program_id(1)
+    done_all = jnp.all((scal_ref[:, C_DONE:C_DONE + 1] != 0) | (r0 >= nrows))
+
+    @pl.when(~done_all)
+    def _rows():
+        row_body()
+
+    ez_ref[:, :] = scal_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q", "e", "q2", "e2", "mat0", "sc_mis", "sc_n", "long_thres",
+    "long_diff", "tws", "qoff", "rmax", "ncol", "interpret"))
+def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
+              long_diff, tws, qoff, rmax, ncol, interpret=False):
+    R = sf.shape[0]
+    grid = (R // SUBL, rmax)
+    kern = functools.partial(
+        _ksw_kernel, q=q, e=e, q2=q2, e2=e2, mat0=mat0, sc_mis=sc_mis,
+        sc_n=sc_n, long_thres=long_thres, long_diff=long_diff, tws=tws,
+        qoff=qoff, rmax=rmax, ncol=ncol)
+    if interpret:
+        # the Mosaic-TPU interpreter (the plain HLO interpreter lacks
+        # program_id on the cpu backend)
+        interpret = pltpu.InterpretParams()
+    p, ez = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBL, qr.shape[1]), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, SUBL, ncol), lambda g, rb: (g, rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R // SUBL, rmax, SUBL, ncol), jnp.uint8),
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((SUBL, tws), jnp.int32)
+                        for _ in range(8)] +
+                       [pltpu.VMEM((SUBL, LANES), jnp.int32)],
+        interpret=interpret,
+    )(sf, qr, meta)
+    return p, ez
+
+
+def _p_flat_c_layout(p_rows, base, st, en, nrows, n_col):
+    """Re-lay the kernel's per-diagonal p rows into the C kernel's FLAT
+    byte array (row stride n_col, ksw2_extd2_sse.c:100).  The C stride can
+    be narrower than the aligned band, so a row's tail spills into the next
+    row's slots and is partially overwritten — the reference backtrack then
+    reads those aliased bytes.  Replaying the writes in diagonal order
+    reproduces that aliasing exactly (required for byte-identical CIGARs)."""
+    flat = np.zeros(nrows * n_col + 4 * n_col, dtype=np.uint8)
+    for r in range(nrows):
+        wd = en[r] - st[r] + 1
+        if wd <= 0:
+            continue
+        lo = st[r] - base[r]
+        flat[r * n_col:r * n_col + wd] = p_rows[r, lo:lo + wd]
+    return flat
+
+
+def plan_batch(jobs, q, e, q2, e2):
+    """Compute the static launch geometry for a batch of jobs.
+    jobs: list of dicts with qseq/tseq (uint8 np arrays), w, zdrop,
+    end_bonus, flag. Returns None if the batch needs the host path."""
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    qlen = np.array([len(j["qseq"]) for j in jobs], dtype=np.int64)
+    tlen = np.array([len(j["tseq"]) for j in jobs], dtype=np.int64)
+    w = np.array([j["w"] if j["w"] >= 0 else max(len(j["qseq"]),
+                                                 len(j["tseq"]))
+                  for j in jobs], dtype=np.int64)
+    nrows = qlen + tlen - 1
+    rmax = int(nrows.max())
+    rmax = (rmax + RBLK - 1) // RBLK * RBLK
+    r = np.arange(rmax, dtype=np.int64)[:, None]
+    st0 = np.maximum(np.maximum(0, r - qlen[None, :] + 1),
+                     (r - w[None, :] + 1) >> 1)
+    en0 = np.minimum(np.minimum(tlen[None, :] - 1, r),
+                     (r + w[None, :]) >> 1)
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    live = r < nrows[None, :]
+    st_m = np.where(live, st, 0x3FFFFFFF)
+    en_m = np.where(live, en, -1)
+    # the kernel computes the chunk base per SUBL-job GROUP — mirror that
+    n_grp = (len(jobs) + SUBL - 1) // SUBL
+    base = np.zeros((n_grp, rmax), dtype=np.int64)
+    ncol = 1
+    for g in range(n_grp):
+        sl = slice(g * SUBL, min((g + 1) * SUBL, len(jobs)))
+        bg = st_m[:, sl].min(axis=1)
+        bg = np.where(bg == 0x3FFFFFFF, 0, bg) // LANES * LANES
+        base[g] = bg
+        ncol = max(ncol, int((en_m[:, sl].max(axis=1) - bg + 1).max()))
+    ncol = (ncol + LANES - 1) // LANES * LANES
+    tw16 = int(((tlen.max() + 15) // 16) * 16)
+    tws = (tw16 + ncol + LANES + LANES - 1) // LANES * LANES
+    return dict(q=int(q), e=int(e), q2=int(q2), e2=int(e2), rmax=rmax,
+                ncol=ncol, tws=tws, qoff=rmax,
+                base=base, st=st, en=en, st0=st0, en0=en0)
+
+
+def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False):
+    """Device-batched ksw_extd2: same per-job semantics as K.extd2.
+    jobs: list of dicts(qseq, tseq, w, zdrop, end_bonus, flag).
+    Returns a list of K.Ez."""
+    geom = plan_batch(jobs, q, e, q2, e2)
+    q, e, q2, e2 = geom["q"], geom["e"], geom["q2"], geom["e2"]
+    if e != e2:
+        long_thres = (q2 - q) // (e - e2) - 1
+    else:
+        long_thres = 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+
+    n = len(jobs)
+    R = (n + SUBL - 1) // SUBL * SUBL
+    tws, qoff, rmax, ncol = geom["tws"], geom["qoff"], geom["rmax"], \
+        geom["ncol"]
+    sf = np.zeros((R, tws), dtype=np.int32)
+    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int32)
+    meta = np.zeros((R, LANES), dtype=np.int32)
+    meta[:, M_QLEN] = 1  # keep padded rows harmless (nrows = 1)
+    for j, job in enumerate(jobs):
+        qs, ts = job["qseq"], job["tseq"]
+        sf[j, :len(ts)] = ts
+        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int32)
+        meta[j, M_QLEN] = len(qs)
+        meta[j, M_TLEN] = len(ts)
+        meta[j, M_W] = job["w"] if job["w"] >= 0 else max(len(qs), len(ts))
+        meta[j, M_ZDROP] = job["zdrop"]
+        flag = job["flag"]
+        meta[j, M_RIGHT] = 1 if flag & K.KSW_EZ_RIGHT else 0
+        meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
+        meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
+
+    p, ez = _ksw_call(
+        jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(meta),
+        q=q, e=e, q2=q2, e2=e2, mat0=int(mat[0]),
+        sc_mis=int(np.int8(mat[1])), sc_n=-e2,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, interpret=interpret)
+    p = np.asarray(p)
+    ez = np.asarray(ez)
+
+    out = []
+    for j, job in enumerate(jobs):
+        res = K.Ez()
+        res.zdropped = int(ez[j, C_ZDROP])
+        res.max = int(ez[j, C_MAX])
+        res.max_t = int(ez[j, C_MAX_T])
+        res.max_q = int(ez[j, C_MAX_Q])
+        res.mqe = int(ez[j, C_MQE])
+        res.mqe_t = int(ez[j, C_MQE_T])
+        res.mte = int(ez[j, C_MTE])
+        res.mte_q = int(ez[j, C_MTE_Q])
+        res.score = int(ez[j, C_SCORE])
+        flag = job["flag"]
+        qlen, tlen = len(job["qseq"]), len(job["tseq"])
+        if not (flag & K.KSW_EZ_SCORE_ONLY):
+            rev = bool(flag & K.KSW_EZ_REV_CIGAR)
+            # C per-row p stride (ksw2_extd2_sse.c:98-100)
+            wj = job["w"] if job["w"] >= 0 else max(qlen, tlen)
+            n_col_c = ((min(qlen, tlen, wj + 1) + 15) // 16 + 1) * 16
+            nrows = qlen + tlen - 1
+            st_j = geom["st"][:, j]
+            en_j = geom["en"][:, j]
+            flat = _p_flat_c_layout(p[j // SUBL, :, j % SUBL, :],
+                                    geom["base"][j // SUBL], st_j,
+                                    en_j, nrows, n_col_c)
+            bt = functools.partial(K._backtrack_rot, flat, list(st_j),
+                                   list(en_j), n_col_c)
+            if not res.zdropped and not (flag & K.KSW_EZ_EXTZ_ONLY):
+                res.cigar = bt(tlen - 1, qlen - 1, rev)
+            elif (not res.zdropped and (flag & K.KSW_EZ_EXTZ_ONLY)
+                    and res.mqe + job["end_bonus"] > res.max):
+                res.reach_end = 1
+                res.cigar = bt(res.mqe_t, qlen - 1, rev)
+            elif res.max_t >= 0 and res.max_q >= 0:
+                res.cigar = bt(res.max_t, res.max_q, rev)
+        out.append(res)
+    return out
