@@ -35,13 +35,17 @@ from . import ksw2 as K
 
 LANES = 128
 SUBL = 8
-RBLK = 8           # rmax padding granularity (one diagonal per grid step)
+RBLK = 8           # diagonals per grid step
 NEG = -0x80000000
 KSW_NEG_INF = K.KSW_NEG_INF
 
 # scal_ref column assignments (per-job scalar state carried across diagonals)
+# C_BX1/C_BX21/C_BV1 cache the raw previous-row x/x2/v at lane st(r)-1 so no
+# separate extraction pass is needed (writes never touch lanes < st, so the
+# cache stays valid while st is unchanged and is refreshed when st advances)
 C_LAST_ST, C_LAST_EN, C_MAX, C_MAX_T, C_MAX_Q, C_MQE, C_MQE_T, C_MTE, \
-    C_MTE_Q, C_SCORE, C_ZDROP, C_DONE, C_H0, C_H0T = range(14)
+    C_MTE_Q, C_SCORE, C_ZDROP, C_DONE, C_H0, C_H0T, C_BX1, C_BX21, \
+    C_BV1 = range(17)
 
 # meta column assignments (per-job static inputs)
 M_QLEN, M_TLEN, M_W, M_ZDROP, M_RIGHT, M_APPROX, M_ADROP = range(7)
@@ -69,7 +73,7 @@ def _extract(arr, lane_t, idx, cond):
 
 def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
                 u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
-                scal_ref, *, q, e, q2, e2, mat0, sc_mis, sc_n,
+                scal_ref, dst_ref, *, q, e, q2, e2, mat0, sc_mis, sc_n,
                 long_thres, long_diff, tws, qoff, rmax, ncol):
     nchunk = ncol // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
@@ -107,11 +111,14 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
                                    jnp.where(r == long_thres, long_diff,
                                              -e2)))
 
-    def row_body():
-        r = pl.program_id(1)
+    neg1_c = jnp.full((SUBL, 1), NEG, jnp.int32)
+
+    def row_body(i, _):
+        r = pl.program_id(1) * RBLK + i
         done = scal_ref[:, C_DONE:C_DONE + 1] != 0
         act0 = (r < nrows) & ~done
         st0, en0, st, en = _band(r, qlen, tlen, wj)
+        st_n = _band(r + 1, qlen, tlen, wj)[2]   # next row's aligned start
         closed = act0 & (st0 > en0)
         # band closed -> zdropped (reference :136-138)
         zd = scal_ref[:, C_ZDROP:C_ZDROP + 1]
@@ -129,34 +136,24 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
         last_st = scal_ref[:, C_LAST_ST:C_LAST_ST + 1]
         last_en = scal_ref[:, C_LAST_EN:C_LAST_EN + 1]
 
-        # ---- pre-pass: previous-row values at lane st-1 for the boundary
+        # previous-row boundary values at lane st-1, from the cache columns
         stm1 = st - 1
         in_last = (last_st <= stm1) & (stm1 <= last_en) & (st > 0)
-
-        def prepass(c, carry):
-            x1, x21, v1 = carry
-            a0 = pl.multiple_of(jnp.maximum(base - LANES, 0) + c * LANES,
-                                LANES)
-            t = a0 + lane
-            xc = x_ref[:, pl.ds(a0, LANES)]
-            x2c = x2_ref[:, pl.ds(a0, LANES)]
-            vc = v_ref[:, pl.ds(a0, LANES)]
-            x1 = jnp.maximum(x1, _extract(xc, t, stm1, in_last))
-            x21 = jnp.maximum(x21, _extract(x2c, t, stm1, in_last))
-            v1 = jnp.maximum(v1, _extract(vc, t, stm1, in_last))
-            return x1, x21, v1
-
-        neg1 = jnp.full((SUBL, 1), NEG, jnp.int32)
-        x1, x21, v1 = jax.lax.fori_loop(0, nchunk + 1, prepass,
-                                        (neg1, neg1, neg1))
-        x1 = jnp.where(in_last, x1, -qe_)
-        x21 = jnp.where(in_last, x21, -qe2_)
-        v1 = jnp.where(st > 0, jnp.where(in_last, v1, -qe_), f_seed(r))
+        x1 = jnp.where(in_last, scal_ref[:, C_BX1:C_BX1 + 1], -qe_)
+        x21 = jnp.where(in_last, scal_ref[:, C_BX21:C_BX21 + 1], -qe2_)
+        v1 = jnp.where(st > 0,
+                       jnp.where(in_last, scal_ref[:, C_BV1:C_BV1 + 1], -qe_),
+                       f_seed(r))
         fr = f_seed(r)
+        neg1 = neg1_c
+        en1 = st0 + (en0 - st0) // 4 * 4
+        nr4 = jnp.maximum((en1 - st0) >> 2, 1)
+        h0t = scal_ref[:, C_H0T:C_H0T + 1]
 
-        # ---- chunk pass 1: the difference-DP recurrence + d bytes
+        # ---- single chunk pass: recurrence, d bytes, H row, all extracts
         def chunk1(c, carry):
-            xl, x2l, vl, h_en0m1, u_en0, v_en0, v_h0t, u_h0t1 = carry
+            (xl, x2l, vl, h_en0m1, u_en0, v_en0, h_old_en0, h_en0_acc,
+             v_h0t, u_h0t1, best_h, best_key, h_st0, xb, x2b, vb) = carry
             a0 = pl.multiple_of(base + c * LANES, LANES)
             t = a0 + lane
             in_band = act & (t >= st) & (t <= en)
@@ -246,47 +243,42 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             y_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, y_n, yc)
             x2_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, x2_n, x2c)
             y2_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, y2_n, y2c)
-            p_ref[0, 0, :, pl.ds(c * LANES, LANES)] = jnp.where(
-                in_band, d, 0).astype(jnp.uint8)
-            # extracts for the H row and the approx-max tracker
-            hc = h_ref[:, pl.ds(a0, LANES)]
-            h_en0m1 = jnp.maximum(h_en0m1, _extract(hc, t, en0 - 1, act))
+            doff = pl.multiple_of(i * ncol + c * LANES, LANES)
+            dst_ref[:, pl.ds(doff, LANES)] = jnp.where(in_band, d, 0)
             un_eff = jnp.where(in_band, u_n, uc)
             vn_eff = jnp.where(in_band, v_n, vc)
+            xn_eff = jnp.where(in_band, x_n, xc)
+            x2n_eff = jnp.where(in_band, x2_n, x2c)
+            # extracts for the H row, the approx tracker, and the next row's
+            # boundary cache
+            hc = h_ref[:, pl.ds(a0, LANES)]
+            h_en0m1 = jnp.maximum(h_en0m1, _extract(hc, t, en0 - 1, act))
+            h_old_en0 = jnp.maximum(h_old_en0, _extract(hc, t, en0, act))
             u_en0 = jnp.maximum(u_en0, _extract(un_eff, t, en0, act))
             v_en0 = jnp.maximum(v_en0, _extract(vn_eff, t, en0, act))
-            h0t = scal_ref[:, C_H0T:C_H0T + 1]
             v_h0t = jnp.maximum(v_h0t, _extract(vn_eff, t, h0t, act))
             u_h0t1 = jnp.maximum(u_h0t1, _extract(un_eff, t, h0t + 1, act))
-            return (new_xl, new_x2l, new_vl, h_en0m1, u_en0, v_en0,
-                    v_h0t, u_h0t1)
-
-        init1 = (neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1)
-        _, _, _, h_en0m1, u_en0, v_en0, v_h0t, u_h0t1 = \
-            jax.lax.fori_loop(0, nchunk, chunk1, init1)
-
-        # H[en0]: old H[en0-1] + new u[en0], or v-based forms (:315-327)
-        h_en0 = jnp.where(r == 0, v_en0 - qe_,
-                          jnp.where(en0 > 0, h_en0m1 + u_en0,
-                                    h_ref[:, 0:1] + v_en0))
-
-        # ---- chunk pass 2: H[st0..en0] update + max with exact tie order
-        en1 = st0 + (en0 - st0) // 4 * 4
-        nr4 = jnp.maximum((en1 - st0) >> 2, 1)
-
-        def chunk2(c, carry):
-            best_h, best_key, h_st0 = carry
-            a0 = pl.multiple_of(base + c * LANES, LANES)
-            t = a0 + lane
-            hc = h_ref[:, pl.ds(a0, LANES)]
-            vc = v_ref[:, pl.ds(a0, LANES)]
+            stn1 = st_n - 1
+            xb = jnp.maximum(xb, _extract(xn_eff, t, stn1, act))
+            x2b = jnp.maximum(x2b, _extract(x2n_eff, t, stn1, act))
+            vb = jnp.maximum(vb, _extract(vn_eff, t, stn1, act))
+            # H[en0] (:315-327): old H[en0-1] + new u[en0] / v-based forms;
+            # all accumulators are complete by the chunk containing en0
+            h_en0_v = jnp.where(r == 0, v_en0 - qe_,
+                                jnp.where(en0 > 0, h_en0m1 + u_en0,
+                                          h_old_en0 + v_en0))
+            hit = jnp.max(jnp.where((t == en0) & act, 1, 0), axis=1,
+                          keepdims=True)
+            h_en0_acc = jnp.where(hit == 1, h_en0_v, h_en0_acc)
             in_upd = act & (t >= st0) & (t < en0)
-            h_new = jnp.where(in_upd, hc + vc, hc)
+            h_new = jnp.where(in_upd, hc + vn_eff, hc)
             h_new = jnp.where(act & (t == en0),
-                              jnp.broadcast_to(h_en0, (SUBL, LANES)), h_new)
+                              jnp.broadcast_to(h_en0_v, (SUBL, LANES)),
+                              h_new)
             h_ref[:, pl.ds(a0, LANES)] = h_new
-            # scan-order key: en0 first, then the lane-of-4 block scan of
-            # [st0, en1), then the trailing scalar loop [en1, en0)
+            # max over [st0, en0] with the reference's scan-order key:
+            # en0 first, then the lane-of-4 block scan of [st0, en1), then
+            # the trailing scalar loop [en1, en0)
             off = t - st0
             blk_key = 1 + (off & 3) * nr4 + (off >> 2)
             key = jnp.where(t == en0, 0,
@@ -300,11 +292,27 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             best_key = jnp.where(better, ckey, best_key)
             best_h = jnp.maximum(best_h, cmax)
             h_st0 = jnp.maximum(h_st0, _extract(h_new, t, st0, act))
-            return best_h, best_key, h_st0
+            return (new_xl, new_x2l, new_vl, h_en0m1, u_en0, v_en0,
+                    h_old_en0, h_en0_acc, v_h0t, u_h0t1, best_h, best_key,
+                    h_st0, xb, x2b, vb)
 
-        init2 = (jnp.full((SUBL, 1), KSW_NEG_INF - 1, jnp.int32),
-                 jnp.full((SUBL, 1), 0x7FFFFFFF, jnp.int32), neg1)
-        max_h, max_key, h_st0 = jax.lax.fori_loop(0, nchunk, chunk2, init2)
+        init1 = (neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1,
+                 jnp.full((SUBL, 1), KSW_NEG_INF - 1, jnp.int32),
+                 jnp.full((SUBL, 1), 0x7FFFFFFF, jnp.int32), neg1,
+                 neg1, neg1, neg1)
+        (_, _, _, _, _, v_en0, _, h_en0, v_h0t, u_h0t1, max_h, max_key,
+         h_st0, xb, x2b, vb) = jax.lax.fori_loop(0, nchunk, chunk1, init1)
+
+        # refresh the boundary cache for the next row: unchanged lane when
+        # st stays put, freshly extracted when st advances
+        adv = st_n > st
+        scal_ref[:, C_BX1:C_BX1 + 1] = jnp.where(
+            act & adv, xb, scal_ref[:, C_BX1:C_BX1 + 1])
+        scal_ref[:, C_BX21:C_BX21 + 1] = jnp.where(
+            act & adv, x2b, scal_ref[:, C_BX21:C_BX21 + 1])
+        scal_ref[:, C_BV1:C_BV1 + 1] = jnp.where(
+            act & adv, vb, scal_ref[:, C_BV1:C_BV1 + 1])
+
         # decode max_t from the key
         kk = max_key
         blk_t = st0 + ((kk - 1) % nr4) * 4 + (kk - 1) // nr4
@@ -387,13 +395,17 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
 
         scal_ref[:, C_LAST_ST:C_LAST_ST + 1] = jnp.where(act, st, last_st)
         scal_ref[:, C_LAST_EN:C_LAST_EN + 1] = jnp.where(act, en, last_en)
+        return 0
 
-    r0 = pl.program_id(1)
+    r0 = pl.program_id(1) * RBLK
     done_all = jnp.all((scal_ref[:, C_DONE:C_DONE + 1] != 0) | (r0 >= nrows))
 
     @pl.when(~done_all)
     def _rows():
-        row_body()
+        jax.lax.fori_loop(0, RBLK, row_body, 0)
+        for k in range(RBLK):
+            p_ref[0, k, :, :] = \
+                dst_ref[:, k * ncol:(k + 1) * ncol].astype(jnp.uint8)
 
     ez_ref[:, :] = scal_ref[:, :]
 
@@ -404,7 +416,7 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
 def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
               long_diff, tws, qoff, rmax, ncol, interpret=False):
     R = sf.shape[0]
-    grid = (R // SUBL, rmax)
+    grid = (R // SUBL, rmax // RBLK)
     kern = functools.partial(
         _ksw_kernel, q=q, e=e, q2=q2, e2=e2, mat0=mat0, sc_mis=sc_mis,
         sc_n=sc_n, long_thres=long_thres, long_diff=long_diff, tws=tws,
@@ -425,7 +437,7 @@ def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, SUBL, ncol), lambda g, rb: (g, rb, 0, 0),
+            pl.BlockSpec((1, RBLK, SUBL, ncol), lambda g, rb: (g, rb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -436,7 +448,8 @@ def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
         ),
         scratch_shapes=[pltpu.VMEM((SUBL, tws), jnp.int32)
                         for _ in range(8)] +
-                       [pltpu.VMEM((SUBL, LANES), jnp.int32)],
+                       [pltpu.VMEM((SUBL, LANES), jnp.int32),
+                        pltpu.VMEM((SUBL, RBLK * ncol), jnp.int32)],
         interpret=interpret,
     )(sf, qr, meta)
     return p, ez
@@ -448,7 +461,13 @@ def _p_flat_c_layout(p_rows, base, st, en, nrows, n_col):
     be narrower than the aligned band, so a row's tail spills into the next
     row's slots and is partially overwritten — the reference backtrack then
     reads those aliased bytes.  Replaying the writes in diagonal order
-    reproduces that aliasing exactly (required for byte-identical CIGARs)."""
+    reproduces that aliasing exactly (required for byte-identical CIGARs).
+
+    NB a device-side gather repack was tried and reverted: XLA's gather on
+    TPU made it slower AND ballooned compile time; if the p transfer ever
+    dominates again, the right fix is a device-side backtrack kernel
+    (stripe-DMA the p tiles backwards and walk the state machine on chip),
+    which ships only O(nrows) cigar ops per job."""
     flat = np.zeros(nrows * n_col + 4 * n_col, dtype=np.uint8)
     for r in range(nrows):
         wd = en[r] - st[r] + 1
