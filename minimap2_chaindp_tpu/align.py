@@ -402,10 +402,45 @@ def fix_bad_ends_splice(opt, mi, r, mat, qlen, qseq0, a) -> tuple[int, int]:
     return as1, cnt1
 
 
+def _host_thunk(opt, mat, job):
+    """Lazy host executor for one extension job (discarded speculative jobs
+    are never computed, so the call sequence matches the reference)."""
+    cache = []
+
+    def run():
+        if not cache:
+            cache.append(align_pair(opt, job["qseq"], job["tseq"], mat,
+                                    job["w"], job["end_bonus"],
+                                    job["zdrop"], job["flag"]))
+        return cache[0]
+    return run
+
+
 def align1(opt, mi, qlen, qseq0, r: Region, n_a: int, a, splice_flag: int):
-    """Align one region (reference mm_align1, align.c:423-636).
+    """Align one region (reference mm_align1, align.c:423-636); synchronous
+    driver of align1_gen with lazy host execution of each wave.
 
     Returns r2 (split region or None)."""
+    mat = K.gen_simple_mat(5, opt.a, opt.b)
+    gen = align1_gen(opt, mi, qlen, qseq0, r, n_a, a, splice_flag)
+    try:
+        wave = next(gen)
+        while True:
+            wave = gen.send([_host_thunk(opt, mat, job) for job in wave])
+    except StopIteration as e:
+        return e.value
+
+
+def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
+               splice_flag: int):
+    """Generator form of mm_align1: yields waves of extension-job dicts
+    (qseq, tseq, w, end_bonus, zdrop, flag) and receives matching lists of
+    result thunks.  The first wave speculatively carries the left extension,
+    every first-pass gap fill, and the right extension — their inputs depend
+    only on the anchors, so a batch scheduler can run one device call for
+    many regions; Z-drop re-runs are yielded as follow-up single-job waves.
+    Consumption order is exactly the reference's sequential order, and
+    results past a Z-drop break are simply never consumed."""
     is_sr = bool(opt.flag & C.MM_F_SR)
     is_splice = bool(opt.flag & C.MM_F_SPLICE)
     rid = int((a[r.as_, 0] << np.uint64(1)) >> np.uint64(33))
@@ -522,12 +557,54 @@ def align1(opt, mi, qlen, qseq0, r: Region, n_a: int, a, splice_flag: int):
 
     assert re0 > rs0
 
-    if qs > 0 and rs > 0:  # left extension (reversed)
-        qseq = qseq0[rev][qs0:qs][::-1].copy()
-        tseq = mi.getseq(rid, rs0, rs)[::-1].copy()
-        ez = align_pair(opt, qseq, tseq, mat, bw, opt.end_bonus,
-                        opt.zdrop_inv if r.split_inv else opt.zdrop,
-                        extra_flag | K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT | K.KSW_EZ_REV_CIGAR)
+    # ---- enumerate this region's extension jobs as one speculative wave;
+    # inputs depend only on the anchors, so the whole wave can be computed
+    # before any result is consumed (two-phase batching, SURVEY.md §7)
+    wave = []
+    has_left = qs > 0 and rs > 0
+    if has_left:
+        wave.append(dict(
+            qseq=qseq0[rev][qs0:qs][::-1].copy(),
+            tseq=mi.getseq(rid, rs0, rs)[::-1].copy(), w=bw,
+            end_bonus=opt.end_bonus,
+            zdrop=opt.zdrop_inv if r.split_inv else opt.zdrop,
+            flag=extra_flag | K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT
+            | K.KSW_EZ_REV_CIGAR))
+    n_fill = 0
+    rs_c, qs_c = rs, qs
+    i = cnt1 - 1 if is_sr else 1
+    while i < cnt1:
+        ay_i = int(a[as1 + i, 1])
+        if (ay_i & (C.MM_SEED_IGNORE | C.MM_SEED_TANDEM)) and i != cnt1 - 1:
+            i += 1
+            continue
+        if is_sr and not (mi.flag & C.MM_I_HPC):
+            re_c, qe_c = _i32(a[as1 + i, 0]) + 1, _i32(a[as1 + i, 1]) + 1
+        else:
+            re_c, qe_c = adjust_minier(mi, qseq0, int(a[as1 + i, 0]), ay_i)
+        if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
+           (qe_c - qs_c >= opt.min_ksw_len and re_c - rs_c >= opt.min_ksw_len):
+            if not is_sr:
+                bw1 = max(qe_c - qs_c, re_c - rs_c) \
+                    if ay_i & C.MM_SEED_LONG_JOIN else bw
+                wave.append(dict(qseq=qseq0[rev][qs_c:qe_c],
+                                 tseq=mi.getseq(rid, rs_c, re_c), w=bw1,
+                                 end_bonus=-1, zdrop=opt.zdrop,
+                                 flag=extra_flag | K.KSW_EZ_APPROX_MAX))
+                n_fill += 1
+            rs_c, qs_c = re_c, qe_c
+        i += 1
+    has_right = qs_c < qe0 and rs_c < re0
+    if has_right:
+        wave.append(dict(qseq=qseq0[rev][qs_c:qe0],
+                         tseq=mi.getseq(rid, rs_c, re0), w=bw,
+                         end_bonus=opt.end_bonus, zdrop=opt.zdrop,
+                         flag=extra_flag | K.KSW_EZ_EXTZ_ONLY))
+    thunks = list((yield wave))
+    fill0 = 1 if has_left else 0          # thunk index of the first fill
+
+    if has_left:  # left extension (reversed)
+        ez = thunks[0]()
         if ez.n_cigar > 0:
             append_cigar(r, ez.cigar)
             r.p.dp_score += ez.max
@@ -538,6 +615,7 @@ def align1(opt, mi, qlen, qseq0, r: Region, n_a: int, a, splice_flag: int):
     re1, qe1 = rs, qs
     assert qs1 >= 0 and rs1 >= 0
 
+    k_fill = 0
     i = cnt1 - 1 if is_sr else 1
     while i < cnt1:  # gap filling
         ay_i = int(a[as1 + i, 1])
@@ -565,13 +643,15 @@ def align1(opt, mi, qlen, qseq0, r: Region, n_a: int, a, splice_flag: int):
                 ez.score = int(sc.sum())
                 ez.cigar = [(qe - qs) << 4 | 0]
             else:
-                ez = align_pair(opt, qseq, tseq, mat, bw1, -1, opt.zdrop,
-                                extra_flag | K.KSW_EZ_APPROX_MAX)
+                ez = thunks[fill0 + k_fill]()
+                k_fill += 1
             zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
             if zdrop_code != 0:
-                ez = align_pair(opt, qseq, tseq, mat, bw1, -1,
-                                opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
-                                extra_flag)
+                t2 = yield [dict(
+                    qseq=qseq, tseq=tseq, w=bw1, end_bonus=-1,
+                    zdrop=opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
+                    flag=extra_flag)]
+                ez = t2[0]()
             if ez.n_cigar > 0:
                 append_cigar(r, ez.cigar)
             if ez.zdropped:
@@ -603,8 +683,8 @@ def align1(opt, mi, qlen, qseq0, r: Region, n_a: int, a, splice_flag: int):
     if not dropped and qe < qe0 and re < re0:  # right extension
         qseq = qseq0[rev][qe:qe0]
         tseq = mi.getseq(rid, re, re0)
-        ez = align_pair(opt, qseq, tseq, mat, bw, opt.end_bonus, opt.zdrop,
-                        extra_flag | K.KSW_EZ_EXTZ_ONLY)
+        assert has_right
+        ez = thunks[-1]()
         if ez.n_cigar > 0:
             append_cigar(r, ez.cigar)
             r.p.dp_score += ez.max
