@@ -761,7 +761,23 @@ def align1_inv(opt, mi, qlen, qseq0, r1: Region, r2: Region) -> Region | None:
 
 def align_skeleton(opt, mi, qlen: int, qstr: str, regs: list[Region],
                    a: np.ndarray) -> list[Region]:
-    """Align all regions of one read (reference mm_align_skeleton, align.c:705-761)."""
+    """Align all regions of one read (reference mm_align_skeleton,
+    align.c:705-761); synchronous lazy-host driver of align_skeleton_gen."""
+    mat = K.gen_simple_mat(5, opt.a, opt.b)
+    gen = align_skeleton_gen(opt, mi, qlen, qstr, regs, a)
+    try:
+        wave = next(gen)
+        while True:
+            wave = gen.send([_host_thunk(opt, mat, job) for job in wave])
+    except StopIteration as e:
+        return e.value
+
+
+def align_skeleton_gen(opt, mi, qlen: int, qstr: str, regs: list[Region],
+                       a: np.ndarray):
+    """Generator form of mm_align_skeleton: forwards the per-region job
+    waves of align1_gen, so a batch scheduler can interleave many reads'
+    extension work into shared device calls."""
     qseq0 = [None, None]
     fwd = C.seq_to_nt4(qstr)
     qseq0[0] = fwd
@@ -774,8 +790,10 @@ def align_skeleton(opt, mi, qlen: int, qstr: str, regs: list[Region],
                 and (opt.flag & C.MM_F_SPLICE_REV):
             import copy
             s0, s1 = copy.deepcopy(regs[i]), copy.deepcopy(regs[i])
-            s20 = align1(opt, mi, qlen, qseq0, s0, n_a, a, C.MM_F_SPLICE_FOR)
-            s21 = align1(opt, mi, qlen, qseq0, s1, n_a, a, C.MM_F_SPLICE_REV)
+            s20 = yield from align1_gen(opt, mi, qlen, qseq0, s0, n_a, a,
+                                        C.MM_F_SPLICE_FOR)
+            s21 = yield from align1_gen(opt, mi, qlen, qseq0, s1, n_a, a,
+                                        C.MM_F_SPLICE_REV)
             if s0.p.dp_score > s1.p.dp_score:
                 which, trans_strand = 0, 1
             elif s0.p.dp_score < s1.p.dp_score:
@@ -789,7 +807,8 @@ def align_skeleton(opt, mi, qlen: int, qstr: str, regs: list[Region],
                 regs[i], r2 = s1, s21
             regs[i].p.trans_strand = trans_strand
         else:
-            r2 = align1(opt, mi, qlen, qseq0, regs[i], n_a, a, opt.flag)
+            r2 = yield from align1_gen(opt, mi, qlen, qseq0, regs[i], n_a, a,
+                                       opt.flag)
             if opt.flag & C.MM_F_SPLICE and regs[i].p is not None:
                 regs[i].p.trans_strand = 1 if opt.flag & C.MM_F_SPLICE_FOR else 2
         if r2 is not None and r2.cnt > 0:

@@ -1,0 +1,119 @@
+"""Cross-read batched alignment: schedule many reads' extension-job waves
+into shared device kernel calls.
+
+This is the TPU-native replacement for the reference's per-region sequential
+ksw2 calls inside the result threads (map.c:816-898 -> align.c): every read's
+align_skeleton runs as a generator (align.align_skeleton_gen) that yields
+waves of extension jobs whose inputs depend only on the chain anchors; the
+scheduler gathers the current wave of EVERY in-flight read, runs one batched
+Pallas extd2 call per size bucket (ops/ksw2_pallas.py), and resumes the
+generators with result thunks.  Jobs outside the device kernel's domain
+(splice, the single-affine extz path, oversized or empty sequences) run on
+the host NumPy model lazily, so output stays byte-identical either way."""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..ops import ksw2 as K
+from ..align import align_pair
+
+# device-domain caps (VMEM sizing of the extd2 kernel's state arrays)
+MAX_TLEN = 16384
+MAX_QLEN = 16384
+MIN_DEV_JOBS = 4     # tiny waves aren't worth a device launch
+
+
+class DeviceAlignExecutor:
+    """Executes extension-job waves: batched Pallas extd2 for eligible jobs,
+    lazy host NumPy for the rest."""
+
+    def __init__(self, opt, interpret: bool = False):
+        self.opt = opt
+        self.interpret = interpret
+        # interpret mode (CPU tests) keeps the device path covered but
+        # routes big problems to the host model, which is much faster there
+        self.max_span = 768 if interpret else MAX_QLEN + MAX_TLEN
+        self.mat = K.gen_simple_mat(5, opt.a, opt.b)
+        # the extz path (q==q2, e==e2) and splice scoring use other kernels;
+        # the kernel also assumes the reference's early-return precondition
+        # -min(mat) <= 2*(q+e) holds (ksw2_extd2_sse.c:91-92)
+        self.enabled = not (opt.flag & C.MM_F_SPLICE) \
+            and not (opt.q == opt.q2 and opt.e == opt.e2) \
+            and -int(self.mat.min()) <= 2 * min(opt.q + opt.e,
+                                                opt.q2 + opt.e2)
+        self.n_device = 0
+        self.n_host = 0
+
+    def _eligible(self, job) -> bool:
+        if not self.enabled:
+            return False
+        ql, tl = len(job["qseq"]), len(job["tseq"])
+        return 0 < ql <= MAX_QLEN and 0 < tl <= MAX_TLEN \
+            and ql + tl <= self.max_span
+
+    def run(self, jobs) -> list:
+        from ..ops import ksw2_pallas as KP
+        dev = [i for i, j in enumerate(jobs) if self._eligible(j)]
+        thunks: list = [None] * len(jobs)
+        if len(dev) >= MIN_DEV_JOBS:
+            # bucket by padded problem size to bound compiled kernel shapes
+            by_bucket: dict[tuple, list[int]] = {}
+            for i in dev:
+                j = jobs[i]
+                sz = KP._pow2_at_least(len(j["qseq"]) + len(j["tseq"]), 256)
+                by_bucket.setdefault(sz, []).append(i)
+            for sz, idxs in sorted(by_bucket.items()):
+                res = KP.extd2_batch([jobs[i] for i in idxs], self.mat,
+                                     self.opt.q, self.opt.e, self.opt.q2,
+                                     self.opt.e2, interpret=self.interpret,
+                                     quantize=True)
+                for i, ez in zip(idxs, res):
+                    thunks[i] = (lambda v=ez: v)
+                self.n_device += len(idxs)
+        for i, j in enumerate(jobs):
+            if thunks[i] is None:
+                thunks[i] = _host_thunk(self.opt, self.mat, j)
+                self.n_host += 1
+        return thunks
+
+
+def _host_thunk(opt, mat, job):
+    cache = []
+
+    def run():
+        if not cache:
+            cache.append(align_pair(opt, job["qseq"], job["tseq"], mat,
+                                    job["w"], job["end_bonus"],
+                                    job["zdrop"], job["flag"]))
+        return cache[0]
+    return run
+
+
+def run_scheduler(gens: list, executor) -> list:
+    """Drive many wave-yielding generators to completion, executing the
+    union of their current waves in one executor call per round.
+    Returns each generator's StopIteration value, in order."""
+    results = [None] * len(gens)
+    live: dict[int, tuple] = {}
+    for idx, g in enumerate(gens):
+        try:
+            live[idx] = (g, next(g))
+        except StopIteration as e:
+            results[idx] = e.value
+    while live:
+        all_jobs: list = []
+        spans: dict[int, tuple[int, int]] = {}
+        for idx, (g, wave) in live.items():
+            spans[idx] = (len(all_jobs), len(wave))
+            all_jobs.extend(wave)
+        thunks = executor.run(all_jobs)
+        nxt: dict[int, tuple] = {}
+        for idx, (g, wave) in live.items():
+            off, ln = spans[idx]
+            try:
+                nxt[idx] = (g, g.send(thunks[off:off + ln]))
+            except StopIteration as e:
+                results[idx] = e.value
+        live = nxt
+    return results

@@ -44,11 +44,25 @@ def align_regs(opt, mi, qlen, seq, regs, a):
     if not (opt.flag & C.MM_F_CIGAR):
         return regs
     regs = align_skeleton(opt, mi, qlen, seq, regs, a)
+    return _align_regs_post(opt, mi, regs)
+
+
+def _align_regs_post(opt, mi, regs):
     if not (opt.flag & C.MM_F_ALL_CHAINS):
         H.set_parent(regs, opt.mask_level, opt.a * 2 + opt.b)
         regs = H.select_sub(regs, opt.pri_ratio, mi.k * 2, opt.best_n)
         H.set_sam_pri(regs)
     return regs
+
+
+def align_regs_gen(opt, mi, qlen, seq, regs, a):
+    """Generator form of align_regs for the cross-read batch scheduler:
+    yields extension-job waves (see align.align1_gen), returns final regs."""
+    from ..align import align_skeleton_gen
+    if not (opt.flag & C.MM_F_CIGAR):
+        return regs
+    regs = yield from align_skeleton_gen(opt, mi, qlen, seq, regs, a)
+    return _align_regs_post(opt, mi, regs)
 
 
 def compute_gap_bounds(opt, qlen_sum: int) -> tuple[int, int]:

@@ -24,7 +24,7 @@ from ..ops.chain import Chains, chain_backtrack, chain_dp
 from ..ops.chain_jax import compact_from_fpv, split_anchors
 from ..ops.seeds import collect_minimizers, collect_seed_hits
 from ..utils.timers import Timers
-from .pipeline import align_regs, chain_post, compute_gap_bounds
+from .pipeline import chain_post, compute_gap_bounds
 
 BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 
@@ -53,6 +53,8 @@ class DeviceRuntime:
         import jax
         self._jax = jax
         self._interpret = jax.devices()[0].platform == "cpu"
+        from .batch_align import DeviceAlignExecutor
+        self._align_exec = DeviceAlignExecutor(opt, interpret=self._interpret)
 
     def map_batch(self, frags) -> list[list[str]]:
         """Map a batch of fragments; returns per-fragment output lines."""
@@ -84,10 +86,28 @@ class DeviceRuntime:
 
         chains = self._chain_batch(pending)
 
+        # regions + batched cross-read alignment on device
+        with self.timers.time("regions"):
+            reads = [self._regions_for_read(pr, ch)
+                     for pr, ch in zip(pending, chains)]
+        with self.timers.time("align"):
+            from .batch_align import run_scheduler
+            from .pipeline import align_regs_gen
+            gens, gen_at = [], []
+            for k, (pr, (regs, a)) in enumerate(zip(pending, reads)):
+                if regs and (opt.flag & C.MM_F_CIGAR):
+                    gens.append(align_regs_gen(opt, mi, pr.qlens[0],
+                                               pr.segs[0].seq, regs, a))
+                    gen_at.append(k)
+            if gens:
+                for k, regs in zip(gen_at, run_scheduler(gens,
+                                                         self._align_exec)):
+                    reads[k] = (regs, reads[k][1])
+
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):
-            for pr, ch in zip(pending, chains):
-                lines.append(self._finish_read(pr, ch))
+            for pr, (regs, a) in zip(pending, reads):
+                lines.append(self._finish_read(pr, regs))
         return lines
 
     def _chain_batch(self, pending) -> list[Chains]:
@@ -158,18 +178,23 @@ class DeviceRuntime:
                                       pr.anchors)
         return [results[k] for k in range(len(pending))]
 
-    def _finish_read(self, pr: _PendingRead, ch: Chains) -> list[str]:
+    def _regions_for_read(self, pr: _PendingRead, ch: Chains):
+        """gen_regs + chain_post + est_err (the pre-alignment epilogue)."""
+        opt, mi = self.opt, self.mi
+        if not len(ch.u):
+            return [], None
+        a = ch.anchors.copy()
+        regs = H.gen_regs(pr.hash_, pr.qlen_sum, ch.u, a)
+        regs = chain_post(opt, pr.gap_ref, mi, pr.qlen_sum, 1, pr.qlens,
+                          regs, a)
+        if not (opt.flag & C.MM_F_SR):
+            est_err(mi, pr.qlen_sum, regs, a, pr.sh.mini_pos)
+        return regs, a
+
+    def _finish_read(self, pr: _PendingRead, regs: list) -> list[str]:
         opt, mi = self.opt, self.mi
         rec = pr.segs[0]
-        regs = []
-        if len(ch.u):
-            a = ch.anchors.copy()
-            regs = H.gen_regs(pr.hash_, pr.qlen_sum, ch.u, a)
-            regs = chain_post(opt, pr.gap_ref, mi, pr.qlen_sum, 1, pr.qlens,
-                              regs, a)
-            if not (opt.flag & C.MM_F_SR):
-                est_err(mi, pr.qlen_sum, regs, a, pr.sh.mini_pos)
-            regs = align_regs(opt, mi, pr.qlens[0], rec.seq, regs, a)
+        if regs:
             H.set_mapq(regs, opt.min_chain_score, opt.a, pr.sh.rep_len,
                        bool(opt.flag & C.MM_F_SR))
         lines = []

@@ -521,11 +521,28 @@ def plan_batch(jobs, q, e, q2, e2):
                 base=base, st=st, en=en, st0=st0, en0=en0)
 
 
-def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False):
+def _pow2_at_least(x, lo):
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
     """Device-batched ksw_extd2: same per-job semantics as K.extd2.
     jobs: list of dicts(qseq, tseq, w, zdrop, end_bonus, flag).
+    quantize=True rounds the static launch geometry (rmax/ncol/tws) up to
+    powers of two so a long-running pipeline compiles a bounded set of
+    kernel shapes (padding is masked out, results are unchanged).
     Returns a list of K.Ez."""
     geom = plan_batch(jobs, q, e, q2, e2)
+    if quantize:
+        geom["rmax"] = _pow2_at_least(geom["rmax"], 256)
+        geom["qoff"] = geom["rmax"]
+        ncol_q = _pow2_at_least(geom["ncol"], LANES)
+        geom["tws"] = _pow2_at_least(
+            geom["tws"] + (ncol_q - geom["ncol"]), 2 * LANES)
+        geom["ncol"] = ncol_q
     q, e, q2, e2 = geom["q"], geom["e"], geom["q2"], geom["e2"]
     if e != e2:
         long_thres = (q2 - q) // (e - e2) - 1

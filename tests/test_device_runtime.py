@@ -32,3 +32,18 @@ def test_device_runtime_matches_host(ref_fa, q_fa, flags):
     for f in frags:
         host_lines.extend(map_fragment_output(mi, mo, f.segs))
     assert dev_lines == host_lines
+
+
+def test_device_align_executor_used():
+    """The batched alignment scheduler must actually route jobs through the
+    device extd2 path (not silently fall back to host for everything)."""
+    io, mo = set_opt(None)
+    mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    frags = [Frag([q]) for q in read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))]
+    rt = DeviceRuntime(mi, mo)
+    rt.map_batch(frags)
+    assert rt._align_exec.n_device > 0
