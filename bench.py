@@ -72,9 +72,9 @@ def main():
             xhi, rpos, qpos, span, sid = split_anchors(a)
             reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
                               avg_qspan=np.float32(span.sum() / len(a))))
-        packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n)
+        packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, MAX_DIST)
         args = [jax.device_put(packed[k])
-                for k in ("xhi", "rpos", "qpos", "span", "sid")]
+                for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")]
         args += [jax.device_put(nn), jax.device_put(w1), jax.device_put(exc)]
         jax.block_until_ready(args)  # materialize host->HBM before timing
         return anchors, args

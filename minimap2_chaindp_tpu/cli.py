@@ -194,49 +194,90 @@ def main(argv=None) -> int:
         return 1
 
     from .index.serialize import dump_index, is_mm2tpu_index, load_index
-    if is_mm2tpu_index(ns.target):
-        mi = load_index(ns.target)
-        if mi.k != io.k or mi.w != io.w:
-            print(f"[WARNING] Indexing parameters (-k {mi.k} -w {mi.w}) "
-                  "overriding command line", file=sys.stderr)
-    else:
-        refs = list(read_fastx(ns.target))
-        mi = build_index([r.name for r in refs], [r.seq for r in refs],
-                         io.w, io.k, io.flag, io.bucket_bits)
-    if ns.dump_index:
-        dump_index(mi, ns.dump_index)
-        if not ns.query:
-            return 0
-    mo.update(mi)
 
-    use_device = ns.device == "tpu"
-    if ns.device == "auto":
-        try:
-            import jax
-            use_device = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:
-            use_device = False
-    if use_device:
-        from .models.runtime import DeviceRuntime
-        runtime = DeviceRuntime(mi, mo)
-    else:
-        runtime = None
+    def index_parts():
+        """Yield index parts: prebuilt single-part, or FASTA split every
+        ~batch_size bases (the reference's -I multi-part indexing,
+        index.c:459, mm_idx_reader_read index.c:921)."""
+        if is_mm2tpu_index(ns.target):
+            mi = load_index(ns.target)
+            if mi.k != io.k or mi.w != io.w:
+                print(f"[WARNING] Indexing parameters (-k {mi.k} -w {mi.w}) "
+                      "overriding command line", file=sys.stderr)
+            yield mi
+            return
+        part, plen = [], 0
+        for r in read_fastx(ns.target):
+            part.append(r)
+            plen += len(r.seq)
+            if plen >= io.batch_size:
+                yield build_index([x.name for x in part],
+                                  [x.seq for x in part],
+                                  io.w, io.k, io.flag, io.bucket_bits)
+                part, plen = [], 0
+        if part:
+            yield build_index([x.name for x in part], [x.seq for x in part],
+                              io.w, io.k, io.flag, io.bucket_bits)
 
     out = sys.stdout
     rg_id = parse_rg_id(ns.rg)
-    if mo.flag & C.MM_F_OUT_SAM:
-        cmdline = "mm2tpu " + " ".join(argv if argv is not None else sys.argv[1:])
-        print(write_sam_hdr(mi, ns.rg, "2.10-r761", cmdline), file=out)
-    frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
-    for batch in read_frags(ns.query, mo.mini_batch_size, frag_mode):
-        if runtime is not None:
-            for lines in runtime.map_batch(batch):
-                for line in lines:
-                    print(line, file=out)
+    parts = index_parts()
+    if ns.dump_index:  # a dump must be single-part: look ahead before writing
+        parts = list(parts)
+        if len(parts) > 1:
+            print("[ERROR] the index dump does not support multi-part "
+                  "indexes; raise -I", file=sys.stderr)
+            return 1
+    # one-part lookahead: the SAM header is written once, with @SQ lines
+    # only when the index is single-part (reference main.c:224-231) — the
+    # same part double-buffering the reference's read_task_thread keeps
+    cur = next(parts, None) if not isinstance(parts, list) else \
+        (parts[0] if parts else None)
+    if isinstance(parts, list):
+        parts = iter(parts[1:])
+    part_no = 0
+    while cur is not None:
+        mi = cur
+        cur = next(parts, None)
+        part_no += 1
+        if ns.dump_index:
+            dump_index(mi, ns.dump_index)
+            if not ns.query:
+                return 0
+        mo.update(mi)
+
+        use_device = ns.device == "tpu"
+        if ns.device == "auto":
+            try:
+                import jax
+                use_device = jax.devices()[0].platform in ("tpu", "axon")
+            except Exception:
+                use_device = False
+        if use_device:
+            from .models.runtime import DeviceRuntime
+            runtime = DeviceRuntime(mi, mo)
         else:
-            for frag in batch:
-                for line in map_fragment_output(mi, mo, frag.segs, rg_id):
-                    print(line, file=out)
+            runtime = None
+
+        if (mo.flag & C.MM_F_OUT_SAM) and part_no == 1:
+            cmdline = "mm2tpu " + " ".join(argv if argv is not None
+                                           else sys.argv[1:])
+            is_multi = cur is not None
+            if is_multi:
+                print("[WARNING] For a multi-part index, no @SQ lines will "
+                      "be outputted.", file=sys.stderr)
+            print(write_sam_hdr(None if is_multi else mi, ns.rg,
+                                "2.10-r761", cmdline), file=out)
+        frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
+        for batch in read_frags(ns.query, mo.mini_batch_size, frag_mode):
+            if runtime is not None:
+                for lines in runtime.map_batch(batch):
+                    for line in lines:
+                        print(line, file=out)
+            else:
+                for frag in batch:
+                    for line in map_fragment_output(mi, mo, frag.segs, rg_id):
+                        print(line, file=out)
     return 0
 
 

@@ -11,8 +11,9 @@ NT_LOWER = "acgtn"
 
 
 def write_sam_hdr(mi, rg: str | None, ver: str, cmdline: str | None) -> str:
+    """mi=None omits the @SQ lines (multi-part index, reference main.c:228)."""
     lines = []
-    for s in mi.seqs:
+    for s in (mi.seqs if mi is not None else []):
         lines.append(f"@SQ\tSN:{s.name}\tLN:{s.length}")
     rg_id = ""
     if rg:

@@ -38,7 +38,7 @@ def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
     dspec = P("data")
     ispec = P("index")
 
-    def step(qkeys, xhi, rpos, qpos, span, sid, nn, w1, exc, keys):
+    def step(qkeys, xhi, rpos, qpos, span, sid, stw, nn, w1, exc, keys):
         # sharded-index seed lookup: local binary search + psum over shards
         pos = jnp.searchsorted(keys, qkeys)
         pos_c = jnp.minimum(pos, keys.shape[0] - 1)
@@ -46,7 +46,7 @@ def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
         occ = jax.lax.psum(hit, "index")
 
         f, p, flag = CP.chain_scores_batch(
-            xhi, rpos, qpos, span, sid, nn, w1, exc, max_n=max_n,
+            xhi, rpos, qpos, span, sid, stw, nn, w1, exc, max_n=max_n,
             max_dist_x=max_dist, max_dist_y=max_dist, bw=bw,
             max_skip=max_skip, is_cdna=False, many_segs=False,
             interpret=interpret)
@@ -56,7 +56,7 @@ def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
 
     return jax.jit(shard_map(
         step, mesh=mesh,
-        in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, ispec),
+        in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, ispec),
         out_specs=(dspec, dspec, dspec, dspec, P()),
         check_rep=False,
     ))

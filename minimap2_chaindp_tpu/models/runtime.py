@@ -140,12 +140,14 @@ class DeviceRuntime:
                                   sid=sid,
                                   avg_qspan=np.float32(span.sum() / len(a))))
             with self.timers.time("pack"):
-                packed, nn, w1, exc, host_flag = CP.pack_reads(reads, b)
+                packed, nn, w1, exc, host_flag = CP.pack_reads(
+                    reads, b, pending[idxs[0]].gap_ref)
             gq = pending[idxs[0]].gap_qry  # single-seg: same for all reads
             gr = pending[idxs[0]].gap_ref
             with self.timers.time("kernel"):
                 f, p, flag = CP.chain_scores_batch(
-                    *(packed[x] for x in ("xhi", "rpos", "qpos", "span", "sid")),
+                    *(packed[x] for x in ("xhi", "rpos", "qpos", "span", "sid",
+                                          "stw")),
                     nn, w1, exc, max_n=b, max_dist_x=gr, max_dist_y=gq,
                     bw=opt.bw, max_skip=opt.max_chain_skip,
                     is_cdna=bool(opt.flag & C.MM_F_SPLICE), many_segs=False,

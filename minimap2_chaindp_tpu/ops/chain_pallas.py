@@ -46,31 +46,17 @@ def pick_subl(max_n: int) -> int:
     subl = budget // (max_n * 4 * 7)
     return max(8, min(128, subl // 8 * 8))
 TBL = 2048    # c_lin exactness domain; requires bw < TBL
-N_EXC = 8     # c_lin exception slots per read
-
-
-def _suffix_max(x):
-    """Suffix (reverse cumulative) max along the lane dim of an (8,128) block."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    n = x.shape[1]
-    s = 1
-    while s < n:
-        shifted = pltpu.roll(x, n - s, 1)  # circular left-shift by s
-        shifted = jnp.where(lane < n - s, shifted, NEG_INF)
-        x = jnp.maximum(x, shifted)
-        s *= 2
-    return x
+N_EXC = 2     # c_lin exception slots per read (slope search removes most)
 
 
 def _extract_col(blk, off, lane):
-    """(8,1) value at dynamic lane offset `off` of an (8,128) block.
-    Fill must be INT32_MIN: rev-strand xhi values are -2^31."""
-    return jnp.max(jnp.where(lane == off, blk, jnp.int32(-0x80000000)),
-                   axis=1, keepdims=True)
+    """(SUBL,1) value at dynamic lane offset `off` of a block: rotate the
+    target lane to lane 0 (cheaper on the VPU than a masked reduction)."""
+    return pltpu.roll(blk, LANES - off, 1)[:, 0:1]
 
 
-def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
-                  w1_ref, exc_ref, f_ref, p_ref, flag_ref,
+def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
+                  nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
                   is_cdna, many_segs):
     SUBL = subl
@@ -93,19 +79,18 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
         qi = _extract_col(qpos_ref[:, isl], off, lane)
         qs = _extract_col(span_ref[:, isl], off, lane)
         si = _extract_col(sid_ref[:, isl], off, lane)
+        sti = _extract_col(stw_ref[:, isl], off, lane)
         act_read = (i < n_vec)
 
-        n_chunks = pl.cdiv(i, LANES)  # chunks covering [0, i)
+        # the max_dist_x window start st[i] is precomputed on the host
+        # (the reference's own sliding st pointer, chain.c:58), so the scan
+        # covers exactly chunks [min_j st//128 .. (i-1)//128], newest first
+        first_c = jnp.min(jnp.where(act_read, sti, i)) // LANES
+        n_chunks = pl.cdiv(i, LANES) - first_c
 
-        def cond(state):
-            # NB: no memory reads here (Mosaic faults on loads in while conds);
-            # window exhaustion is evaluated in the body and carried in `go`
-            c, go = state[0], state[1]
-            return (c < n_chunks) & go
-
-        def chunk_body(state):
-            c, go, cur_max, best_j, cnt_best, nonimp_tot = state
-            base = (n_chunks - 1 - c) * LANES
+        def chunk_body(c, state):
+            cur_pmax, best_j, cnt_best, val_tot = state
+            base = (first_c + n_chunks - 1 - c) * LANES
             j = base + lane
             sl = pl.ds(base, LANES)
             xh = xhi_ref[:, sl]
@@ -144,43 +129,35 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
                 sc = jnp.where(same, sc - pen_same,
                                jnp.where(dr == 0, sc + 1, sc - pen_other))
             sc = sc + fj
-            scv = jnp.where(valid, sc, NEG_INF)
-
-            # scan order is descending j = descending lane within the chunk
-            chunk_max = jnp.max(scv, axis=1, keepdims=True)
-            new_best = chunk_max > cur_max
-            best_lane = jnp.max(jnp.where(scv == chunk_max, lane, -1),
-                                axis=1, keepdims=True)
-            # improvements: sc > (max of later-lane values and the carry)
-            suf = _suffix_max(scv)
-            suf_excl = pltpu.roll(suf, LANES - 1, 1)  # left-shift by 1
-            suf_excl = jnp.where(lane < LANES - 1, suf_excl, NEG_INF)
-            prevmax = jnp.maximum(suf_excl, cur_max)
-            improve = valid & (scv > prevmax)
-            nonimp = valid & ~improve
-            cnt_above = jnp.sum(jnp.where(nonimp & (lane > best_lane), 1, 0),
-                                axis=1, keepdims=True)
-            cnt_best = jnp.where(new_best, nonimp_tot + cnt_above, cnt_best)
+            # pack (score, lane) so max+argmax is ONE reduction; ties pick
+            # the larger lane = first-scanned j, like the reference's
+            # strict-improvement rule on a descending scan (chain.c:62)
+            pmax = jnp.max(jnp.where(valid, sc * 256 + lane, NEG_INF),
+                           axis=1, keepdims=True)
+            new_best = (pmax >> 8) > (cur_pmax >> 8)
+            best_lane = pmax & 255
+            # one fused count: valid candidates (low bits) and valid
+            # candidates scanned before this chunk's best (high bits)
+            cnt2 = jnp.sum(jnp.where(valid, 1, 0)
+                           + jnp.where(valid & (lane > best_lane), 4096, 0),
+                           axis=1, keepdims=True)
+            # conservative skip-divergence bound: ALL valid candidates
+            # scanned before the argmax (a superset of the reference's
+            # stamped non-improving count, so flagging stays sound)
+            cnt_best = jnp.where(new_best, val_tot + (cnt2 >> 12), cnt_best)
             best_j = jnp.where(new_best, base + best_lane, best_j)
-            nonimp_tot = nonimp_tot + jnp.sum(nonimp.astype(jnp.int32),
-                                              axis=1, keepdims=True)
-            cur_max = jnp.maximum(cur_max, chunk_max)
-            # window exhaustion test for the NEXT chunk: its top element is
-            # this chunk's bottom minus one; distances only grow downward
-            next_top = base - 1
-            safe_top = jnp.maximum(next_top, 0)
-            tb = safe_top // LANES * LANES
-            xt = _extract_col(xhi_ref[:, pl.ds(tb, LANES)], safe_top - tb, lane)
-            rt = _extract_col(rpos_ref[:, pl.ds(tb, LANES)], safe_top - tb, lane)
-            go = (next_top >= 0) & jnp.any(
-                act_read & (xt == xi) & (ri - rt <= max_dist_x))
-            return (c + 1, go, cur_max, best_j, cnt_best, nonimp_tot)
+            val_tot = val_tot + (cnt2 & 0xFFF)
+            cur_pmax = jnp.maximum(cur_pmax, pmax)
+            return (cur_pmax, best_j, cnt_best, val_tot)
 
         zero8 = jnp.zeros((SUBL, 1), jnp.int32)
-        state0 = (jnp.int32(0), i > 0, qs, zero8 - 1, zero8, zero8)
-        _, _, cur_max, best_j, cnt_best, nonimp_tot = \
-            jax.lax.while_loop(cond, chunk_body, state0)
+        # seed packed carry with (qs, lane 255) so ties against the seed
+        # keep have=False, matching max_f initialized to q_span
+        state0 = (qs * 256 + 255, zero8 - 1, zero8, zero8)
+        cur_pmax, best_j, cnt_best, val_tot = \
+            jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
 
+        cur_max = cur_pmax >> 8
         max_f = jnp.maximum(cur_max, qs)
         have = cur_max > qs
         p_new = jnp.where(have & act_read, best_j, -1)
@@ -200,10 +177,11 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, nn_ref,
 @functools.partial(jax.jit, static_argnames=(
     "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
     "many_segs", "interpret"))
-def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, w1, exc, *, max_n,
-                       max_dist_x, max_dist_y, bw, max_skip, is_cdna,
+def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
+                       max_n, max_dist_x, max_dist_y, bw, max_skip, is_cdna,
                        many_segs, interpret=False):
     """Batched chaining score pass. Inputs (R, max_n) int32 with R % 8 == 0;
+    stw: (R, max_n) precomputed max_dist_x window starts (chain.c:58);
     nn: (R, 128) counts in col 0; w1: (R, 128) f32 gap-cost slope in col 0;
     exc: (R, 128) c_lin exceptions as (dd, value) pairs in cols 0..2*N_EXC.
     Returns f, p, flag."""
@@ -222,24 +200,25 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, nn, w1, exc, *, max_n,
     f, p, flag = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[blk(max_n)] * 5 + [blk(LANES), blk(LANES), blk(LANES)],
+        in_specs=[blk(max_n)] * 6 + [blk(LANES), blk(LANES), blk(LANES)],
         out_specs=(blk(max_n), blk(max_n), blk(LANES)),
         out_shape=(jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, LANES), jnp.int32)),
         interpret=interpret,
-    )(xhi, rpos, qpos, span, sid, nn, w1, exc)
+    )(xhi, rpos, qpos, span, sid, stw, nn, w1, exc)
     return f, p, flag
 
 
-def pack_reads(reads, max_n: int):
+def pack_reads(reads, max_n: int, max_dist_x: int):
     """Pack per-read component dicts into (R, max_n) arrays plus per-read
-    counts, f32 gap-cost slopes, and exception lists. Returns
-    (packed, nn, w1, exc, host_flag) where host_flag marks reads whose
-    exception list overflowed (must take the host path)."""
+    counts, f32 gap-cost slopes, exception lists, and the precomputed
+    max_dist_x window starts (the reference's sliding st, chain.c:58).
+    Returns (packed, nn, w1, exc, host_flag) where host_flag marks reads
+    whose exception list overflowed (must take the host path)."""
     R = (len(reads) + 127) // 128 * 128  # divisible by any SUBL choice
     out = {k: np.zeros((R, max_n), dtype=np.int32)
-           for k in ("xhi", "rpos", "qpos", "span", "sid")}
+           for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")}
     out["xhi"][:] = -1
     nn = np.zeros((R, LANES), dtype=np.int32)
     w1 = np.zeros((R, LANES), dtype=np.float32)
@@ -254,16 +233,33 @@ def pack_reads(reads, max_n: int):
         nn[r, 0] = n
         if n == 0:
             continue
+        # window start: first j with x[j] >= x[i] - max_dist_x on the
+        # reconstructed unsigned 64-bit a[].x sort key (chain.c:58)
+        key = ((rd["xhi"].astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+               << np.uint64(32)) | rd["rpos"].astype(np.uint64)
+        dd = np.uint64(max_dist_x)
+        target = np.where(key >= dd, key - dd, np.uint64(0))
+        out["stw"][r, :n] = np.searchsorted(
+            key, target, side="left").astype(np.int32)
         avg = np.float64(np.float32(rd["avg_qspan"]))
         assert avg >= 1.6, "tiny avg_qspan breaks the c_log shortcut"
         exact = (d * 0.01 * avg).astype(np.int64)  # C double semantics
-        w = np.float32(np.float64(0.01) * avg)
-        cand = (df32 * w).astype(np.int64)         # what the kernel computes
-        bad = np.nonzero(cand != exact)[0]
+        # search the f32 slope whose kernel-side trunc(f32(dd)*w) matches
+        # the C double result on the most dd values; neighbors of the
+        # nearest f32 usually reach zero mismatches
+        w0 = np.float32(np.float64(0.01) * avg)
+        best_w, bad = w0, None
+        for w in (w0, np.nextafter(w0, np.float32(0), dtype=np.float32),
+                  np.nextafter(w0, np.float32(1e9), dtype=np.float32)):
+            b = np.nonzero((df32 * w).astype(np.int64) != exact)[0]
+            if bad is None or len(b) < len(bad):
+                best_w, bad = w, b
+            if len(b) == 0:
+                break
         if len(bad) > N_EXC:
             host_flag[r] = True
             continue
-        w1[r, 0] = w
+        w1[r, 0] = best_w
         for k, dd in enumerate(bad):
             exc[r, 2 * k] = dd
             exc[r, 2 * k + 1] = exact[dd]

@@ -51,3 +51,23 @@ def test_cli_sam_golden():
     with open(os.path.join(GOLDEN_DIR, "mt.sam")) as f:
         golden = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
     assert mine == golden
+
+
+@pytest.mark.parametrize("mode,golden", [
+    (["-c"], "qinv.I5k.paf"),
+    (["-a"], "qinv.I5k.sam"),
+])
+def test_cli_multipart_index(mode, golden):
+    """-I splits the index into parts, each mapped in turn with its own SAM
+    header (reference main.c:133-275); byte-identical to the reference."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    qinv = os.path.join(REF_TEST_DIR, "q-inv.fa")
+    out = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", *mode,
+         "--device", "host", "-I", "5k", qinv, qinv],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    mine = [l for l in out.stdout.rstrip("\n").split("\n")
+            if not l.startswith("@PG")]
+    with open(os.path.join(GOLDEN_DIR, golden)) as f:
+        want = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
+    assert mine == want

@@ -36,10 +36,10 @@ def run_batch(anchor_list, mo):
                           avg_qspan=np.float32(span.sum() / max(len(a), 1))))
     max_n = max(len(a) for a in anchor_list)
     max_n = (max_n + 127) // 128 * 128
-    packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n)
+    packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, mo.max_gap)
     f, p, flag = CP.chain_scores_batch(
         packed["xhi"], packed["rpos"], packed["qpos"], packed["span"],
-        packed["sid"], nn, w1, exc, max_n=max_n, max_dist_x=mo.max_gap,
+        packed["sid"], packed["stw"], nn, w1, exc, max_n=max_n, max_dist_x=mo.max_gap,
         max_dist_y=mo.max_gap, bw=mo.bw, max_skip=mo.max_chain_skip,
         is_cdna=False, many_segs=False, interpret=True)
     return np.asarray(f), np.asarray(p), np.asarray(flag)
