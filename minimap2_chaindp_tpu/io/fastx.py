@@ -32,7 +32,17 @@ def _open_maybe_gzip(path: str):
 
 
 def read_fastx(path: str) -> Iterator[SeqRecord]:
-    """Parse FASTA or FASTQ (auto-detected), converting U/u to T/t like bseq.c:70-72."""
+    """Parse FASTA or FASTQ (auto-detected), converting U/u to T/t like
+    bseq.c:70-72. Uses the native (C++) reader when available."""
+    from . import native_fastx
+    if native_fastx.available():
+        for name, seq, qual, comment in native_fastx.read_fastx_native(path):
+            yield SeqRecord(name, seq, qual, comment)
+        return
+    yield from _read_fastx_py(path)
+
+
+def _read_fastx_py(path: str) -> Iterator[SeqRecord]:
     with _open_maybe_gzip(path) as fh:
         name = None
         comment = None
