@@ -219,9 +219,12 @@ def main(argv=None) -> int:
             yield build_index([x.name for x in part], [x.seq for x in part],
                               io.w, io.k, io.flag, io.bucket_bits)
 
+    from .utils.prefetch import prefetch
+
     out = sys.stdout
     rg_id = parse_rg_id(ns.rg)
-    parts = index_parts()
+    # build index part k+1 while part k maps (reference main.c:133-275)
+    parts = prefetch(index_parts(), depth=1)
     if ns.dump_index:  # a dump must be single-part: look ahead before writing
         parts = list(parts)
         if len(parts) > 1:
@@ -269,7 +272,9 @@ def main(argv=None) -> int:
             print(write_sam_hdr(None if is_multi else mi, ns.rg,
                                 "2.10-r761", cmdline), file=out)
         frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
-        for batch in read_frags(ns.query, mo.mini_batch_size, frag_mode):
+        # stage read batch k+1 while batch k maps (kt_pipeline step overlap)
+        for batch in prefetch(read_frags(ns.query, mo.mini_batch_size,
+                                         frag_mode), depth=2):
             if runtime is not None:
                 for lines in runtime.map_batch(batch):
                     for line in lines:
@@ -278,6 +283,10 @@ def main(argv=None) -> int:
                 for frag in batch:
                     for line in map_fragment_output(mi, mo, frag.segs, rg_id):
                         print(line, file=out)
+        if runtime is not None:
+            # per-stage telemetry at exit, like the reference's perf
+            # counters (main.c:629-663)
+            runtime.timers.report()
     return 0
 
 
