@@ -141,10 +141,18 @@ class Aligner:
             segs.append(SeqRecord(name, seq2))
         regss = map_frag(self._mi, self.map_opt, segs)
         for read_num, regs in enumerate(regss, 1):
+            qseq = seq if read_num == 1 else seq2
             for r in regs:
                 if r.p is None:
                     continue
                 cigar = [(c >> 4, c & 0xF) for c in r.p.cigar]
+                cs_str = md_str = ""
+                if cs:
+                    from .io.output import _write_cs
+                    cs_str = _write_cs(self._mi, qseq, r, False)[len("\tcs:Z:"):]
+                if MD:
+                    from .io.output import _write_md
+                    md_str = _write_md(self._mi, qseq, r)[len("\tMD:Z:"):]
                 yield Alignment(
                     ctg=self._mi.seqs[r.rid].name,
                     ctg_len=self._mi.seqs[r.rid].length,
@@ -155,7 +163,7 @@ class Aligner:
                     mlen=r.mlen, blen=r.blen,
                     NM=r.blen - r.mlen + r.p.n_ambi,
                     trans_strand=r.p.trans_strand,
-                    read_num=read_num)
+                    read_num=read_num, cs=cs_str, MD=md_str)
 
 
 def fastx_read(fn: str, read_comment: bool = False):

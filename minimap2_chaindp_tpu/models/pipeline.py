@@ -80,74 +80,124 @@ def compute_gap_bounds(opt, qlen_sum: int) -> tuple[int, int]:
     return max_chain_gap_qry, max_chain_gap_ref
 
 
+@dataclass
+class UnitInfo:
+    """Per-unit seeding state carried from seed_unit to finish_unit_gen."""
+    segs: list
+    qlens: list
+    seqs: list
+    qlen_sum: int
+    hash_: int
+    gap_qry: int
+    gap_ref: int
+    sh: object          # SeedHits or None (no minimizers / empty)
+
+
+def seed_unit(mi, opt, segs: list[SeqRecord]) -> UnitInfo:
+    """Front half of mm_map_frag: sketch + seed-hit collection (map.c:326-390)."""
+    qlens = [len(s.seq) for s in segs]
+    seqs = [s.seq for s in segs]
+    qlen_sum = sum(qlens)
+    qname = segs[0].name
+    gq, gr = compute_gap_bounds(opt, qlen_sum)
+    info = UnitInfo(segs, qlens, seqs, qlen_sum,
+                    C.qname_hash(qname, qlen_sum, opt.seed), gq, gr, None)
+    if qlen_sum == 0 or not (0 < len(segs) <= C.MM_MAX_SEG):
+        return info
+    mv = collect_minimizers(opt, mi, seqs)
+    if len(mv):
+        info.sh = collect_seed_hits(mi, opt.flag, opt.mid_occ, mv, qname,
+                                    qlen_sum)
+    return info
+
+
+def finish_unit_gen(mi, opt, info: UnitInfo, ch):
+    """Back half (read_result_handle, map.c:816-898) as a wave generator:
+    regions -> chain_post -> est_err -> per-seg alignment (yielding extension
+    waves) -> mapq -> PE pairing. Returns per-segment region lists."""
+    n_segs = len(info.segs)
+    if info.sh is None or ch is None or not len(ch.u):
+        return [[] for _ in info.segs]
+    is_sr = bool(opt.flag & C.MM_F_SR)
+    a, u = ch.anchors.copy(), ch.u
+    regs0 = H.gen_regs(info.hash_, info.qlen_sum, u, a)
+    regs0 = chain_post(opt, info.gap_ref, mi, info.qlen_sum, n_segs,
+                       info.qlens, regs0, a)
+    if not is_sr:
+        est_err(mi, info.qlen_sum, regs0, a, info.sh.mini_pos)
+
+    if n_segs == 1:
+        regs0 = yield from align_regs_gen(opt, mi, info.qlens[0],
+                                          info.seqs[0], regs0, a)
+        H.set_mapq(regs0, opt.min_chain_score, opt.a, info.sh.rep_len, is_sr)
+        return [regs0]
+    from ..pe import seg_gen, pair
+    per_seg = seg_gen(info.hash_, n_segs, info.qlens, regs0, a)
+    all_regs = []
+    for i, (regs_i, a_i) in enumerate(per_seg):
+        H.set_parent(regs_i, opt.mask_level, opt.a * 2 + opt.b)
+        regs_i = yield from align_regs_gen(opt, mi, info.qlens[i],
+                                           info.seqs[i], regs_i, a_i)
+        H.set_mapq(regs_i, opt.min_chain_score, opt.a, info.sh.rep_len, is_sr)
+        all_regs.append(regs_i)
+    if n_segs == 2 and opt.pe_ori >= 0 and (opt.flag & C.MM_F_CIGAR):
+        pair(info.gap_ref, opt.pe_bonus, opt.a * 2 + opt.b, opt.a,
+             info.qlens, all_regs)
+    return all_regs
+
+
+def host_chain(opt, info: UnitInfo, n_segs: int):
+    """Host (exact) chaining of one unit."""
+    if info.sh is None:
+        return None
+    return chain_dp(info.gap_ref, info.gap_qry, opt.bw, opt.max_chain_skip,
+                    opt.min_cnt, opt.min_chain_score,
+                    bool(opt.flag & C.MM_F_SPLICE), n_segs, info.sh.anchors)
+
+
 def map_frag(mi, opt, segs: list[SeqRecord]) -> list[list[H.Region]]:
     """Map one fragment (1..n segments). Returns per-segment region lists.
 
     Mirrors mm_map_frag front half (map.c:326-445) + read_result_handle back
-    half (map.c:816-898)."""
-    n_segs = len(segs)
-    qlens = [len(s.seq) for s in segs]
-    seqs = [s.seq for s in segs]
-    qlen_sum = sum(qlens)
-    if qlen_sum == 0 or n_segs <= 0 or n_segs > C.MM_MAX_SEG:
-        return [[] for _ in segs]
-    qname = segs[0].name
-    hash_ = C.qname_hash(qname, qlen_sum, opt.seed)
-    is_sr = bool(opt.flag & C.MM_F_SR)
-    is_splice = bool(opt.flag & C.MM_F_SPLICE)
-    max_chain_gap_qry, max_chain_gap_ref = compute_gap_bounds(opt, qlen_sum)
-
-    mv = collect_minimizers(opt, mi, seqs)
-    if len(mv) == 0:
-        return [[] for _ in segs]
-    sh = collect_seed_hits(mi, opt.flag, opt.mid_occ, mv, qname, qlen_sum)
-    ch = chain_dp(max_chain_gap_ref, max_chain_gap_qry, opt.bw,
-                  opt.max_chain_skip, opt.min_cnt, opt.min_chain_score,
-                  is_splice, n_segs, sh.anchors)
-    a, u = ch.anchors.copy(), ch.u
-    regs0 = H.gen_regs(hash_, qlen_sum, u, a)
-    regs0 = chain_post(opt, max_chain_gap_ref, mi, qlen_sum, n_segs, qlens, regs0, a)
-    if not is_sr:
-        est_err(mi, qlen_sum, regs0, a, sh.mini_pos)
-
-    if n_segs == 1:
-        regs0 = align_regs(opt, mi, qlens[0], seqs[0], regs0, a)
-        H.set_mapq(regs0, opt.min_chain_score, opt.a, sh.rep_len, is_sr)
-        return [regs0]
-    else:
-        from ..pe import seg_gen, pair
-        per_seg = seg_gen(hash_, n_segs, qlens, regs0, a)
-        all_regs = []
-        for i, (regs_i, a_i) in enumerate(per_seg):
-            H.set_parent(regs_i, opt.mask_level, opt.a * 2 + opt.b)
-            regs_i = align_regs(opt, mi, qlens[i], seqs[i], regs_i, a_i)
-            H.set_mapq(regs_i, opt.min_chain_score, opt.a, sh.rep_len, is_sr)
-            all_regs.append(regs_i)
-        if n_segs == 2 and opt.pe_ori >= 0 and (opt.flag & C.MM_F_CIGAR):
-            pair(max_chain_gap_ref, opt.pe_bonus, opt.a * 2 + opt.b, opt.a,
-                 qlens, all_regs)
-        return all_regs
+    half (map.c:816-898); synchronous driver of seed_unit/finish_unit_gen."""
+    from ..align import K, _host_thunk
+    info = seed_unit(mi, opt, segs)
+    ch = host_chain(opt, info, len(segs))
+    mat = K.gen_simple_mat(5, opt.a, opt.b)
+    gen = finish_unit_gen(mi, opt, info, ch)
+    try:
+        wave = next(gen)
+        while True:
+            wave = gen.send([_host_thunk(opt, mat, job) for job in wave])
+    except StopIteration as e:
+        return e.value
 
 
-def map_fragment_output(mi, opt, segs: list[SeqRecord], rg_id: str = "") -> list[str]:
-    """Map one fragment and format its output lines (reference map.c:734-752)."""
+def prepare_frag(opt, segs: list[SeqRecord]):
+    """PE-orientation flip + independent-segment split (map.c:598-667).
+    Returns (work, flipped, units) where each unit maps as one chain job."""
     pe_ori = opt.pe_ori
     n_segs = len(segs)
     flipped = []
     work = list(segs)
     for j in range(n_segs):
-        if n_segs == 2 and ((j == 0 and (pe_ori >> 1 & 1)) or (j == 1 and (pe_ori & 1))):
+        if n_segs == 2 and ((j == 0 and (pe_ori >> 1 & 1))
+                            or (j == 1 and (pe_ori & 1))):
             work[j] = SeqRecord(work[j].name, C.revcomp_str(work[j].seq),
                                 work[j].qual[::-1] if work[j].qual else None,
                                 work[j].comment)
             flipped.append(j)
     if opt.flag & C.MM_F_INDEPEND_SEG:
-        regss = []
-        for s in work:
-            regss.extend(map_frag(mi, opt, [s]))
+        units = [[s] for s in work]
     else:
-        regss = map_frag(mi, opt, work)
-    for j in flipped:  # flip back to original read strand (map.c:620-631)
+        units = [work]
+    return work, flipped, units
+
+
+def format_frag(mi, opt, segs, work, flipped, regss, rg_id="") -> list[str]:
+    """Flip PE hits back + SAM/PAF text (map.c:620-631, 734-752)."""
+    n_segs = len(segs)
+    for j in flipped:
         qlen = len(work[j].seq)
         for r in regss[j]:
             r.qs, r.qe = qlen - r.qe, qlen - r.qs
@@ -167,3 +217,12 @@ def map_fragment_output(mi, opt, segs: list[SeqRecord], rg_id: str = "") -> list
             lines.append(out.write_sam(mi, rec, i, -1, n_segs, regss,
                                        opt.flag, rg_id))
     return lines
+
+
+def map_fragment_output(mi, opt, segs: list[SeqRecord], rg_id: str = "") -> list[str]:
+    """Map one fragment and format its output lines (reference map.c:734-752)."""
+    work, flipped, units = prepare_frag(opt, segs)
+    regss = []
+    for unit in units:
+        regss.extend(map_frag(mi, opt, unit))
+    return format_frag(mi, opt, segs, work, flipped, regss, rg_id)

@@ -185,7 +185,11 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     nn: (R, 128) counts in col 0; w1: (R, 128) f32 gap-cost slope in col 0;
     exc: (R, 128) c_lin exceptions as (dd, value) pairs in cols 0..2*N_EXC.
     Returns f, p, flag."""
-    assert bw < TBL, "bandwidths >= TBL use the host/XLA path"
+    # exact-c_lin domain: pen_same's dd is bounded by the same-seg band
+    # (dd <= bw) in genomic mode, and by dq <= max_dist_y in cdna mode
+    # (chain.c:65-78); beyond TBL only the log penalty survives the min
+    assert (max_dist_y if is_cdna else bw) < TBL, \
+        "same-seg gap-cost domain >= TBL uses the host/XLA path"
     R = xhi.shape[0]
     SUBL = pick_subl(max_n)
     while R % SUBL:

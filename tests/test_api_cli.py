@@ -71,3 +71,29 @@ def test_cli_multipart_index(mode, golden):
     with open(os.path.join(GOLDEN_DIR, golden)) as f:
         want = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
     assert mine == want
+
+
+def test_mappy_cs_md():
+    """Aligner.map(cs=True, MD=True) populates the cs/MD strings like the
+    reference mappy (mappy.pyx:118-135), matching the PAF tag values."""
+    import minimap2_chaindp_tpu.mappy as mp
+    a = mp.Aligner(os.path.join(REF_TEST_DIR, "MT-human.fa"))
+    q = next(mp.fastx_read(os.path.join(REF_TEST_DIR, "MT-orang.fa")))
+    h = next(a.map(q[1], cs=True, MD=True))
+    # cross-check against the reference binary (one flag per run — the
+    # reference's PAF writer emits only one of cs/MD at a time)
+    import subprocess
+
+    def ref_tag(flag, name):
+        r = subprocess.run(
+            ["/root/repo/.golden/minimap2_ref", "-c", flag, "-t", "12",
+             os.path.join(REF_TEST_DIR, "MT-human.fa"),
+             os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+            capture_output=True, text=True, check=True)
+        tags = dict(t.split(":", 2)[::2] for t in r.stdout.split("\t")[12:])
+        return tags[name].strip()
+
+    assert h.cs == ref_tag("--cs", "cs")
+    assert h.MD == ref_tag("--MD", "MD")
+    h2 = next(a.map(q[1]))
+    assert h2.cs == "" and h2.MD == ""

@@ -28,7 +28,10 @@ def reads_from(ref_fa, q_fa):
     return out, mo
 
 
-def run_batch(anchor_list, mo):
+def run_batch(anchor_list, mo, gq=None, gr=None, is_cdna=False,
+              many_segs=False):
+    gq = mo.max_gap if gq is None else gq
+    gr = mo.max_gap if gr is None else gr
     reads = []
     for a in anchor_list:
         xhi, rpos, qpos, span, sid = split_anchors(a)
@@ -36,12 +39,12 @@ def run_batch(anchor_list, mo):
                           avg_qspan=np.float32(span.sum() / max(len(a), 1))))
     max_n = max(len(a) for a in anchor_list)
     max_n = (max_n + 127) // 128 * 128
-    packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, mo.max_gap)
+    packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, gr)
     f, p, flag = CP.chain_scores_batch(
         packed["xhi"], packed["rpos"], packed["qpos"], packed["span"],
-        packed["sid"], packed["stw"], nn, w1, exc, max_n=max_n, max_dist_x=mo.max_gap,
-        max_dist_y=mo.max_gap, bw=mo.bw, max_skip=mo.max_chain_skip,
-        is_cdna=False, many_segs=False, interpret=True)
+        packed["sid"], packed["stw"], nn, w1, exc, max_n=max_n, max_dist_x=gr,
+        max_dist_y=gq, bw=mo.bw, max_skip=mo.max_chain_skip,
+        is_cdna=is_cdna, many_segs=many_segs, interpret=True)
     return np.asarray(f), np.asarray(p), np.asarray(flag)
 
 
@@ -95,3 +98,51 @@ def test_pallas_chain_random():
         anchors = anchors[np.argsort(anchors[:, 0], kind="stable")]
         batch.append(anchors)
     check(batch, mo)
+
+
+def synth_anchors(rng, n, seg_split=None, big_gaps=False):
+    rp = np.sort(rng.integers(0, 60000 if big_gaps else 3000, n))
+    qp = np.maximum(rp // (30 if big_gaps else 1)
+                    + rng.integers(-200, 200, n), 0)
+    span = rng.integers(13, 20, n)
+    y = span.astype(np.uint64) << np.uint64(32) | qp.astype(np.uint64)
+    if seg_split is not None:
+        seg = (np.arange(n) >= seg_split).astype(np.uint64)
+        y |= seg << np.uint64(48)
+    anchors = np.stack([rp.astype(np.uint64), y], axis=1)
+    return anchors[np.argsort(anchors[:, 0], kind="stable")]
+
+
+def check_mode(batch, mo, gq, gr, is_cdna, many_segs, n_segs):
+    f, p, flag = run_batch(batch, mo, gq, gr, is_cdna, many_segs)
+    for r, a in enumerate(batch):
+        host = chain_dp(gr, gq, mo.bw, mo.max_chain_skip, mo.min_cnt,
+                        mo.min_chain_score, is_cdna, n_segs, a)
+        if flag[r, 0]:
+            continue
+        cx, cy, cf, cp = compact_from_fpv(a, f[r, :len(a)], p[r, :len(a)],
+                                          _v_from_fp(f[r], p[r], len(a)),
+                                          mo.min_chain_score)
+        dev = chain_backtrack(cx, cy, cf, cp, mo.min_cnt, mo.min_chain_score)
+        assert np.array_equal(host.u, dev.u), f"read {r} u mismatch"
+        assert np.array_equal(host.anchors, dev.anchors), f"read {r} anchors"
+
+
+def test_pallas_chain_cdna():
+    """is_cdna (splice) scoring rules: large ref gaps, max_dist_y < TBL."""
+    rng = np.random.default_rng(3)
+    _, mo = set_opt("splice")
+    batch = [synth_anchors(rng, int(rng.integers(30, 250)), big_gaps=True)
+             for _ in range(6)]
+    check_mode(batch, mo, 2000, 200000, True, False, 1)
+
+
+def test_pallas_chain_many_segs():
+    """many_segs (paired-end) rule: same-seg dr > max_dist_y invalid."""
+    rng = np.random.default_rng(4)
+    _, mo = set_opt("sr")
+    batch = []
+    for _ in range(6):
+        n = int(rng.integers(30, 200))
+        batch.append(synth_anchors(rng, n, seg_split=n // 2))
+    check_mode(batch, mo, 600, 800, False, True, 2)

@@ -47,3 +47,45 @@ def test_device_align_executor_used():
     rt = DeviceRuntime(mi, mo)
     rt.map_batch(frags)
     assert rt._align_exec.n_device > 0
+
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def _run_device_vs_host(preset, ref_fa, query_fas, flags):
+    io, mo = set_opt(preset)
+    mo.flag |= flags
+    refs = list(read_fastx(ref_fa))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    frag_mode = len(query_fas) > 1
+    from minimap2_chaindp_tpu.io.fastx import read_frags
+    frags = [f for b in read_frags(query_fas, mo.mini_batch_size, frag_mode)
+             for f in b]
+    rt = DeviceRuntime(mi, mo)
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    return rt
+
+
+def test_device_runtime_splice():
+    """Splice preset through the device runtime: is_cdna chaining on device,
+    exts2 extension on host; identical to the host pipeline."""
+    rt = _run_device_vs_host(
+        "splice", os.path.join(DATA, "splice_genome.fa"),
+        [os.path.join(DATA, "splice_cdna.fa")],
+        C.MM_F_OUT_SAM | C.MM_F_CIGAR)
+    assert rt.timers.counters.get("device_reads", 0) > 0
+
+
+def test_device_runtime_paired_end():
+    """sr paired-end (multi-seg units, many_segs chaining, PE pairing)."""
+    rt = _run_device_vs_host(
+        "sr", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+        [os.path.join(DATA, "pe_1.fq"), os.path.join(DATA, "pe_2.fq")],
+        C.MM_F_OUT_SAM | C.MM_F_CIGAR)
+    assert rt.timers.counters.get("device_reads", 0) > 0
