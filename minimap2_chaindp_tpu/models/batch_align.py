@@ -35,13 +35,18 @@ class DeviceAlignExecutor:
         # routes big problems to the host model, which is much faster there
         self.max_span = 768 if interpret else MAX_QLEN + MAX_TLEN
         self.mat = K.gen_simple_mat(5, opt.a, opt.b)
-        # the extz path (q==q2, e==e2) and splice scoring use other kernels;
-        # the kernel also assumes the reference's early-return precondition
-        # -min(mat) <= 2*(q+e) holds (ksw2_extd2_sse.c:91-92)
-        self.enabled = not (opt.flag & C.MM_F_SPLICE) \
-            and not (opt.q == opt.q2 and opt.e == opt.e2) \
-            and -int(self.mat.min()) <= 2 * min(opt.q + opt.e,
-                                                opt.q2 + opt.e2)
+        # splice uses the exts2 kernel mode; genomic scoring uses extd2
+        # unless it degenerates to the single-affine extz path (q==q2,
+        # e==e2); both kernels assume the reference's early-return
+        # precondition -min(mat) <= 2*(q+e) (ksw2_extd2_sse.c:91-92)
+        self.splice = bool(opt.flag & C.MM_F_SPLICE)
+        if self.splice:
+            self.enabled = opt.q2 > opt.q + opt.e \
+                and -int(self.mat.min()) <= 2 * (opt.q + opt.e)
+        else:
+            self.enabled = not (opt.q == opt.q2 and opt.e == opt.e2) \
+                and -int(self.mat.min()) <= 2 * min(opt.q + opt.e,
+                                                    opt.q2 + opt.e2)
         self.n_device = 0
         self.n_host = 0
 
@@ -64,10 +69,18 @@ class DeviceAlignExecutor:
                 sz = KP._pow2_at_least(len(j["qseq"]) + len(j["tseq"]), 256)
                 by_bucket.setdefault(sz, []).append(i)
             for sz, idxs in sorted(by_bucket.items()):
-                res = KP.extd2_batch([jobs[i] for i in idxs], self.mat,
-                                     self.opt.q, self.opt.e, self.opt.q2,
-                                     self.opt.e2, interpret=self.interpret,
-                                     quantize=True)
+                if self.splice:
+                    res = KP.exts2_batch([jobs[i] for i in idxs], self.mat,
+                                         self.opt.q, self.opt.e, self.opt.q2,
+                                         self.opt.noncan,
+                                         interpret=self.interpret,
+                                         quantize=True)
+                else:
+                    res = KP.extd2_batch([jobs[i] for i in idxs], self.mat,
+                                         self.opt.q, self.opt.e, self.opt.q2,
+                                         self.opt.e2,
+                                         interpret=self.interpret,
+                                         quantize=True)
                 for i, ez in zip(idxs, res):
                     thunks[i] = (lambda v=ez: v)
                 self.n_device += len(idxs)

@@ -56,10 +56,15 @@ def _w8(x):
     return ((x & 255) ^ 128) - 128
 
 
-def _band(r, qlen, tlen, w):
-    """Per-diagonal band bounds (reference ksw2_extd2_sse.c:131-139)."""
-    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
-    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+def _band(r, qlen, tlen, w, splice=False):
+    """Per-diagonal band bounds (reference ksw2_extd2_sse.c:131-139);
+    the splice kernel is unbanded (ksw2_exts2_sse.c:141)."""
+    if splice:
+        st0 = jnp.maximum(0, r - qlen + 1) + 0 * w
+        en0 = jnp.minimum(tlen - 1, r)
+    else:
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
     st = st0 // 16 * 16
     en = (en0 + 16) // 16 * 16 - 1
     return st0, en0, st, en
@@ -71,10 +76,17 @@ def _extract(arr, lane_t, idx, cond):
     return jnp.max(jnp.where(hit, arr, NEG), axis=1, keepdims=True)
 
 
-def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
+def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
                 u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
                 scal_ref, dst_ref, *, q, e, q2, e2, mat0, sc_mis, sc_n,
-                long_thres, long_diff, tws, qoff, rmax, ncol):
+                long_thres, long_diff, tws, qoff, rmax, ncol, splice=False):
+    # splice mode (ksw2_exts2_sse.c): unbanded, no second insertion state,
+    # x2 is the intron state driven by donor/acceptor signals (dac packs
+    # donor in the low byte, acceptor in the second byte, sign-extended),
+    # gap seeds tail to 0 past long_thres, zdrop length penalty is 0
+    x2_init = -q2 if splice else -(q2 + e2)
+    f_tail = 0 if splice else -e2
+    zdrop_e = 0 if splice else e2
     nchunk = ncol // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     qlen = meta_ref[:, M_QLEN:M_QLEN + 1]
@@ -93,8 +105,8 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
         v_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
         x_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
         y_ref[:, :] = jnp.full((SUBL, tws), -qe_, jnp.int32)
-        x2_ref[:, :] = jnp.full((SUBL, tws), -qe2_, jnp.int32)
-        y2_ref[:, :] = jnp.full((SUBL, tws), -qe2_, jnp.int32)
+        x2_ref[:, :] = jnp.full((SUBL, tws), x2_init, jnp.int32)
+        y2_ref[:, :] = jnp.full((SUBL, tws), x2_init, jnp.int32)
         s_ref[:, :] = jnp.zeros((SUBL, tws), jnp.int32)
         h_ref[:, :] = jnp.full((SUBL, tws), KSW_NEG_INF, jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
@@ -109,7 +121,7 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
         return jnp.where(r == 0, -qe_,
                          jnp.where(r < long_thres, -e,
                                    jnp.where(r == long_thres, long_diff,
-                                             -e2)))
+                                             f_tail)))
 
     neg1_c = jnp.full((SUBL, 1), NEG, jnp.int32)
 
@@ -117,8 +129,8 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
         r = pl.program_id(1) * RBLK + i
         done = scal_ref[:, C_DONE:C_DONE + 1] != 0
         act0 = (r < nrows) & ~done
-        st0, en0, st, en = _band(r, qlen, tlen, wj)
-        st_n = _band(r + 1, qlen, tlen, wj)[2]   # next row's aligned start
+        st0, en0, st, en = _band(r, qlen, tlen, wj, splice)
+        st_n = _band(r + 1, qlen, tlen, wj, splice)[2]   # next row's aligned start
         closed = act0 & (st0 > en0)
         # band closed -> zdropped (reference :136-138)
         zd = scal_ref[:, C_ZDROP:C_ZDROP + 1]
@@ -140,7 +152,7 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
         stm1 = st - 1
         in_last = (last_st <= stm1) & (stm1 <= last_en) & (st > 0)
         x1 = jnp.where(in_last, scal_ref[:, C_BX1:C_BX1 + 1], -qe_)
-        x21 = jnp.where(in_last, scal_ref[:, C_BX21:C_BX21 + 1], -qe2_)
+        x21 = jnp.where(in_last, scal_ref[:, C_BX21:C_BX21 + 1], x2_init)
         v1 = jnp.where(st > 0,
                        jnp.where(in_last, scal_ref[:, C_BV1:C_BV1 + 1], -qe_),
                        f_seed(r))
@@ -200,7 +212,14 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             a_ = _w8(xt1 + vt1)
             b_ = _w8(y_in + u_in)
             a2_ = _w8(x2t1 + vt1)
-            b2_ = _w8(y2_in + u_in)
+            if splice:
+                dac = dac_ref[:, pl.ds(a0, LANES)]
+                dn_sig = _w8(dac)          # donor, low byte
+                ac_sig = _w8(dac >> 8)     # acceptor, second byte
+                a2cmp = _w8(a2_ + ac_sig)  # intron exit pays the acceptor
+            else:
+                b2_ = _w8(y2_in + u_in)
+                a2cmp = a2_
             z = s_cur
             # backtrack direction bits, left- vs right-aligned gaps (:220-314)
             dl = jnp.where(a_ > z, 1, 0)
@@ -209,14 +228,16 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             dl = jnp.where(b_ > z, 2, dl)
             dr = jnp.where(z > b_, dr, 2)
             z = jnp.maximum(z, b_)
-            dl = jnp.where(a2_ > z, 3, dl)
-            dr = jnp.where(z > a2_, dr, 3)
-            z = jnp.maximum(z, a2_)
-            dl = jnp.where(b2_ > z, 4, dl)
-            dr = jnp.where(z > b2_, dr, 4)
-            z = jnp.maximum(z, b2_)
+            dl = jnp.where(a2cmp > z, 3, dl)
+            dr = jnp.where(z > a2cmp, dr, 3)
+            z = jnp.maximum(z, a2cmp)
+            if not splice:
+                dl = jnp.where(b2_ > z, 4, dl)
+                dr = jnp.where(z > b2_, dr, 4)
+                z = jnp.maximum(z, b2_)
             d = jnp.where(right, dr, dl)
-            z = jnp.minimum(z, mat0)
+            if not splice:   # exts2 has no match-score clamp
+                z = jnp.minimum(z, mat0)
             u_n = _w8(z - vt1)
             v_n = _w8(z - u_in)
             tmp = _w8(z - q)
@@ -224,19 +245,27 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             bx = _w8(b_ - tmp)
             tmp2 = _w8(z - q2)
             a2x = _w8(a2_ - tmp2)
-            b2x = _w8(b2_ - tmp2)
             # right-aligned keeps >= 0, left-aligned > 0: single threshold
             rthr = jnp.where(right, -1, 0)
             cond_a = ax > rthr
             cond_b = bx > rthr
-            cond_a2 = a2x > rthr
-            cond_b2 = b2x > rthr
             x_n = _w8(jnp.where(cond_a, ax, 0) - qe_)
             y_n = _w8(jnp.where(cond_b, bx, 0) - qe_)
-            x2_n = _w8(jnp.where(cond_a2, a2x, 0) - qe2_)
-            y2_n = _w8(jnp.where(cond_b2, b2x, 0) - qe2_)
-            d = d | jnp.where(cond_a, 0x08, 0) | jnp.where(cond_b, 0x10, 0) \
-                  | jnp.where(cond_a2, 0x20, 0) | jnp.where(cond_b2, 0x40, 0)
+            d = d | jnp.where(cond_a, 0x08, 0) | jnp.where(cond_b, 0x10, 0)
+            if splice:
+                # intron state: open from H (donor-scored) or stay open with
+                # no length penalty (ksw2_exts2_sse.c:236-249)
+                cond_a2 = a2x > dn_sig - jnp.where(right, 1, 0)
+                x2_n = _w8(jnp.maximum(a2x, dn_sig) - q2)
+                y2_n = y2c
+            else:
+                b2x = _w8(b2_ - tmp2)
+                cond_a2 = a2x > rthr
+                cond_b2 = b2x > rthr
+                x2_n = _w8(jnp.where(cond_a2, a2x, 0) - qe2_)
+                y2_n = _w8(jnp.where(cond_b2, b2x, 0) - qe2_)
+                d = d | jnp.where(cond_b2, 0x40, 0)
+            d = d | jnp.where(cond_a2, 0x20, 0)
             u_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, u_n, uc)
             v_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, v_n, vc)
             x_ref[:, pl.ds(a0, LANES)] = jnp.where(in_band, x_n, xc)
@@ -332,7 +361,7 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
             tl_ = tt - ez_max_t
             ql_ = (r - tt) - ez_max_q
             ll = jnp.abs(tl_ - ql_)
-            dropped = cand2 & (zdropj >= 0) & (ez_max - H > zdropj + ll * e2)
+            dropped = cand2 & (zdropj >= 0) & (ez_max - H > zdropj + ll * zdrop_e)
             return better, dropped
 
         exact = act & ~approx
@@ -412,15 +441,16 @@ def _ksw_kernel(sf_ref, qr_ref, meta_ref, p_ref, ez_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "q", "e", "q2", "e2", "mat0", "sc_mis", "sc_n", "long_thres",
-    "long_diff", "tws", "qoff", "rmax", "ncol", "interpret"))
-def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
-              long_diff, tws, qoff, rmax, ncol, interpret=False):
+    "long_diff", "tws", "qoff", "rmax", "ncol", "splice", "interpret"))
+def _ksw_call(sf, qr, dac, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n,
+              long_thres, long_diff, tws, qoff, rmax, ncol, splice=False,
+              interpret=False):
     R = sf.shape[0]
     grid = (R // SUBL, rmax // RBLK)
     kern = functools.partial(
         _ksw_kernel, q=q, e=e, q2=q2, e2=e2, mat0=mat0, sc_mis=sc_mis,
         sc_n=sc_n, long_thres=long_thres, long_diff=long_diff, tws=tws,
-        qoff=qoff, rmax=rmax, ncol=ncol)
+        qoff=qoff, rmax=rmax, ncol=ncol, splice=splice)
     if interpret:
         # the Mosaic-TPU interpreter (the plain HLO interpreter lacks
         # program_id on the cpu backend)
@@ -432,6 +462,8 @@ def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
             pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBL, qr.shape[1]), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -451,7 +483,7 @@ def _ksw_call(sf, qr, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n, long_thres,
                        [pltpu.VMEM((SUBL, LANES), jnp.int32),
                         pltpu.VMEM((SUBL, RBLK * ncol), jnp.int32)],
         interpret=interpret,
-    )(sf, qr, meta)
+    )(sf, qr, dac, meta)
     return p, ez
 
 
@@ -478,11 +510,11 @@ def _p_flat_c_layout(p_rows, base, st, en, nrows, n_col):
     return flat
 
 
-def plan_batch(jobs, q, e, q2, e2):
+def plan_batch(jobs, q, e, q2, e2, splice=False):
     """Compute the static launch geometry for a batch of jobs.
     jobs: list of dicts with qseq/tseq (uint8 np arrays), w, zdrop,
     end_bonus, flag. Returns None if the batch needs the host path."""
-    if q2 + e2 < q + e:
+    if not splice and q2 + e2 < q + e:
         q, q2 = q2, q
         e, e2 = e2, e
     qlen = np.array([len(j["qseq"]) for j in jobs], dtype=np.int64)
@@ -494,10 +526,14 @@ def plan_batch(jobs, q, e, q2, e2):
     rmax = int(nrows.max())
     rmax = (rmax + RBLK - 1) // RBLK * RBLK
     r = np.arange(rmax, dtype=np.int64)[:, None]
-    st0 = np.maximum(np.maximum(0, r - qlen[None, :] + 1),
-                     (r - w[None, :] + 1) >> 1)
-    en0 = np.minimum(np.minimum(tlen[None, :] - 1, r),
-                     (r + w[None, :]) >> 1)
+    if splice:
+        st0 = np.maximum(0, r - qlen[None, :] + 1) + 0 * w[None, :]
+        en0 = np.minimum(tlen[None, :] - 1, r) + 0 * w[None, :]
+    else:
+        st0 = np.maximum(np.maximum(0, r - qlen[None, :] + 1),
+                         (r - w[None, :] + 1) >> 1)
+        en0 = np.minimum(np.minimum(tlen[None, :] - 1, r),
+                         (r + w[None, :]) >> 1)
     st = st0 // 16 * 16
     en = (en0 + 16) // 16 * 16 - 1
     live = r < nrows[None, :]
@@ -573,8 +609,9 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
         meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
         meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
 
+    dac = np.zeros((R, tws), dtype=np.int32)
     p, ez = _ksw_call(
-        jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(meta),
+        jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(dac), jnp.asarray(meta),
         q=q, e=e, q2=q2, e2=e2, mat0=int(mat[0]),
         sc_mis=int(np.int8(mat[1])), sc_n=-e2,
         long_thres=int(long_thres), long_diff=int(long_diff),
@@ -617,5 +654,100 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
                 res.cigar = bt(res.mqe_t, qlen - 1, rev)
             elif res.max_t >= 0 and res.max_q >= 0:
                 res.cigar = bt(res.max_t, res.max_q, rev)
+        out.append(res)
+    return out
+
+
+def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
+                quantize=False):
+    """Device-batched splice extension (ksw_exts2): same per-job semantics
+    as ksw2_splice.exts2. jobs: list of dicts(qseq, tseq, zdrop, flag);
+    band is the full min(qlen, tlen) (the reference kernel is unbanded).
+    Returns a list of K.Ez."""
+    from .ksw2_splice import make_donor_acceptor
+
+    jobs = [dict(job, w=-1) for job in jobs]   # unbanded
+
+    geom = plan_batch(jobs, q, e, q2, 0, splice=True)
+    long_thres = (q2 - q) // e - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * e - (q2 - q)
+
+    n = len(jobs)
+    R = (n + SUBL - 1) // SUBL * SUBL
+    tws, qoff, rmax, ncol = geom["tws"], geom["qoff"], geom["rmax"], \
+        geom["ncol"]
+    if quantize:
+        rmax_q = _pow2_at_least(rmax, 256)
+        ncol_q = _pow2_at_least(ncol, LANES)
+        tws = _pow2_at_least(tws + (ncol_q - ncol), 2 * LANES)
+        geom["rmax"], geom["ncol"], geom["qoff"] = rmax_q, ncol_q, rmax_q
+        rmax, ncol, qoff = rmax_q, ncol_q, rmax_q
+        geom["tws"] = tws
+    sf = np.zeros((R, tws), dtype=np.int32)
+    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int32)
+    dac = np.zeros((R, tws), dtype=np.int32)
+    meta = np.zeros((R, LANES), dtype=np.int32)
+    meta[:, M_QLEN] = 1
+    for j, job in enumerate(jobs):
+        qs, ts = job["qseq"], job["tseq"]
+        sf[j, :len(ts)] = ts
+        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int32)
+        donor, acceptor = make_donor_acceptor(ts, noncan, job["flag"])
+        dac[j, :len(donor)] = (donor.astype(np.int32) & 0xFF) \
+            | ((acceptor.astype(np.int32) & 0xFF) << 8)
+        meta[j, M_QLEN] = len(qs)
+        meta[j, M_TLEN] = len(ts)
+        meta[j, M_W] = max(len(qs), len(ts))
+        meta[j, M_ZDROP] = job["zdrop"]
+        flag = job["flag"]
+        meta[j, M_RIGHT] = 1 if flag & K.KSW_EZ_RIGHT else 0
+        meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
+        meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
+
+    p, ez = _ksw_call(
+        jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(dac),
+        jnp.asarray(meta), q=q, e=e, q2=q2, e2=0, mat0=int(mat[0]),
+        sc_mis=int(np.int8(mat[1])), sc_n=-e,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, splice=True,
+        interpret=interpret)
+    p = np.asarray(p)
+    ez = np.asarray(ez)
+
+    out = []
+    for j, job in enumerate(jobs):
+        res = K.Ez()
+        res.zdropped = int(ez[j, C_ZDROP])
+        res.max = int(ez[j, C_MAX])
+        res.max_t = int(ez[j, C_MAX_T])
+        res.max_q = int(ez[j, C_MAX_Q])
+        res.mqe = int(ez[j, C_MQE])
+        res.mqe_t = int(ez[j, C_MQE_T])
+        res.mte = int(ez[j, C_MTE])
+        res.mte_q = int(ez[j, C_MTE_Q])
+        res.score = int(ez[j, C_SCORE])
+        flag = job["flag"]
+        qlen, tlen = len(job["qseq"]), len(job["tseq"])
+        if not (flag & K.KSW_EZ_SCORE_ONLY):
+            rev = bool(flag & K.KSW_EZ_REV_CIGAR)
+            # splice C p stride (ksw2_exts2_sse.c:96)
+            n_col_c = (min(qlen, tlen) + 15) // 16 * 16 + 16
+            nrows = qlen + tlen - 1
+            st_j = geom["st"][:, j]
+            en_j = geom["en"][:, j]
+            flat = _p_flat_c_layout(p[j // SUBL, :, j % SUBL, :],
+                                    geom["base"][j // SUBL], st_j,
+                                    en_j, nrows, n_col_c)
+            bt = functools.partial(K._backtrack_rot, flat, list(st_j),
+                                   list(en_j), n_col_c)
+            # the splice kernel has no reach_end path (ksw2_exts2_sse.c tail)
+            if not res.zdropped and not (flag & K.KSW_EZ_EXTZ_ONLY):
+                res.cigar = bt(tlen - 1, qlen - 1, rev,
+                               min_intron_len=long_thres)
+            elif res.max_t >= 0 and res.max_q >= 0:
+                res.cigar = bt(res.max_t, res.max_q, rev,
+                               min_intron_len=long_thres)
         out.append(res)
     return out

@@ -89,3 +89,23 @@ def test_device_runtime_paired_end():
         [os.path.join(DATA, "pe_1.fq"), os.path.join(DATA, "pe_2.fq")],
         C.MM_F_OUT_SAM | C.MM_F_CIGAR)
     assert rt.timers.counters.get("device_reads", 0) > 0
+
+
+def test_device_align_executor_splice():
+    """Splice extension (exts2) jobs run on the device kernel path too."""
+    io, mo = set_opt("splice")
+    mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    refs = list(read_fastx(os.path.join(DATA, "splice_genome.fa")))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    from minimap2_chaindp_tpu.io.fastx import read_frags
+    frags = [f for b in read_frags([os.path.join(DATA, "splice_cdna.fa")],
+                                   mo.mini_batch_size, False) for f in b]
+    rt = DeviceRuntime(mi, mo)
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    assert rt._align_exec.n_device > 0
