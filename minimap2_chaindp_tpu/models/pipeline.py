@@ -91,10 +91,14 @@ class UnitInfo:
     gap_qry: int
     gap_ref: int
     sh: object          # SeedHits or None (no minimizers / empty)
+    mv: object = None   # query minimizers (kept for device seed collection)
 
 
-def seed_unit(mi, opt, segs: list[SeqRecord]) -> UnitInfo:
-    """Front half of mm_map_frag: sketch + seed-hit collection (map.c:326-390)."""
+def seed_unit(mi, opt, segs: list[SeqRecord],
+              collect_hits: bool = True) -> UnitInfo:
+    """Front half of mm_map_frag: sketch + seed-hit collection (map.c:326-390).
+    collect_hits=False stops after sketching (the device runtime batches the
+    index lookups across reads instead)."""
     qlens = [len(s.seq) for s in segs]
     seqs = [s.seq for s in segs]
     qlen_sum = sum(qlens)
@@ -105,7 +109,8 @@ def seed_unit(mi, opt, segs: list[SeqRecord]) -> UnitInfo:
     if qlen_sum == 0 or not (0 < len(segs) <= C.MM_MAX_SEG):
         return info
     mv = collect_minimizers(opt, mi, seqs)
-    if len(mv):
+    info.mv = mv
+    if len(mv) and collect_hits:
         info.sh = collect_seed_hits(mi, opt.flag, opt.mid_occ, mv, qname,
                                     qlen_sum)
     return info

@@ -34,6 +34,7 @@ class DeviceRuntime:
         self._interpret = jax.devices()[0].platform == "cpu"
         from .batch_align import DeviceAlignExecutor
         self._align_exec = DeviceAlignExecutor(opt, interpret=self._interpret)
+        self._seed_collector = None
 
     def map_batch(self, frags, rg_id: str = "") -> list[list[str]]:
         """Map a batch of fragments; returns per-fragment output lines.
@@ -51,9 +52,11 @@ class DeviceRuntime:
                 work, flipped, us = prepare_frag(opt, frag.segs)
                 start = len(units)
                 for u in us:
-                    units.append((u, seed_unit(mi, opt, u)))
+                    units.append((u, seed_unit(mi, opt, u,
+                                               collect_hits=False)))
                 frag_meta.append((frag.segs, work, flipped,
                                   slice(start, len(units))))
+            self._seed_hits(units)
 
         chains = self._chain_batch(units)
 
@@ -70,6 +73,37 @@ class DeviceRuntime:
                 lines.append(format_frag(mi, opt, segs, work, flipped,
                                          regss, rg_id))
         return lines
+
+    def _seed_hits(self, units) -> None:
+        """Fill UnitInfo.sh: batched device seed collection for eligible
+        units (self/dual skipping and strand-only modes stay host — they
+        need name-rank compares, map.c:146-185)."""
+        opt, mi = self.opt, self.mi
+        from ..ops.seeds import collect_seed_hits
+        todo = [k for k, (segs, info) in enumerate(units)
+                if info.mv is not None and len(info.mv)]
+        dev_ok = not (opt.flag & (C.MM_F_NO_DIAG | C.MM_F_FOR_ONLY
+                                  | C.MM_F_REV_ONLY))
+        got = [None] * len(units)
+        if dev_ok and todo:
+            if self._seed_collector is None:
+                from ..ops.seeds_device import DeviceSeedCollector
+                self._seed_collector = DeviceSeedCollector(mi)
+            res = self._seed_collector.collect_batch(
+                [units[k][1].mv for k in todo], opt.mid_occ,
+                [units[k][1].qlen_sum for k in todo])
+            for k, sh in zip(todo, res):
+                got[k] = sh
+        for k in todo:
+            segs, info = units[k]
+            if got[k] is not None:
+                info.sh = got[k]
+                self.timers.count("device_seed")
+            else:
+                info.sh = collect_seed_hits(mi, opt.flag, opt.mid_occ,
+                                            info.mv, segs[0].name,
+                                            info.qlen_sum)
+                self.timers.count("host_seed")
 
     def _chain_batch(self, pending) -> list[Chains]:
         """Score all units' chains, batched on device by (size bucket,

@@ -47,6 +47,7 @@ def test_device_align_executor_used():
     rt = DeviceRuntime(mi, mo)
     rt.map_batch(frags)
     assert rt._align_exec.n_device > 0
+    assert rt.timers.counters.get("device_seed", 0) > 0
 
 
 DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
