@@ -47,11 +47,16 @@ def baseline_anchors_per_s(reads):
     for a in sub:
         lines.append(str(len(a)))
         lines.extend(f"{int(x):x} {int(y):x}" for x, y in a)
-    out = subprocess.run(
-        [bench, str(MAX_DIST), str(MAX_DIST), str(BW), str(MAX_SKIP), str(MIN_SC)],
-        input="\n".join(lines), capture_output=True, text=True, check=True)
-    total, secs = out.stdout.split()
-    return int(total) / float(secs)
+    best = 0.0
+    for _ in range(3):  # best-of-3: the single-core baseline is noisy
+        out = subprocess.run(
+            [bench, str(MAX_DIST), str(MAX_DIST), str(BW), str(MAX_SKIP),
+             str(MIN_SC)],
+            input="\n".join(lines), capture_output=True, text=True,
+            check=True)
+        total, secs = out.stdout.split()
+        best = max(best, int(total) / float(secs))
+    return best
 
 
 def main():

@@ -49,12 +49,6 @@ TBL = 2048    # c_lin exactness domain; requires bw < TBL
 N_EXC = 2     # c_lin exception slots per read (slope search removes most)
 
 
-def _extract_col(blk, off, lane):
-    """(SUBL,1) value at dynamic lane offset `off` of a block: rotate the
-    target lane to lane 0 (cheaper on the VPU than a masked reduction)."""
-    return pltpu.roll(blk, LANES - off, 1)[:, 0:1]
-
-
 def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
                   nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
@@ -69,108 +63,130 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
     f_ref[:, :] = jnp.zeros((SUBL, max_n), jnp.int32)
     p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
     max_i = jnp.max(n_vec)
+    zero8 = jnp.zeros((SUBL, 1), jnp.int32)
 
-    def outer(i, flags):
-        base_i = i // LANES * LANES
-        off = i - base_i
+    def score_block(xh, rp, qp, sd, fj, base, i, act_read,
+                    xi, ri, qi, qs, si, state):
+        """Score one 128-candidate chunk for anchor i (chain.c:52-90)."""
+        cur_pmax, best_j, cnt_best, val_tot = state
+        j = base + lane
+        dr = ri - rp
+        dq = qi - qp
+        same = sd == si
+        dd = jnp.abs(dr - dq)
+        valid = (j < i) & act_read & (xh == xi) & (dr <= max_dist_x)
+        valid &= ~((same & (dr == 0)) | (dq <= 0))
+        valid &= ~((same & (dq > max_dist_y)) | (dq > max_dist_x))
+        valid &= ~(same & (dd > bw))
+        if many_segs and not is_cdna:
+            valid &= ~(same & (dr > max_dist_y))
+
+        min_d = jnp.minimum(dq, dr)
+        sc = jnp.minimum(min_d, qs)
+        c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
+        for dd_k, cl_k in exc:
+            c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
+        dexp = (jax.lax.bitcast_convert_type(
+            jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+        log_dd = jnp.where(dd > 0, dexp, 0)
+        # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
+        # (requires avg_qspan >= 1.6, asserted host-side)
+        pen_other = jnp.where(dd >= TBL, log_dd, jnp.minimum(c_lin, log_dd))
+        pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
+        if is_cdna:
+            sc = jnp.where(~same & (dr == 0), sc + 1,
+                           jnp.where((dr > dq) | ~same, sc - pen_other,
+                                     sc - pen_same))
+        else:
+            sc = jnp.where(same, sc - pen_same,
+                           jnp.where(dr == 0, sc + 1, sc - pen_other))
+        sc = sc + fj
+        # pack (score, lane) so max+argmax is ONE reduction; ties pick the
+        # larger lane = first-scanned j on a descending scan (chain.c:62)
+        pmax = jnp.max(jnp.where(valid, sc * 256 + lane, NEG_INF),
+                       axis=1, keepdims=True)
+        new_best = (pmax >> 8) > (cur_pmax >> 8)
+        best_lane = pmax & 255
+        # one fused count: valid candidates (low bits) and valid candidates
+        # scanned before this chunk's best (high bits)
+        cnt2 = jnp.sum(jnp.where(valid, 1, 0)
+                       + jnp.where(valid & (lane > best_lane), 4096, 0),
+                       axis=1, keepdims=True)
+        # conservative skip-divergence bound: ALL valid candidates scanned
+        # before the argmax (a superset of the reference's stamped
+        # non-improving count, so flagging stays sound)
+        cnt_best = jnp.where(new_best, val_tot + (cnt2 >> 12), cnt_best)
+        best_j = jnp.where(new_best, base + best_lane, best_j)
+        val_tot = val_tot + (cnt2 & 0xFFF)
+        cur_pmax = jnp.maximum(cur_pmax, pmax)
+        return (cur_pmax, best_j, cnt_best, val_tot)
+
+    def ic_body(ic, flags):
+        # process anchors one i-chunk at a time: the chunk's fields and its
+        # f/p stay in carried registers, so per-anchor VMEM traffic is only
+        # the *older* window chunks (the newest chunk and the f/p update are
+        # register operations, stored once per 128 anchors)
+        base_i = ic * LANES
         isl = pl.ds(base_i, LANES)
-        xi = _extract_col(xhi_ref[:, isl], off, lane)
-        ri = _extract_col(rpos_ref[:, isl], off, lane)
-        qi = _extract_col(qpos_ref[:, isl], off, lane)
-        qs = _extract_col(span_ref[:, isl], off, lane)
-        si = _extract_col(sid_ref[:, isl], off, lane)
-        sti = _extract_col(stw_ref[:, isl], off, lane)
-        act_read = (i < n_vec)
+        xb = xhi_ref[:, isl]
+        rb = rpos_ref[:, isl]
+        qb = qpos_ref[:, isl]
+        sb = span_ref[:, isl]
+        sib = sid_ref[:, isl]
+        stb = stw_ref[:, isl]
 
-        # the max_dist_x window start st[i] is precomputed on the host
-        # (the reference's own sliding st pointer, chain.c:58), so the scan
-        # covers exactly chunks [min_j st//128 .. (i-1)//128], newest first
-        first_c = jnp.min(jnp.where(act_read, sti, i)) // LANES
-        n_chunks = pl.cdiv(i, LANES) - first_c
+        def inner(off, carry):
+            fb, pb, flags = carry
+            i = base_i + off
+            rot = LANES - off
+            xi = pltpu.roll(xb, rot, 1)[:, 0:1]
+            ri = pltpu.roll(rb, rot, 1)[:, 0:1]
+            qi = pltpu.roll(qb, rot, 1)[:, 0:1]
+            qs = pltpu.roll(sb, rot, 1)[:, 0:1]
+            si = pltpu.roll(sib, rot, 1)[:, 0:1]
+            sti = pltpu.roll(stb, rot, 1)[:, 0:1]
+            act_read = (i < n_vec)
 
-        def chunk_body(c, state):
-            cur_pmax, best_j, cnt_best, val_tot = state
-            base = (first_c + n_chunks - 1 - c) * LANES
-            j = base + lane
-            sl = pl.ds(base, LANES)
-            xh = xhi_ref[:, sl]
-            rp = rpos_ref[:, sl]
-            qp = qpos_ref[:, sl]
-            sd = sid_ref[:, sl]
-            fj = f_ref[:, sl]
-            dr = ri - rp
-            dq = qi - qp
-            same = sd == si
-            dd = jnp.abs(dr - dq)
-            valid = (j < i) & act_read & (xh == xi) & (dr <= max_dist_x)
-            valid &= ~((same & (dr == 0)) | (dq <= 0))
-            valid &= ~((same & (dq > max_dist_y)) | (dq > max_dist_x))
-            valid &= ~(same & (dd > bw))
-            if many_segs and not is_cdna:
-                valid &= ~(same & (dr > max_dist_y))
+            # host-precomputed max_dist_x window start (chain.c:58): older
+            # chunks are [min st//128, ic), scanned newest first
+            first_c = jnp.min(jnp.where(act_read, sti, i)) // LANES
+            n_old = ic - first_c
 
-            min_d = jnp.minimum(dq, dr)
-            sc = jnp.minimum(min_d, qs)
-            c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
-            for dd_k, cl_k in exc:
-                c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
-            dexp = (jax.lax.bitcast_convert_type(
-                jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
-            log_dd = jnp.where(dd > 0, dexp, 0)
-            # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
-            # (requires avg_qspan >= 1.6, asserted host-side)
-            pen_other = jnp.where(dd >= TBL, log_dd, jnp.minimum(c_lin, log_dd))
-            pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
-            if is_cdna:
-                sc = jnp.where(~same & (dr == 0), sc + 1,
-                               jnp.where((dr > dq) | ~same, sc - pen_other,
-                                         sc - pen_same))
-            else:
-                sc = jnp.where(same, sc - pen_same,
-                               jnp.where(dr == 0, sc + 1, sc - pen_other))
-            sc = sc + fj
-            # pack (score, lane) so max+argmax is ONE reduction; ties pick
-            # the larger lane = first-scanned j, like the reference's
-            # strict-improvement rule on a descending scan (chain.c:62)
-            pmax = jnp.max(jnp.where(valid, sc * 256 + lane, NEG_INF),
-                           axis=1, keepdims=True)
-            new_best = (pmax >> 8) > (cur_pmax >> 8)
-            best_lane = pmax & 255
-            # one fused count: valid candidates (low bits) and valid
-            # candidates scanned before this chunk's best (high bits)
-            cnt2 = jnp.sum(jnp.where(valid, 1, 0)
-                           + jnp.where(valid & (lane > best_lane), 4096, 0),
-                           axis=1, keepdims=True)
-            # conservative skip-divergence bound: ALL valid candidates
-            # scanned before the argmax (a superset of the reference's
-            # stamped non-improving count, so flagging stays sound)
-            cnt_best = jnp.where(new_best, val_tot + (cnt2 >> 12), cnt_best)
-            best_j = jnp.where(new_best, base + best_lane, best_j)
-            val_tot = val_tot + (cnt2 & 0xFFF)
-            cur_pmax = jnp.maximum(cur_pmax, pmax)
-            return (cur_pmax, best_j, cnt_best, val_tot)
+            state0 = (qs * 256 + 255, zero8 - 1, zero8, zero8)
+            state1 = score_block(xb, rb, qb, sib, fb, base_i, i, act_read,
+                                 xi, ri, qi, qs, si, state0)
 
-        zero8 = jnp.zeros((SUBL, 1), jnp.int32)
-        # seed packed carry with (qs, lane 255) so ties against the seed
-        # keep have=False, matching max_f initialized to q_span
-        state0 = (qs * 256 + 255, zero8 - 1, zero8, zero8)
-        cur_pmax, best_j, cnt_best, val_tot = \
-            jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
+            def old_chunk(c, state):
+                base = (ic - 1 - c) * LANES
+                sl = pl.ds(base, LANES)
+                return score_block(xhi_ref[:, sl], rpos_ref[:, sl],
+                                   qpos_ref[:, sl], sid_ref[:, sl],
+                                   f_ref[:, sl], base, i, act_read,
+                                   xi, ri, qi, qs, si, state)
 
-        cur_max = cur_pmax >> 8
-        max_f = jnp.maximum(cur_max, qs)
-        have = cur_max > qs
-        p_new = jnp.where(have & act_read, best_j, -1)
-        f_new = jnp.where(act_read, max_f, 0)
-        fblk = f_ref[:, isl]
-        f_ref[:, isl] = jnp.where(lane == off, f_new, fblk)
-        pblk = p_ref[:, isl]
-        p_ref[:, isl] = jnp.where(lane == off, p_new, pblk)
-        skip_bad = have & (cnt_best > max_skip) & act_read
-        return flags | jnp.where(skip_bad, 1, 0)
+            cur_pmax, best_j, cnt_best, _ = \
+                jax.lax.fori_loop(0, n_old, old_chunk, state1)
 
-    flags = jax.lax.fori_loop(0, max_i,
-                              outer, jnp.zeros((SUBL, 1), jnp.int32))
+            cur_max = cur_pmax >> 8
+            max_f = jnp.maximum(cur_max, qs)
+            have = cur_max > qs
+            p_new = jnp.where(have & act_read, best_j, -1)
+            f_new = jnp.where(act_read, max_f, 0)
+            fb = jnp.where(lane == off, f_new, fb)
+            pb = jnp.where(lane == off, p_new, pb)
+            skip_bad = have & (cnt_best > max_skip) & act_read
+            return fb, pb, flags | jnp.where(skip_bad, 1, 0)
+
+        fb0 = jnp.zeros((SUBL, LANES), jnp.int32)
+        pb0 = jnp.full((SUBL, LANES), -1, jnp.int32)
+        fb, pb, flags = jax.lax.fori_loop(0, LANES, inner, (fb0, pb0, flags))
+        f_ref[:, isl] = fb
+        p_ref[:, isl] = pb
+        return flags
+
+    n_ic = pl.cdiv(max_i, LANES)
+    flags = jax.lax.fori_loop(0, n_ic, ic_body,
+                              jnp.zeros((SUBL, 1), jnp.int32))
     flag_ref[:, :] = jnp.broadcast_to(flags, (SUBL, LANES))
 
 
