@@ -65,7 +65,6 @@ def build_parser() -> argparse.ArgumentParser:
     a("-x", dest="preset", default=None)
     a("--cs", dest="cs", nargs="?", const="short", default=None)
     a("--MD", dest="md", action="store_true")
-    a("--eqx", action="store_true")
     a("--for-only", action="store_true")
     a("--rev-only", action="store_true")
     a("--secondary", default=None, choices=["yes", "no"])

@@ -104,3 +104,16 @@ def test_sdust_T20_sam():
         golden = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
     mine = [l for l in lines if l and not l.startswith("@PG")]
     assert mine == golden
+
+
+def test_asm20_sam():
+    compare("mt.asm20.sam", "asm20", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+            [os.path.join(REF_TEST_DIR, "MT-orang.fa")], SAM)
+
+
+def test_asm5_no_hits():
+    """asm5 (<5% divergence) finds nothing on the ~13%-divergent MT pair —
+    matching the reference's empty PAF."""
+    lines = run("asm5", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+                [os.path.join(REF_TEST_DIR, "MT-orang.fa")], PAF_CG)
+    assert lines == []
