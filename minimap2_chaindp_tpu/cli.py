@@ -42,6 +42,34 @@ def build_parser() -> argparse.ArgumentParser:
     a("-n", dest="min_cnt", type=int, default=None)
     a("-m", dest="min_chain_score", type=int, default=None)
     a("-X", dest="ava", action="store_true", help="skip self and dual mappings")
+    a("-D", dest="no_diag", action="store_true", help="skip self mappings")
+    a("-P", dest="all_chains", action="store_true", help="retain all chains")
+    a("-M", dest="mask_level", type=float, default=None)
+    a("-C", dest="noncan", type=int, default=None,
+      help="cost of non-canonical splicing sites")
+    a("-Y", dest="softclip2", action="store_true",
+      help="use soft clipping for supplementary alignments")
+    a("-y", dest="copy_comment", action="store_true")
+    a("-v", dest="verbose", type=int, default=None)
+    a("-2", dest="io_threads2", action="store_true",
+      help="use two IO threads (always on: pipeline prefetching)")
+    a("-V", action="version", version=VERSION)
+    a("--bucket-bits", type=int, default=None)
+    a("--seed", type=int, default=None)
+    a("--mask-level", dest="mask_level2", type=float, default=None)
+    a("--max-chain-skip", type=int, default=None)
+    a("--min-dp-len", type=int, default=None)
+    a("--end-bonus", type=int, default=None)
+    a("--no-pairing", action="store_true")
+    a("--splice-flank", default=None, choices=["yes", "no"])
+    a("--idx-no-seq", action="store_true")
+    a("--end-seed-pen", type=int, default=None)
+    a("--dual", default=None, choices=["yes", "no"])
+    a("--max-clip-ratio", type=float, default=None)
+    a("--min-occ-floor", type=int, default=None)
+    a("--no-kalloc", action="store_true", help="(accepted for compatibility)")
+    a("--heap-sort", default=None, help="(accepted for compatibility)")
+    a("--print-qname", action="store_true")
     a("-T", dest="sdust_thres", type=int, default=None,
       help="SDUST threshold; 0 to disable low-complexity minimizer masking")
     a("-p", dest="pri_ratio", type=float, default=None)
@@ -114,8 +142,62 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
         mo.min_cnt = ns.min_cnt
     if ns.min_chain_score is not None:
         mo.min_chain_score = ns.min_chain_score
-    if ns.ava:
-        mo.flag |= C.MM_F_NO_DIAG | C.MM_F_NO_DUAL
+    if ns.ava:  # -X = -D -P --no-long-join --dual=no (main.c:336)
+        mo.flag |= (C.MM_F_ALL_CHAINS | C.MM_F_NO_DIAG | C.MM_F_NO_DUAL
+                    | C.MM_F_NO_LJOIN)
+    if ns.no_diag:
+        mo.flag |= C.MM_F_NO_DIAG
+    if ns.all_chains:
+        mo.flag |= C.MM_F_ALL_CHAINS
+    for v in (ns.mask_level, ns.mask_level2):
+        if v is not None:
+            mo.mask_level = v
+    if ns.noncan is not None:
+        mo.noncan = ns.noncan
+    if ns.softclip2:
+        mo.flag |= C.MM_F_SOFTCLIP
+    if ns.copy_comment:
+        mo.flag |= C.MM_F_COPY_COMMENT
+    if ns.bucket_bits is not None:
+        io.bucket_bits = ns.bucket_bits
+    if ns.seed is not None:
+        mo.seed = ns.seed
+    if ns.max_chain_skip is not None:
+        mo.max_chain_skip = ns.max_chain_skip
+    if ns.min_dp_len is not None:
+        mo.min_ksw_len = ns.min_dp_len
+    if ns.end_bonus is not None:
+        mo.end_bonus = ns.end_bonus
+    if ns.no_pairing:
+        mo.flag |= C.MM_F_INDEPEND_SEG
+    if ns.splice_flank == "yes":
+        mo.flag |= C.MM_F_SPLICE_FLANK
+    elif ns.splice_flank == "no":
+        mo.flag &= ~C.MM_F_SPLICE_FLANK
+    if ns.idx_no_seq:
+        io.flag |= C.MM_I_NO_SEQ
+    if ns.end_seed_pen is not None:
+        mo.anchor_ext_shift = ns.end_seed_pen
+    if ns.dual == "no":
+        mo.flag |= C.MM_F_NO_DUAL
+    elif ns.dual == "yes":
+        mo.flag &= ~C.MM_F_NO_DUAL
+    if ns.max_clip_ratio is not None:
+        mo.max_clip_ratio = ns.max_clip_ratio
+    if ns.min_occ_floor is not None:
+        mo.min_mid_occ = ns.min_occ_floor
+    if ns.splice_strand is not None:
+        u = ns.splice_strand
+        if u == "b":
+            mo.flag |= C.MM_F_SPLICE_FOR | C.MM_F_SPLICE_REV
+        elif u == "f":
+            mo.flag = (mo.flag | C.MM_F_SPLICE_FOR) & ~C.MM_F_SPLICE_REV
+        elif u == "r":
+            mo.flag = (mo.flag | C.MM_F_SPLICE_REV) & ~C.MM_F_SPLICE_FOR
+        elif u == "n":
+            mo.flag &= ~(C.MM_F_SPLICE_FOR | C.MM_F_SPLICE_REV)
+        else:
+            raise SystemExit("[ERROR] unrecognized cDNA direction")
     if ns.sdust_thres is not None:
         mo.sdust_thres = ns.sdust_thres
     if ns.pri_ratio is not None:
@@ -187,6 +269,11 @@ def main(argv=None) -> int:
         set_opt(ns.preset, io, mo)
     apply_args(ns, io, mo)
     check_opt(io, mo)
+    if (mo.flag & C.MM_F_CIGAR) and (io.flag & C.MM_I_NO_SEQ):
+        print("[ERROR] the index was built without sequences; "
+              "base-level alignment is disabled (main.c:214)",
+              file=sys.stderr)
+        return 1
     if not ns.query and not ns.dump_index:
         print("[ERROR] missing input: please specify a query file or -d",
               file=sys.stderr)

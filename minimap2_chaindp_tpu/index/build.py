@@ -97,8 +97,9 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
                 flag: int = 0, bucket_bits: int = 14) -> MinimizerIndex:
     """Build the CSR minimizer index from reference sequences."""
     mi = MinimizerIndex(k=k, w=w, flag=flag, b=bucket_bits)
+    no_seq = bool(flag & 2)  # MM_I_NO_SEQ: skip the 4-bit reference pack
     total = sum(len(s) for s in seq_strs)
-    mi.S = np.empty(total, dtype=np.uint8)
+    mi.S = np.empty(0 if no_seq else total, dtype=np.uint8)
     mvs = []
     off = 0
     for rid, (name, s) in enumerate(zip(names, seq_strs)):
@@ -106,7 +107,8 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         # the reference packs ambiguous bases as a pseudo-random 0-3 code
         # (index.c:497 uses lrand48 when c>=4); we keep 4 host-side and mask at
         # alignment time instead, which matches ksw2 behavior for N bases.
-        mi.S[off:off + len(codes)] = codes
+        if not no_seq:
+            mi.S[off:off + len(codes)] = codes
         mi.seqs.append(RefSeq(name=name, offset=off, length=len(codes)))
         off += len(codes)
         if len(s) > 0:

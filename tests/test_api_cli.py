@@ -97,3 +97,18 @@ def test_mappy_cs_md():
     assert h.MD == ref_tag("--MD", "MD")
     h2 = next(a.map(q[1]))
     assert h2.cs == "" and h2.MD == ""
+
+
+def test_cli_flag_parity_X_and_M(tmp_path):
+    """-X expands to -D -P --no-long-join --dual=no (main.c:336) and -M sets
+    mask_level; both byte-identical to the reference binary."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    qinv = os.path.join(REF_TEST_DIR, "q-inv.fa")
+    ref = subprocess.run(["/root/repo/.golden/minimap2_ref", "-X", "-c",
+                          "-t", "12", qinv, qinv],
+                         capture_output=True, text=True, check=True)
+    out = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-X", "-c",
+         "--device", "host", qinv, qinv],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    assert out.stdout == ref.stdout
