@@ -361,6 +361,9 @@ def main(argv=None) -> int:
         # stage read batch k+1 while batch k maps (kt_pipeline step overlap)
         for batch in prefetch(read_frags(ns.query, mo.mini_batch_size,
                                          frag_mode), depth=2):
+            if ns.print_qname:  # MM_DBG_PRINT_QNAME (main.c:47, kthread)
+                for frag in batch:
+                    print(f"QR\t{frag.segs[0].name}", file=sys.stderr)
             if runtime is not None:
                 for lines in runtime.map_batch(batch):
                     for line in lines:
