@@ -19,7 +19,10 @@ from .ops import ksw2 as K
 
 
 def _i32(v) -> int:
-    return int(np.int32(np.uint64(v) & np.uint64(0xFFFFFFFF)))
+    # low 32 bits as signed, in plain python ints (hot in the per-anchor
+    # chain-end heuristics; numpy scalar chains here cost ~5x more)
+    v = int(v) & 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
 
 
 def _span(y) -> int:

@@ -68,19 +68,23 @@ class DeviceAlignExecutor:
                 j = jobs[i]
                 sz = KP._pow2_at_least(len(j["qseq"]) + len(j["tseq"]), 256)
                 by_bucket.setdefault(sz, []).append(i)
+            # the on-chip backtrack keeps the p matrix on device (big win on
+            # transfer-limited links); the interpreted walker is slow, so
+            # CPU test runs keep the host decode
+            bt = "host" if self.interpret else "device"
             for sz, idxs in sorted(by_bucket.items()):
                 if self.splice:
                     res = KP.exts2_batch([jobs[i] for i in idxs], self.mat,
                                          self.opt.q, self.opt.e, self.opt.q2,
                                          self.opt.noncan,
                                          interpret=self.interpret,
-                                         quantize=True)
+                                         quantize=True, backtrack=bt)
                 else:
                     res = KP.extd2_batch([jobs[i] for i in idxs], self.mat,
                                          self.opt.q, self.opt.e, self.opt.q2,
                                          self.opt.e2,
                                          interpret=self.interpret,
-                                         quantize=True)
+                                         quantize=True, backtrack=bt)
                 for i, ez in zip(idxs, res):
                     thunks[i] = (lambda v=ez: v)
                 self.n_device += len(idxs)

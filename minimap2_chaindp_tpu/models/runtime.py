@@ -24,10 +24,17 @@ BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 class DeviceRuntime:
     """Maps fragments in device-sized batches; output order == input order."""
 
-    def __init__(self, mi, opt, min_batch: int = 64):
+    def __init__(self, mi, opt, min_batch: int = 64,
+                 device_seeds: bool | None = None):
         self.mi = mi
         self.opt = opt
         self.min_batch = min_batch
+        # device seed collection is bit-exact but loses to the host numpy
+        # path on transfer-limited links; keep it opt-in (parity + tests)
+        if device_seeds is None:
+            import os
+            device_seeds = os.environ.get("MM2TPU_DEVICE_SEEDS", "0") == "1"
+        self.device_seeds = device_seeds
         self.timers = Timers()
         import jax
         self._jax = jax
@@ -82,8 +89,9 @@ class DeviceRuntime:
         from ..ops.seeds import collect_seed_hits
         todo = [k for k, (segs, info) in enumerate(units)
                 if info.mv is not None and len(info.mv)]
-        dev_ok = not (opt.flag & (C.MM_F_NO_DIAG | C.MM_F_FOR_ONLY
-                                  | C.MM_F_REV_ONLY))
+        dev_ok = self.device_seeds \
+            and not (opt.flag & (C.MM_F_NO_DIAG | C.MM_F_FOR_ONLY
+                                 | C.MM_F_REV_ONLY))
         got = [None] * len(units)
         if dev_ok and todo:
             if self._seed_collector is None:

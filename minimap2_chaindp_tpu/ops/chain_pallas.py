@@ -237,6 +237,10 @@ def pack_reads(reads, max_n: int, max_dist_x: int):
     Returns (packed, nn, w1, exc, host_flag) where host_flag marks reads
     whose exception list overflowed (must take the host path)."""
     R = (len(reads) + 127) // 128 * 128  # divisible by any SUBL choice
+    Rp = 128
+    while Rp < R:
+        Rp *= 2
+    R = Rp  # pow2 so long runs compile a bounded set of batch shapes
     out = {k: np.zeros((R, max_n), dtype=np.int32)
            for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")}
     out["xhi"][:] = -1

@@ -445,6 +445,11 @@ def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
 def _ksw_call(sf, qr, dac, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n,
               long_thres, long_diff, tws, qoff, rmax, ncol, splice=False,
               interpret=False):
+    # narrow dtypes cross the link; widen on device (sf/qr are bases 0..4,
+    # dac packs two int8 signals)
+    sf = sf.astype(jnp.int32)
+    qr = qr.astype(jnp.int32)
+    dac = dac.astype(jnp.int32)
     R = sf.shape[0]
     grid = (R // SUBL, rmax // RBLK)
     kern = functools.partial(
@@ -517,15 +522,15 @@ def plan_batch(jobs, q, e, q2, e2, splice=False):
     if not splice and q2 + e2 < q + e:
         q, q2 = q2, q
         e, e2 = e2, e
-    qlen = np.array([len(j["qseq"]) for j in jobs], dtype=np.int64)
-    tlen = np.array([len(j["tseq"]) for j in jobs], dtype=np.int64)
+    qlen = np.array([len(j["qseq"]) for j in jobs], dtype=np.int32)
+    tlen = np.array([len(j["tseq"]) for j in jobs], dtype=np.int32)
     w = np.array([j["w"] if j["w"] >= 0 else max(len(j["qseq"]),
                                                  len(j["tseq"]))
-                  for j in jobs], dtype=np.int64)
+                  for j in jobs], dtype=np.int32)
     nrows = qlen + tlen - 1
     rmax = int(nrows.max())
     rmax = (rmax + RBLK - 1) // RBLK * RBLK
-    r = np.arange(rmax, dtype=np.int64)[:, None]
+    r = np.arange(rmax, dtype=np.int32)[:, None]
     if splice:
         st0 = np.maximum(0, r - qlen[None, :] + 1) + 0 * w[None, :]
         en0 = np.minimum(tlen[None, :] - 1, r) + 0 * w[None, :]
@@ -541,7 +546,7 @@ def plan_batch(jobs, q, e, q2, e2, splice=False):
     en_m = np.where(live, en, -1)
     # the kernel computes the chunk base per SUBL-job GROUP — mirror that
     n_grp = (len(jobs) + SUBL - 1) // SUBL
-    base = np.zeros((n_grp, rmax), dtype=np.int64)
+    base = np.zeros((n_grp, rmax), dtype=np.int32)
     ncol = 1
     for g in range(n_grp):
         sl = slice(g * SUBL, min((g + 1) * SUBL, len(jobs)))
@@ -564,14 +569,19 @@ def _pow2_at_least(x, lo):
     return v
 
 
-def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
+def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
+                backtrack="host"):
     """Device-batched ksw_extd2: same per-job semantics as K.extd2.
     jobs: list of dicts(qseq, tseq, w, zdrop, end_bonus, flag).
     quantize=True rounds the static launch geometry (rmax/ncol/tws) up to
     powers of two so a long-running pipeline compiles a bounded set of
     kernel shapes (padding is masked out, results are unchanged).
+    backtrack="device" decodes CIGARs with the on-chip walker
+    (ops/ksw2_backtrack.py) so the p matrix never leaves the device.
     Returns a list of K.Ez."""
     geom = plan_batch(jobs, q, e, q2, e2)
+    geom["rmax"] = max(geom["rmax"], 2 * LANES)   # on-chip walker stripe min
+    geom["qoff"] = geom["rmax"]
     if quantize:
         geom["rmax"] = _pow2_at_least(geom["rmax"], 256)
         geom["qoff"] = geom["rmax"]
@@ -590,16 +600,18 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
 
     n = len(jobs)
     R = (n + SUBL - 1) // SUBL * SUBL
+    if quantize:
+        R = _pow2_at_least(R, SUBL)
     tws, qoff, rmax, ncol = geom["tws"], geom["qoff"], geom["rmax"], \
         geom["ncol"]
-    sf = np.zeros((R, tws), dtype=np.int32)
-    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int32)
+    sf = np.zeros((R, tws), dtype=np.int8)
+    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int8)
     meta = np.zeros((R, LANES), dtype=np.int32)
     meta[:, M_QLEN] = 1  # keep padded rows harmless (nrows = 1)
     for j, job in enumerate(jobs):
         qs, ts = job["qseq"], job["tseq"]
         sf[j, :len(ts)] = ts
-        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int32)
+        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int8)
         meta[j, M_QLEN] = len(qs)
         meta[j, M_TLEN] = len(ts)
         meta[j, M_W] = job["w"] if job["w"] >= 0 else max(len(qs), len(ts))
@@ -609,14 +621,15 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
         meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
         meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
 
-    dac = np.zeros((R, tws), dtype=np.int32)
+    dac = np.zeros((R, tws), dtype=np.int16)
     p, ez = _ksw_call(
         jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(dac), jnp.asarray(meta),
         q=q, e=e, q2=q2, e2=e2, mat0=int(mat[0]),
         sc_mis=int(np.int8(mat[1])), sc_n=-e2,
         long_thres=int(long_thres), long_diff=int(long_diff),
         tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, interpret=interpret)
-    p = np.asarray(p)
+    if backtrack != "device":
+        p = np.asarray(p)
     ez = np.asarray(ez)
 
     out = []
@@ -633,7 +646,7 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
         res.score = int(ez[j, C_SCORE])
         flag = job["flag"]
         qlen, tlen = len(job["qseq"]), len(job["tseq"])
-        if not (flag & K.KSW_EZ_SCORE_ONLY):
+        if backtrack != "device" and not (flag & K.KSW_EZ_SCORE_ONLY):
             rev = bool(flag & K.KSW_EZ_REV_CIGAR)
             # C per-row p stride (ksw2_extd2_sse.c:98-100)
             wj = job["w"] if job["w"] >= 0 else max(qlen, tlen)
@@ -655,11 +668,15 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False):
             elif res.max_t >= 0 and res.max_q >= 0:
                 res.cigar = bt(res.max_t, res.max_q, rev)
         out.append(res)
+    if backtrack == "device":
+        from .ksw2_backtrack import device_backtrack
+        device_backtrack(p, jobs, out, geom, splice=False, long_thres=0,
+                         interpret=interpret)
     return out
 
 
 def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
-                quantize=False):
+                quantize=False, backtrack="host"):
     """Device-batched splice extension (ksw_exts2): same per-job semantics
     as ksw2_splice.exts2. jobs: list of dicts(qseq, tseq, zdrop, flag);
     band is the full min(qlen, tlen) (the reference kernel is unbanded).
@@ -669,6 +686,8 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
     jobs = [dict(job, w=-1) for job in jobs]   # unbanded
 
     geom = plan_batch(jobs, q, e, q2, 0, splice=True)
+    geom["rmax"] = max(geom["rmax"], 2 * LANES)   # on-chip walker stripe min
+    geom["qoff"] = geom["rmax"]
     long_thres = (q2 - q) // e - 1
     if q2 > q + e + long_thres * e:
         long_thres += 1
@@ -676,6 +695,8 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
 
     n = len(jobs)
     R = (n + SUBL - 1) // SUBL * SUBL
+    if quantize:
+        R = _pow2_at_least(R, SUBL)
     tws, qoff, rmax, ncol = geom["tws"], geom["qoff"], geom["rmax"], \
         geom["ncol"]
     if quantize:
@@ -685,18 +706,18 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
         geom["rmax"], geom["ncol"], geom["qoff"] = rmax_q, ncol_q, rmax_q
         rmax, ncol, qoff = rmax_q, ncol_q, rmax_q
         geom["tws"] = tws
-    sf = np.zeros((R, tws), dtype=np.int32)
-    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int32)
-    dac = np.zeros((R, tws), dtype=np.int32)
+    sf = np.zeros((R, tws), dtype=np.int8)
+    qr = np.zeros((R, qoff + tws + LANES), dtype=np.int8)
+    dac = np.zeros((R, tws), dtype=np.int16)
     meta = np.zeros((R, LANES), dtype=np.int32)
     meta[:, M_QLEN] = 1
     for j, job in enumerate(jobs):
         qs, ts = job["qseq"], job["tseq"]
         sf[j, :len(ts)] = ts
-        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int32)
+        qr[j, qoff - (len(qs) - 1):qoff + 1] = qs[::-1].astype(np.int8)
         donor, acceptor = make_donor_acceptor(ts, noncan, job["flag"])
-        dac[j, :len(donor)] = (donor.astype(np.int32) & 0xFF) \
-            | ((acceptor.astype(np.int32) & 0xFF) << 8)
+        dac[j, :len(donor)] = ((donor.astype(np.int16) & 0xFF)
+                               | ((acceptor.astype(np.int16) & 0xFF) << 8))
         meta[j, M_QLEN] = len(qs)
         meta[j, M_TLEN] = len(ts)
         meta[j, M_W] = max(len(qs), len(ts))
@@ -713,7 +734,8 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
         long_thres=int(long_thres), long_diff=int(long_diff),
         tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, splice=True,
         interpret=interpret)
-    p = np.asarray(p)
+    if backtrack != "device":
+        p = np.asarray(p)
     ez = np.asarray(ez)
 
     out = []
@@ -730,7 +752,7 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
         res.score = int(ez[j, C_SCORE])
         flag = job["flag"]
         qlen, tlen = len(job["qseq"]), len(job["tseq"])
-        if not (flag & K.KSW_EZ_SCORE_ONLY):
+        if backtrack != "device" and not (flag & K.KSW_EZ_SCORE_ONLY):
             rev = bool(flag & K.KSW_EZ_REV_CIGAR)
             # splice C p stride (ksw2_exts2_sse.c:96)
             n_col_c = (min(qlen, tlen) + 15) // 16 * 16 + 16
@@ -750,4 +772,8 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
                 res.cigar = bt(res.max_t, res.max_q, rev,
                                min_intron_len=long_thres)
         out.append(res)
+    if backtrack == "device":
+        from .ksw2_backtrack import device_backtrack
+        device_backtrack(p, jobs, out, geom, splice=True,
+                         long_thres=int(long_thres), interpret=interpret)
     return out

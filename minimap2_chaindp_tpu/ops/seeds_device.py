@@ -153,6 +153,10 @@ class DeviceSeedCollector:
                 by_m.setdefault(b, []).append(i)
         for m, idxs in sorted(by_m.items()):
             R = (len(idxs) + 7) // 8 * 8
+            Rp = 8
+            while Rp < R:
+                Rp *= 2
+            R = Rp  # pow2: bounded set of compiled shapes
             qhi = np.full((R, m), 0x7FFFFFFF, np.int32)
             qlo = np.zeros((R, m), np.int32)
             qvalid = np.zeros((R, m), bool)

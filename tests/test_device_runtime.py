@@ -44,7 +44,7 @@ def test_device_align_executor_used():
                      io.w, io.k, io.flag, io.bucket_bits)
     mo.update(mi)
     frags = [Frag([q]) for q in read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))]
-    rt = DeviceRuntime(mi, mo)
+    rt = DeviceRuntime(mi, mo, device_seeds=True)
     rt.map_batch(frags)
     assert rt._align_exec.n_device > 0
     assert rt.timers.counters.get("device_seed", 0) > 0
