@@ -21,12 +21,24 @@ UINT64_MAX = 0xFFFFFFFFFFFFFFFF
 
 
 def sketch(seq: str | bytes, w: int, k: int, rid: int, is_hpc: bool) -> np.ndarray:
-    """Return minimizers as an (n, 2) uint64 array of (x, y) rows."""
+    """Return minimizers as an (n, 2) uint64 array of (x, y) rows.
+    Dispatches to the native C++ sketcher (native/sketch.cc) when built;
+    the Python loop below is the golden model it is validated against."""
     if isinstance(seq, str):
         seq = seq.encode()
     length = len(seq)
     assert length > 0 and 0 < w < 256 and 0 < k <= 28
     nt4 = SEQ_NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
+
+    from ..native import sketch_batch_native
+    res = sketch_batch_native([nt4], w, k, [rid], is_hpc)
+    if res is not None:
+        return res[0]
+    return _sketch_py(nt4, length, w, k, rid, is_hpc)
+
+
+def _sketch_py(nt4, length, w: int, k: int, rid: int,
+               is_hpc: bool) -> np.ndarray:
 
     shift1 = 2 * (k - 1)
     mask = (1 << (2 * k)) - 1

@@ -164,6 +164,7 @@ class DeviceRuntime:
                 p = np.asarray(p)
                 flag = np.asarray(flag)[:, 0]
             with self.timers.time("bottom"):
+                from ..native import chain_bottom_native
                 for r, k in enumerate(idxs):
                     if host_flag[r] or flag[r]:
                         host_idx.append(k)
@@ -171,11 +172,16 @@ class DeviceRuntime:
                         continue
                     a = pending[k][1].sh.anchors
                     n = len(a)
-                    v = _v_from_fp(f[r, :n], p[r, :n])
-                    cx, cy, cf, cp = compact_from_fpv(
-                        a, f[r, :n], p[r, :n], v, opt.min_chain_score)
-                    results[k] = chain_backtrack(cx, cy, cf, cp, opt.min_cnt,
-                                                 opt.min_chain_score)
+                    ch = chain_bottom_native(a, f[r, :n], p[r, :n],
+                                             opt.min_cnt,
+                                             opt.min_chain_score)
+                    if ch is None:  # no native toolchain: exact Python path
+                        v = _v_from_fp(f[r, :n], p[r, :n])
+                        cx, cy, cf, cp = compact_from_fpv(
+                            a, f[r, :n], p[r, :n], v, opt.min_chain_score)
+                        ch = chain_backtrack(cx, cy, cf, cp, opt.min_cnt,
+                                             opt.min_chain_score)
+                    results[k] = ch
                     self.timers.count("device_reads")
 
         with self.timers.time("host_fallback"):

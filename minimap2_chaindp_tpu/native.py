@@ -50,6 +50,73 @@ def available() -> bool:
     return _load() is not None
 
 
+_SK_SRC = os.path.join(_ROOT, "native", "sketch.cc")
+_SK_SO = os.path.join(_ROOT, "native", "libmm2tpu_sketch.so")
+_sk_lib = None
+_sk_tried = False
+
+
+def _load_sketch():
+    global _sk_lib, _sk_tried
+    if _sk_lib is not None or _sk_tried:
+        return _sk_lib
+    _sk_tried = True
+    try:
+        if (not os.path.exists(_SK_SO)
+                or os.path.getmtime(_SK_SO) < os.path.getmtime(_SK_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SK_SRC,
+                 "-o", _SK_SO], check=True, capture_output=True)
+        lib = ctypes.CDLL(_SK_SO)
+        lib.mm2tpu_sketch_batch.restype = ctypes.c_void_p
+        lib.mm2tpu_sketch_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mm2tpu_sketch_take.restype = None
+        lib.mm2tpu_sketch_take.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_uint64)]
+        _sk_lib = lib
+    except Exception:
+        _sk_lib = None
+    return _sk_lib
+
+
+def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
+                        rids: list[int], is_hpc: bool):
+    """Sketch a batch of nt4-encoded sequences natively.
+    Returns a list of (n_i, 2) uint64 arrays, or None if unavailable."""
+    lib = _load_sketch()
+    if lib is None:
+        return None
+    n = len(nt4_seqs)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(nt4_seqs):
+        offs[i + 1] = offs[i] + len(s)
+    cat = (np.concatenate(nt4_seqs) if offs[-1]
+           else np.empty(0, np.uint8)).astype(np.uint8, copy=False)
+    cat = np.ascontiguousarray(cat)
+    rid_arr = np.asarray(rids, dtype=np.uint32)
+    counts = np.zeros(n, dtype=np.int64)
+    ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    handle = lib.mm2tpu_sketch_batch(
+        ptr(cat, ctypes.c_uint8), ptr(offs, ctypes.c_int64), n, w, k,
+        ptr(rid_arr, ctypes.c_uint32), 1 if is_hpc else 0,
+        ptr(counts, ctypes.c_int64))
+    total = int(counts.sum())
+    rows = np.empty((total, 2), dtype=np.uint64)
+    lib.mm2tpu_sketch_take(ctypes.c_void_p(handle),
+                           ptr(rows, ctypes.c_uint64))
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(rows[pos:pos + int(c)])
+        pos += int(c)
+    return out
+
+
 def chain_bottom_native(anchors: np.ndarray, f: np.ndarray, p: np.ndarray,
                         min_cnt: int, min_sc: int):
     """Native compact+backtrack from device (f, p). Returns a Chains or None
