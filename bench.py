@@ -60,6 +60,9 @@ def baseline_anchors_per_s(reads):
 
 
 def main():
+    from minimap2_chaindp_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     import jax
     from minimap2_chaindp_tpu.utils.synth import synth_batch
     from minimap2_chaindp_tpu.ops.chain_jax import split_anchors

@@ -263,6 +263,8 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
 
 
 def main(argv=None) -> int:
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     ns = build_parser().parse_args(argv)
     io, mo = set_opt(None)
     if ns.preset:

@@ -36,6 +36,8 @@ class DeviceRuntime:
             device_seeds = os.environ.get("MM2TPU_DEVICE_SEEDS", "0") == "1"
         self.device_seeds = device_seeds
         self.timers = Timers()
+        from ..utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         import jax
         self._jax = jax
         self._interpret = jax.devices()[0].platform == "cpu"
