@@ -46,28 +46,35 @@ def mm_update_max_zdrop(score, i, j, state, e, pos):
 
 def test_zdrop(opt, qseq, tseq, cigar, mat) -> int:
     """Z-drop + inversion test on a CIGAR (reference mm_test_zdrop, align.c:46-88)."""
-    state = (-(1 << 31), -1, -1, 0)
-    pos = [[-1, -1], [-1, -1]]
-    i = j = score = 0
-    matq = mat.reshape(5, 5)
-    for c in cigar:
-        op, length = c & 0xF, c >> 4
-        if op == 0:
-            # vectorized running-score scan with per-step zdrop update
-            sub = matq[tseq[i:i + length], qseq[j:j + length]].astype(np.int64)
-            for l in range(length):
-                score += int(sub[l])
-                state = mm_update_max_zdrop(score, i + l, j + l, state, opt.e, pos)
-            i += length
-            j += length
-        elif op in (1, 2, 3):
-            score -= opt.q + opt.e * length
-            if op == 1:
-                j += length
-            else:
+    from .native import zdrop_scan
+    nat = zdrop_scan(qseq, tseq, cigar, mat, opt.q, opt.e)
+    if nat is not None:
+        max_zdrop, pos = nat
+    else:
+        state = (-(1 << 31), -1, -1, 0)
+        pos = [[-1, -1], [-1, -1]]
+        i = j = score = 0
+        matq = mat.reshape(5, 5)
+        for c in cigar:
+            op, length = c & 0xF, c >> 4
+            if op == 0:
+                # vectorized running-score scan with per-step zdrop update
+                sub = matq[tseq[i:i + length],
+                           qseq[j:j + length]].astype(np.int64)
+                for l in range(length):
+                    score += int(sub[l])
+                    state = mm_update_max_zdrop(score, i + l, j + l, state,
+                                                opt.e, pos)
                 i += length
-            state = mm_update_max_zdrop(score, i, j, state, opt.e, pos)
-    _, _, _, max_zdrop = state
+                j += length
+            elif op in (1, 2, 3):
+                score -= opt.q + opt.e * length
+                if op == 1:
+                    j += length
+                else:
+                    i += length
+                state = mm_update_max_zdrop(score, i, j, state, opt.e, pos)
+        _, _, _, max_zdrop = state
     q_len = pos[1][1] - pos[1][0]
     t_len = pos[0][1] - pos[0][0]
     if (not (opt.flag & (C.MM_F_SPLICE | C.MM_F_SR | C.MM_F_FOR_ONLY | C.MM_F_REV_ONLY))
@@ -152,6 +159,16 @@ def update_extra(r: Region, qseq, tseq, mat, q, e) -> None:
     qshift, tshift = fix_cigar(r, qseq, tseq)
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]
+    from .native import update_extra_scan
+    nat = update_extra_scan(qseq, tseq, p.cigar, mat, q, e,
+                            r.qe - r.qs, r.re - r.rs)
+    if nat is not None:
+        blen, mlen, n_ambi, dp_max, ok = nat
+        r.blen, r.mlen = blen, mlen
+        p.n_ambi += n_ambi
+        p.dp_max = dp_max
+        assert ok
+        return
     r.blen = r.mlen = 0
     toff = qoff = 0
     s = 0

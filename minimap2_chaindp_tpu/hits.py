@@ -75,6 +75,11 @@ def cal_fuzzy_len(r: Region, a: np.ndarray) -> None:
     r.mlen = r.blen = 0
     if r.cnt <= 0:
         return
+    from .native import cal_fuzzy_len_native
+    nat = cal_fuzzy_len_native(a, r.as_, r.cnt)
+    if nat is not None:
+        r.mlen, r.blen = nat
+        return
     r.mlen = r.blen = int(a[r.as_, 1] >> np.uint64(32) & np.uint64(0xFF))
     for i in range(r.as_ + 1, r.as_ + r.cnt):
         span = int(a[i, 1] >> np.uint64(32) & np.uint64(0xFF))

@@ -72,19 +72,25 @@ class DeviceAlignExecutor:
             # transfer-limited links); the interpreted walker is slow, so
             # CPU test runs keep the host decode
             bt = "host" if self.interpret else "device"
+            # staged dispatch/collect: launch every bucket's forward kernel
+            # before blocking on any result, so the device works on bucket
+            # k+1 while the host reads scores / decodes bucket k
+            stage1 = []
             for sz, idxs in sorted(by_bucket.items()):
                 if self.splice:
-                    res = KP.exts2_batch([jobs[i] for i in idxs], self.mat,
-                                         self.opt.q, self.opt.e, self.opt.q2,
-                                         self.opt.noncan,
-                                         interpret=self.interpret,
-                                         quantize=True, backtrack=bt)
+                    c1 = KP.exts2_batch_async(
+                        [jobs[i] for i in idxs], self.mat, self.opt.q,
+                        self.opt.e, self.opt.q2, self.opt.noncan,
+                        interpret=self.interpret, quantize=True, backtrack=bt)
                 else:
-                    res = KP.extd2_batch([jobs[i] for i in idxs], self.mat,
-                                         self.opt.q, self.opt.e, self.opt.q2,
-                                         self.opt.e2,
-                                         interpret=self.interpret,
-                                         quantize=True, backtrack=bt)
+                    c1 = KP.extd2_batch_async(
+                        [jobs[i] for i in idxs], self.mat, self.opt.q,
+                        self.opt.e, self.opt.q2, self.opt.e2,
+                        interpret=self.interpret, quantize=True, backtrack=bt)
+                stage1.append((idxs, c1))
+            stage2 = [(idxs, c1()) for idxs, c1 in stage1]
+            for idxs, c2 in stage2:
+                res = c2()
                 for i, ez in zip(idxs, res):
                     thunks[i] = (lambda v=ez: v)
                 self.n_device += len(idxs)

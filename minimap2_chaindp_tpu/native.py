@@ -50,6 +50,116 @@ def available() -> bool:
     return _load() is not None
 
 
+_AL_SRC = os.path.join(_ROOT, "native", "align_epilogue.cc")
+_AL_SO = os.path.join(_ROOT, "native", "libmm2tpu_align.so")
+_al_lib = None
+_al_tried = False
+
+_c = ctypes
+_p8 = _c.POINTER(_c.c_uint8)
+_pi8 = _c.POINTER(_c.c_int8)
+_p32 = _c.POINTER(_c.c_int32)
+_pu32 = _c.POINTER(_c.c_uint32)
+_p64 = _c.POINTER(_c.c_int64)
+_pu64 = _c.POINTER(_c.c_uint64)
+
+
+def load_align():
+    """Loader for the alignment-epilogue scans (native/align_epilogue.cc);
+    returns the ctypes lib or None."""
+    global _al_lib, _al_tried
+    if _al_lib is not None or _al_tried:
+        return _al_lib
+    _al_tried = True
+    try:
+        if (not os.path.exists(_AL_SO)
+                or os.path.getmtime(_AL_SO) < os.path.getmtime(_AL_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _AL_SRC,
+                 "-o", _AL_SO], check=True, capture_output=True)
+        lib = ctypes.CDLL(_AL_SO)
+        lib.mm2tpu_zdrop_scan.restype = _c.c_int64
+        lib.mm2tpu_zdrop_scan.argtypes = [
+            _p8, _p8, _pu32, _c.c_int64, _pi8, _c.c_int32, _c.c_int32, _p32]
+        lib.mm2tpu_update_extra_scan.restype = None
+        lib.mm2tpu_update_extra_scan.argtypes = [
+            _p8, _p8, _pu32, _c.c_int64, _pi8, _c.c_int32, _c.c_int32,
+            _c.c_int64, _c.c_int64, _p64]
+        lib.mm2tpu_est_err_merge.restype = _c.c_int32
+        lib.mm2tpu_est_err_merge.argtypes = [
+            _pu64, _pu64, _c.c_int64, _c.c_int64, _c.c_int32, _c.c_int64,
+            _p64, _c.c_int64, _p64]
+        lib.mm2tpu_cal_fuzzy_len.restype = None
+        lib.mm2tpu_cal_fuzzy_len.argtypes = [
+            _pu64, _c.c_int64, _c.c_int64, _p64]
+        _al_lib = lib
+    except Exception:
+        _al_lib = None
+    return _al_lib
+
+
+def _np_ptr(a, t):
+    return a.ctypes.data_as(t)
+
+
+def zdrop_scan(qseq, tseq, cigar, mat, q, e):
+    """Native mm_test_zdrop scan. Returns (max_zdrop, pos) or None."""
+    lib = load_align()
+    if lib is None:
+        return None
+    cig = np.asarray(cigar, dtype=np.uint32)
+    qa = np.ascontiguousarray(qseq, dtype=np.uint8)
+    ta = np.ascontiguousarray(tseq, dtype=np.uint8)
+    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    pos = np.zeros(4, dtype=np.int32)
+    mz = lib.mm2tpu_zdrop_scan(_np_ptr(qa, _p8), _np_ptr(ta, _p8),
+                               _np_ptr(cig, _pu32), len(cig),
+                               _np_ptr(ma, _pi8), q, e, _np_ptr(pos, _p32))
+    return int(mz), [[int(pos[0]), int(pos[1])], [int(pos[2]), int(pos[3])]]
+
+
+def update_extra_scan(qseq, tseq, cigar, mat, q, e, exp_qoff, exp_toff):
+    """Native mm_update_extra scan.
+    Returns (blen, mlen, n_ambi, dp_max, ok) or None."""
+    lib = load_align()
+    if lib is None:
+        return None
+    cig = np.asarray(cigar, dtype=np.uint32)
+    qa = np.ascontiguousarray(qseq, dtype=np.uint8)
+    ta = np.ascontiguousarray(tseq, dtype=np.uint8)
+    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    out = np.zeros(5, dtype=np.int64)
+    lib.mm2tpu_update_extra_scan(_np_ptr(qa, _p8), _np_ptr(ta, _p8),
+                                 _np_ptr(cig, _pu32), len(cig),
+                                 _np_ptr(ma, _pi8), q, e,
+                                 exp_qoff, exp_toff, _np_ptr(out, _p64))
+    return tuple(int(v) for v in out)
+
+
+def est_err_merge(ax, ay, as_, cnt, rev, qlen, mp_lo):
+    """Native esterr anchor/minimizer merge.
+    Returns (found, n_tot_base, n_match) or None."""
+    lib = load_align()
+    if lib is None:
+        return None
+    out = np.zeros(2, dtype=np.int64)
+    found = lib.mm2tpu_est_err_merge(
+        _np_ptr(ax, _pu64), _np_ptr(ay, _pu64), as_, cnt, 1 if rev else 0,
+        qlen, _np_ptr(mp_lo, _p64), len(mp_lo), _np_ptr(out, _p64))
+    return int(found), int(out[0]), int(out[1])
+
+
+def cal_fuzzy_len_native(a, as_, cnt):
+    """Native fuzzy mlen/blen over the interleaved (n, 2) anchor array.
+    Returns (mlen, blen) or None."""
+    lib = load_align()
+    if lib is None or not a.flags.c_contiguous:
+        return None
+    out = np.zeros(2, dtype=np.int64)
+    lib.mm2tpu_cal_fuzzy_len(_np_ptr(a, _pu64), as_, cnt, _np_ptr(out, _p64))
+    return int(out[0]), int(out[1])
+
+
 _SK_SRC = os.path.join(_ROOT, "native", "sketch.cc")
 _SK_SO = os.path.join(_ROOT, "native", "libmm2tpu_sketch.so")
 _sk_lib = None

@@ -189,9 +189,21 @@ def _bt_call(p, meta, *, rmax, ncol, opcap, splice, interpret=False):
 
 def device_backtrack(p_dev, jobs, ezs, geom, *, splice, long_thres,
                      interpret=False):
-    """Decode all jobs' CIGARs with the on-chip walker.
+    """Decode all jobs' CIGARs with the on-chip walker (synchronous)."""
+    fin = device_backtrack_dispatch(p_dev, jobs, ezs, geom, splice=splice,
+                                    long_thres=long_thres,
+                                    interpret=interpret)
+    if fin is not None:
+        fin()
+
+
+def device_backtrack_dispatch(p_dev, jobs, ezs, geom, *, splice, long_thres,
+                              interpret=False):
+    """Dispatch the on-chip walker for all cigar-bearing jobs and return a
+    collector closure that blocks on the step codes and run-length-encodes
+    them into each ez.cigar; returns None when no job needs a walk.
     p_dev: the forward kernel's p output, still on device.
-    ezs: host K.Ez results (scores already filled). Mutates ezs in place."""
+    ezs: host K.Ez results (scores already filled). Mutated in place."""
     rmax, ncol = geom["rmax"], geom["ncol"]
     R = p_dev.shape[0] * SUBL
     opcap = (rmax + 2 + LANES - 1) // LANES * LANES
@@ -227,7 +239,7 @@ def device_backtrack(p_dev, jobs, ezs, geom, *, splice, long_thres,
         plan.append((j, bool(flag & K.KSW_EZ_REV_CIGAR),
                      long_thres if splice else 0))
     if not plan:
-        return
+        return None
     # padded rows must mirror the forward batch so base_of() matches: copy
     # qlen/tlen/w for INACTIVE real jobs too
     for j, job in enumerate(jobs):
@@ -242,11 +254,15 @@ def device_backtrack(p_dev, jobs, ezs, geom, *, splice, long_thres,
     import jax.numpy as jnp2
     ops, fin = _bt_call(p_dev, jnp2.asarray(meta), rmax=rmax, ncol=ncol,
                         opcap=opcap, splice=splice, interpret=interpret)
-    ops = np.asarray(ops)
-    fin = np.asarray(fin)
-    for j, rev, mintr in plan:
-        ezs[j].cigar = decode_cigar(ops[j], int(fin[j, 2]), int(fin[j, 0]),
-                                    int(fin[j, 1]), rev, mintr)
+
+    def collect():
+        ops_h = np.asarray(ops)
+        fin_h = np.asarray(fin)
+        for j, rev, mintr in plan:
+            ezs[j].cigar = decode_cigar(ops_h[j], int(fin_h[j, 2]),
+                                        int(fin_h[j, 0]), int(fin_h[j, 1]),
+                                        rev, mintr)
+    return collect
 
 
 def decode_cigar(ops, n_ops, fin_i, fin_j, is_rev, min_intron_len=0):

@@ -569,8 +569,29 @@ def _pow2_at_least(x, lo):
     return v
 
 
+def _ez_from_row(ez_row) -> "K.Ez":
+    res = K.Ez()
+    res.zdropped = int(ez_row[C_ZDROP])
+    res.max = int(ez_row[C_MAX])
+    res.max_t = int(ez_row[C_MAX_T])
+    res.max_q = int(ez_row[C_MAX_Q])
+    res.mqe = int(ez_row[C_MQE])
+    res.mqe_t = int(ez_row[C_MQE_T])
+    res.mte = int(ez_row[C_MTE])
+    res.mte_q = int(ez_row[C_MTE_Q])
+    res.score = int(ez_row[C_SCORE])
+    return res
+
+
 def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
                 backtrack="host"):
+    """Device-batched ksw_extd2 (synchronous driver of the staged form)."""
+    return extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=interpret,
+                             quantize=quantize, backtrack=backtrack)()()
+
+
+def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
+                      quantize=False, backtrack="host"):
     """Device-batched ksw_extd2: same per-job semantics as K.extd2.
     jobs: list of dicts(qseq, tseq, w, zdrop, end_bonus, flag).
     quantize=True rounds the static launch geometry (rmax/ncol/tws) up to
@@ -578,7 +599,12 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
     kernel shapes (padding is masked out, results are unchanged).
     backtrack="device" decodes CIGARs with the on-chip walker
     (ops/ksw2_backtrack.py) so the p matrix never leaves the device.
-    Returns a list of K.Ez."""
+
+    Three-stage protocol so a scheduler can overlap many batches' device
+    work with host decode: this call DISPATCHES the forward kernel and
+    returns `collect_ez`; collect_ez() blocks on the (small) ez scores,
+    dispatches the backtrack walker if requested, and returns `collect_bt`;
+    collect_bt() blocks on the walker and returns the list of K.Ez."""
     geom = plan_batch(jobs, q, e, q2, e2)
     geom["rmax"] = max(geom["rmax"], 2 * LANES)   # on-chip walker stripe min
     geom["qoff"] = geom["rmax"]
@@ -628,25 +654,26 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
         sc_mis=int(np.int8(mat[1])), sc_n=-e2,
         long_thres=int(long_thres), long_diff=int(long_diff),
         tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, interpret=interpret)
-    if backtrack != "device":
-        p = np.asarray(p)
-    ez = np.asarray(ez)
 
-    out = []
-    for j, job in enumerate(jobs):
-        res = K.Ez()
-        res.zdropped = int(ez[j, C_ZDROP])
-        res.max = int(ez[j, C_MAX])
-        res.max_t = int(ez[j, C_MAX_T])
-        res.max_q = int(ez[j, C_MAX_Q])
-        res.mqe = int(ez[j, C_MQE])
-        res.mqe_t = int(ez[j, C_MQE_T])
-        res.mte = int(ez[j, C_MTE])
-        res.mte_q = int(ez[j, C_MTE_Q])
-        res.score = int(ez[j, C_SCORE])
-        flag = job["flag"]
-        qlen, tlen = len(job["qseq"]), len(job["tseq"])
-        if backtrack != "device" and not (flag & K.KSW_EZ_SCORE_ONLY):
+    def collect_ez():
+        ez_h = np.asarray(ez)
+        out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
+        if backtrack == "device":
+            from .ksw2_backtrack import device_backtrack_dispatch
+            fin = device_backtrack_dispatch(p, jobs, out, geom, splice=False,
+                                            long_thres=0, interpret=interpret)
+
+            def collect_bt():
+                if fin is not None:
+                    fin()
+                return out
+            return collect_bt
+        p_h = np.asarray(p)
+        for j, (job, res) in enumerate(zip(jobs, out)):
+            flag = job["flag"]
+            qlen, tlen = len(job["qseq"]), len(job["tseq"])
+            if flag & K.KSW_EZ_SCORE_ONLY:
+                continue
             rev = bool(flag & K.KSW_EZ_REV_CIGAR)
             # C per-row p stride (ksw2_extd2_sse.c:98-100)
             wj = job["w"] if job["w"] >= 0 else max(qlen, tlen)
@@ -654,7 +681,7 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
             nrows = qlen + tlen - 1
             st_j = geom["st"][:, j]
             en_j = geom["en"][:, j]
-            flat = _p_flat_c_layout(p[j // SUBL, :, j % SUBL, :],
+            flat = _p_flat_c_layout(p_h[j // SUBL, :, j % SUBL, :],
                                     geom["base"][j // SUBL], st_j,
                                     en_j, nrows, n_col_c)
             bt = functools.partial(K._backtrack_rot, flat, list(st_j),
@@ -667,20 +694,23 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
                 res.cigar = bt(res.mqe_t, qlen - 1, rev)
             elif res.max_t >= 0 and res.max_q >= 0:
                 res.cigar = bt(res.max_t, res.max_q, rev)
-        out.append(res)
-    if backtrack == "device":
-        from .ksw2_backtrack import device_backtrack
-        device_backtrack(p, jobs, out, geom, splice=False, long_thres=0,
-                         interpret=interpret)
-    return out
+        return lambda: out
+    return collect_ez
 
 
 def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
                 quantize=False, backtrack="host"):
+    """Device-batched ksw_exts2 (synchronous driver of the staged form)."""
+    return exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=interpret,
+                             quantize=quantize, backtrack=backtrack)()()
+
+
+def exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=False,
+                      quantize=False, backtrack="host"):
     """Device-batched splice extension (ksw_exts2): same per-job semantics
     as ksw2_splice.exts2. jobs: list of dicts(qseq, tseq, zdrop, flag);
     band is the full min(qlen, tlen) (the reference kernel is unbanded).
-    Returns a list of K.Ez."""
+    Same three-stage dispatch/collect protocol as extd2_batch_async."""
     from .ksw2_splice import make_donor_acceptor
 
     jobs = [dict(job, w=-1) for job in jobs]   # unbanded
@@ -734,32 +764,34 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
         long_thres=int(long_thres), long_diff=int(long_diff),
         tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, splice=True,
         interpret=interpret)
-    if backtrack != "device":
-        p = np.asarray(p)
-    ez = np.asarray(ez)
 
-    out = []
-    for j, job in enumerate(jobs):
-        res = K.Ez()
-        res.zdropped = int(ez[j, C_ZDROP])
-        res.max = int(ez[j, C_MAX])
-        res.max_t = int(ez[j, C_MAX_T])
-        res.max_q = int(ez[j, C_MAX_Q])
-        res.mqe = int(ez[j, C_MQE])
-        res.mqe_t = int(ez[j, C_MQE_T])
-        res.mte = int(ez[j, C_MTE])
-        res.mte_q = int(ez[j, C_MTE_Q])
-        res.score = int(ez[j, C_SCORE])
-        flag = job["flag"]
-        qlen, tlen = len(job["qseq"]), len(job["tseq"])
-        if backtrack != "device" and not (flag & K.KSW_EZ_SCORE_ONLY):
+    def collect_ez():
+        ez_h = np.asarray(ez)
+        out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
+        if backtrack == "device":
+            from .ksw2_backtrack import device_backtrack_dispatch
+            fin = device_backtrack_dispatch(p, jobs, out, geom, splice=True,
+                                            long_thres=int(long_thres),
+                                            interpret=interpret)
+
+            def collect_bt():
+                if fin is not None:
+                    fin()
+                return out
+            return collect_bt
+        p_h = np.asarray(p)
+        for j, (job, res) in enumerate(zip(jobs, out)):
+            flag = job["flag"]
+            qlen, tlen = len(job["qseq"]), len(job["tseq"])
+            if flag & K.KSW_EZ_SCORE_ONLY:
+                continue
             rev = bool(flag & K.KSW_EZ_REV_CIGAR)
             # splice C p stride (ksw2_exts2_sse.c:96)
             n_col_c = (min(qlen, tlen) + 15) // 16 * 16 + 16
             nrows = qlen + tlen - 1
             st_j = geom["st"][:, j]
             en_j = geom["en"][:, j]
-            flat = _p_flat_c_layout(p[j // SUBL, :, j % SUBL, :],
+            flat = _p_flat_c_layout(p_h[j // SUBL, :, j % SUBL, :],
                                     geom["base"][j // SUBL], st_j,
                                     en_j, nrows, n_col_c)
             bt = functools.partial(K._backtrack_rot, flat, list(st_j),
@@ -771,9 +803,5 @@ def exts2_batch(jobs, mat, q, e, q2, noncan, interpret=False,
             elif res.max_t >= 0 and res.max_q >= 0:
                 res.cigar = bt(res.max_t, res.max_q, rev,
                                min_intron_len=long_thres)
-        out.append(res)
-    if backtrack == "device":
-        from .ksw2_backtrack import device_backtrack
-        device_backtrack(p, jobs, out, geom, splice=True,
-                         long_thres=int(long_thres), interpret=interpret)
-    return out
+        return lambda: out
+    return collect_ez
