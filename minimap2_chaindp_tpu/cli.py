@@ -361,18 +361,27 @@ def main(argv=None) -> int:
                                 "2.10-r761", cmdline), file=out)
         frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
         # stage read batch k+1 while batch k maps (kt_pipeline step overlap)
-        for batch in prefetch(read_frags(ns.query, mo.mini_batch_size,
-                                         frag_mode), depth=2):
-            if ns.print_qname:  # MM_DBG_PRINT_QNAME (main.c:47, kthread)
-                for frag in batch:
-                    print(f"QR\t{frag.segs[0].name}", file=sys.stderr)
-            if runtime is not None:
-                for lines in runtime.map_batch(batch):
+        batches = prefetch(read_frags(ns.query, mo.mini_batch_size,
+                                      frag_mode), depth=2)
+        if ns.print_qname:  # MM_DBG_PRINT_QNAME (main.c:47, kthread)
+            def _announce(bs):
+                for b in bs:
+                    for frag in b:
+                        print(f"QR\t{frag.segs[0].name}", file=sys.stderr)
+                    yield b
+            batches = _announce(batches)
+        if runtime is not None:
+            # threaded 2-batch pipeline: batch k+1 maps while batch k's
+            # device results are awaited / its text is written
+            for batch_lines in runtime.map_stream(batches):
+                for lines in batch_lines:
                     for line in lines:
                         print(line, file=out)
-            else:
+        else:
+            for batch in batches:
                 for frag in batch:
-                    for line in map_fragment_output(mi, mo, frag.segs, rg_id):
+                    for line in map_fragment_output(mi, mo, frag.segs,
+                                                    rg_id):
                         print(line, file=out)
         if runtime is not None:
             # per-stage telemetry at exit, like the reference's perf

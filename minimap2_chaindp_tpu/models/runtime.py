@@ -44,6 +44,25 @@ class DeviceRuntime:
         from .batch_align import DeviceAlignExecutor
         self._align_exec = DeviceAlignExecutor(opt, interpret=self._interpret)
         self._seed_collector = None
+        import threading
+        self._seed_lock = threading.Lock()  # map_stream runs 2 batches
+
+    def map_stream(self, batches, rg_id: str = ""):
+        """Map a stream of read batches through a 2-deep threaded pipeline
+        (the reference's kt_pipeline step overlap, map.c:637): batch k+1's
+        host work (sketch, packing, epilogue) interleaves with batch k's
+        device waits, which release the GIL while blocking on kernel
+        results. Yields each batch's per-fragment output lines in order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = deque()
+            for batch in batches:
+                futs.append(ex.submit(self.map_batch, batch, rg_id))
+                if len(futs) >= 2:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
 
     def map_batch(self, frags, rg_id: str = "") -> list[list[str]]:
         """Map a batch of fragments; returns per-fragment output lines.
@@ -96,9 +115,10 @@ class DeviceRuntime:
                                  | C.MM_F_REV_ONLY))
         got = [None] * len(units)
         if dev_ok and todo:
-            if self._seed_collector is None:
-                from ..ops.seeds_device import DeviceSeedCollector
-                self._seed_collector = DeviceSeedCollector(mi)
+            with self._seed_lock:
+                if self._seed_collector is None:
+                    from ..ops.seeds_device import DeviceSeedCollector
+                    self._seed_collector = DeviceSeedCollector(mi)
             res = self._seed_collector.collect_batch(
                 [units[k][1].mv for k in todo], opt.mid_occ,
                 [units[k][1].qlen_sum for k in todo])
@@ -144,6 +164,10 @@ class DeviceRuntime:
                 key = (b, info.gap_qry, info.gap_ref, len(segs) > 1)
                 by_bucket.setdefault(key, []).append(k)
 
+        # dispatch every bucket's kernel before blocking on any result, so
+        # the device runs bucket k+1 while the host reads back / backtracks
+        # bucket k
+        staged = []
         for (b, gq, gr, many), idxs in sorted(by_bucket.items()):
             reads = []
             for k in idxs:
@@ -162,6 +186,9 @@ class DeviceRuntime:
                     bw=opt.bw, max_skip=opt.max_chain_skip,
                     is_cdna=is_cdna, many_segs=many,
                     interpret=self._interpret)
+            staged.append((idxs, host_flag, f, p, flag))
+        for idxs, host_flag, f, p, flag in staged:
+            with self.timers.time("kernel"):
                 f = np.asarray(f)
                 p = np.asarray(p)
                 flag = np.asarray(flag)[:, 0]
