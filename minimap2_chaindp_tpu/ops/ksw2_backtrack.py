@@ -38,25 +38,19 @@ SROWS = STRIPE + 2 * MARGIN
 B_QLEN, B_TLEN, B_W, B_I0, B_J0, B_NCOLC, B_ACTIVE = range(7)
 
 
-def _bt_kernel(meta_ref, p_any, ops_ref, fin_ref, stripe, sem, *,
+def _bt_kernel(meta_ref, base_ref, p_any, ops_ref, fin_ref, stripe, sem, *,
                rmax, ncol, opcap, splice):
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     srow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    oplane = jax.lax.broadcasted_iota(jnp.int32, (1, opcap), 1)
+    oplane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     g = pl.program_id(0)
     row_max = max(rmax - SROWS, 0)
 
-    # group band minimum (the forward kernel's chunk base) as a function of r
+    # group band minimum (the forward kernel's chunk base): precomputed on
+    # the host (plan_batch's base image) — an SMEM row lookup instead of
+    # SUBL closed-form band evaluations per access
     def base_of(r):
-        m = jnp.int32(0x3FFFFFFF)
-        for s2 in range(SUBL):
-            q2 = meta_ref[s2, B_QLEN]
-            t2 = meta_ref[s2, B_TLEN]
-            w2 = meta_ref[s2, B_W]
-            live = r < q2 + t2 - 1
-            st2 = _band(r, q2, t2, w2, splice)[2]
-            m = jnp.minimum(m, jnp.where(live, st2, 0x3FFFFFFF))
-        return jnp.where(m == 0x3FFFFFFF, 0, m) // LANES * LANES
+        return base_ref[0, 0, r]
 
     for s in range(SUBL):
         qlen = meta_ref[s, B_QLEN]
@@ -111,7 +105,7 @@ def _bt_kernel(meta_ref, p_any, ops_ref, fin_ref, stripe, sem, *,
             return (i >= 0) & (j >= 0)
 
         def step(st6):
-            i, j, state, k, row_lo, ops = st6
+            i, j, state, k, row_lo, buf = st6
             r = i + j
             # refill so rows [r-1, r+1] sit inside the stripe (the spill
             # alias can point one row above, the rr-1 source one below)
@@ -131,22 +125,36 @@ def _bt_kernel(meta_ref, p_any, ops_ref, fin_ref, stripe, sem, *,
                                jnp.where((tmp >> (state + 2)) & 1, state, 0))
             state1 = jnp.where(state1 == 0, tmp & 7, state1)
             state1 = jnp.where(force >= 0, force, state1)
-            ops = jnp.where(oplane == k, state1, ops)
+            # chunked op staging: lane k%LANES of a register buffer, one
+            # aligned (1, LANES) store per LANES steps instead of an
+            # O(opcap) vector update per step
+            buf = jnp.where(oplane == k % LANES, state1, buf)
+
+            @pl.when(k % LANES == LANES - 1)
+            def _():
+                off = pl.multiple_of(k - (LANES - 1), LANES)
+                ops_ref[s:s + 1, pl.ds(off, LANES)] = buf
             is_m = state1 == 0
             is_del = (state1 == 1) | (state1 == 3)
             i = jnp.where(is_m | is_del, i - 1, i)
             j = jnp.where(is_m | ~is_del, j - 1, j)
-            return (i, j, state1, k + 1, row_lo, ops)
+            return (i, j, state1, k + 1, row_lo, buf)
 
         @pl.when(active != 0)
         def _walk():
             lo0 = jnp.clip(i0 + j0 - STRIPE, 0, row_max)
             fetch_stripe(lo0)
-            ops0 = jnp.zeros((1, opcap), jnp.int32)
-            i, j, _, k, _, ops = jax.lax.while_loop(
+            buf0 = jnp.zeros((1, LANES), jnp.int32)
+            i, j, _, k, _, buf = jax.lax.while_loop(
                 cond, step,
-                (i0, j0, jnp.int32(0), jnp.int32(0), lo0, ops0))
-            ops_ref[s:s + 1, :] = ops.astype(jnp.int8)
+                (i0, j0, jnp.int32(0), jnp.int32(0), lo0, buf0))
+            # flush the final partial chunk (lanes past k%LANES are stale
+            # but lie beyond n_ops, which the host decode never reads)
+            off = pl.multiple_of(k // LANES * LANES, LANES)
+
+            @pl.when(k % LANES != 0)
+            def _():
+                ops_ref[s:s + 1, pl.ds(off, LANES)] = buf
             fin_ref[s, 0] = i
             fin_ref[s, 1] = j
             fin_ref[s, 2] = k
@@ -154,7 +162,7 @@ def _bt_kernel(meta_ref, p_any, ops_ref, fin_ref, stripe, sem, *,
 
 @functools.partial(jax.jit, static_argnames=("rmax", "ncol", "opcap",
                                              "splice", "interpret"))
-def _bt_call(p, meta, *, rmax, ncol, opcap, splice, interpret=False):
+def _bt_call(p, meta, base, *, rmax, ncol, opcap, splice, interpret=False):
     G = p.shape[0]
     kern = functools.partial(_bt_kernel, rmax=rmax, ncol=ncol, opcap=opcap,
                              splice=splice)
@@ -166,6 +174,8 @@ def _bt_call(p, meta, *, rmax, ncol, opcap, splice, interpret=False):
         in_specs=[
             pl.BlockSpec((SUBL, LANES), lambda gg: (gg, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rmax), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -175,7 +185,7 @@ def _bt_call(p, meta, *, rmax, ncol, opcap, splice, interpret=False):
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G * SUBL, opcap), jnp.int8),
+            jax.ShapeDtypeStruct((G * SUBL, opcap), jnp.int32),
             jax.ShapeDtypeStruct((G * SUBL, LANES), jnp.int32),
         ),
         scratch_shapes=[
@@ -183,7 +193,7 @@ def _bt_call(p, meta, *, rmax, ncol, opcap, splice, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(meta, p)
+    )(meta, base, p)
     return ops, fin
 
 
@@ -251,8 +261,16 @@ def device_backtrack_dispatch(p_dev, jobs, ezs, geom, *, splice, long_thres,
     for j in range(len(jobs), R):
         meta[j, B_QLEN] = 1   # matches the forward kernel's padded rows
 
+    # the forward kernel's per-row chunk base, padded to the (quantized)
+    # kernel geometry: (G, rmax) image for the SMEM row lookup
+    G = p_dev.shape[0]
+    base0 = geom["base"]
+    bimg = np.zeros((G, 1, rmax), dtype=np.int32)
+    bimg[:base0.shape[0], 0, :base0.shape[1]] = base0
+
     import jax.numpy as jnp2
-    ops, fin = _bt_call(p_dev, jnp2.asarray(meta), rmax=rmax, ncol=ncol,
+    ops, fin = _bt_call(p_dev, jnp2.asarray(meta), jnp2.asarray(bimg),
+                        rmax=rmax, ncol=ncol,
                         opcap=opcap, splice=splice, interpret=interpret)
 
     def collect():

@@ -668,7 +668,9 @@ def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
                     fin()
                 return out
             return collect_bt
-        p_h = np.asarray(p)
+        p_h = None
+        if any(not (job["flag"] & K.KSW_EZ_SCORE_ONLY) for job in jobs):
+            p_h = np.asarray(p)   # big: only pull when a cigar is needed
         for j, (job, res) in enumerate(zip(jobs, out)):
             flag = job["flag"]
             qlen, tlen = len(job["qseq"]), len(job["tseq"])
@@ -779,7 +781,9 @@ def exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=False,
                     fin()
                 return out
             return collect_bt
-        p_h = np.asarray(p)
+        p_h = None
+        if any(not (job["flag"] & K.KSW_EZ_SCORE_ONLY) for job in jobs):
+            p_h = np.asarray(p)   # big: only pull when a cigar is needed
         for j, (job, res) in enumerate(zip(jobs, out)):
             flag = job["flag"]
             qlen, tlen = len(job["qseq"]), len(job["tseq"])
