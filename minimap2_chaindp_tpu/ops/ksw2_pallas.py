@@ -47,8 +47,19 @@ C_LAST_ST, C_LAST_EN, C_MAX, C_MAX_T, C_MAX_Q, C_MQE, C_MQE_T, C_MTE, \
     C_MTE_Q, C_SCORE, C_ZDROP, C_DONE, C_H0, C_H0T, C_BX1, C_BX21, \
     C_BV1 = range(17)
 
-# meta column assignments (per-job static inputs)
-M_QLEN, M_TLEN, M_W, M_ZDROP, M_RIGHT, M_APPROX, M_ADROP = range(7)
+# meta column assignments (per-job static inputs); EXTZ/SCONLY/ENDB feed the
+# fused on-chip backtrack's walk-start decision (mm_align's ksw_backtrack
+# entry conditions, align.c / ksw2.h:119)
+M_QLEN, M_TLEN, M_W, M_ZDROP, M_RIGHT, M_APPROX, M_ADROP, M_EXTZ, \
+    M_SCONLY, M_ENDB = range(10)
+
+# ez_ref fin columns written by the fused walk (beyond the scal C_* range)
+C_FIN_I, C_FIN_J, C_FIN_K = 20, 21, 22
+
+# fused-walk stripe geometry (p rows per DMA refill)
+W_STRIPE = 56
+W_MARGIN = 8
+W_SROWS = W_STRIPE + 2 * W_MARGIN
 
 
 def _w8(x):
@@ -76,10 +87,160 @@ def _extract(arr, lane_t, idx, cond):
     return jnp.max(jnp.where(hit, arr, NEG), axis=1, keepdims=True)
 
 
+def _fused_walk(meta_ref, scal_ref, ez_ref, ops_ref, p_any, stripe, base_smem,
+                sem, *, rmax, ncol, opcap, splice):
+    """On-chip CIGAR backtrack, fused onto the forward kernel's last grid
+    step: the walk-start corner is decided from the just-computed ez state
+    (the ksw_backtrack entry conditions the host would apply, ksw2.h:119 and
+    align.c:543-620), p rows are stripe-DMA'd back from HBM, and only O(rows)
+    step codes ship to the host.  Reads p through the C flat-layout spill
+    aliasing (see ops/ksw2_backtrack.py for the standalone form and the
+    host-validated semantics)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    oplane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    g = pl.program_id(0)
+    row_max = max(rmax - W_SROWS, 0)
+
+    def base_of(r):
+        return base_smem[0, jnp.clip(r, 0, rmax - 1)]
+
+    for s in range(SUBL):
+        qlen = meta_ref[s, M_QLEN]
+        tlen = meta_ref[s, M_TLEN]
+        wj = meta_ref[s, M_W]
+        sconly = meta_ref[s, M_SCONLY]
+        extz = meta_ref[s, M_EXTZ]
+        endb = meta_ref[s, M_ENDB]
+        zdropped = scal_ref[s, C_ZDROP] != 0
+        maxv = scal_ref[s, C_MAX]
+        max_t = scal_ref[s, C_MAX_T]
+        max_q = scal_ref[s, C_MAX_Q]
+        mqe = scal_ref[s, C_MQE]
+        mqe_t = scal_ref[s, C_MQE_T]
+
+        # walk-start decision (mirrors the host's backtrack entry order)
+        reach_end = jnp.logical_and(
+            jnp.logical_and(extz != 0, ~zdropped),
+            mqe + endb > maxv) if not splice else jnp.bool_(False)
+        full = jnp.logical_and(~zdropped, extz == 0)
+        have_max = jnp.logical_and(max_t >= 0, max_q >= 0)
+        i0 = jnp.where(reach_end, mqe_t,
+                       jnp.where(full, tlen - 1, max_t))
+        j0 = jnp.where(reach_end | full, qlen - 1, max_q)
+        active = jnp.logical_and(sconly == 0,
+                                 reach_end | full | have_max)
+
+        # C flat-layout row stride (ksw2_extd2_sse.c:98-100 / exts2:96)
+        mqt = jnp.minimum(qlen, tlen)
+        if splice:
+            ncolc = (mqt + 15) // 16 * 16 + 16
+        else:
+            ncolc = ((jnp.minimum(mqt, wj + 1) + 15) // 16 + 1) * 16
+
+        def band(r):
+            _, _, st, en = _band(r, qlen, tlen, wj, splice)
+            return st, en
+
+        def fetch_stripe(row_lo):
+            cp = pltpu.make_async_copy(
+                p_any.at[g, pl.ds(row_lo, W_SROWS), :, :], stripe, sem)
+            cp.start()
+            cp.wait()
+
+        def pbyte(row_lo, rr, col):
+            blk_r = pl.multiple_of((rr - row_lo) // 8 * 8, 8)
+            off_r = (rr - row_lo) - blk_r
+            blk_c = pl.multiple_of(col // LANES * LANES, LANES)
+            off_c = col - blk_c
+            tile = stripe[pl.ds(blk_r, 8), :, pl.ds(blk_c, LANES)][:, s, :]
+            hit = (srow == off_r) & (lane == off_c)
+            return jnp.max(jnp.where(hit, tile.astype(jnp.int32), 0))
+
+        def flat_byte(row_lo, r, i):
+            st_al = band(r)[0]
+            pos = r * ncolc + (i - st_al)
+            rr = pos // ncolc
+            kk = pos - rr * ncolc
+            rr_c = jnp.minimum(rr, rmax - 1)
+            st_rr, en_rr = band(rr_c)
+            live_rr = (rr < qlen + tlen - 1) & (kk < en_rr - st_rr + 1)
+            rp = jnp.maximum(rr_c - 1, 0)
+            st_rp, en_rp = band(rp)
+            live_rp = (rr > 0) & (kk + ncolc < en_rp - st_rp + 1)
+            src_r = jnp.where(live_rr, rr_c, rp)
+            src_c = jnp.where(live_rr, st_rr + kk - base_of(rr_c),
+                              st_rp + kk + ncolc - base_of(rp))
+            src_c = jnp.clip(src_c, 0, ncol - 1)
+            b = pbyte(row_lo, src_r, src_c)
+            return jnp.where(live_rr | live_rp, b, 0)
+
+        def cond(st6):
+            i, j = st6[0], st6[1]
+            return (i >= 0) & (j >= 0)
+
+        def step(st6):
+            i, j, state, k, row_lo, buf = st6
+            r = i + j
+            need = (r - 1 < row_lo) | (r + 1 >= row_lo + W_SROWS)
+            new_lo = jnp.clip(r - W_STRIPE, 0, row_max)
+
+            @pl.when(need)
+            def _():
+                fetch_stripe(new_lo)
+            row_lo = jnp.where(need, new_lo, row_lo)
+
+            st_al, en_al = band(r)
+            force = jnp.where(i < st_al, 2, jnp.where(i > en_al, 1, -1))
+            tmp = jnp.where(force >= 0, 0, flat_byte(row_lo, r, i))
+            # state machine (ksw2.h:128-136)
+            state1 = jnp.where(state == 0, tmp & 7,
+                               jnp.where((tmp >> (state + 2)) & 1, state, 0))
+            state1 = jnp.where(state1 == 0, tmp & 7, state1)
+            state1 = jnp.where(force >= 0, force, state1)
+            buf = jnp.where(oplane == k % LANES, state1, buf)
+
+            @pl.when(k % LANES == LANES - 1)
+            def _():
+                off = pl.multiple_of(k - (LANES - 1), LANES)
+                ops_ref[s:s + 1, pl.ds(off, LANES)] = buf
+            is_m = state1 == 0
+            is_del = (state1 == 1) | (state1 == 3)
+            i = jnp.where(is_m | is_del, i - 1, i)
+            j = jnp.where(is_m | ~is_del, j - 1, j)
+            return (i, j, state1, k + 1, row_lo, buf)
+
+        @pl.when(active)
+        def _walk():
+            lo0 = jnp.clip(i0 + j0 - W_STRIPE, 0, row_max)
+            fetch_stripe(lo0)
+            buf0 = jnp.zeros((1, LANES), jnp.int32)
+            i, j, _, k, _, buf = jax.lax.while_loop(
+                cond, step,
+                (i0, j0, jnp.int32(0), jnp.int32(0), lo0, buf0))
+            off = pl.multiple_of(k // LANES * LANES, LANES)
+
+            @pl.when(k % LANES != 0)
+            def _():
+                ops_ref[s:s + 1, pl.ds(off, LANES)] = buf
+            row = ez_ref[s:s + 1, :]
+            row = jnp.where(oplane == C_FIN_I, i, row)
+            row = jnp.where(oplane == C_FIN_J, j, row)
+            row = jnp.where(oplane == C_FIN_K, k, row)
+            ez_ref[s:s + 1, :] = row
+
+
 def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
-                u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
-                scal_ref, dst_ref, *, q, e, q2, e2, mat0, sc_mis, sc_n,
-                long_thres, long_diff, tws, qoff, rmax, ncol, splice=False):
+                *rest, q, e, q2, e2, mat0, sc_mis, sc_n,
+                long_thres, long_diff, tws, qoff, rmax, ncol, splice=False,
+                walk=False, opcap=0):
+    if walk:
+        (ops_ref, u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
+         scal_ref, dst_ref, stage_ref, stripe_ref, base_smem, pend_ref, wsem,
+         rsem) = rest
+    else:
+        (u_ref, v_ref, x_ref, y_ref, x2_ref, y2_ref, s_ref, h_ref,
+         scal_ref, dst_ref) = rest
     # splice mode (ksw2_exts2_sse.c): unbanded, no second insertion state,
     # x2 is the intron state driven by donor/acceptor signals (dac packs
     # donor in the low byte, acceptor in the second byte, sign-extended),
@@ -143,6 +304,8 @@ def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
         st_all = jnp.where(r < nrows, st, 0x3FFFFFFF)
         base0 = jnp.min(st_all)
         base = jnp.where(base0 == 0x3FFFFFFF, 0, base0) // LANES * LANES
+        if walk:
+            base_smem[0, r] = base   # the fused walk's per-row base lookup
         s_end = st0 + 16 * ((en0 - st0) // 16 + 1)
 
         last_st = scal_ref[:, C_LAST_ST:C_LAST_ST + 1]
@@ -429,22 +592,72 @@ def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
     r0 = pl.program_id(1) * RBLK
     done_all = jnp.all((scal_ref[:, C_DONE:C_DONE + 1] != 0) | (r0 >= nrows))
 
+    if walk:
+        # no p-write outstanding at the very start (each group's walk phase
+        # resets the flag, so only the first grid step needs this)
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _init_pend():
+            pend_ref[0, 0] = -1
+
     @pl.when(~done_all)
     def _rows():
         jax.lax.fori_loop(0, RBLK, row_body, 0)
-        for k in range(RBLK):
-            p_ref[0, k, :, :] = \
-                dst_ref[:, k * ncol:(k + 1) * ncol].astype(jnp.uint8)
+        if walk:
+            # p lives in ANY (HBM) so the fused walk can stripe-DMA it
+            # back; stage the block and write it with an ASYNC copy that is
+            # awaited just before the stage buffer's next reuse (overlaps
+            # the write DMA with the next row-block's compute)
+            prev = pend_ref[0, 0]
+
+            @pl.when(prev >= 0)
+            def _wait_prev():
+                pltpu.make_async_copy(
+                    stage_ref,
+                    p_ref.at[pl.program_id(0),
+                             pl.ds(prev * RBLK, RBLK), :, :],
+                    wsem).wait()
+            for k in range(RBLK):
+                stage_ref[k, :, :] = \
+                    dst_ref[:, k * ncol:(k + 1) * ncol].astype(jnp.uint8)
+            pltpu.make_async_copy(
+                stage_ref,
+                p_ref.at[pl.program_id(0),
+                         pl.ds(pl.program_id(1) * RBLK, RBLK), :, :],
+                wsem).start()
+            pend_ref[0, 0] = pl.program_id(1)
+        else:
+            for k in range(RBLK):
+                p_ref[0, k, :, :] = \
+                    dst_ref[:, k * ncol:(k + 1) * ncol].astype(jnp.uint8)
 
     ez_ref[:, :] = scal_ref[:, :]
+
+    if walk:
+        @pl.when(pl.program_id(1) == rmax // RBLK - 1)
+        def _walk_phase():
+            # drain the outstanding p write before reading p back
+            prev = pend_ref[0, 0]
+
+            @pl.when(prev >= 0)
+            def _drain():
+                pltpu.make_async_copy(
+                    stage_ref,
+                    p_ref.at[pl.program_id(0),
+                             pl.ds(prev * RBLK, RBLK), :, :],
+                    wsem).wait()
+            pend_ref[0, 0] = -1
+            _fused_walk(meta_ref, scal_ref, ez_ref, ops_ref, p_ref,
+                        stripe_ref, base_smem, rsem, rmax=rmax, ncol=ncol,
+                        opcap=opcap, splice=splice)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "q", "e", "q2", "e2", "mat0", "sc_mis", "sc_n", "long_thres",
-    "long_diff", "tws", "qoff", "rmax", "ncol", "splice", "interpret"))
+    "long_diff", "tws", "qoff", "rmax", "ncol", "splice", "walk",
+    "interpret"))
 def _ksw_call(sf, qr, dac, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n,
               long_thres, long_diff, tws, qoff, rmax, ncol, splice=False,
-              interpret=False):
+              walk=False, interpret=False):
     # narrow dtypes cross the link; widen on device (sf/qr are bases 0..4,
     # dac packs two int8 signals)
     sf = sf.astype(jnp.int32)
@@ -452,44 +665,80 @@ def _ksw_call(sf, qr, dac, meta, *, q, e, q2, e2, mat0, sc_mis, sc_n,
     dac = dac.astype(jnp.int32)
     R = sf.shape[0]
     grid = (R // SUBL, rmax // RBLK)
+    opcap = (rmax + 2 * LANES + LANES - 1) // LANES * LANES
     kern = functools.partial(
         _ksw_kernel, q=q, e=e, q2=q2, e2=e2, mat0=mat0, sc_mis=sc_mis,
         sc_n=sc_n, long_thres=long_thres, long_diff=long_diff, tws=tws,
-        qoff=qoff, rmax=rmax, ncol=ncol, splice=splice)
+        qoff=qoff, rmax=rmax, ncol=ncol, splice=splice, walk=walk,
+        opcap=opcap)
     if interpret:
         # the Mosaic-TPU interpreter (the plain HLO interpreter lacks
         # program_id on the cpu backend)
         interpret = pltpu.InterpretParams()
-    p, ez = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUBL, qr.shape[1]), lambda g, rb: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((SUBL, tws), jnp.int32) for _ in range(8)] + \
+              [pltpu.VMEM((SUBL, LANES), jnp.int32),
+               pltpu.VMEM((SUBL, RBLK * ncol), jnp.int32)]
+    if not walk:
+        p, ez = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, RBLK, SUBL, ncol),
+                             lambda g, rb: (g, rb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((R // SUBL, rmax, SUBL, ncol),
+                                     jnp.uint8),
+                jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(sf, qr, dac, meta)
+        return p, ez
+    # fused-walk mode: p stays in ANY (HBM, never fetched); the kernel also
+    # emits the walk's step codes per job (fin coords land in ez columns
+    # C_FIN_*) — one dispatch and one small fetch per bucket
+    p, ez, ops = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBL, qr.shape[1]), lambda g, rb: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBL, tws), lambda g, rb: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, RBLK, SUBL, ncol), lambda g, rb: (g, rb, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((SUBL, LANES), lambda g, rb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBL, opcap), lambda g, rb: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R // SUBL, rmax, SUBL, ncol), jnp.uint8),
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, opcap), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((SUBL, tws), jnp.int32)
-                        for _ in range(8)] +
-                       [pltpu.VMEM((SUBL, LANES), jnp.int32),
-                        pltpu.VMEM((SUBL, RBLK * ncol), jnp.int32)],
+        scratch_shapes=scratch + [
+            pltpu.VMEM((RBLK, SUBL, ncol), jnp.uint8),      # p write stage
+            pltpu.VMEM((W_SROWS, SUBL, ncol), jnp.uint8),   # walk stripe
+            pltpu.SMEM((1, rmax), jnp.int32),               # per-row base
+            pltpu.SMEM((1, 1), jnp.int32),                  # pending p write
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(sf, qr, dac, meta)
-    return p, ez
+    return p, ez, ops
 
 
 def _p_flat_c_layout(p_rows, base, st, en, nrows, n_col):
@@ -583,6 +832,30 @@ def _ez_from_row(ez_row) -> "K.Ez":
     return res
 
 
+def _decode_walk(jobs, out, ez_h, ops_h, *, splice, long_thres):
+    """Host decode of the fused walk's step codes: mirrors the kernel's
+    walk-start decision (same ez inputs, so deterministic agreement), then
+    run-length encodes the codes into each ez.cigar."""
+    from .ksw2_backtrack import decode_cigar
+    for j, (job, res) in enumerate(zip(jobs, out)):
+        flag = job["flag"]
+        if flag & K.KSW_EZ_SCORE_ONLY:
+            continue
+        if not splice and not res.zdropped and (flag & K.KSW_EZ_EXTZ_ONLY) \
+                and res.mqe + job["end_bonus"] > res.max:
+            res.reach_end = 1
+        elif not res.zdropped and not (flag & K.KSW_EZ_EXTZ_ONLY):
+            pass
+        elif res.max_t >= 0 and res.max_q >= 0:
+            pass
+        else:
+            continue
+        rev = bool(flag & K.KSW_EZ_REV_CIGAR)
+        res.cigar = decode_cigar(
+            ops_h[j], int(ez_h[j, C_FIN_K]), int(ez_h[j, C_FIN_I]),
+            int(ez_h[j, C_FIN_J]), rev, long_thres if splice else 0)
+
+
 def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
                 backtrack="host"):
     """Device-batched ksw_extd2 (synchronous driver of the staged form)."""
@@ -634,6 +907,7 @@ def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
     qr = np.zeros((R, qoff + tws + LANES), dtype=np.int8)
     meta = np.zeros((R, LANES), dtype=np.int32)
     meta[:, M_QLEN] = 1  # keep padded rows harmless (nrows = 1)
+    meta[:, M_SCONLY] = 1  # padded rows never walk
     for j, job in enumerate(jobs):
         qs, ts = job["qseq"], job["tseq"]
         sf[j, :len(ts)] = ts
@@ -646,28 +920,33 @@ def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
         meta[j, M_RIGHT] = 1 if flag & K.KSW_EZ_RIGHT else 0
         meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
         meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
+        meta[j, M_EXTZ] = 1 if flag & K.KSW_EZ_EXTZ_ONLY else 0
+        meta[j, M_SCONLY] = 1 if flag & K.KSW_EZ_SCORE_ONLY else 0
+        meta[j, M_ENDB] = job["end_bonus"]
 
     dac = np.zeros((R, tws), dtype=np.int16)
-    p, ez = _ksw_call(
+    walk = backtrack == "device"
+    res_call = _ksw_call(
         jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(dac), jnp.asarray(meta),
         q=q, e=e, q2=q2, e2=e2, mat0=int(mat[0]),
         sc_mis=int(np.int8(mat[1])), sc_n=-e2,
         long_thres=int(long_thres), long_diff=int(long_diff),
-        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, interpret=interpret)
+        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, walk=walk,
+        interpret=interpret)
 
     def collect_ez():
+        if walk:
+            # single fetch cycle: ez (with fin coords) + step codes; the p
+            # matrix never leaves the device
+            _, ez, ops = res_call
+            ez_h = np.asarray(ez)
+            ops_h = np.asarray(ops)
+            out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
+            _decode_walk(jobs, out, ez_h, ops_h, splice=False, long_thres=0)
+            return lambda: out
+        p, ez = res_call
         ez_h = np.asarray(ez)
         out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
-        if backtrack == "device":
-            from .ksw2_backtrack import device_backtrack_dispatch
-            fin = device_backtrack_dispatch(p, jobs, out, geom, splice=False,
-                                            long_thres=0, interpret=interpret)
-
-            def collect_bt():
-                if fin is not None:
-                    fin()
-                return out
-            return collect_bt
         p_h = None
         if any(not (job["flag"] & K.KSW_EZ_SCORE_ONLY) for job in jobs):
             p_h = np.asarray(p)   # big: only pull when a cigar is needed
@@ -743,6 +1022,7 @@ def exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=False,
     dac = np.zeros((R, tws), dtype=np.int16)
     meta = np.zeros((R, LANES), dtype=np.int32)
     meta[:, M_QLEN] = 1
+    meta[:, M_SCONLY] = 1  # padded rows never walk
     for j, job in enumerate(jobs):
         qs, ts = job["qseq"], job["tseq"]
         sf[j, :len(ts)] = ts
@@ -758,29 +1038,30 @@ def exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=False,
         meta[j, M_RIGHT] = 1 if flag & K.KSW_EZ_RIGHT else 0
         meta[j, M_APPROX] = 1 if flag & K.KSW_EZ_APPROX_MAX else 0
         meta[j, M_ADROP] = 1 if flag & K.KSW_EZ_APPROX_DROP else 0
+        meta[j, M_EXTZ] = 1 if flag & K.KSW_EZ_EXTZ_ONLY else 0
+        meta[j, M_SCONLY] = 1 if flag & K.KSW_EZ_SCORE_ONLY else 0
 
-    p, ez = _ksw_call(
+    walk = backtrack == "device"
+    res_call = _ksw_call(
         jnp.asarray(sf), jnp.asarray(qr), jnp.asarray(dac),
         jnp.asarray(meta), q=q, e=e, q2=q2, e2=0, mat0=int(mat[0]),
         sc_mis=int(np.int8(mat[1])), sc_n=-e,
         long_thres=int(long_thres), long_diff=int(long_diff),
-        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, splice=True,
+        tws=tws, qoff=qoff, rmax=rmax, ncol=ncol, splice=True, walk=walk,
         interpret=interpret)
 
     def collect_ez():
+        if walk:
+            _, ez, ops = res_call
+            ez_h = np.asarray(ez)
+            ops_h = np.asarray(ops)
+            out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
+            _decode_walk(jobs, out, ez_h, ops_h, splice=True,
+                         long_thres=int(long_thres))
+            return lambda: out
+        p, ez = res_call
         ez_h = np.asarray(ez)
         out = [_ez_from_row(ez_h[j]) for j in range(len(jobs))]
-        if backtrack == "device":
-            from .ksw2_backtrack import device_backtrack_dispatch
-            fin = device_backtrack_dispatch(p, jobs, out, geom, splice=True,
-                                            long_thres=int(long_thres),
-                                            interpret=interpret)
-
-            def collect_bt():
-                if fin is not None:
-                    fin()
-                return out
-            return collect_bt
         p_h = None
         if any(not (job["flag"] & K.KSW_EZ_SCORE_ONLY) for job in jobs):
             p_h = np.asarray(p)   # big: only pull when a cigar is needed
