@@ -265,7 +265,11 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
 def main(argv=None) -> int:
     from .utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    from .utils import mlog
+    mlog.reset_timer()
     ns = build_parser().parse_args(argv)
+    # the reference CLI runs at mm_verbose=3 unless -v overrides (main.c:304)
+    mlog.set_verbose(3 if ns.verbose is None else ns.verbose)
     io, mo = set_opt(None)
     if ns.preset:
         set_opt(ns.preset, io, mo)
@@ -331,11 +335,29 @@ def main(argv=None) -> int:
         mi = cur
         cur = next(parts, None)
         part_no += 1
+        mlog.mlog("main", f"loaded/built the index for {mi.n_seq} "
+                  "target sequence(s)")
+        if ns.query:
+            mo.update(mi)
+            mlog.mlog("mm_mapopt_update", f"mid_occ = {mo.mid_occ}")
+        if mlog.verbose >= 3:
+            # index stats at -v 3+ (reference mm_idx_stat, index.c:240-265)
+            st = mi.stat()
+            n = st["distinct_minimizers"]
+            sum_occ = n * st["avg_occurrences"]
+            mlog.mlog_plain(
+                "mm_idx_stat", f"kmer size: {mi.k}; skip: {mi.w}; "
+                f"is_hpc: {1 if mi.is_hpc else 0}; #seq: {mi.n_seq}")
+            mlog.mlog(
+                "mm_idx_stat", f"distinct minimizers: {n} "
+                f"({100.0 * st['singleton_frac']:.2f}% are singletons); "
+                f"average occurrences: {st['avg_occurrences']:.3f}; "
+                f"average spacing: "
+                f"{(st['total_bases'] / sum_occ) if sum_occ else 0.0:.3f}")
         if ns.dump_index:
             dump_index(mi, ns.dump_index)
             if not ns.query:
                 return 0
-        mo.update(mi)
 
         use_device = ns.device == "tpu"
         if ns.device == "auto":
@@ -370,23 +392,38 @@ def main(argv=None) -> int:
                         print(f"QR\t{frag.segs[0].name}", file=sys.stderr)
                     yield b
             batches = _announce(batches)
+        from collections import deque
+        stash: deque = deque()
+
+        def _tee(bs):
+            for b in bs:
+                stash.append(b)
+                yield b
+
         if runtime is not None:
             # threaded 2-batch pipeline: batch k+1 maps while batch k's
             # device results are awaited / its text is written
-            for batch_lines in runtime.map_stream(batches):
+            for batch_lines in runtime.map_stream(_tee(batches)):
                 for lines in batch_lines:
                     for line in lines:
                         print(line, file=out)
+                b = stash.popleft()
+                mlog.mlog("worker_pipeline",
+                          f"mapped {sum(len(f.segs) for f in b)} sequences")
         else:
             for batch in batches:
                 for frag in batch:
                     for line in map_fragment_output(mi, mo, frag.segs,
                                                     rg_id):
                         print(line, file=out)
+                mlog.mlog("worker_pipeline",
+                          f"mapped {sum(len(f.segs) for f in batch)} "
+                          "sequences")
         if runtime is not None:
             # per-stage telemetry at exit, like the reference's perf
             # counters (main.c:629-663)
             runtime.timers.report()
+    mlog.banner("2.10-r761", argv if argv is not None else sys.argv[1:])
     return 0
 
 

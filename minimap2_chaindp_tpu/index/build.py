@@ -114,6 +114,8 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         if len(s) > 0:
             mvs.append(sketch(s, w, k, rid, bool(flag & 1)))
     mv = np.concatenate(mvs, axis=0) if mvs else np.empty((0, 2), dtype=np.uint64)
+    from ..utils.mlog import mlog
+    mlog("mm_idx_gen", "collected minimizers")
     if len(mv):
         key = mv[:, 0] >> np.uint64(8)
         val = mv[:, 1]
@@ -123,6 +125,7 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         mi.keys = uniq
         mi.starts = np.concatenate([starts, [len(val)]]).astype(np.int64)
         mi.values = val
+    mlog("mm_idx_gen", "sorted minimizers")
     # lexicographic name ranks (ava-mode ordering, index.c:560-592)
     order = sorted(range(len(names)), key=lambda i: names[i])
     mi.sorted_names = [names[i] for i in order]
