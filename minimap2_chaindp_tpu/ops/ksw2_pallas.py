@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import ksw2 as K
 
 LANES = 128
-SUBL = 8
+SUBL = 16
 RBLK = 8           # diagonals per grid step
 NEG = -0x80000000
 KSW_NEG_INF = K.KSW_NEG_INF
