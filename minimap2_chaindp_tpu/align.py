@@ -272,13 +272,15 @@ def adjust_minier(mi, qseq0, ax: int, ay: int) -> tuple[int, int]:
 
 
 def filter_bad_seeds(as1, cnt1, a, min_gap, diff_thres, max_ext_len, max_ext_cnt):
-    """Mark unbalanced-gap seeds MM_SEED_IGNORE (reference align.c:271-315)."""
-    gaps = []
-    for i in range(1, cnt1):
-        gap = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
-              (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
-        if gap < -min_gap or gap > min_gap:
-            gaps.append(i)
+    """Mark unbalanced-gap seeds MM_SEED_IGNORE (reference align.c:271-315).
+    The per-anchor gap scan is vectorized (low-32 signed coordinate
+    differences equal the reference's within a chain, where the high words
+    are constant and per-sequence positions stay below 2^31)."""
+    xs = a[as1:as1 + cnt1, 0].astype(np.uint32).astype(np.int64)
+    ys = a[as1:as1 + cnt1, 1].astype(np.uint32).astype(np.int64)
+    gap_arr = np.diff(ys) - np.diff(xs)
+    gaps = (np.nonzero((gap_arr < -min_gap) | (gap_arr > min_gap))[0]
+            + 1).tolist()
     n = len(gaps)
     if n <= 1:
         return
@@ -294,20 +296,19 @@ def filter_bad_seeds(as1, cnt1, a, min_gap, diff_thres, max_ext_len, max_ext_cnt
             if k == n:
                 break
         i = Karr[k]
-        gap = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
-              (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
+        gap = int(gap_arr[i - 1])
         n_ins = gap if gap > 0 else 0
         n_del = -gap if gap <= 0 else 0
-        qs = _i32(a[as1 + i - 1, 1])
-        rs = _i32(a[as1 + i - 1, 0])
+        qs = int(np.int32(ys[i - 1]))
+        rs = int(np.int32(xs[i - 1]))
         max_diff, max_diff_l = 0, -1
         l = k + 1
         while l < n and l <= k + max_ext_cnt:
             j = Karr[l]
-            if _i32(a[as1 + j, 1]) - qs > max_ext_len or _i32(a[as1 + j, 0]) - rs > max_ext_len:
+            if int(np.int32(ys[j])) - qs > max_ext_len \
+                    or int(np.int32(xs[j])) - rs > max_ext_len:
                 break
-            gap = (_i32(a[as1 + j, 1]) - _i32(a[as1 + j - 1, 1])) - \
-                  (int(a[as1 + j, 0]) - int(a[as1 + j - 1, 0]))
+            gap = int(gap_arr[j - 1])
             if gap > 0:
                 n_ins += gap
             else:
@@ -473,6 +474,20 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
     dropped = 0
     extra_flag = 0
 
+    # precomputed anchor fields (the per-anchor _i32 scans dominate the
+    # host generator at large batch sizes)
+    ax_lo = a[:, 0].astype(np.uint32).astype(np.int32)
+    ay_lo = a[:, 1].astype(np.uint32).astype(np.int32)
+    span_a = ((a[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    if mi.flag & C.MM_I_HPC:
+        def adj(i_):
+            return adjust_minier(mi, qseq0, int(a[i_, 0]), int(a[i_, 1]))
+    else:
+        _kh = mi.k >> 1
+
+        def adj(i_):
+            return int(ax_lo[i_]) - _kh, int(ay_lo[i_]) - _kh
+
     if is_sr and not (mi.flag & C.MM_I_HPC):
         as1, cnt1 = max_stretch(r, a)
         rs = _i32(a[as1, 0]) + 1 - _span(a[as1, 1])
@@ -485,8 +500,8 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
         else:
             as1, cnt1 = fix_bad_ends(r, a, opt.bw, opt.min_chain_score * 2)
         filter_bad_seeds(as1, cnt1, a, 10, 40, opt.max_gap >> 1, 10)
-        rs, qs = adjust_minier(mi, qseq0, int(a[as1, 0]), int(a[as1, 1]))
-        re, qe = adjust_minier(mi, qseq0, int(a[as1 + cnt1 - 1, 0]), int(a[as1 + cnt1 - 1, 1]))
+        rs, qs = adj(as1)
+        re, qe = adj(as1 + cnt1 - 1)
     assert cnt1 > 0
 
     if is_splice:
@@ -513,19 +528,20 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
             rs0 = 0
         assert qs0 >= 0
         rs1 = qs1 = 0
-        l = 0
-        i = r.as_ - 1
         hi32 = int(a[r.as_, 0]) >> 32
-        while i >= 0 and (int(a[i, 0]) >> 32) == hi32:
-            x = _i32(a[i, 0]) + 1 - _span(a[i, 1])
-            y = _i32(a[i, 1]) + 1 - _span(a[i, 1])
-            if x < rs0 and y < qs0:
-                l += 1
-                if l > opt.min_cnt:
-                    l = max(rs0 - x, qs0 - y)
-                    rs1, qs1 = rs0 - l, qs0 - l
-                    break
-            i -= 1
+        # backward scan for the (min_cnt+1)-th colinear predecessor in the
+        # same target block — vectorized over the contiguous hi32 run
+        hi_a = a[:, 0] >> np.uint64(32)
+        blk_lo = int(np.searchsorted(hi_a, np.uint64(hi32), side="left"))
+        if blk_lo < r.as_:
+            seg = slice(blk_lo, r.as_)
+            xs_s = ax_lo[seg].astype(np.int64) + 1 - span_a[seg]
+            ys_s = ay_lo[seg].astype(np.int64) + 1 - span_a[seg]
+            hits = np.nonzero((xs_s < rs0) & (ys_s < qs0))[0]
+            if len(hits) > opt.min_cnt:
+                h = hits[-(opt.min_cnt + 1)]
+                l = max(rs0 - int(xs_s[h]), qs0 - int(ys_s[h]))
+                rs1, qs1 = rs0 - l, qs0 - l
         if qs > 0 and rs > 0:
             l = min(qs, opt.max_gap)
             qs1 = max(qs1, qs - l)
@@ -540,18 +556,18 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
         re0 = _i32(a[r.as_ + r.cnt - 1, 0]) + 1
         qe0 = _i32(a[r.as_ + r.cnt - 1, 1]) + 1
         re1, qe1 = tlen_rid, qlen
-        l = 0
-        i = r.as_ + r.cnt
-        while i < n_a and (int(a[i, 0]) >> 32) == hi32:
-            x = _i32(a[i, 0]) + 1
-            y = _i32(a[i, 1]) + 1
-            if x > re0 and y > qe0:
-                l += 1
-                if l > opt.min_cnt:
-                    l = max(x - re0, y - qe0)
-                    re1, qe1 = re0 + l, qe0 + l
-                    break
-            i += 1
+        blk_hi = int(np.searchsorted(hi_a, np.uint64(hi32), side="right"))
+        blk_hi = min(blk_hi, n_a)
+        i0_f = r.as_ + r.cnt
+        if i0_f < blk_hi:
+            seg = slice(i0_f, blk_hi)
+            xs_s = ax_lo[seg].astype(np.int64) + 1
+            ys_s = ay_lo[seg].astype(np.int64) + 1
+            hits = np.nonzero((xs_s > re0) & (ys_s > qe0))[0]
+            if len(hits) > opt.min_cnt:
+                h = hits[opt.min_cnt]
+                l = max(int(xs_s[h]) - re0, int(ys_s[h]) - qe0)
+                re1, qe1 = re0 + l, qe0 + l
         if qe < qlen and re < tlen_rid:
             l = min(qlen - qe, opt.max_gap)
             qe1 = min(qe1, qe + l)
@@ -599,9 +615,9 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
             i += 1
             continue
         if is_sr and not (mi.flag & C.MM_I_HPC):
-            re_c, qe_c = _i32(a[as1 + i, 0]) + 1, _i32(a[as1 + i, 1]) + 1
+            re_c, qe_c = int(ax_lo[as1 + i]) + 1, int(ay_lo[as1 + i]) + 1
         else:
-            re_c, qe_c = adjust_minier(mi, qseq0, int(a[as1 + i, 0]), ay_i)
+            re_c, qe_c = adj(as1 + i)
         if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
            (qe_c - qs_c >= opt.min_ksw_len and re_c - rs_c >= opt.min_ksw_len):
             if not is_sr:
@@ -643,10 +659,10 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
             i += 1
             continue
         if is_sr and not (mi.flag & C.MM_I_HPC):
-            re = _i32(a[as1 + i, 0]) + 1
-            qe = _i32(a[as1 + i, 1]) + 1
+            re = int(ax_lo[as1 + i]) + 1
+            qe = int(ay_lo[as1 + i]) + 1
         else:
-            re, qe = adjust_minier(mi, qseq0, int(a[as1 + i, 0]), ay_i)
+            re, qe = adj(as1 + i)
         re1, qe1 = re, qe
         if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
            (qe - qs >= opt.min_ksw_len and re - rs >= opt.min_ksw_len):
