@@ -267,6 +267,13 @@ def main(argv=None) -> int:
     enable_persistent_cache()
     from .utils import mlog
     mlog.reset_timer()
+    if argv is None:
+        argv = sys.argv[1:]
+    argv_disp = list(argv)
+    # getopt_long optional_argument semantics: a bare --cs must NOT consume
+    # the next token (only --cs=long attaches a value); argparse's nargs="?"
+    # would swallow the reference FASTA otherwise
+    argv = ["--cs=short" if a == "--cs" else a for a in argv]
     ns = build_parser().parse_args(argv)
     # the reference CLI runs at mm_verbose=3 unless -v overrides (main.c:304)
     mlog.set_verbose(3 if ns.verbose is None else ns.verbose)
@@ -373,8 +380,7 @@ def main(argv=None) -> int:
             runtime = None
 
         if (mo.flag & C.MM_F_OUT_SAM) and part_no == 1:
-            cmdline = "mm2tpu " + " ".join(argv if argv is not None
-                                           else sys.argv[1:])
+            cmdline = "mm2tpu " + " ".join(argv_disp)
             is_multi = cur is not None
             if is_multi:
                 print("[WARNING] For a multi-part index, no @SQ lines will "
@@ -423,7 +429,7 @@ def main(argv=None) -> int:
             # per-stage telemetry at exit, like the reference's perf
             # counters (main.c:629-663)
             runtime.timers.report()
-    mlog.banner("2.10-r761", argv if argv is not None else sys.argv[1:])
+    mlog.banner("2.10-r761", argv_disp)
     return 0
 
 

@@ -112,3 +112,17 @@ def test_cli_flag_parity_X_and_M(tmp_path):
          "--device", "host", qinv, qinv],
         capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
     assert out.stdout == ref.stdout
+
+
+def test_cli_bare_cs_does_not_eat_positionals():
+    """getopt_long optional_argument semantics: a bare --cs must not consume
+    the following target path (main.c:42-82 '--cs' optional arg)."""
+    from minimap2_chaindp_tpu.cli import build_parser
+    import minimap2_chaindp_tpu.cli as cli_mod
+    argv = ["-c", "--cs", "t.fa", "q.fa"]
+    argv = ["--cs=short" if a == "--cs" else a for a in argv]  # main()'s rewrite
+    ns = build_parser().parse_args(argv)
+    assert ns.cs == "short"
+    assert ns.target == "t.fa" and ns.query == ["q.fa"]
+    ns2 = build_parser().parse_args(["--cs=long", "t.fa", "q.fa"])
+    assert ns2.cs == "long" and ns2.target == "t.fa"
