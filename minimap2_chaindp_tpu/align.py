@@ -327,6 +327,10 @@ def fix_bad_ends(r: Region, a, bw, min_match) -> tuple[int, int]:
     as_, cnt = r.as_, r.cnt
     if r.cnt < 3:
         return as_, cnt
+    from .native import fix_bad_ends_native
+    res = fix_bad_ends_native(a, r.as_, r.cnt, r.mlen, bw, min_match)
+    if res is not None:
+        return res
     m = l = _span(a[r.as_, 1])
     for i in range(r.as_ + 1, r.as_ + r.cnt - 1):
         q_span = _span(a[i, 1])

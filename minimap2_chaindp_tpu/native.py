@@ -96,6 +96,20 @@ def load_align():
         lib.mm2tpu_cal_fuzzy_len.restype = None
         lib.mm2tpu_cal_fuzzy_len.argtypes = [
             _vp, _c.c_int64, _c.c_int64, _vp]
+        lib.mm2tpu_fix_bad_ends.restype = None
+        lib.mm2tpu_fix_bad_ends.argtypes = [
+            _vp, _c.c_int64, _c.c_int64, _c.c_int64, _c.c_int64,
+            _c.c_int64, _vp]
+        lib.mm2tpu_decode_cigar.restype = _c.c_int64
+        lib.mm2tpu_decode_cigar.argtypes = [
+            _vp, _c.c_int64, _c.c_int64, _c.c_int64, _c.c_int32,
+            _c.c_int32, _vp]
+        lib.mm2tpu_collect_seeds.restype = _c.c_void_p
+        lib.mm2tpu_collect_seeds.argtypes = [
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp, _vp,
+            _c.c_int64, _c.c_int64, _c.c_int32, _vp]
+        lib.mm2tpu_collect_take.restype = None
+        lib.mm2tpu_collect_take.argtypes = [_c.c_void_p, _vp, _vp]
         _al_lib = lib
     except Exception:
         _al_lib = None
@@ -163,6 +177,49 @@ def cal_fuzzy_len_native(a, as_, cnt):
     out = np.zeros(2, dtype=np.int64)
     lib.mm2tpu_cal_fuzzy_len(_np_ptr(a, _pu64), as_, cnt, _np_ptr(out, _p64))
     return int(out[0]), int(out[1])
+
+
+def fix_bad_ends_native(a, as_, cnt, mlen, bw, min_match):
+    """Native mm_fix_bad_ends scan. Returns (as, cnt) or None."""
+    lib = load_align()
+    if lib is None or not a.flags.c_contiguous:
+        return None
+    out = np.zeros(2, dtype=np.int64)
+    lib.mm2tpu_fix_bad_ends(_np_ptr(a), as_, cnt, mlen, bw, min_match,
+                            _np_ptr(out))
+    return int(out[0]), int(out[1])
+
+
+def decode_cigar_native(ops, n_ops, fin_i, fin_j, is_rev, min_intron_len):
+    """Native walker-step-code RLE into a CIGAR list, or None."""
+    lib = load_align()
+    if lib is None:
+        return None
+    o = np.ascontiguousarray(ops[:n_ops], dtype=np.int8)
+    out = np.empty(n_ops + 2, dtype=np.uint32)
+    n = lib.mm2tpu_decode_cigar(_np_ptr(o), n_ops, fin_i, fin_j,
+                                1 if is_rev else 0, min_intron_len,
+                                _np_ptr(out))
+    return out[:n].tolist()
+
+
+def collect_seeds_native(mi, max_occ, mv, qlen_sum, skip_mode):
+    """Native seed-hit collection over the CSR index tables (non-ava path).
+    Returns (anchors(n,2) u64 sorted by x, rep_len, mini_pos) or None."""
+    lib = load_align()
+    if lib is None:
+        return None
+    mva = np.ascontiguousarray(mv, dtype=np.uint64)
+    sizes = np.zeros(3, dtype=np.int64)
+    h = lib.mm2tpu_collect_seeds(
+        _np_ptr(mva), len(mva), _np_ptr(mi.keys), len(mi.keys),
+        _np_ptr(mi.starts), _np_ptr(mi.values), max_occ, qlen_sum,
+        skip_mode, _np_ptr(sizes))
+    anchors = np.empty((int(sizes[0]), 2), dtype=np.uint64)
+    mini = np.empty(int(sizes[1]), dtype=np.uint64)
+    lib.mm2tpu_collect_take(ctypes.c_void_p(h), _np_ptr(anchors),
+                            _np_ptr(mini))
+    return anchors, int(sizes[2]), mini
 
 
 _SK_SRC = os.path.join(_ROOT, "native", "sketch.cc")

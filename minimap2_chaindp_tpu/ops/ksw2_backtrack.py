@@ -24,6 +24,12 @@ def decode_cigar(ops, n_ops, fin_i, fin_j, is_rev, min_intron_len=0):
     (tail + reverse conventions of ksw_backtrack, ksw2.h:137-150);
     vectorized — the walks are thousands of steps per job."""
     from .ksw2 import _push_cigar
+    if n_ops:
+        from ..native import decode_cigar_native
+        res = decode_cigar_native(ops, n_ops, fin_i, fin_j, is_rev,
+                                  min_intron_len)
+        if res is not None:
+            return res
     cigar: list[int] = []
     if n_ops:
         st = ops[:n_ops].astype(np.int64)

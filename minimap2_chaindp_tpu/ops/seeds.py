@@ -58,6 +58,17 @@ def collect_seed_hits(mi, flag: int, max_occ: int, mv: np.ndarray,
     if n == 0:
         return SeedHits(np.empty((0, 2), dtype=np.uint64), 0,
                         np.empty(0, dtype=np.uint64))
+    if not (flag & C.MM_F_NO_DIAG):
+        # non-ava fast path: the whole collect runs natively (the ava
+        # name-compare / self-diagonal modes stay in the numpy path below)
+        from .. import native
+        skip_mode = ((1 if flag & C.MM_F_FOR_ONLY else 0)
+                     | (2 if flag & C.MM_F_REV_ONLY else 0))
+        res = native.collect_seeds_native(mi, max_occ, mv, qlen_sum,
+                                          skip_mode)
+        if res is not None:
+            anchors, rep_len, mini_pos = res
+            return SeedHits(anchors, rep_len, mini_pos)
     key = mv[:, 0] >> np.uint64(8)
     q_span = (mv[:, 0] & np.uint64(0xFF)).astype(np.int64)
     q_pos = (mv[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.int64)

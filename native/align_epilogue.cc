@@ -10,6 +10,9 @@
 // sizes. C ABI via ctypes (no pybind11 in this image).
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -167,6 +170,159 @@ void mm2tpu_cal_fuzzy_len(
         }
     }
     out[0] = mlen; out[1] = blen;
+}
+
+// ---- mm_fix_bad_ends (align.c:317-351): trim sloppy chain ends.
+// a is the interleaved (n, 2) anchor array. out[2] = {as, cnt}.
+void mm2tpu_fix_bad_ends(
+    const uint64_t* a, int64_t r_as, int64_t r_cnt, int64_t r_mlen,
+    int64_t bw, int64_t min_match, int64_t* out)
+{
+    int64_t as = r_as, cnt = r_cnt;
+    if (r_cnt < 3) { out[0] = as; out[1] = cnt; return; }
+    auto span = [&](int64_t i) { return (int64_t)((a[2*i+1] >> 32) & 0xFF); };
+    auto xi = [&](int64_t i) { return (int64_t)(int32_t)(uint32_t)a[2*i]; };
+    auto yi = [&](int64_t i) { return (int64_t)(int32_t)(uint32_t)a[2*i+1]; };
+    const uint64_t LJ = 1ULL << 40;  // MM_SEED_LONG_JOIN
+    int64_t m, l;
+    m = l = span(r_as);
+    for (int64_t i = r_as + 1; i < r_as + r_cnt - 1; ++i) {
+        int64_t q_span = span(i);
+        if (a[2*i+1] & LJ) break;
+        int64_t lr = xi(i) - xi(i-1), lq = yi(i) - yi(i-1);
+        int64_t mn = lr < lq ? lr : lq, mx = lr > lq ? lr : lq;
+        if (mx - mn > (l >> 1)) as = i;
+        l += mn;
+        m += mn < q_span ? mn : q_span;
+        if (l >= bw << 1 || (m >= min_match && m >= bw) || m >= (r_mlen >> 1))
+            break;
+    }
+    cnt = r_as + r_cnt - as;
+    m = l = span(r_as + r_cnt - 1);
+    for (int64_t i = r_as + r_cnt - 2; i > as; --i) {
+        int64_t q_span = span(i + 1);
+        if (a[2*(i+1)+1] & LJ) break;
+        int64_t lr = xi(i+1) - xi(i), lq = yi(i+1) - yi(i);
+        int64_t mn = lr < lq ? lr : lq, mx = lr > lq ? lr : lq;
+        if (mx - mn > (l >> 1)) cnt = i + 1 - as;
+        l += mn;
+        m += mn < q_span ? mn : q_span;
+        if (l >= bw << 1 || (m >= min_match && m >= bw) || m >= (r_mlen >> 1))
+            break;
+    }
+    out[0] = as; out[1] = cnt;
+}
+
+// ---- RLE of the on-chip walker's step codes into a CIGAR, with the
+// ksw_backtrack tail/reverse conventions (ksw2.h:137-150); mirrors
+// ops/ksw2_backtrack.decode_cigar.  out needs capacity n_ops + 2.
+int64_t mm2tpu_decode_cigar(
+    const int8_t* ops, int64_t n_ops, int64_t fin_i, int64_t fin_j,
+    int32_t is_rev, int32_t min_intron_len, uint32_t* out)
+{
+    int64_t n = 0;
+    auto push = [&](int op, int64_t len) {
+        if (n && (int)(out[n-1] & 0xF) == op) out[n-1] += (uint32_t)(len << 4);
+        else out[n++] = (uint32_t)(len << 4 | op);
+    };
+    auto op_of = [&](int st) {
+        return st == 0 ? 0 : st == 2 ? 1 : st == 1 ? 2
+             : (min_intron_len > 0 ? 3 : 2);
+    };
+    for (int64_t k = 0; k < n_ops; ) {
+        int op = op_of(ops[k]);
+        int64_t k2 = k + 1;
+        while (k2 < n_ops && op_of(ops[k2]) == op) ++k2;
+        push(op, k2 - k);
+        k = k2;
+    }
+    if (fin_i >= 0)
+        push((min_intron_len > 0 && fin_i >= min_intron_len) ? 3 : 2,
+             fin_i + 1);
+    if (fin_j >= 0) push(1, fin_j + 1);
+    if (!is_rev) std::reverse(out, out + n);
+    return n;
+}
+
+// ---- seed-hit collection (map.c:112-236 collect_matches/collect_seed_hits)
+// over the CSR index tables (keys/starts/values), non-ava path only (the
+// NO_DIAG name-compare modes stay in Python).  Handle pattern: the first
+// call computes everything and returns sizes; _take copies out and frees.
+struct Mm2tpuCollectOut {
+    std::vector<std::pair<uint64_t, uint64_t>> rows;  // (x, y) anchors
+    std::vector<uint64_t> mini_pos;
+};
+
+void* mm2tpu_collect_seeds(
+    const uint64_t* mv, int64_t n_mv,
+    const uint64_t* keys, int64_t n_keys,
+    const int64_t* starts, const uint64_t* values,
+    int64_t max_occ, int64_t qlen_sum, int32_t skip_mode,
+    int64_t* out_sizes /*3: n_anchors, n_mini, rep_len*/)
+{
+    auto* res = new Mm2tpuCollectOut();
+    int64_t rep_len = 0, rep_st = 0, rep_en = 0;
+    for (int64_t i = 0; i < n_mv; ++i) {
+        uint64_t x = mv[2*i], y = mv[2*i+1];
+        uint64_t key = x >> 8;
+        int64_t q_span = (int64_t)(x & 0xFF);
+        int64_t q_pos = (int64_t)(uint32_t)y;
+        uint64_t seg = y >> 32;
+        int64_t lo = 0, hi = n_keys;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (keys[mid] < key) lo = mid + 1; else hi = mid;
+        }
+        bool found = lo < n_keys && keys[lo] == key;
+        int64_t cnt = found ? starts[lo+1] - starts[lo] : 0;
+        if (cnt >= max_occ) {  // over-occurring: rep_len interval merge
+            int64_t en = (q_pos >> 1) + 1, st = en - q_span;
+            if (st > rep_en) { rep_len += rep_en - rep_st; rep_st = st; rep_en = en; }
+            else rep_en = en;
+            continue;
+        }
+        res->mini_pos.push_back((uint64_t)(q_pos >> 1)
+                                | ((uint64_t)q_span << 32));
+        if (!found) continue;
+        bool tnd = (i > 0 && (mv[2*(i-1)] >> 8) == key)
+                || (i + 1 < n_mv && (mv[2*(i+1)] >> 8) == key);
+        uint64_t yflags = (seg << 48) | (tnd ? (1ULL << 42) : 0);
+        for (int64_t o = 0; o < cnt; ++o) {
+            uint64_t r = values[starts[lo] + o];
+            int fwd = (int)(r & 1) == (int)(q_pos & 1);
+            if ((skip_mode & 2) && fwd) continue;   // MM_F_REV_ONLY
+            if ((skip_mode & 1) && !fwd) continue;  // MM_F_FOR_ONLY
+            uint64_t ax = ((uint64_t)(fwd ? 0 : 1) << 63)
+                        | ((r >> 32) << 32) | ((uint32_t)r >> 1);
+            int64_t qpo = fwd ? (q_pos >> 1)
+                              : qlen_sum - ((q_pos >> 1) + 1 - q_span) - 1;
+            uint64_t ay = ((uint64_t)q_span << 32) | (uint64_t)qpo | yflags;
+            res->rows.emplace_back(ax, ay);
+        }
+    }
+    rep_len += rep_en - rep_st;
+    // radix_sort_128x by x (map.c:233) — stable on equal x
+    std::stable_sort(res->rows.begin(), res->rows.end(),
+                     [](const std::pair<uint64_t, uint64_t>& a,
+                        const std::pair<uint64_t, uint64_t>& b) {
+                         return a.first < b.first;
+                     });
+    out_sizes[0] = (int64_t)res->rows.size();
+    out_sizes[1] = (int64_t)res->mini_pos.size();
+    out_sizes[2] = rep_len;
+    return res;
+}
+
+void mm2tpu_collect_take(void* h, uint64_t* anchors, uint64_t* mini)
+{
+    auto* res = (Mm2tpuCollectOut*)h;
+    for (size_t i = 0; i < res->rows.size(); ++i) {
+        anchors[2*i] = res->rows[i].first;
+        anchors[2*i+1] = res->rows[i].second;
+    }
+    if (!res->mini_pos.empty())
+        memcpy(mini, res->mini_pos.data(), res->mini_pos.size() * 8);
+    delete res;
 }
 
 }  // extern "C"
