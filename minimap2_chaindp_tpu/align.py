@@ -240,6 +240,13 @@ def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag) -> K.Ez:
         from .ops.ksw2 import extz2
         return extz2(qseq, tseq, mat, opt.q, opt.e, w, zdrop, end_bonus, flag)
     else:
+        from .native import extd2_batch_native
+        res = extd2_batch_native(
+            [dict(qseq=qseq, tseq=tseq, w=w, zdrop=zdrop,
+                  end_bonus=end_bonus, flag=flag)],
+            mat, opt.q, opt.e, opt.q2, opt.e2)
+        if res is not None:
+            return res[0]
         return K.extd2(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.e2, w, zdrop,
                        end_bonus, flag)
 

@@ -29,8 +29,16 @@ class DeviceAlignExecutor:
     lazy host NumPy for the rest."""
 
     def __init__(self, opt, interpret: bool = False):
+        import os
         self.opt = opt
         self.interpret = interpret
+        # measured crossover routing: sub-threshold extd2 jobs run on the
+        # host SIMD path (native/ksw2_extd2.cc — the reference's own ksw2
+        # placement, CPU SIMD) where one device round trip costs more than
+        # the whole problem; the Pallas kernel takes what's left.  On a
+        # co-located host lower this to shift work back to the device.
+        self.native_max = int(os.environ.get("MM2TPU_NATIVE_EXT_MAX",
+                                             "100000"))
         # interpret mode (CPU tests) keeps the device path covered but
         # routes big problems to the host model, which is much faster there
         self.max_span = 768 if interpret else MAX_QLEN + MAX_TLEN
@@ -59,8 +67,22 @@ class DeviceAlignExecutor:
 
     def run(self, jobs) -> list:
         from ..ops import ksw2_pallas as KP
-        dev = [i for i, j in enumerate(jobs) if self._eligible(j)]
         thunks: list = [None] * len(jobs)
+        if not self.splice and not (self.opt.q == self.opt.q2
+                                    and self.opt.e == self.opt.e2):
+            from ..native import extd2_batch_native
+            nat = [i for i, j in enumerate(jobs)
+                   if len(j["qseq"]) + len(j["tseq"]) <= self.native_max]
+            if nat:
+                res = extd2_batch_native(
+                    [jobs[i] for i in nat], self.mat, self.opt.q,
+                    self.opt.e, self.opt.q2, self.opt.e2)
+                if res is not None:
+                    for i, ez in zip(nat, res):
+                        thunks[i] = (lambda v=ez: v)
+                    self.n_native = getattr(self, "n_native", 0) + len(nat)
+        dev = [i for i, j in enumerate(jobs)
+               if thunks[i] is None and self._eligible(j)]
         if len(dev) >= MIN_DEV_JOBS:
             # bucket by padded problem size to bound compiled kernel shapes
             by_bucket: dict[tuple, list[int]] = {}

@@ -179,6 +179,95 @@ def cal_fuzzy_len_native(a, as_, cnt):
     return int(out[0]), int(out[1])
 
 
+_KSW_SRC = os.path.join(_ROOT, "native", "ksw2_extd2.cc")
+_KSW_SO = os.path.join(_ROOT, "native", "libmm2tpu_ksw2.so")
+_ksw_lib = None
+_ksw_tried = False
+
+
+def load_ksw():
+    """Loader for the native exact ksw_extd2 (native/ksw2_extd2.cc)."""
+    global _ksw_lib, _ksw_tried
+    if _ksw_lib is not None or _ksw_tried:
+        return _ksw_lib
+    _ksw_tried = True
+    try:
+        if (not os.path.exists(_KSW_SO)
+                or os.path.getmtime(_KSW_SO) < os.path.getmtime(_KSW_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _KSW_SRC,
+                 "-o", _KSW_SO], check=True, capture_output=True)
+        lib = ctypes.CDLL(_KSW_SO)
+        _vp = _c.c_void_p
+        lib.mm2tpu_extd2_batch.restype = None
+        lib.mm2tpu_extd2_batch.argtypes = [
+            _vp, _vp, _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp, _vp]
+        _ksw_lib = lib
+    except Exception:
+        _ksw_lib = None
+    return _ksw_lib
+
+
+def extd2_batch_native(jobs, mat, q, e, q2, e2):
+    """Run a batch of extd2 extension jobs natively; returns list[Ez] or
+    None. jobs: dicts with qseq/tseq (uint8), w, zdrop, end_bonus, flag."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    from .ops.ksw2 import Ez
+    n = len(jobs)
+    qoff = np.empty(n + 1, dtype=np.int64)
+    toff = np.empty(n, dtype=np.int64)
+    pos = 0
+    parts = []
+    params = np.empty(4 * n, dtype=np.int32)
+    cig_offs = np.empty(n, dtype=np.int64)
+    cpos = 0
+    for i, j in enumerate(jobs):
+        qoff[i] = pos
+        parts.append(j["qseq"])
+        pos += len(j["qseq"])
+        toff[i] = pos
+        parts.append(j["tseq"])
+        pos += len(j["tseq"])
+        params[4*i] = j["w"]
+        params[4*i+1] = j["zdrop"]
+        params[4*i+2] = j["end_bonus"]
+        params[4*i+3] = j["flag"]
+        cig_offs[i] = cpos
+        cpos += len(j["qseq"]) + len(j["tseq"]) + 4
+    qoff[n] = pos
+    seq_buf = np.ascontiguousarray(
+        np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
+        if parts else np.empty(0, np.uint8))
+    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    ez_out = np.empty((n, 11), dtype=np.int64)
+    cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
+    cig_lens = np.empty(n, dtype=np.int64)
+    lib.mm2tpu_extd2_batch(
+        _np_ptr(seq_buf), _np_ptr(qoff), _np_ptr(toff), n, _np_ptr(params),
+        _np_ptr(ma), q, e, q2, e2, _np_ptr(ez_out), _np_ptr(cig_buf),
+        _np_ptr(cig_offs), _np_ptr(cig_lens))
+    out = []
+    rows = ez_out.tolist()          # one bulk conversion, not 11n genexprs
+    offs = cig_offs.tolist()
+    lens = cig_lens.tolist()
+    for i in range(n):
+        ez = Ez()
+        r = rows[i]
+        ez.max = r[0]; ez.zdropped = r[1]; ez.max_q = r[2]; ez.max_t = r[3]
+        ez.mqe = r[4]; ez.mqe_t = r[5]; ez.mte = r[6]; ez.mte_q = r[7]
+        ez.score = r[8]; ez.reach_end = r[9]
+        nc = lens[i]
+        if nc:
+            o = offs[i]
+            ez.cigar = cig_buf[o:o + nc].tolist()
+        out.append(ez)
+    return out
+
+
 def fix_bad_ends_native(a, as_, cnt, mlen, bw, min_match):
     """Native mm_fix_bad_ends scan. Returns (as, cnt) or None."""
     lib = load_align()

@@ -1,0 +1,450 @@
+// Native exact ksw_extd2 — scalar/autovectorized port of the golden model
+// (minimap2_chaindp_tpu/ops/ksw2.py:extd2, itself a bit-exact emulation of
+// the reference's ksw2_extd2_sse.c anti-diagonal difference DP).
+//
+// Purpose: small extension jobs are latency-bound on a remote device link —
+// one device round trip costs more than computing hundreds of sub-kilobase
+// problems on the host, and the reference itself runs ksw2 on host SIMD.
+// The Pallas wavefront kernel (ops/ksw2_pallas.py) stays the device path
+// for large problems; this is the host half of that split, producing
+// byte-identical Ez results (scores, flags, CIGAR).
+//
+// Bit-exactness notes (all mirrored from the golden model):
+//  * int8 wrap-around arithmetic (stores cast to int8_t)
+//  * 16-wide score blocks written from st0, core band aligned st..en —
+//    stale bytes outside written blocks persist across rows (kcalloc
+//    semantics of the C kernel)
+//  * exact max via int64 H row with the lane-of-4 tie order of the SSE code
+//  * left/right gap alignment backtrack-byte conventions and
+//    ksw_backtrack's state machine
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int64_t KSW_NEG_INF = -0x40000000;
+constexpr int KSW_EZ_SCORE_ONLY = 0x01;
+constexpr int KSW_EZ_RIGHT = 0x02;
+constexpr int KSW_EZ_GENERIC_SC = 0x04;
+constexpr int KSW_EZ_APPROX_MAX = 0x08;
+constexpr int KSW_EZ_APPROX_DROP = 0x10;
+constexpr int KSW_EZ_EXTZ_ONLY = 0x40;
+constexpr int KSW_EZ_REV_CIGAR = 0x80;
+
+struct EzOut {
+    int64_t max, zdropped, max_q, max_t, mqe, mqe_t, mte, mte_q, score,
+        reach_end, n_cigar;
+};
+
+struct Work {  // reused across jobs
+    std::vector<int8_t> u, v, x, y, x2, y2, s;
+    std::vector<uint8_t> sf, qr, p;
+    std::vector<int64_t> H;
+    std::vector<int32_t> off, off_end;
+};
+
+inline void push_cigar(uint32_t* cig, int64_t& n, int op, int64_t len) {
+    if (n && (int)(cig[n-1] & 0xF) == op) cig[n-1] += (uint32_t)(len << 4);
+    else cig[n++] = (uint32_t)(len << 4 | op);
+}
+
+// rotated backtrack (golden model _backtrack_rot; reference ksw2.h:119-151)
+void backtrack_rot(const uint8_t* p, const int32_t* off,
+                   const int32_t* off_end, int64_t n_col, int64_t i0,
+                   int64_t j0, bool is_rev, uint32_t* cig, int64_t& n_cig) {
+    int64_t i = i0, j = j0, state = 0;
+    n_cig = 0;
+    while (i >= 0 && j >= 0) {
+        int64_t r = i + j;
+        int force_state = -1;
+        if (i < off[r]) force_state = 2;
+        if (off_end && i > off_end[r]) force_state = 1;
+        int tmp = force_state < 0 ? p[r * n_col + i - off[r]] : 0;
+        if (state == 0) state = tmp & 7;
+        else if (!(tmp >> (state + 2) & 1)) state = 0;
+        if (state == 0) state = tmp & 7;
+        if (force_state >= 0) state = force_state;
+        if (state == 0) { push_cigar(cig, n_cig, 0, 1); --i; --j; }
+        else if (state == 1 || state == 3) { push_cigar(cig, n_cig, 2, 1); --i; }
+        else { push_cigar(cig, n_cig, 1, 1); --j; }
+    }
+    if (i >= 0) push_cigar(cig, n_cig, 2, i + 1);
+    if (j >= 0) push_cigar(cig, n_cig, 1, j + 1);
+    if (!is_rev) std::reverse(cig, cig + n_cig);
+}
+
+#define RST __restrict__
+
+// core anti-diagonal update, left-aligned gaps (model lines 266-310);
+// all-distinct buffers => autovectorizes (int8, 32/64-lane AVX2/512)
+static void row_left(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
+                     const int8_t* RST x2t1, const int8_t* RST vt1,
+                     const int8_t* RST ut, int8_t* RST u_, int8_t* RST v_,
+                     int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
+                     int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
+                     int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t b2 = (int8_t)(y2_[i] + ut[i]);
+        uint8_t d = a > z ? 1 : 0; z = std::max(z, a);
+        d = b > z ? 2 : d; z = std::max(z, b);
+        d = a2 > z ? 3 : d; z = std::max(z, a2);
+        d = b2 > z ? 4 : d; z = std::max(z, b2);
+        z = std::min(z, mat0);
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        int8_t tmp2 = (int8_t)(z - q2_);
+        a2 = (int8_t)(a2 - tmp2); b2 = (int8_t)(b2 - tmp2);
+        x_[i] = (int8_t)((a > 0 ? a : 0) - qe_);
+        d |= a > 0 ? 0x08 : 0;
+        y_[i] = (int8_t)((b > 0 ? b : 0) - qe_);
+        d |= b > 0 ? 0x10 : 0;
+        x2_[i] = (int8_t)((a2 > 0 ? a2 : 0) - qe2_);
+        d |= a2 > 0 ? 0x20 : 0;
+        y2_[i] = (int8_t)((b2 > 0 ? b2 : 0) - qe2_);
+        d |= b2 > 0 ? 0x40 : 0;
+        prow[i] = d;
+    }
+}
+
+static void row_right(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
+                      const int8_t* RST x2t1, const int8_t* RST vt1,
+                      const int8_t* RST ut, int8_t* RST u_, int8_t* RST v_,
+                      int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
+                      int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
+                      int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t b2 = (int8_t)(y2_[i] + ut[i]);
+        uint8_t d = z > a ? 0 : 1; z = std::max(z, a);
+        d = z > b ? d : 2; z = std::max(z, b);
+        d = z > a2 ? d : 3; z = std::max(z, a2);
+        d = z > b2 ? d : 4; z = std::max(z, b2);
+        z = std::min(z, mat0);
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        int8_t tmp2 = (int8_t)(z - q2_);
+        a2 = (int8_t)(a2 - tmp2); b2 = (int8_t)(b2 - tmp2);
+        x_[i] = (int8_t)((a >= 0 ? a : 0) - qe_);
+        d |= a >= 0 ? 0x08 : 0;
+        y_[i] = (int8_t)((b >= 0 ? b : 0) - qe_);
+        d |= b >= 0 ? 0x10 : 0;
+        x2_[i] = (int8_t)((a2 >= 0 ? a2 : 0) - qe2_);
+        d |= a2 >= 0 ? 0x20 : 0;
+        y2_[i] = (int8_t)((b2 >= 0 ? b2 : 0) - qe2_);
+        d |= b2 >= 0 ? 0x40 : 0;
+        prow[i] = d;
+    }
+}
+
+static void row_score(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
+                      const int8_t* RST x2t1, const int8_t* RST vt1,
+                      const int8_t* RST ut, int8_t* RST u_, int8_t* RST v_,
+                      int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
+                      int8_t* RST y2_, int8_t mat0,
+                      int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t b2 = (int8_t)(y2_[i] + ut[i]);
+        z = std::max(z, a); z = std::max(z, b);
+        z = std::max(z, a2); z = std::max(z, b2);
+        z = std::min(z, mat0);
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        int8_t tmp2 = (int8_t)(z - q2_);
+        a2 = (int8_t)(a2 - tmp2); b2 = (int8_t)(b2 - tmp2);
+        x_[i] = (int8_t)((a > 0 ? a : 0) - qe_);
+        y_[i] = (int8_t)((b > 0 ? b : 0) - qe_);
+        x2_[i] = (int8_t)((a2 > 0 ? a2 : 0) - qe2_);
+        y2_[i] = (int8_t)((b2 > 0 ? b2 : 0) - qe2_);
+    }
+}
+
+inline bool apply_zdrop(EzOut& ez, int64_t H, int64_t r, int64_t t,
+                        int64_t zdrop, int64_t e) {
+    if (H > ez.max) { ez.max = H; ez.max_t = t; ez.max_q = r - t; }
+    else if (t >= ez.max_t && r - t >= ez.max_q) {
+        int64_t tl = t - ez.max_t, ql = (r - t) - ez.max_q;
+        int64_t l = tl > ql ? tl - ql : ql - tl;
+        if (zdrop >= 0 && ez.max - H > zdrop + l * e) {
+            ez.zdropped = 1;
+            return true;
+        }
+    }
+    return false;
+}
+
+void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
+               int64_t tlen, const int8_t* mat, int q, int e, int q2, int e2,
+               int w, int zdrop, int end_bonus, int flag, Work& wk,
+               EzOut& ez, uint32_t* cig, int64_t& n_cig) {
+    const int m = 5;
+    ez = EzOut{0, 0, -1, -1, KSW_NEG_INF, -1, KSW_NEG_INF, -1, KSW_NEG_INF,
+               0, 0};
+    n_cig = 0;
+    if (qlen <= 0 || tlen <= 0) return;
+    if (q2 + e2 < q + e) { std::swap(q, q2); std::swap(e, e2); }
+    bool with_cigar = !(flag & KSW_EZ_SCORE_ONLY);
+    bool approx_max = flag & KSW_EZ_APPROX_MAX;
+    int mat0 = mat[0];
+    int8_t sc_mch = mat[0], sc_mis = mat[1], sc_N = (int8_t)(-e2);
+
+    if (w < 0) w = (int)std::max(tlen, qlen);
+    int wl = w, wr = w;
+    int64_t tlen16 = (tlen + 15) / 16 * 16;
+    int64_t n_col = std::min(qlen, tlen);
+    n_col = ((std::min(n_col, (int64_t)w + 1) + 15) / 16 + 1) * 16;
+    int min_sc = 127;
+    for (int i = 0; i < m * m; ++i) min_sc = std::min(min_sc, (int)mat[i]);
+    if (-min_sc > 2 * (q + e)) return;
+
+    int64_t long_thres = e != e2 ? (q2 - q) / (e - e2) - 1 : 0;
+    if (q2 + e2 + long_thres * e2 > q + e + long_thres * e) ++long_thres;
+    int64_t long_diff = long_thres * (e - e2) - (q2 - q) - e2;
+
+    wk.u.assign(tlen16, (int8_t)(-q - e));
+    wk.v.assign(tlen16, (int8_t)(-q - e));
+    wk.x.assign(tlen16, (int8_t)(-q - e));
+    wk.y.assign(tlen16, (int8_t)(-q - e));
+    wk.x2.assign(tlen16, (int8_t)(-q2 - e2));
+    wk.y2.assign(tlen16, (int8_t)(-q2 - e2));
+    wk.s.assign(tlen16 + 16, 0);
+    int8_t *u = wk.u.data(), *v = wk.v.data(), *x = wk.x.data(),
+           *y = wk.y.data(), *x2 = wk.x2.data(), *y2 = wk.y2.data(),
+           *s = wk.s.data();
+    int64_t H0 = 0, last_H0_t = 0;
+    int64_t* H = nullptr;
+    if (!approx_max) {
+        wk.H.assign(tlen16, KSW_NEG_INF);
+        H = wk.H.data();
+    }
+    wk.sf.assign(tlen16 + 16, 0);
+    memcpy(wk.sf.data(), tseq, tlen);
+    wk.qr.assign(qlen + 32 + tlen16, 0);
+    for (int64_t i = 0; i < qlen; ++i) wk.qr[i] = qseq[qlen - 1 - i];
+    const uint8_t *sf = wk.sf.data(), *qr = wk.qr.data();
+
+    uint8_t* p = nullptr;
+    int32_t *off = nullptr, *off_end = nullptr;
+    if (with_cigar) {
+        wk.p.assign((qlen + tlen - 1) * n_col, 0);
+        wk.off.assign(qlen + tlen - 1, 0);
+        wk.off_end.assign(qlen + tlen - 1, 0);
+        p = wk.p.data();
+        off = wk.off.data();
+        off_end = wk.off_end.data();
+    }
+    bool right = flag & KSW_EZ_RIGHT;
+    bool generic_sc = flag & KSW_EZ_GENERIC_SC;
+
+    int64_t last_st = -1, last_en = -1;
+    int8_t qe_ = (int8_t)(q + e), qe2_ = (int8_t)(q2 + e2);
+    int8_t q_ = (int8_t)q, q2_ = (int8_t)q2;
+
+    // shifted-row scratch (xt1/x2t1/vt1 of the model)
+    static thread_local std::vector<int8_t> xt1_b, x2t1_b, vt1_b, ut_b, vt_b;
+
+    for (int64_t r = 0; r < qlen + tlen - 1; ++r) {
+        int64_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        if (st < ((r - wr + 1) >> 1)) st = (r - wr + 1) >> 1;
+        if (en > ((r + wl) >> 1)) en = (r + wl) >> 1;
+        if (st > en) { ez.zdropped = 1; break; }
+        int64_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int8_t x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st-1]; x21 = x2[st-1]; v1 = v[st-1];
+            } else {
+                x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2 - e2);
+                v1 = (int8_t)(-q - e);
+            }
+        } else {
+            x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2 - e2);
+            v1 = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                          : r == long_thres ? long_diff : -e2);
+        }
+        if (en >= r) {
+            y[r] = (int8_t)(-q - e);
+            y2[r] = (int8_t)(-q2 - e2);
+            u[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                            : r == long_thres ? long_diff : -e2);
+        }
+        int64_t qrr = qlen - 1 - r;
+        if (!generic_sc) {
+            for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+                for (int l = 0; l < 16; ++l) {
+                    uint8_t sq = sf[t0 + l], stq = qr[qrr + t0 + l];
+                    s[t0 + l] = (sq == m - 1 || stq == m - 1) ? sc_N
+                              : (sq == stq ? sc_mch : sc_mis);
+                }
+            }
+        } else {
+            // generic matrix path (unused by the simple mat presets)
+            for (int64_t t = st0; t <= en0; ++t)
+                s[t] = mat[sf[t] * m + qr[qrr + t]];
+        }
+        int64_t len = en - st + 1;
+        if ((int64_t)xt1_b.size() < len) {
+            xt1_b.resize(len); x2t1_b.resize(len); vt1_b.resize(len);
+            ut_b.resize(len); vt_b.resize(len);
+        }
+        xt1_b[0] = x1; x2t1_b[0] = x21; vt1_b[0] = v1;
+        if (len > 1) {
+            memcpy(xt1_b.data() + 1, x + st, len - 1);
+            memcpy(x2t1_b.data() + 1, x2 + st, len - 1);
+            memcpy(vt1_b.data() + 1, v + st, len - 1);
+        }
+        memcpy(ut_b.data(), u + st, len);
+        memcpy(vt_b.data(), v + st, len);
+        const int8_t *xt1 = xt1_b.data(), *x2t1 = x2t1_b.data(),
+                     *vt1 = vt1_b.data(), *ut = ut_b.data(),
+                     *vt = vt_b.data();
+        (void)vt;
+        if (with_cigar && !right) {
+            row_left(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
+                     x + st, y + st, x2 + st, y2 + st, p + r * n_col,
+                     (int8_t)mat0, q_, q2_, qe_, qe2_);
+        } else if (with_cigar) {
+            row_right(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
+                      x + st, y + st, x2 + st, y2 + st, p + r * n_col,
+                      (int8_t)mat0, q_, q2_, qe_, qe2_);
+        } else {
+            row_score(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
+                      x + st, y + st, x2 + st, y2 + st,
+                      (int8_t)mat0, q_, q2_, qe_, qe2_);
+        }
+        if (with_cigar) { off[r] = (int32_t)st; off_end[r] = (int32_t)en; }
+
+        if (!approx_max) {
+            int64_t max_H, max_t;
+            if (r > 0) {
+                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
+                else H[en0] = H[en0] + v[en0];
+                max_H = H[en0]; max_t = en0;
+                int64_t en1 = st0 + (en0 - st0) / 4 * 4;
+                if (en1 > st0) {
+                    for (int64_t t = st0; t < en1; ++t) H[t] += v[t];
+                    for (int lane = 0; lane < 4; ++lane) {
+                        int64_t cmax = INT64_MIN, ct = -1;
+                        for (int64_t t = st0 + lane; t < en1; t += 4)
+                            if (H[t] > cmax) { cmax = H[t]; ct = t; }
+                        if (cmax > max_H) { max_H = cmax; max_t = ct; }
+                    }
+                }
+                for (int64_t t = en1; t < en0; ++t) {
+                    H[t] += v[t];
+                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                }
+            } else {
+                H[0] = v[0] - (q + e);
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez.mte) {
+                ez.mte = H[en0]; ez.mte_q = r - en;
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez.mqe) {
+                ez.mqe = H[st0]; ez.mqe_t = st0;
+            }
+            if (apply_zdrop(ez, max_H, r, max_t, zdrop, e2)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1)
+                ez.score = H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (st0 <= last_H0_t && last_H0_t <= en0
+                    && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
+                    int64_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (st0 <= last_H0_t && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else {
+                    ++last_H0_t;
+                    H0 += u[last_H0_t];
+                }
+            } else {
+                H0 = (int64_t)v[0] - (q + e);
+                last_H0_t = 0;
+            }
+            if ((flag & KSW_EZ_APPROX_DROP)
+                && apply_zdrop(ez, H0, r, last_H0_t, zdrop, e2)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
+        }
+        last_st = st; last_en = en;
+    }
+
+    if (with_cigar) {
+        bool rev_cigar = flag & KSW_EZ_REV_CIGAR;
+        if (!ez.zdropped && !(flag & KSW_EZ_EXTZ_ONLY)) {
+            backtrack_rot(p, off, off_end, n_col, tlen - 1, qlen - 1,
+                          rev_cigar, cig, n_cig);
+        } else if (!ez.zdropped && (flag & KSW_EZ_EXTZ_ONLY)
+                   && ez.mqe + end_bonus > ez.max) {
+            ez.reach_end = 1;
+            backtrack_rot(p, off, off_end, n_col, ez.mqe_t, qlen - 1,
+                          rev_cigar, cig, n_cig);
+        } else if (ez.max_t >= 0 && ez.max_q >= 0) {
+            backtrack_rot(p, off, off_end, n_col, ez.max_t, ez.max_q,
+                          rev_cigar, cig, n_cig);
+        }
+    }
+    ez.n_cigar = n_cig;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch driver: seqs packed into one uint8 buffer with per-job offsets
+// (qseq then tseq per job); params per job int32 {w, zdrop, end_bonus,
+// flag}; results: ez_out is (n, 11) int64 rows, cigars written at
+// cig_offs[i] into cig_buf (caller sizes it as sum(qlen+tlen+4)).
+void mm2tpu_extd2_batch(
+    const uint8_t* seq_buf, const int64_t* qoff, const int64_t* toff,
+    int64_t n_jobs, const int32_t* params, const int8_t* mat,
+    int32_t q, int32_t e, int32_t q2, int32_t e2,
+    int64_t* ez_out, uint32_t* cig_buf, const int64_t* cig_offs,
+    int64_t* cig_lens)
+{
+    Work wk;
+    for (int64_t i = 0; i < n_jobs; ++i) {
+        const uint8_t* qs = seq_buf + qoff[i];
+        int64_t qlen = toff[i] - qoff[i];
+        const uint8_t* ts = seq_buf + toff[i];
+        int64_t tlen = qoff[i + 1] - toff[i];
+        EzOut ez;
+        int64_t n_cig = 0;
+        extd2_one(qs, qlen, ts, tlen, mat, q, e, q2, e2,
+                  params[4*i], params[4*i+1], params[4*i+2], params[4*i+3],
+                  wk, ez, cig_buf + cig_offs[i], n_cig);
+        int64_t* row = ez_out + 11 * i;
+        row[0] = ez.max; row[1] = ez.zdropped; row[2] = ez.max_q;
+        row[3] = ez.max_t; row[4] = ez.mqe; row[5] = ez.mqe_t;
+        row[6] = ez.mte; row[7] = ez.mte_q; row[8] = ez.score;
+        row[9] = ez.reach_end; row[10] = n_cig;
+        cig_lens[i] = n_cig;
+    }
+}
+
+}  // extern "C"

@@ -45,6 +45,7 @@ def test_device_align_executor_used():
     mo.update(mi)
     frags = [Frag([q]) for q in read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))]
     rt = DeviceRuntime(mi, mo, device_seeds=True)
+    rt._align_exec.native_max = 0   # route everything to the device kernel
     rt.map_batch(frags)
     assert rt._align_exec.n_device > 0
     assert rt.timers.counters.get("device_seed", 0) > 0
