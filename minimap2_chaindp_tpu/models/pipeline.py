@@ -152,9 +152,17 @@ def finish_unit_gen(mi, opt, info: UnitInfo, ch):
 
 
 def host_chain(opt, info: UnitInfo, n_segs: int):
-    """Host (exact) chaining of one unit."""
+    """Host (exact) chaining of one unit (native C++ scan when available)."""
     if info.sh is None:
         return None
+    from ..native import chain_dp_native
+    ch = chain_dp_native(info.gap_ref, info.gap_qry, opt.bw,
+                         opt.max_chain_skip, opt.min_cnt,
+                         opt.min_chain_score,
+                         bool(opt.flag & C.MM_F_SPLICE), n_segs,
+                         info.sh.anchors)
+    if ch is not None:
+        return ch
     return chain_dp(info.gap_ref, info.gap_qry, opt.bw, opt.max_chain_skip,
                     opt.min_cnt, opt.min_chain_score,
                     bool(opt.flag & C.MM_F_SPLICE), n_segs, info.sh.anchors)

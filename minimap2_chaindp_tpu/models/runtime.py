@@ -35,6 +35,13 @@ class DeviceRuntime:
             import os
             device_seeds = os.environ.get("MM2TPU_DEVICE_SEEDS", "0") == "1"
         self.device_seeds = device_seeds
+        # measured crossover (PERF.md): reads below this anchor count chain
+        # faster on the native host scan (~0.33 us/anchor) than a device
+        # round trip on a transfer-limited link; big reads go to the Pallas
+        # kernel (~10x single-core on-chip). 0 = everything device-eligible.
+        import os as _os
+        self.native_chain_max = int(_os.environ.get(
+            "MM2TPU_NATIVE_CHAIN_MAX", "2048"))
         self.timers = Timers()
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
@@ -156,9 +163,10 @@ class DeviceRuntime:
                 continue
             b = next((b for b in BUCKETS if n <= b), None)
             # oversized reads, or same-seg gap-cost domains beyond the exact
-            # table (bw genomic / max_dist_y cdna), take the host path
+            # table (bw genomic / max_dist_y cdna), take the host path; so do
+            # small reads below the measured native-chain crossover
             clin_dom = info.gap_qry if is_cdna else opt.bw
-            if b is None or clin_dom >= CP.TBL:
+            if b is None or clin_dom >= CP.TBL or n <= self.native_chain_max:
                 host_idx.append(k)
             else:
                 key = (b, info.gap_qry, info.gap_ref, len(segs) > 1)

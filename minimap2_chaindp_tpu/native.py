@@ -40,6 +40,13 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mm2tpu_chain_dp.restype = ctypes.c_int64
+        lib.mm2tpu_chain_dp.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -376,6 +383,29 @@ def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
         out.append(rows[pos:pos + int(c)])
         pos += int(c)
     return out
+
+
+def chain_dp_native(max_dist_x, max_dist_y, bw, max_skip, min_cnt, min_sc,
+                    is_cdna, n_segs, anchors: np.ndarray):
+    """Full native chaining DP (top-half scan + compact + bottom).
+    Exact port of ops/chain.py:chain_dp. Returns Chains or None."""
+    from .ops.chain import Chains
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(anchors)
+    if n == 0:
+        return Chains(np.empty((0, 2), np.uint64), np.empty(0, np.uint64))
+    ax = np.ascontiguousarray(anchors[:, 0], dtype=np.uint64)
+    ay = np.ascontiguousarray(anchors[:, 1], dtype=np.uint64)
+    out_a = np.empty((2 * n, 2), dtype=np.uint64)
+    out_u = np.empty(2 * n, dtype=np.uint64)
+    n_v = ctypes.c_int64(0)
+    n_u = lib.mm2tpu_chain_dp(
+        n, _np_ptr(ax), _np_ptr(ay), max_dist_x, max_dist_y, bw, max_skip,
+        min_cnt, min_sc, 1 if is_cdna else 0, n_segs,
+        _np_ptr(out_a), _np_ptr(out_u), ctypes.addressof(n_v))
+    return Chains(out_a[:n_v.value].copy(), out_u[:n_u].copy())
 
 
 def chain_bottom_native(anchors: np.ndarray, f: np.ndarray, p: np.ndarray,

@@ -151,4 +151,83 @@ int64_t mm2tpu_chain_bottom(
     return n_u;
 }
 
+// Full chaining DP: the banded predecessor scan (reference mm_chain_dp /
+// mm_chain_dp_fpga top half, chain.c:246-316) followed by the compact +
+// bottom half above.  This is the exact host path — used for err_flag
+// fallbacks, oversized reads, and hosts without a device — porting the
+// golden model ops/chain.py:chain_dp loop for loop (float32 avg_qspan,
+// full-width ilog2, max_skip stamp heuristic, uint64 cross-strand
+// distances).
+int64_t mm2tpu_chain_dp(
+    int64_t n, const uint64_t* ax, const uint64_t* ay,
+    int64_t max_dist_x, int64_t max_dist_y, int64_t bw, int64_t max_skip,
+    int32_t min_cnt, int32_t min_sc, int32_t is_cdna, int32_t n_segs,
+    uint64_t* out_a, uint64_t* out_u, int64_t* out_n_v)
+{
+    if (n <= 0) { *out_n_v = 0; return 0; }
+    std::vector<int32_t> f(n), p(n);
+    std::vector<int64_t> t(n, 0), v(n);
+    std::vector<int64_t> qpos(n), seg(n);
+    std::vector<int32_t> span(n);
+    int64_t sum_span = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        qpos[i] = (int64_t)(uint32_t)ay[i];
+        span[i] = (int32_t)((ay[i] >> 32) & 0xFF);
+        seg[i] = (int64_t)((ay[i] >> 48) & 0xFF);
+        sum_span += span[i];
+    }
+    const float avg_qspan_f = (float)((double)sum_span / (double)n);
+    const double avg_qspan = (double)avg_qspan_f;
+
+    int64_t st = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t ri = ax[i];
+        int64_t qi = qpos[i], sidi = seg[i];
+        int64_t q_span = span[i];
+        int64_t max_f = q_span, max_j = -1, n_skip = 0;
+        while (st < i && ri - ax[st] > (uint64_t)max_dist_x) ++st;
+        for (int64_t j = i - 1; j >= st; --j) {
+            uint64_t dr = ri - ax[j];
+            int64_t dq = qi - qpos[j];
+            int64_t sidj = seg[j];
+            if ((sidi == sidj && dr == 0) || dq <= 0) continue;
+            if ((sidi == sidj && dq > max_dist_y) || dq > max_dist_x)
+                continue;
+            uint64_t dd = dr > (uint64_t)dq ? dr - (uint64_t)dq
+                                            : (uint64_t)dq - dr;
+            if (sidi == sidj && dd > (uint64_t)bw) continue;
+            if (n_segs > 1 && !is_cdna && sidi == sidj
+                && dr > (uint64_t)max_dist_y) continue;
+            int64_t min_d = (uint64_t)dq < dr ? dq : (int64_t)dr;
+            int64_t sc = min_d > q_span ? q_span : min_d;
+            int64_t log_dd = dd ? 63 - __builtin_clzll(dd) : 0;
+            if (is_cdna || sidi != sidj) {
+                double cl = (double)dd * .01 * avg_qspan;
+                int64_t c_lin = cl >= 9.0e18 ? INT64_MAX : (int64_t)cl;
+                int64_t c_log = log_dd;
+                if (sidi != sidj && dr == 0) sc += 1;
+                else if (dr > (uint64_t)dq || sidi != sidj)
+                    sc -= c_lin < c_log ? c_lin : c_log;
+                else sc -= c_lin + (c_log >> 1);
+            } else {
+                sc -= (int64_t)((double)dd * .01 * avg_qspan)
+                    + (log_dd >> 1);
+            }
+            sc += f[j];
+            if (sc > max_f) {
+                max_f = sc; max_j = j;
+                if (n_skip > 0) --n_skip;
+            } else if (t[j] == i) {
+                if (++n_skip > max_skip) break;
+            }
+            if (p[j] >= 0) t[p[j]] = i;
+        }
+        f[i] = (int32_t)max_f;
+        p[i] = (int32_t)max_j;
+        v[i] = (max_j >= 0 && v[max_j] > max_f) ? v[max_j] : max_f;
+    }
+    return mm2tpu_chain_bottom(n, ax, ay, f.data(), p.data(), min_cnt,
+                               min_sc, out_a, out_u, out_n_v);
+}
+
 }  // extern "C"

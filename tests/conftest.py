@@ -12,5 +12,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Device-runtime tests validate the DEVICE chaining path; disable the
+# native-chain crossover routing so small test reads still exercise it
+# (the native paths are covered by the host-pipeline golden tests and the
+# dedicated native parity tests).
+os.environ.setdefault("MM2TPU_NATIVE_CHAIN_MAX", "0")
+
 REF_TEST_DIR = "/root/reference/test"
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
