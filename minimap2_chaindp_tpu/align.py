@@ -234,6 +234,12 @@ def append_cigar(r: Region, cigar: list[int]) -> None:
 def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag) -> K.Ez:
     """Kernel dispatch (reference mm_align_pair, align.c:220-243)."""
     if opt.flag & C.MM_F_SPLICE:
+        from .native import exts2_batch_native
+        res = exts2_batch_native(
+            [dict(qseq=qseq, tseq=tseq, zdrop=zdrop, flag=flag)],
+            mat, opt.q, opt.e, opt.q2, opt.noncan)
+        if res is not None:
+            return res[0]
         from .ops.ksw2_splice import exts2
         return exts2(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan, zdrop, flag)
     elif opt.q == opt.q2 and opt.e == opt.e2:

@@ -68,8 +68,19 @@ class DeviceAlignExecutor:
     def run(self, jobs) -> list:
         from ..ops import ksw2_pallas as KP
         thunks: list = [None] * len(jobs)
-        if not self.splice and not (self.opt.q == self.opt.q2
-                                    and self.opt.e == self.opt.e2):
+        if self.splice:
+            from ..native import exts2_batch_native
+            nat = [i for i, j in enumerate(jobs)
+                   if len(j["qseq"]) + len(j["tseq"]) <= self.native_max]
+            if nat:
+                res = exts2_batch_native(
+                    [jobs[i] for i in nat], self.mat, self.opt.q,
+                    self.opt.e, self.opt.q2, self.opt.noncan)
+                if res is not None:
+                    for i, ez in zip(nat, res):
+                        thunks[i] = (lambda v=ez: v)
+                    self.n_native = getattr(self, "n_native", 0) + len(nat)
+        elif not (self.opt.q == self.opt.q2 and self.opt.e == self.opt.e2):
             from ..native import extd2_batch_native
             nat = [i for i, j in enumerate(jobs)
                    if len(j["qseq"]) + len(j["tseq"]) <= self.native_max]

@@ -211,6 +211,11 @@ def load_ksw():
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
             _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp, _vp]
+        lib.mm2tpu_exts2_batch.restype = None
+        lib.mm2tpu_exts2_batch.argtypes = [
+            _vp, _vp, _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp, _vp]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
@@ -259,6 +264,62 @@ def extd2_batch_native(jobs, mat, q, e, q2, e2):
         _np_ptr(cig_offs), _np_ptr(cig_lens))
     out = []
     rows = ez_out.tolist()          # one bulk conversion, not 11n genexprs
+    offs = cig_offs.tolist()
+    lens = cig_lens.tolist()
+    for i in range(n):
+        ez = Ez()
+        r = rows[i]
+        ez.max = r[0]; ez.zdropped = r[1]; ez.max_q = r[2]; ez.max_t = r[3]
+        ez.mqe = r[4]; ez.mqe_t = r[5]; ez.mte = r[6]; ez.mte_q = r[7]
+        ez.score = r[8]; ez.reach_end = r[9]
+        nc = lens[i]
+        if nc:
+            o = offs[i]
+            ez.cigar = cig_buf[o:o + nc].tolist()
+        out.append(ez)
+    return out
+
+
+def exts2_batch_native(jobs, mat, q, e, q2, noncan):
+    """Run a batch of splice (exts2) extension jobs natively; returns
+    list[Ez] or None. jobs: dicts with qseq/tseq (uint8), zdrop, flag."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    from .ops.ksw2 import Ez
+    n = len(jobs)
+    qoff = np.empty(n + 1, dtype=np.int64)
+    toff = np.empty(n, dtype=np.int64)
+    pos = 0
+    parts = []
+    params = np.empty(2 * n, dtype=np.int32)
+    cig_offs = np.empty(n, dtype=np.int64)
+    cpos = 0
+    for i, j in enumerate(jobs):
+        qoff[i] = pos
+        parts.append(j["qseq"])
+        pos += len(j["qseq"])
+        toff[i] = pos
+        parts.append(j["tseq"])
+        pos += len(j["tseq"])
+        params[2*i] = j["zdrop"]
+        params[2*i+1] = j["flag"]
+        cig_offs[i] = cpos
+        cpos += len(j["qseq"]) + len(j["tseq"]) + 4
+    qoff[n] = pos
+    seq_buf = np.ascontiguousarray(
+        np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
+        if parts else np.empty(0, np.uint8))
+    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    ez_out = np.empty((n, 11), dtype=np.int64)
+    cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
+    cig_lens = np.empty(n, dtype=np.int64)
+    lib.mm2tpu_exts2_batch(
+        _np_ptr(seq_buf), _np_ptr(qoff), _np_ptr(toff), n, _np_ptr(params),
+        _np_ptr(ma), q, e, q2, noncan, _np_ptr(ez_out), _np_ptr(cig_buf),
+        _np_ptr(cig_offs), _np_ptr(cig_lens))
+    out = []
+    rows = ez_out.tolist()
     offs = cig_offs.tolist()
     lens = cig_lens.tolist()
     for i in range(n):

@@ -51,10 +51,12 @@ inline void push_cigar(uint32_t* cig, int64_t& n, int op, int64_t len) {
     else cig[n++] = (uint32_t)(len << 4 | op);
 }
 
-// rotated backtrack (golden model _backtrack_rot; reference ksw2.h:119-151)
+// rotated backtrack (golden model _backtrack_rot; reference ksw2.h:119-151);
+// min_intron_len > 0 maps state 3 to CIGAR op N (splice)
 void backtrack_rot(const uint8_t* p, const int32_t* off,
                    const int32_t* off_end, int64_t n_col, int64_t i0,
-                   int64_t j0, bool is_rev, uint32_t* cig, int64_t& n_cig) {
+                   int64_t j0, bool is_rev, uint32_t* cig, int64_t& n_cig,
+                   int64_t min_intron_len = 0) {
     int64_t i = i0, j = j0, state = 0;
     n_cig = 0;
     while (i >= 0 && j >= 0) {
@@ -68,10 +70,15 @@ void backtrack_rot(const uint8_t* p, const int32_t* off,
         if (state == 0) state = tmp & 7;
         if (force_state >= 0) state = force_state;
         if (state == 0) { push_cigar(cig, n_cig, 0, 1); --i; --j; }
-        else if (state == 1 || state == 3) { push_cigar(cig, n_cig, 2, 1); --i; }
+        else if (state == 1 || (state == 3 && min_intron_len <= 0)) {
+            push_cigar(cig, n_cig, 2, 1); --i;
+        } else if (state == 3) { push_cigar(cig, n_cig, 3, 1); --i; }
         else { push_cigar(cig, n_cig, 1, 1); --j; }
     }
-    if (i >= 0) push_cigar(cig, n_cig, 2, i + 1);
+    if (i >= 0)
+        push_cigar(cig, n_cig,
+                   (min_intron_len > 0 && i >= min_intron_len) ? 3 : 2,
+                   i + 1);
     if (j >= 0) push_cigar(cig, n_cig, 1, j + 1);
     if (!is_rev) std::reverse(cig, cig + n_cig);
 }
@@ -412,6 +419,326 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     ez.n_cigar = n_cig;
 }
 
+// ---- splice variant (golden model ops/ksw2_splice.py; reference
+// ksw_exts2_sse): second gap state is an intron driven by donor/acceptor
+// splice-signal bytes; unbanded; CIGAR op N via min_intron_len backtrack.
+
+static void srow_left(int64_t len, const int8_t* RST s_,
+                      const int8_t* RST xt1, const int8_t* RST x2t1,
+                      const int8_t* RST vt1, const int8_t* RST ut,
+                      const int8_t* RST don, const int8_t* RST acc,
+                      int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                      int8_t* RST y_, int8_t* RST x2_, uint8_t* RST prow,
+                      int8_t q_, int8_t q2_, int8_t qe_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t a2a = (int8_t)(a2 + acc[i]);
+        uint8_t d = a > z ? 1 : 0; z = std::max(z, a);
+        d = b > z ? 2 : d; z = std::max(z, b);
+        d = a2a > z ? 3 : d; z = std::max(z, a2a);
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        a2 = (int8_t)(a2 - (int8_t)(z - q2_));
+        x_[i] = (int8_t)((a > 0 ? a : 0) - qe_);
+        d |= a > 0 ? 0x08 : 0;
+        y_[i] = (int8_t)((b > 0 ? b : 0) - qe_);
+        d |= b > 0 ? 0x10 : 0;
+        int8_t dn = don[i];
+        bool gt = a2 > dn;
+        x2_[i] = (int8_t)((gt ? a2 : dn) - q2_);
+        d |= gt ? 0x20 : 0;
+        prow[i] = d;
+    }
+}
+
+static void srow_right(int64_t len, const int8_t* RST s_,
+                       const int8_t* RST xt1, const int8_t* RST x2t1,
+                       const int8_t* RST vt1, const int8_t* RST ut,
+                       const int8_t* RST don, const int8_t* RST acc,
+                       int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                       int8_t* RST y_, int8_t* RST x2_, uint8_t* RST prow,
+                       int8_t q_, int8_t q2_, int8_t qe_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t a2a = (int8_t)(a2 + acc[i]);
+        uint8_t d = z > a ? 0 : 1; z = std::max(z, a);
+        d = z > b ? d : 2; z = std::max(z, b);
+        d = z > a2a ? d : 3; z = std::max(z, a2a);
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        a2 = (int8_t)(a2 - (int8_t)(z - q2_));
+        x_[i] = (int8_t)((a >= 0 ? a : 0) - qe_);
+        d |= a >= 0 ? 0x08 : 0;
+        y_[i] = (int8_t)((b >= 0 ? b : 0) - qe_);
+        d |= b >= 0 ? 0x10 : 0;
+        int8_t dn = don[i];
+        bool ge = a2 >= dn;
+        x2_[i] = (int8_t)((ge ? a2 : dn) - q2_);
+        d |= ge ? 0x20 : 0;
+        prow[i] = d;
+    }
+}
+
+static void srow_score(int64_t len, const int8_t* RST s_,
+                       const int8_t* RST xt1, const int8_t* RST x2t1,
+                       const int8_t* RST vt1, const int8_t* RST ut,
+                       const int8_t* RST don, const int8_t* RST acc,
+                       int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                       int8_t* RST y_, int8_t* RST x2_,
+                       int8_t q_, int8_t q2_, int8_t qe_) {
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t z = s_[i];
+        int8_t a = (int8_t)(xt1[i] + vt1[i]);
+        int8_t b = (int8_t)(y_[i] + ut[i]);
+        int8_t a2 = (int8_t)(x2t1[i] + vt1[i]);
+        int8_t a2a = (int8_t)(a2 + acc[i]);
+        z = std::max(std::max(z, a), std::max(b, a2a));
+        u_[i] = (int8_t)(z - vt1[i]);
+        v_[i] = (int8_t)(z - ut[i]);
+        int8_t tmp = (int8_t)(z - q_);
+        a = (int8_t)(a - tmp); b = (int8_t)(b - tmp);
+        a2 = (int8_t)(a2 - (int8_t)(z - q2_));
+        x_[i] = (int8_t)((a > 0 ? a : 0) - qe_);
+        y_[i] = (int8_t)((b > 0 ? b : 0) - qe_);
+        int8_t dn = don[i];
+        x2_[i] = (int8_t)((a2 > dn ? a2 : dn) - q2_);
+    }
+}
+
+void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
+               int64_t tlen, const int8_t* mat, int q, int e, int q2,
+               int noncan, int zdrop, int flag, Work& wk, EzOut& ez,
+               uint32_t* cig, int64_t& n_cig) {
+    const int m = 5;
+    constexpr int KSW_EZ_SPLICE_FOR = 0x100;
+    constexpr int KSW_EZ_SPLICE_REV = 0x200;
+    constexpr int KSW_EZ_SPLICE_FLANK = 0x400;
+    ez = EzOut{0, 0, -1, -1, KSW_NEG_INF, -1, KSW_NEG_INF, -1, KSW_NEG_INF,
+               0, 0};
+    n_cig = 0;
+    if (qlen <= 0 || tlen <= 0 || q2 <= q + e) return;
+    bool with_cigar = !(flag & KSW_EZ_SCORE_ONLY);
+    bool approx_max = flag & KSW_EZ_APPROX_MAX;
+    int8_t sc_mch = mat[0], sc_mis = mat[1], sc_N = (int8_t)(-e);
+    int min_sc = 127;
+    for (int i = 0; i < m * m; ++i) min_sc = std::min(min_sc, (int)mat[i]);
+    if (-min_sc > 2 * (q + e)) return;
+
+    int64_t long_thres = (q2 - q) / e - 1;
+    if (q2 > q + e + long_thres * e) ++long_thres;
+    int64_t long_diff = long_thres * e - (q2 - q);
+
+    int64_t tlen16 = (tlen + 15) / 16 * 16;
+    int64_t n_col = (std::min(qlen, tlen) + 15) / 16 * 16 + 16;
+
+    wk.u.assign(tlen16, (int8_t)(-q - e));
+    wk.v.assign(tlen16, (int8_t)(-q - e));
+    wk.x.assign(tlen16, (int8_t)(-q - e));
+    wk.y.assign(tlen16, (int8_t)(-q - e));
+    wk.x2.assign(tlen16, (int8_t)(-q2));
+    wk.s.assign(tlen16 + 16, 0);
+    int8_t *u = wk.u.data(), *v = wk.v.data(), *x = wk.x.data(),
+           *y = wk.y.data(), *x2 = wk.x2.data(), *s = wk.s.data();
+    // donor/acceptor signal arrays (reference ksw2_exts2_sse.c:112-131)
+    static thread_local std::vector<int8_t> don_b, acc_b;
+    don_b.assign(tlen16, 0);
+    acc_b.assign(tlen16, 0);
+    if (flag & (KSW_EZ_SPLICE_FOR | KSW_EZ_SPLICE_REV)) {
+        // NB the golden model computes int(-noncan / 2) i.e. trunc toward 0
+        int8_t semi = (flag & KSW_EZ_SPLICE_FLANK)
+                          ? (int8_t)(-(noncan / 2)) : 0;
+        std::fill(don_b.begin(), don_b.end(), (int8_t)(-noncan));
+        for (int64_t t = 0; t < tlen - 4; ++t) {
+            int can = 0;
+            if ((flag & KSW_EZ_SPLICE_FOR) && tseq[t+1] == 2 && tseq[t+2] == 3)
+                can = 1;
+            if ((flag & KSW_EZ_SPLICE_REV) && tseq[t+1] == 1 && tseq[t+2] == 3)
+                can = 1;
+            if (can && (tseq[t+3] == 0 || tseq[t+3] == 2)) can = 2;
+            if (can) don_b[t] = can == 2 ? 0 : semi;
+        }
+        std::fill(acc_b.begin(), acc_b.end(), (int8_t)(-noncan));
+        for (int64_t t = 2; t < tlen; ++t) {
+            int can = 0;
+            if ((flag & KSW_EZ_SPLICE_FOR) && tseq[t-1] == 0 && tseq[t] == 2)
+                can = 1;
+            if ((flag & KSW_EZ_SPLICE_REV) && tseq[t-1] == 0 && tseq[t] == 1)
+                can = 1;
+            if (can && (tseq[t-2] == 1 || tseq[t-2] == 3)) can = 2;
+            if (can) acc_b[t] = can == 2 ? 0 : semi;
+        }
+    }
+    int64_t H0 = 0, last_H0_t = 0;
+    int64_t* H = nullptr;
+    if (!approx_max) {
+        wk.H.assign(tlen16, KSW_NEG_INF);
+        H = wk.H.data();
+    }
+    wk.sf.assign(tlen16 + 16, 0);
+    memcpy(wk.sf.data(), tseq, tlen);
+    wk.qr.assign(qlen + 32 + tlen16, 0);
+    for (int64_t i = 0; i < qlen; ++i) wk.qr[i] = qseq[qlen - 1 - i];
+    const uint8_t *sf = wk.sf.data(), *qr = wk.qr.data();
+
+    uint8_t* p = nullptr;
+    int32_t *off = nullptr, *off_end = nullptr;
+    if (with_cigar) {
+        wk.p.assign((qlen + tlen - 1) * n_col, 0);
+        wk.off.assign(qlen + tlen - 1, 0);
+        wk.off_end.assign(qlen + tlen - 1, 0);
+        p = wk.p.data(); off = wk.off.data(); off_end = wk.off_end.data();
+    }
+    bool right = flag & KSW_EZ_RIGHT;
+    bool generic_sc = flag & KSW_EZ_GENERIC_SC;
+    int64_t last_st = -1, last_en = -1;
+    int8_t qe_ = (int8_t)(q + e), q_ = (int8_t)q, q2_ = (int8_t)q2;
+    static thread_local std::vector<int8_t> xt1_b, x2t1_b, vt1_b, ut_b;
+
+    for (int64_t r = 0; r < qlen + tlen - 1; ++r) {
+        int64_t st = std::max((int64_t)0, r - qlen + 1);
+        int64_t en = std::min(tlen - 1, r);
+        int64_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int8_t x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st-1]; x21 = x2[st-1]; v1 = v[st-1];
+            } else {
+                x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2);
+                v1 = (int8_t)(-q - e);
+            }
+        } else {
+            x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2);
+            v1 = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                          : r == long_thres ? long_diff : 0);
+        }
+        if (en >= r) {
+            y[r] = (int8_t)(-q - e);
+            u[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                            : r == long_thres ? long_diff : 0);
+        }
+        int64_t qrr = qlen - 1 - r;
+        if (!generic_sc) {
+            for (int64_t t0 = st0; t0 <= en0; t0 += 16)
+                for (int l = 0; l < 16; ++l) {
+                    uint8_t sq = sf[t0 + l], stq = qr[qrr + t0 + l];
+                    s[t0 + l] = (sq == m - 1 || stq == m - 1) ? sc_N
+                              : (sq == stq ? sc_mch : sc_mis);
+                }
+        } else {
+            for (int64_t t = st0; t <= en0; ++t)
+                s[t] = mat[sf[t] * m + qr[qrr + t]];
+        }
+        int64_t len = en - st + 1;
+        if ((int64_t)xt1_b.size() < len) {
+            xt1_b.resize(len); x2t1_b.resize(len); vt1_b.resize(len);
+            ut_b.resize(len);
+        }
+        xt1_b[0] = x1; x2t1_b[0] = x21; vt1_b[0] = v1;
+        if (len > 1) {
+            memcpy(xt1_b.data() + 1, x + st, len - 1);
+            memcpy(x2t1_b.data() + 1, x2 + st, len - 1);
+            memcpy(vt1_b.data() + 1, v + st, len - 1);
+        }
+        memcpy(ut_b.data(), u + st, len);
+        if (with_cigar && !right) {
+            srow_left(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
+                      ut_b.data(), don_b.data() + st, acc_b.data() + st,
+                      u + st, v + st, x + st, y + st, x2 + st, p + r * n_col,
+                      q_, q2_, qe_);
+        } else if (with_cigar) {
+            srow_right(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
+                       ut_b.data(), don_b.data() + st, acc_b.data() + st,
+                       u + st, v + st, x + st, y + st, x2 + st, p + r * n_col,
+                       q_, q2_, qe_);
+        } else {
+            srow_score(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
+                       ut_b.data(), don_b.data() + st, acc_b.data() + st,
+                       u + st, v + st, x + st, y + st, x2 + st, q_, q2_, qe_);
+        }
+        if (with_cigar) { off[r] = (int32_t)st; off_end[r] = (int32_t)en; }
+
+        if (!approx_max) {
+            int64_t max_H, max_t;
+            if (r > 0) {
+                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
+                else H[en0] = H[en0] + v[en0];
+                max_H = H[en0]; max_t = en0;
+                int64_t en1 = st0 + (en0 - st0) / 4 * 4;
+                if (en1 > st0) {
+                    for (int64_t t = st0; t < en1; ++t) H[t] += v[t];
+                    for (int lane = 0; lane < 4; ++lane) {
+                        int64_t cmax = INT64_MIN, ct = -1;
+                        for (int64_t t = st0 + lane; t < en1; t += 4)
+                            if (H[t] > cmax) { cmax = H[t]; ct = t; }
+                        if (cmax > max_H) { max_H = cmax; max_t = ct; }
+                    }
+                }
+                for (int64_t t = en1; t < en0; ++t) {
+                    H[t] += v[t];
+                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                }
+            } else {
+                H[0] = v[0] - (q + e);
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez.mte) {
+                ez.mte = H[en0]; ez.mte_q = r - en;
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez.mqe) {
+                ez.mqe = H[st0]; ez.mqe_t = st0;
+            }
+            if (apply_zdrop(ez, max_H, r, max_t, zdrop, 0)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1)
+                ez.score = H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (st0 <= last_H0_t && last_H0_t <= en0
+                    && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
+                    int64_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (st0 <= last_H0_t && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else {
+                    ++last_H0_t;
+                    H0 += u[last_H0_t];
+                }
+            } else {
+                H0 = (int64_t)v[0] - (q + e);
+                last_H0_t = 0;
+            }
+            if ((flag & KSW_EZ_APPROX_DROP)
+                && apply_zdrop(ez, H0, r, last_H0_t, zdrop, 0)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
+        }
+        last_st = st; last_en = en;
+    }
+
+    if (with_cigar) {
+        bool rev_cigar = flag & KSW_EZ_REV_CIGAR;
+        if (!ez.zdropped && !(flag & KSW_EZ_EXTZ_ONLY)) {
+            backtrack_rot(p, off, off_end, n_col, tlen - 1, qlen - 1,
+                          rev_cigar, cig, n_cig, long_thres);
+        } else if (ez.max_t >= 0 && ez.max_q >= 0) {
+            backtrack_rot(p, off, off_end, n_col, ez.max_t, ez.max_q,
+                          rev_cigar, cig, n_cig, long_thres);
+        }
+    }
+    ez.n_cigar = n_cig;
+}
+
 }  // namespace
 
 extern "C" {
@@ -438,6 +765,35 @@ void mm2tpu_extd2_batch(
         extd2_one(qs, qlen, ts, tlen, mat, q, e, q2, e2,
                   params[4*i], params[4*i+1], params[4*i+2], params[4*i+3],
                   wk, ez, cig_buf + cig_offs[i], n_cig);
+        int64_t* row = ez_out + 11 * i;
+        row[0] = ez.max; row[1] = ez.zdropped; row[2] = ez.max_q;
+        row[3] = ez.max_t; row[4] = ez.mqe; row[5] = ez.mqe_t;
+        row[6] = ez.mte; row[7] = ez.mte_q; row[8] = ez.score;
+        row[9] = ez.reach_end; row[10] = n_cig;
+        cig_lens[i] = n_cig;
+    }
+}
+
+// Splice batch driver: params per job int32 {zdrop, flag} (unbanded, no w /
+// end_bonus); otherwise the same packing contract as mm2tpu_extd2_batch.
+void mm2tpu_exts2_batch(
+    const uint8_t* seq_buf, const int64_t* qoff, const int64_t* toff,
+    int64_t n_jobs, const int32_t* params, const int8_t* mat,
+    int32_t q, int32_t e, int32_t q2, int32_t noncan,
+    int64_t* ez_out, uint32_t* cig_buf, const int64_t* cig_offs,
+    int64_t* cig_lens)
+{
+    Work wk;
+    for (int64_t i = 0; i < n_jobs; ++i) {
+        const uint8_t* qs = seq_buf + qoff[i];
+        int64_t qlen = toff[i] - qoff[i];
+        const uint8_t* ts = seq_buf + toff[i];
+        int64_t tlen = qoff[i + 1] - toff[i];
+        EzOut ez;
+        int64_t n_cig = 0;
+        exts2_one(qs, qlen, ts, tlen, mat, q, e, q2, noncan,
+                  params[2*i], params[2*i+1], wk, ez,
+                  cig_buf + cig_offs[i], n_cig);
         int64_t* row = ez_out + 11 * i;
         row[0] = ez.max; row[1] = ez.zdropped; row[2] = ez.max_q;
         row[3] = ez.max_t; row[4] = ez.mqe; row[5] = ez.mqe_t;

@@ -105,6 +105,7 @@ def test_device_align_executor_splice():
     frags = [f for b in read_frags([os.path.join(DATA, "splice_cdna.fa")],
                                    mo.mini_batch_size, False) for f in b]
     rt = DeviceRuntime(mi, mo)
+    rt._align_exec.native_max = 0   # route splice jobs to the device kernel
     dev = [l for ls in rt.map_batch(frags) for l in ls]
     host = []
     for f in frags:

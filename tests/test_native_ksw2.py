@@ -77,6 +77,44 @@ def test_native_extd2_batch_order():
         assert ref.cigar == got.cigar and ref.score == got.score
 
 
+SPLICE_MAT = K.gen_simple_mat(5, 1, 2)
+
+
+@pytest.mark.parametrize("flag", [
+    K.KSW_EZ_SPLICE_FOR, K.KSW_EZ_SPLICE_REV,
+    K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_SPLICE_FLANK,
+    K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_RIGHT,
+    K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_REV_CIGAR,
+    K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_SCORE_ONLY])
+def test_native_exts2_fuzz(flag):
+    from minimap2_chaindp_tpu.ops.ksw2_splice import exts2
+    rng = np.random.default_rng(flag + 23)
+    for trial in range(20):
+        ql = int(rng.integers(1, 200))
+        tl = int(rng.integers(1, 350))
+        qseq = rng.integers(0, 5 if trial % 5 == 0 else 4, ql,
+                            dtype=np.uint8)
+        if tl <= ql:
+            tseq = qseq[:tl].copy()
+        else:  # exon1 + intron + exon2 shape
+            tseq = np.concatenate([qseq[:ql // 2],
+                                   rng.integers(0, 4, tl - ql,
+                                                dtype=np.uint8),
+                                   qseq[ql // 2:]])
+        m = rng.random(len(tseq)) < 0.08
+        tseq[m] = rng.integers(0, 4, int(m.sum()), dtype=np.uint8)
+        zdrop = int(rng.choice([-1, 200, 400]))
+        noncan = 9 if trial % 2 else 5
+        ref = exts2(qseq, tseq, SPLICE_MAT, 6, 2, 32, noncan, zdrop, flag)
+        got = native.exts2_batch_native(
+            [dict(qseq=qseq, tseq=tseq, zdrop=zdrop, flag=flag)],
+            SPLICE_MAT, 6, 2, 32, noncan)[0]
+        for f in ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t",
+                  "mte", "mte_q", "score"):
+            assert getattr(ref, f) == getattr(got, f), f
+        assert ref.cigar == got.cigar
+
+
 def test_native_extd2_edges():
     rng = np.random.default_rng(4)
     for ql, tl in [(1, 1), (1, 40), (40, 1), (16, 16), (17, 15)]:
