@@ -623,30 +623,55 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
             zdrop=opt.zdrop_inv if r.split_inv else opt.zdrop,
             flag=extra_flag | K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT
             | K.KSW_EZ_REV_CIGAR))
+    # cut-point enumeration, once: the reference's fill loop (align.c:560-608)
+    # only does work at anchors where it cuts a ksw job, so both the
+    # speculative wave below and the consumption loop iterate the cut list
+    # (~n_fill entries) instead of every anchor (native scan for the common
+    # non-HPC non-sr case; exact Python replay otherwise)
+    cuts = None
+    if not is_sr and not (mi.flag & C.MM_I_HPC):
+        from .native import enum_fill_cuts_native
+        cuts = enum_fill_cuts_native(a, as1, cnt1, mi.k >> 1,
+                                     opt.min_ksw_len, rs, qs)
+    elif not is_sr and len(mi.S) and mi.S.flags.c_contiguous:
+        from .native import _np_ptr, enum_fill_cuts_hpc_native
+        cuts = enum_fill_cuts_hpc_native(
+            a, as1, cnt1, np.ascontiguousarray(qseq0[rev]),
+            _np_ptr(mi.S) + mi.seqs[rid].offset, opt.min_ksw_len, rs, qs)
+    if cuts is None:
+        cuts = []
+        rs_c, qs_c = rs, qs
+        i = cnt1 - 1 if is_sr else 1
+        while i < cnt1:
+            ay_i = int(a[as1 + i, 1])
+            if (ay_i & (C.MM_SEED_IGNORE | C.MM_SEED_TANDEM)) \
+                    and i != cnt1 - 1:
+                i += 1
+                continue
+            if is_sr and not (mi.flag & C.MM_I_HPC):
+                re_c = int(ax_lo[as1 + i]) + 1
+                qe_c = int(ay_lo[as1 + i]) + 1
+            else:
+                re_c, qe_c = adj(as1 + i)
+            if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
+               (qe_c - qs_c >= opt.min_ksw_len
+                    and re_c - rs_c >= opt.min_ksw_len):
+                cuts.append((i, re_c, qe_c,
+                             bool(ay_i & C.MM_SEED_LONG_JOIN)))
+                rs_c, qs_c = re_c, qe_c
+            i += 1
+
     n_fill = 0
     rs_c, qs_c = rs, qs
-    i = cnt1 - 1 if is_sr else 1
-    while i < cnt1:
-        ay_i = int(a[as1 + i, 1])
-        if (ay_i & (C.MM_SEED_IGNORE | C.MM_SEED_TANDEM)) and i != cnt1 - 1:
-            i += 1
-            continue
-        if is_sr and not (mi.flag & C.MM_I_HPC):
-            re_c, qe_c = int(ax_lo[as1 + i]) + 1, int(ay_lo[as1 + i]) + 1
-        else:
-            re_c, qe_c = adj(as1 + i)
-        if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
-           (qe_c - qs_c >= opt.min_ksw_len and re_c - rs_c >= opt.min_ksw_len):
-            if not is_sr:
-                bw1 = max(qe_c - qs_c, re_c - rs_c) \
-                    if ay_i & C.MM_SEED_LONG_JOIN else bw
-                wave.append(dict(qseq=qseq0[rev][qs_c:qe_c],
-                                 tseq=mi.getseq(rid, rs_c, re_c), w=bw1,
-                                 end_bonus=-1, zdrop=opt.zdrop,
-                                 flag=extra_flag | K.KSW_EZ_APPROX_MAX))
-                n_fill += 1
-            rs_c, qs_c = re_c, qe_c
-        i += 1
+    for _, re_c, qe_c, lj in cuts:
+        if not is_sr:
+            bw1 = max(qe_c - qs_c, re_c - rs_c) if lj else bw
+            wave.append(dict(qseq=qseq0[rev][qs_c:qe_c],
+                             tseq=mi.getseq(rid, rs_c, re_c), w=bw1,
+                             end_bonus=-1, zdrop=opt.zdrop,
+                             flag=extra_flag | K.KSW_EZ_APPROX_MAX))
+            n_fill += 1
+        rs_c, qs_c = re_c, qe_c
     has_right = qs_c < qe0 and rs_c < re0
     if has_right:
         wave.append(dict(qseq=qseq0[rev][qs_c:qe0],
@@ -669,69 +694,54 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
     assert qs1 >= 0 and rs1 >= 0
 
     k_fill = 0
-    i = cnt1 - 1 if is_sr else 1
-    while i < cnt1:  # gap filling
-        ay_i = int(a[as1 + i, 1])
-        if (ay_i & (C.MM_SEED_IGNORE | C.MM_SEED_TANDEM)) and i != cnt1 - 1:
-            i += 1
-            continue
-        if is_sr and not (mi.flag & C.MM_I_HPC):
-            re = int(ax_lo[as1 + i]) + 1
-            qe = int(ay_lo[as1 + i]) + 1
-        else:
-            re, qe = adj(as1 + i)
+    for i, re, qe, lj in cuts:  # gap filling, per cut
         re1, qe1 = re, qe
-        if i == cnt1 - 1 or (ay_i & C.MM_SEED_LONG_JOIN) or \
-           (qe - qs >= opt.min_ksw_len and re - rs >= opt.min_ksw_len):
-            bw1 = bw
-            if ay_i & C.MM_SEED_LONG_JOIN:
-                bw1 = max(qe - qs, re - rs)
-            qseq = qseq0[rev][qs:qe]
-            tseq = mi.getseq(rid, rs, re)
-            if is_sr:  # ungapped
-                assert qe - qs == re - rs
-                ez = K.Ez()
-                sc = np.where((qseq >= 4) | (tseq >= 4), opt.e2,
-                              np.where(qseq == tseq, opt.a, -opt.b))
-                ez.score = int(sc.sum())
-                ez.cigar = [(qe - qs) << 4 | 0]
-            else:
-                ez = thunks[fill0 + k_fill]()
-                k_fill += 1
-            zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
-            if zdrop_code != 0:
-                t2 = yield [dict(
-                    qseq=qseq, tseq=tseq, w=bw1, end_bonus=-1,
-                    zdrop=opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
-                    flag=extra_flag)]
-                ez = t2[0]()
-            if ez.n_cigar > 0:
-                append_cigar(r, ez.cigar)
-            if ez.zdropped:
-                j = i - 1
-                while j >= 0:
-                    if _i32(a[as1 + j, 0]) <= rs + ez.max_t:
-                        break
-                    j -= 1
-                dropped = 1
-                if j < 0:
-                    j = 0
-                if r.p is None:
-                    r.p = Extra()
-                r.p.dp_score += ez.max
-                re1 = rs + (ez.max_t + 1)
-                qe1 = qs + (ez.max_q + 1)
-                if cnt1 - (j + 1) >= opt.min_cnt:
-                    r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, a)
-                    if r2 is not None and zdrop_code == 2:
-                        r2.split_inv = 1
-                break
-            else:
-                if r.p is None:
-                    r.p = Extra()
-                r.p.dp_score += ez.score
-            rs, qs = re, qe
-        i += 1
+        bw1 = max(qe - qs, re - rs) if lj else bw
+        qseq = qseq0[rev][qs:qe]
+        tseq = mi.getseq(rid, rs, re)
+        if is_sr:  # ungapped
+            assert qe - qs == re - rs
+            ez = K.Ez()
+            sc = np.where((qseq >= 4) | (tseq >= 4), opt.e2,
+                          np.where(qseq == tseq, opt.a, -opt.b))
+            ez.score = int(sc.sum())
+            ez.cigar = [(qe - qs) << 4 | 0]
+        else:
+            ez = thunks[fill0 + k_fill]()
+            k_fill += 1
+        zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+        if zdrop_code != 0:
+            t2 = yield [dict(
+                qseq=qseq, tseq=tseq, w=bw1, end_bonus=-1,
+                zdrop=opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
+                flag=extra_flag)]
+            ez = t2[0]()
+        if ez.n_cigar > 0:
+            append_cigar(r, ez.cigar)
+        if ez.zdropped:
+            j = i - 1
+            while j >= 0:
+                if _i32(a[as1 + j, 0]) <= rs + ez.max_t:
+                    break
+                j -= 1
+            dropped = 1
+            if j < 0:
+                j = 0
+            if r.p is None:
+                r.p = Extra()
+            r.p.dp_score += ez.max
+            re1 = rs + (ez.max_t + 1)
+            qe1 = qs + (ez.max_q + 1)
+            if cnt1 - (j + 1) >= opt.min_cnt:
+                r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, a)
+                if r2 is not None and zdrop_code == 2:
+                    r2.split_inv = 1
+            break
+        else:
+            if r.p is None:
+                r.p = Extra()
+            r.p.dp_score += ez.score
+        rs, qs = re, qe
 
     if not dropped and qe < qe0 and re < re0:  # right extension
         qseq = qseq0[rev][qe:qe0]

@@ -57,6 +57,8 @@ class DeviceAlignExecutor:
                                                     opt.q2 + opt.e2)
         self.n_device = 0
         self.n_host = 0
+        from ..utils.device_guard import DEFAULT_TIMEOUT_S
+        self.timeout = DEFAULT_TIMEOUT_S
 
     def _eligible(self, job) -> bool:
         if not self.enabled:
@@ -107,23 +109,39 @@ class DeviceAlignExecutor:
             bt = "host" if self.interpret else "device"
             # staged dispatch/collect: launch every bucket's forward kernel
             # before blocking on any result, so the device works on bucket
-            # k+1 while the host reads scores / decodes bucket k
-            stage1 = []
-            for sz, idxs in sorted(by_bucket.items()):
-                if self.splice:
-                    c1 = KP.exts2_batch_async(
-                        [jobs[i] for i in idxs], self.mat, self.opt.q,
-                        self.opt.e, self.opt.q2, self.opt.noncan,
-                        interpret=self.interpret, quantize=True, backtrack=bt)
-                else:
-                    c1 = KP.extd2_batch_async(
-                        [jobs[i] for i in idxs], self.mat, self.opt.q,
-                        self.opt.e, self.opt.q2, self.opt.e2,
-                        interpret=self.interpret, quantize=True, backtrack=bt)
-                stage1.append((idxs, c1))
-            stage2 = [(idxs, c1()) for idxs, c1 in stage1]
-            for idxs, c2 in stage2:
-                res = c2()
+            # k+1 while the host reads scores / decodes bucket k.  The whole
+            # device section runs on the guarded owner thread; a stalled
+            # link leaves these thunks None and the lazy host executor below
+            # picks them up (identical output, the err_flag pattern).
+            from ..utils.device_guard import DeviceStall, device_call
+
+            def _device_block():
+                stage1 = []
+                for sz, idxs in sorted(by_bucket.items()):
+                    if self.splice:
+                        c1 = KP.exts2_batch_async(
+                            [jobs[i] for i in idxs], self.mat, self.opt.q,
+                            self.opt.e, self.opt.q2, self.opt.noncan,
+                            interpret=self.interpret, quantize=True,
+                            backtrack=bt)
+                    else:
+                        c1 = KP.extd2_batch_async(
+                            [jobs[i] for i in idxs], self.mat, self.opt.q,
+                            self.opt.e, self.opt.q2, self.opt.e2,
+                            interpret=self.interpret, quantize=True,
+                            backtrack=bt)
+                    stage1.append((idxs, c1))
+                stage2 = [(idxs, c1()) for idxs, c1 in stage1]
+                out = []
+                for idxs, c2 in stage2:
+                    out.append((idxs, c2()))
+                return out
+            try:
+                done = device_call(_device_block,
+                                   None if self.interpret else self.timeout)
+            except DeviceStall:
+                done = []
+            for idxs, res in done:
                 for i, ez in zip(idxs, res):
                     thunks[i] = (lambda v=ez: v)
                 self.n_device += len(idxs)

@@ -53,6 +53,8 @@ class DeviceRuntime:
         self._seed_collector = None
         import threading
         self._seed_lock = threading.Lock()  # map_stream runs 2 batches
+        from ..utils.device_guard import DEFAULT_TIMEOUT_S
+        self._dev_timeout = DEFAULT_TIMEOUT_S
 
     def map_stream(self, batches, rg_id: str = ""):
         """Map a stream of read batches through a 2-deep threaded pipeline
@@ -122,13 +124,21 @@ class DeviceRuntime:
                                  | C.MM_F_REV_ONLY))
         got = [None] * len(units)
         if dev_ok and todo:
-            with self._seed_lock:
-                if self._seed_collector is None:
-                    from ..ops.seeds_device import DeviceSeedCollector
-                    self._seed_collector = DeviceSeedCollector(mi)
-            res = self._seed_collector.collect_batch(
-                [units[k][1].mv for k in todo], opt.mid_occ,
-                [units[k][1].qlen_sum for k in todo])
+            from ..utils.device_guard import DeviceStall, device_call
+
+            def _collect():
+                with self._seed_lock:
+                    if self._seed_collector is None:
+                        from ..ops.seeds_device import DeviceSeedCollector
+                        self._seed_collector = DeviceSeedCollector(mi)
+                return self._seed_collector.collect_batch(
+                    [units[k][1].mv for k in todo], opt.mid_occ,
+                    [units[k][1].qlen_sum for k in todo])
+            try:
+                res = device_call(
+                    _collect, None if self._interpret else self._dev_timeout)
+            except DeviceStall:
+                res = [None] * len(todo)
             for k, sh in zip(todo, res):
                 got[k] = sh
         for k in todo:
@@ -174,7 +184,12 @@ class DeviceRuntime:
 
         # dispatch every bucket's kernel before blocking on any result, so
         # the device runs bucket k+1 while the host reads back / backtracks
-        # bucket k
+        # bucket k.  All device sections run through the guarded owner
+        # thread (utils/device_guard.py); a stalled link routes the bucket —
+        # and the rest of the run — to the exact host path (the reference's
+        # err_flag fallback, map.c:933-944).
+        from ..utils.device_guard import DeviceStall, device_call
+        tmo = None if self._interpret else self._dev_timeout
         staged = []
         for (b, gq, gr, many), idxs in sorted(by_bucket.items()):
             reads = []
@@ -187,19 +202,30 @@ class DeviceRuntime:
             with self.timers.time("pack"):
                 packed, nn, w1, exc, host_flag = CP.pack_reads(reads, b, gr)
             with self.timers.time("kernel"):
-                f, p, flag = CP.chain_scores_batch(
-                    *(packed[x] for x in ("xhi", "rpos", "qpos", "span", "sid",
-                                          "stw")),
-                    nn, w1, exc, max_n=b, max_dist_x=gr, max_dist_y=gq,
-                    bw=opt.bw, max_skip=opt.max_chain_skip,
-                    is_cdna=is_cdna, many_segs=many,
-                    interpret=self._interpret)
+                try:
+                    f, p, flag = device_call(lambda: CP.chain_scores_batch(
+                        *(packed[x] for x in ("xhi", "rpos", "qpos", "span",
+                                              "sid", "stw")),
+                        nn, w1, exc, max_n=b, max_dist_x=gr, max_dist_y=gq,
+                        bw=opt.bw, max_skip=opt.max_chain_skip,
+                        is_cdna=is_cdna, many_segs=many,
+                        interpret=self._interpret), tmo)
+                except DeviceStall:
+                    host_idx.extend(idxs)
+                    self.timers.count("stall_fallback", len(idxs))
+                    continue
             staged.append((idxs, host_flag, f, p, flag))
         for idxs, host_flag, f, p, flag in staged:
             with self.timers.time("kernel"):
-                f = np.asarray(f)
-                p = np.asarray(p)
-                flag = np.asarray(flag)[:, 0]
+                try:
+                    f, p, flag = device_call(
+                        lambda f=f, p=p, flag=flag:
+                            (np.asarray(f), np.asarray(p),
+                             np.asarray(flag)[:, 0]), tmo)
+                except DeviceStall:
+                    host_idx.extend(idxs)
+                    self.timers.count("stall_fallback", len(idxs))
+                    continue
             with self.timers.time("bottom"):
                 from ..native import chain_bottom_native
                 for r, k in enumerate(idxs):

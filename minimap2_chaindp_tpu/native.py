@@ -111,6 +111,14 @@ def load_align():
         lib.mm2tpu_decode_cigar.argtypes = [
             _vp, _c.c_int64, _c.c_int64, _c.c_int64, _c.c_int32,
             _c.c_int32, _vp]
+        lib.mm2tpu_enum_fill_cuts.restype = _c.c_int64
+        lib.mm2tpu_enum_fill_cuts.argtypes = [
+            _vp, _c.c_int64, _c.c_int64, _c.c_int64, _c.c_int64,
+            _c.c_int64, _c.c_int64, _vp, _vp, _vp, _vp]
+        lib.mm2tpu_enum_fill_cuts_hpc.restype = _c.c_int64
+        lib.mm2tpu_enum_fill_cuts_hpc.argtypes = [
+            _vp, _c.c_int64, _c.c_int64, _vp, _vp, _c.c_int64,
+            _c.c_int64, _c.c_int64, _vp, _vp, _vp, _vp]
         lib.mm2tpu_collect_seeds.restype = _c.c_void_p
         lib.mm2tpu_collect_seeds.argtypes = [
             _vp, _c.c_int64, _vp, _c.c_int64, _vp, _vp,
@@ -173,6 +181,44 @@ def est_err_merge(ax, ay, as_, cnt, rev, qlen, mp_lo):
         _np_ptr(ax, _pu64), _np_ptr(ay, _pu64), as_, cnt, 1 if rev else 0,
         qlen, _np_ptr(mp_lo, _p64), len(mp_lo), _np_ptr(out, _p64))
     return int(found), int(out[0]), int(out[1])
+
+
+def enum_fill_cuts_native(a, as1, cnt1, kh, min_ksw_len, rs, qs):
+    """Native gap-fill cut enumeration (non-HPC adj).  Returns the list of
+    (i, re, qe, long_join) cut tuples or None if the lib is unavailable."""
+    lib = load_align()
+    if lib is None or not a.flags.c_contiguous:
+        return None
+    oi = np.empty(cnt1, dtype=np.int32)
+    ore = np.empty(cnt1, dtype=np.int32)
+    oqe = np.empty(cnt1, dtype=np.int32)
+    olj = np.empty(cnt1, dtype=np.uint8)
+    n = lib.mm2tpu_enum_fill_cuts(
+        _np_ptr(a), as1, cnt1, kh, min_ksw_len, rs, qs,
+        _np_ptr(oi), _np_ptr(ore), _np_ptr(oqe), _np_ptr(olj))
+    return list(zip(oi[:n].tolist(), ore[:n].tolist(), oqe[:n].tolist(),
+                    olj[:n].astype(bool).tolist()))
+
+
+def enum_fill_cuts_hpc_native(a, as1, cnt1, qseq, s_rid_base, min_ksw_len,
+                              rs, qs):
+    """Native HPC gap-fill cut enumeration.  qseq is the region strand's
+    encoded query; s_rid_base the raw address of the target's nt4 codes.
+    Returns the (i, re, qe, long_join) cut list or None."""
+    lib = load_align()
+    if lib is None or not a.flags.c_contiguous \
+            or not qseq.flags.c_contiguous:
+        return None
+    oi = np.empty(cnt1, dtype=np.int32)
+    ore = np.empty(cnt1, dtype=np.int32)
+    oqe = np.empty(cnt1, dtype=np.int32)
+    olj = np.empty(cnt1, dtype=np.uint8)
+    n = lib.mm2tpu_enum_fill_cuts_hpc(
+        _np_ptr(a), as1, cnt1, _np_ptr(qseq), s_rid_base,
+        min_ksw_len, rs, qs,
+        _np_ptr(oi), _np_ptr(ore), _np_ptr(oqe), _np_ptr(olj))
+    return list(zip(oi[:n].tolist(), ore[:n].tolist(), oqe[:n].tolist(),
+                    olj[:n].astype(bool).tolist()))
 
 
 def cal_fuzzy_len_native(a, as_, cnt):

@@ -1,0 +1,86 @@
+"""Device-owner thread with stall detection and permanent host fallback.
+
+The tunnel-attached axon TPU link can stall indefinitely under sustained
+transfer load (a blocking jax fetch never returns).  The reference handles
+accelerator failure per read with an err_flag + software redo
+(map.c:933-944); this is the framework-level analog: every device
+dispatch-or-fetch section runs as a closure on ONE daemon worker thread
+(the analog of the reference's dedicated send/recv threads owning the FPGA,
+fpga_chaindp.c:83/228), and the submitting thread waits with a timeout.
+On timeout the device is marked bad for the rest of the process and the
+caller raises DeviceStall, which every call site answers by recomputing on
+the exact host path — output stays identical, the run completes.
+
+A single worker thread also serializes all device access, which the axon
+client needs (concurrent blocking transfers from two pipeline threads can
+wedge the link even when it is otherwise healthy).
+
+Timeout: MM2TPU_DEVICE_TIMEOUT_S (default 180 s — generous enough for a
+20-40 s remote kernel compile queued behind another section).  Call sites
+pass timeout=None in CPU interpret mode, which bypasses the worker thread
+entirely (jax CPU is thread-safe and never stalls).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import sys
+import threading
+
+
+class DeviceStall(RuntimeError):
+    """The device link stalled; the caller must take its host fallback."""
+
+
+DEFAULT_TIMEOUT_S = float(os.environ.get("MM2TPU_DEVICE_TIMEOUT_S", "180"))
+
+_q: queue.SimpleQueue | None = None
+_started = False
+_bad = False
+_start_lock = threading.Lock()
+
+
+def device_bad() -> bool:
+    return _bad
+
+
+def _worker():
+    while True:
+        fn, box, ev = _q.get()
+        try:
+            box.append(("ok", fn()))
+        except BaseException as e:  # noqa: BLE001 — relayed to the waiter
+            box.append(("err", e))
+        ev.set()
+
+
+def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
+    """Run fn() on the device-owner thread and wait up to `timeout` seconds.
+
+    timeout=None runs fn() directly on the calling thread (interpret mode).
+    Raises DeviceStall if the device was already marked bad or the wait
+    times out (the worker may stay wedged in the stalled jax call; it is a
+    daemon thread and no further work is submitted to it)."""
+    global _bad, _started, _q
+    if timeout is None:
+        return fn()
+    if _bad:
+        raise DeviceStall("device previously marked unavailable")
+    with _start_lock:
+        if not _started:
+            _q = queue.SimpleQueue()
+            threading.Thread(target=_worker, daemon=True,
+                             name="mm2tpu-device").start()
+            _started = True
+    box: list = []
+    ev = threading.Event()
+    _q.put((fn, box, ev))
+    if not ev.wait(timeout):
+        _bad = True
+        print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
+              "mapping continues on the exact host path", file=sys.stderr)
+        raise DeviceStall(f"device call exceeded {timeout:.0f}s")
+    status, val = box[0]
+    if status == "err":
+        raise val
+    return val

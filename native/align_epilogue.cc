@@ -244,6 +244,79 @@ int64_t mm2tpu_decode_cigar(
     return n;
 }
 
+// ---- gap-fill cut enumeration (align.c:560-608 outer loop structure):
+// walks the region's anchors once and records every anchor where the
+// reference's fill loop would cut a ksw job — i == cnt1-1, LONG_JOIN, or
+// both gap spans >= min_ksw_len since the last cut.  Non-HPC coordinates
+// (adj = low32 - (k>>1)); a is the interleaved (n, 2) anchor array.
+// Returns the number of cuts; out_* need capacity cnt1.
+int64_t mm2tpu_enum_fill_cuts(
+    const uint64_t* a, int64_t as1, int64_t cnt1, int64_t kh,
+    int64_t min_ksw_len, int64_t rs, int64_t qs,
+    int32_t* out_i, int32_t* out_re, int32_t* out_qe, uint8_t* out_lj)
+{
+    const uint64_t IGN_TAN = (1ULL << 41) | (1ULL << 42);
+    const uint64_t LJ = 1ULL << 40;
+    int64_t n = 0, rs_c = rs, qs_c = qs;
+    for (int64_t i = 1; i < cnt1; ++i) {
+        uint64_t ay = a[2 * (as1 + i) + 1];
+        if ((ay & IGN_TAN) && i != cnt1 - 1) continue;
+        int64_t re_c = (int64_t)(int32_t)(uint32_t)a[2 * (as1 + i)] - kh;
+        int64_t qe_c = (int64_t)(int32_t)(uint32_t)ay - kh;
+        if (i == cnt1 - 1 || (ay & LJ) ||
+            (qe_c - qs_c >= min_ksw_len && re_c - rs_c >= min_ksw_len)) {
+            out_i[n] = (int32_t)i;
+            out_re[n] = (int32_t)re_c;
+            out_qe[n] = (int32_t)qe_c;
+            out_lj[n] = (ay & LJ) ? 1 : 0;
+            ++n;
+            rs_c = re_c; qs_c = qe_c;
+        }
+    }
+    return n;
+}
+
+// ---- HPC variant of the cut enumeration: coordinates go through the
+// homopolymer-aware adjust (align.c:254-269 mm_adjust_minier) — walk the
+// query back to the run start, walk the target back through the
+// homopolymer ending at the anchor.  qseq is the region's strand of the
+// encoded query; S_rid points at the target sequence (S + seq offset).
+// A chain never changes strand or rid, so both are per-region constants.
+int64_t mm2tpu_enum_fill_cuts_hpc(
+    const uint64_t* a, int64_t as1, int64_t cnt1,
+    const uint8_t* qseq, const uint8_t* S_rid,
+    int64_t min_ksw_len, int64_t rs, int64_t qs,
+    int32_t* out_i, int32_t* out_re, int32_t* out_qe, uint8_t* out_lj)
+{
+    const uint64_t IGN_TAN = (1ULL << 41) | (1ULL << 42);
+    const uint64_t LJ = 1ULL << 40;
+    int64_t n = 0, rs_c = rs, qs_c = qs;
+    for (int64_t i = 1; i < cnt1; ++i) {
+        uint64_t ay = a[2 * (as1 + i) + 1];
+        if ((ay & IGN_TAN) && i != cnt1 - 1) continue;
+        int64_t x = (int64_t)(int32_t)(uint32_t)a[2 * (as1 + i)];
+        int64_t q = (int64_t)(int32_t)(uint32_t)ay;
+        uint8_t c = qseq[q];
+        int64_t j = q - 1;
+        while (j > 0 && qseq[j] == c) --j;
+        int64_t qe_c = j + 1;
+        c = S_rid[x];
+        j = x - 1;
+        while (j >= 0 && S_rid[j] == c) --j;
+        int64_t re_c = x + 1 - (x - j);
+        if (i == cnt1 - 1 || (ay & LJ) ||
+            (qe_c - qs_c >= min_ksw_len && re_c - rs_c >= min_ksw_len)) {
+            out_i[n] = (int32_t)i;
+            out_re[n] = (int32_t)re_c;
+            out_qe[n] = (int32_t)qe_c;
+            out_lj[n] = (ay & LJ) ? 1 : 0;
+            ++n;
+            rs_c = re_c; qs_c = qe_c;
+        }
+    }
+    return n;
+}
+
 // ---- seed-hit collection (map.c:112-236 collect_matches/collect_seed_hits)
 // over the CSR index tables (keys/starts/values), non-ava path only (the
 // NO_DIAG name-compare modes stay in Python).  Handle pattern: the first

@@ -1,0 +1,38 @@
+"""The device-guard stall detector (utils/device_guard.py): a section that
+exceeds its timeout marks the device bad and raises DeviceStall; later
+sections fail fast; timeout=None bypasses the worker thread entirely."""
+import time
+
+import pytest
+
+from minimap2_chaindp_tpu.utils import device_guard as dg
+
+
+def setup_function(_):
+    dg._bad = False
+
+
+def test_direct_mode_and_result():
+    assert dg.device_call(lambda: 41 + 1, None) == 42
+    assert dg.device_call(lambda: "ok", 5.0) == "ok"
+
+
+def test_exception_relay():
+    with pytest.raises(ValueError):
+        dg.device_call(lambda: (_ for _ in ()).throw(ValueError("x")), 5.0)
+    assert not dg.device_bad()
+
+
+def test_stall_marks_bad_and_fails_fast():
+    with pytest.raises(dg.DeviceStall):
+        dg.device_call(lambda: time.sleep(3), 0.2)
+    assert dg.device_bad()
+    t0 = time.perf_counter()
+    with pytest.raises(dg.DeviceStall):
+        dg.device_call(lambda: 1, 5.0)
+    assert time.perf_counter() - t0 < 0.5  # no wait once marked bad
+    # direct mode ignores the bad flag (interpret path)
+    assert dg.device_call(lambda: 7, None) == 7
+    # allow the wedged worker to drain before other tests reuse the thread
+    time.sleep(3)
+    dg._bad = False
