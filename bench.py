@@ -59,7 +59,63 @@ def baseline_anchors_per_s(reads):
     return best
 
 
+def host_native_fallback():
+    """Device unreachable: measure the framework's exact native host
+    chaining path on the same workload so the driver still gets an honest
+    number (clearly labeled)."""
+    from minimap2_chaindp_tpu.native import chain_dp_native
+    from minimap2_chaindp_tpu.utils.synth import synth_batch
+    anchors = synth_batch(64, ANCHORS_PER_READ, seed=1)
+    if chain_dp_native(MAX_DIST, MAX_DIST, BW, MAX_SKIP, 3, MIN_SC,
+                       False, 1, anchors[0]) is None:
+        return None
+    t0 = time.perf_counter()
+    for a in anchors:
+        chain_dp_native(MAX_DIST, MAX_DIST, BW, MAX_SKIP, 3, MIN_SC,
+                        False, 1, a)
+    dt = time.perf_counter() - t0
+    value = 64 * ANCHORS_PER_READ / dt
+    base = baseline_anchors_per_s(anchors)
+    return {
+        "metric": "chaindp_anchors_per_s",
+        "value": round(value, 1),
+        "unit": "anchors/s",
+        "vs_baseline": round(value / base, 3) if base else None,
+        "baseline_single_core_c": round(base, 1) if base else None,
+        "device": "unreachable (tunnel stall) - native host path",
+        "reads": 64,
+        "anchors_per_read": ANCHORS_PER_READ,
+    }
+
+
 def main():
+    """Driver entry: run the device measurement in a child process with a
+    timeout (the tunnel-attached TPU can stall indefinitely), retry, and
+    fall back to the native host path so ONE JSON line always prints."""
+    attempts = int(os.environ.get("MM2TPU_BENCH_ATTEMPTS", "3"))
+    per_try_s = float(os.environ.get("MM2TPU_BENCH_TIMEOUT_S", "600"))
+    for k in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=per_try_s)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            pass
+        if k + 1 < attempts:
+            time.sleep(60)
+    rec = host_native_fallback()
+    if rec is None:
+        rec = {"metric": "chaindp_anchors_per_s", "value": 0,
+               "unit": "anchors/s", "vs_baseline": None,
+               "device": "unreachable"}
+    print(json.dumps(rec))
+
+
+def main_device():
     from minimap2_chaindp_tpu.utils.compile_cache import \
         enable_persistent_cache
     enable_persistent_cache()
@@ -122,4 +178,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main_device()
+    else:
+        main()
