@@ -244,11 +244,14 @@ def pack_reads(reads, max_n: int, max_dist_x: int):
     max_dist_x window starts (the reference's sliding st, chain.c:58).
     Returns (packed, nn, w1, exc, host_flag) where host_flag marks reads
     whose exception list overflowed (must take the host path)."""
-    R = (len(reads) + 127) // 128 * 128  # divisible by any SUBL choice
-    Rp = 128
-    while Rp < R:
+    # pow2 row padding (bounded compiled-shape set), floor 8 (Mosaic's
+    # minimum sublane block; chain_scores_batch halves SUBL to divide R).
+    # Natural-size padding matters on the tunnel-attached link: a 24-read
+    # 4096-anchor bucket ships ~3 MB at R=32 vs 12 MB at a 128 floor.
+    Rp = 8
+    while Rp < len(reads):
         Rp *= 2
-    R = Rp  # pow2 so long runs compile a bounded set of batch shapes
+    R = Rp
     out = {k: np.zeros((R, max_n), dtype=np.int32)
            for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")}
     out["xhi"][:] = -1
