@@ -17,7 +17,6 @@ from .options import IndexOptions, MapOptions, set_opt, check_opt
 from .io.fastx import read_fastx, read_frags
 from .io.output import write_sam_hdr, parse_rg_id
 from .index.build import build_index
-from .models.pipeline import map_fragment_output
 
 VERSION = "0.1.0 (minimap2 2.10-r761 compatible)"
 
@@ -366,18 +365,35 @@ def main(argv=None) -> int:
             if not ns.query:
                 return 0
 
-        use_device = ns.device == "tpu"
-        if ns.device == "auto":
-            try:
+        use_device = ns.device in ("tpu", "auto")
+        if use_device:
+            # probe through the guarded owner thread: jax.devices() blocks
+            # forever when the tunnel link is down, and a dead probe must
+            # degrade to the host path, not hang the run
+            from .utils.device_guard import device_call
+
+            def _probe():
                 import jax
-                use_device = jax.devices()[0].platform in ("tpu", "axon")
+                return jax.devices()[0].platform
+
+            try:
+                import os
+                t = float(os.environ.get("MM2TPU_DEVICE_PROBE_S", "60"))
+                plat = device_call(_probe, t)
+                use_device = plat in ("tpu", "axon") or \
+                    (ns.device == "tpu" and plat == "cpu")
             except Exception:
                 use_device = False
+            if not use_device and ns.device == "tpu":
+                print("[mm2tpu] WARNING: --device tpu requested but no "
+                      "device answered; mapping on the host path",
+                      file=sys.stderr)
         if use_device:
             from .models.runtime import DeviceRuntime
             runtime = DeviceRuntime(mi, mo)
         else:
-            runtime = None
+            from .models.host_runtime import HostRuntime
+            runtime = HostRuntime(mi, mo)
 
         if (mo.flag & C.MM_F_OUT_SAM) and part_no == 1:
             cmdline = "mm2tpu " + " ".join(argv_disp)
@@ -406,29 +422,18 @@ def main(argv=None) -> int:
                 stash.append(b)
                 yield b
 
-        if runtime is not None:
-            # threaded 2-batch pipeline: batch k+1 maps while batch k's
-            # device results are awaited / its text is written
-            for batch_lines in runtime.map_stream(_tee(batches)):
-                for lines in batch_lines:
-                    for line in lines:
-                        print(line, file=out)
-                b = stash.popleft()
-                mlog.mlog("worker_pipeline",
-                          f"mapped {sum(len(f.segs) for f in b)} sequences")
-        else:
-            for batch in batches:
-                for frag in batch:
-                    for line in map_fragment_output(mi, mo, frag.segs,
-                                                    rg_id):
-                        print(line, file=out)
-                mlog.mlog("worker_pipeline",
-                          f"mapped {sum(len(f.segs) for f in batch)} "
-                          "sequences")
-        if runtime is not None:
-            # per-stage telemetry at exit, like the reference's perf
-            # counters (main.c:629-663)
-            runtime.timers.report()
+        # threaded 2-batch pipeline (device or host runtime): batch k+1
+        # maps while batch k's results are awaited / its text is written
+        for batch_lines in runtime.map_stream(_tee(batches), rg_id):
+            for lines in batch_lines:
+                for line in lines:
+                    print(line, file=out)
+            b = stash.popleft()
+            mlog.mlog("worker_pipeline",
+                      f"mapped {sum(len(f.segs) for f in b)} sequences")
+        # per-stage telemetry at exit, like the reference's perf
+        # counters (main.c:629-663)
+        runtime.timers.report()
     mlog.banner("2.10-r761", argv_disp)
     return 0
 

@@ -28,10 +28,14 @@ class DeviceAlignExecutor:
     """Executes extension-job waves: batched Pallas extd2 for eligible jobs,
     lazy host NumPy for the rest."""
 
-    def __init__(self, opt, interpret: bool = False):
+    def __init__(self, opt, interpret: bool = False,
+                 use_device: bool = True):
         import os
         self.opt = opt
         self.interpret = interpret
+        # use_device=False = pure-host executor (HostRuntime): native SIMD
+        # batches + lazy host model only, no jax import anywhere
+        self.use_device = use_device
         # measured crossover routing: sub-threshold extd2 jobs run on the
         # host SIMD path (native/ksw2_extd2.cc — the reference's own ksw2
         # placement, CPU SIMD) where one device round trip costs more than
@@ -68,7 +72,6 @@ class DeviceAlignExecutor:
             and ql + tl <= self.max_span
 
     def run(self, jobs) -> list:
-        from ..ops import ksw2_pallas as KP
         thunks: list = [None] * len(jobs)
         if self.splice:
             from ..native import exts2_batch_native
@@ -95,8 +98,10 @@ class DeviceAlignExecutor:
                         thunks[i] = (lambda v=ez: v)
                     self.n_native = getattr(self, "n_native", 0) + len(nat)
         dev = [i for i, j in enumerate(jobs)
-               if thunks[i] is None and self._eligible(j)]
+               if thunks[i] is None and self._eligible(j)] \
+            if self.use_device else []
         if len(dev) >= MIN_DEV_JOBS:
+            from ..ops import ksw2_pallas as KP
             # bucket by padded problem size to bound compiled kernel shapes
             by_bucket: dict[tuple, list[int]] = {}
             for i in dev:

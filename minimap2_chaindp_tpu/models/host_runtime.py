@@ -1,0 +1,81 @@
+"""Host batched runtime: cross-read wave scheduling without a device.
+
+The reference pays its ksw2 cost per call but keeps the calls native SIMD
+(align.c:220 -> ksw2_*_sse); a Python per-job driver pays ~0.2 ms of
+marshalling per extension call instead, which dominates the host path at
+~6 extension jobs per read.  This runtime reuses the device runtime's
+cross-read wave scheduler (models/batch_align.py) with the device disabled:
+every in-flight read's current extension wave lands in ONE native batch
+call, so the ctypes/marshalling cost amortizes across the whole batch.
+Never imports jax — it is the mapping path when no TPU is attached (and the
+permanent fallback when the device link is marked bad, the framework-level
+err_flag of map.c:933-944).
+
+Output is bit-identical to the per-fragment host pipeline and to the device
+runtime (asserted by tests/test_host_runtime.py)."""
+from __future__ import annotations
+
+from ..utils.timers import Timers
+
+
+class HostRuntime:
+    """Maps fragments in batches on the host; output order == input order.
+
+    Same surface as DeviceRuntime (map_batch / map_stream) so the CLI
+    drives either through the identical streaming loop."""
+
+    def __init__(self, mi, opt):
+        self.mi = mi
+        self.opt = opt
+        self.timers = Timers()
+        from .batch_align import DeviceAlignExecutor
+        self._align_exec = DeviceAlignExecutor(opt, use_device=False)
+
+    def map_stream(self, batches, rg_id: str = ""):
+        """2-deep threaded pipeline over read batches (kt_pipeline step
+        overlap, map.c:637): native batch calls release the GIL, so batch
+        k+1's Python work interleaves with batch k's native scans."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = deque()
+            for batch in batches:
+                futs.append(ex.submit(self.map_batch, batch, rg_id))
+                if len(futs) >= 2:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
+    def map_batch(self, frags, rg_id: str = "") -> list[list[str]]:
+        """Map a batch of fragments; returns per-fragment output lines."""
+        opt, mi = self.opt, self.mi
+        from .batch_align import run_scheduler
+        from .pipeline import (finish_unit_gen, format_frag, host_chain,
+                               prepare_frag, seed_unit)
+
+        frag_meta = []
+        units = []
+        with self.timers.time("seed"):
+            for frag in frags:
+                work, flipped, us = prepare_frag(opt, frag.segs)
+                start = len(units)
+                units.extend((u, seed_unit(mi, opt, u)) for u in us)
+                frag_meta.append((frag.segs, work, flipped,
+                                  slice(start, len(units))))
+
+        with self.timers.time("chain"):
+            chains = [host_chain(opt, info, len(u)) for u, info in units]
+
+        with self.timers.time("align"):
+            gens = [finish_unit_gen(mi, opt, info, ch)
+                    for (u, info), ch in zip(units, chains)]
+            regss_per_unit = run_scheduler(gens, self._align_exec)
+
+        lines: list[list[str]] = []
+        with self.timers.time("epilogue"):
+            for segs, work, flipped, sl in frag_meta:
+                regss = [r for unit_regs in regss_per_unit[sl]
+                         for r in unit_regs]
+                lines.append(format_frag(mi, opt, segs, work, flipped,
+                                         regss, rg_id))
+        return lines
