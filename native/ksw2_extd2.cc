@@ -18,6 +18,7 @@
 //  * left/right gap alignment backtrack-byte conventions and
 //    ksw_backtrack's state machine
 #include <cstdint>
+#include <immintrin.h>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -45,6 +46,45 @@ struct Work {  // reused across jobs
     std::vector<int64_t> H;
     std::vector<int32_t> off, off_end;
 };
+
+
+// vectorized exact-H band pass: adds v to H over [st0,en1) and folds the
+// lane-of-4 first-strict-max (the golden model's tie order) into max_H/max_t
+static inline void h_band_update(int64_t* __restrict__ H, const int8_t* __restrict__ vrow,
+                                 int64_t st0, int64_t en1,
+                                 int64_t& max_H, int64_t& max_t) {
+#ifdef __AVX2__
+    __m256i vmax = _mm256_set1_epi64x(INT64_MIN);
+    __m256i vidx = _mm256_set1_epi64x(-1);
+    __m256i tvec = _mm256_setr_epi64x(st0, st0 + 1, st0 + 2, st0 + 3);
+    const __m256i four = _mm256_set1_epi64x(4);
+    for (int64_t t = st0; t < en1; t += 4) {
+        __m128i vb = _mm_cvtsi32_si128(*(const int32_t*)(vrow + t));
+        __m256i h = _mm256_add_epi64(
+            _mm256_loadu_si256((const __m256i*)(H + t)),
+            _mm256_cvtepi8_epi64(vb));
+        _mm256_storeu_si256((__m256i*)(H + t), h);
+        __m256i gt = _mm256_cmpgt_epi64(h, vmax);
+        vmax = _mm256_blendv_epi8(vmax, h, gt);
+        vidx = _mm256_blendv_epi8(vidx, tvec, gt);
+        tvec = _mm256_add_epi64(tvec, four);
+    }
+    alignas(32) int64_t mx[4], ix[4];
+    _mm256_store_si256((__m256i*)mx, vmax);
+    _mm256_store_si256((__m256i*)ix, vidx);
+    for (int l = 0; l < 4; ++l)
+        if (mx[l] > max_H) { max_H = mx[l]; max_t = ix[l]; }
+#else
+    for (int l = 0; l < 4; ++l) {
+        int64_t cmax = INT64_MIN, ct = -1;
+        for (int64_t t = st0 + l; t < en1; t += 4) {
+            H[t] += vrow[t];
+            if (H[t] > cmax) { cmax = H[t]; ct = t; }
+        }
+        if (cmax > max_H) { max_H = cmax; max_t = ct; }
+    }
+#endif
+}
 
 inline void push_cigar(uint32_t* cig, int64_t& n, int op, int64_t len) {
     if (n && (int)(cig[n-1] & 0xF) == op) cig[n-1] += (uint32_t)(len << 4);
@@ -93,7 +133,8 @@ static void row_left(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                      int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                      int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
                      int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -128,7 +169,8 @@ static void row_right(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                       int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                       int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
                       int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -163,7 +205,8 @@ static void row_score(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                       int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                       int8_t* RST y2_, int8_t mat0,
                       int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -227,16 +270,26 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     if (q2 + e2 + long_thres * e2 > q + e + long_thres * e) ++long_thres;
     int64_t long_diff = long_thres * (e - e2) - (q2 - q) - e2;
 
-    wk.u.assign(tlen16, (int8_t)(-q - e));
-    wk.v.assign(tlen16, (int8_t)(-q - e));
-    wk.x.assign(tlen16, (int8_t)(-q - e));
+    // u/v/x/x2 are ping-pong row pairs (prev/cur) with a 16-byte front pad:
+    // "previous row shifted by one" is then a plain pointer offset into the
+    // prev half instead of a per-row shifted memcpy.  Band bounds st/en are
+    // monotone non-decreasing in r, so a cell the previous row did not write
+    // is either the one carry cell st-1 (patched below from x1/x21/v1) or
+    // right-edge cells never written by ANY row (both halves hold the init
+    // fill) — identical stale-cell semantics to the single-buffer C model.
+    int64_t stride = tlen16 + 16;
+    wk.u.assign(2 * stride, (int8_t)(-q - e));
+    wk.v.assign(2 * stride, (int8_t)(-q - e));
+    wk.x.assign(2 * stride, (int8_t)(-q - e));
     wk.y.assign(tlen16, (int8_t)(-q - e));
-    wk.x2.assign(tlen16, (int8_t)(-q2 - e2));
+    wk.x2.assign(2 * stride, (int8_t)(-q2 - e2));
     wk.y2.assign(tlen16, (int8_t)(-q2 - e2));
     wk.s.assign(tlen16 + 16, 0);
-    int8_t *u = wk.u.data(), *v = wk.v.data(), *x = wk.x.data(),
-           *y = wk.y.data(), *x2 = wk.x2.data(), *y2 = wk.y2.data(),
-           *s = wk.s.data();
+    int8_t *up = wk.u.data() + 16, *uc = wk.u.data() + stride + 16,
+           *vp = wk.v.data() + 16, *vc = wk.v.data() + stride + 16,
+           *xp = wk.x.data() + 16, *xc = wk.x.data() + stride + 16,
+           *x2p = wk.x2.data() + 16, *x2c = wk.x2.data() + stride + 16,
+           *y = wk.y.data(), *y2 = wk.y2.data(), *s = wk.s.data();
     int64_t H0 = 0, last_H0_t = 0;
     int64_t* H = nullptr;
     if (!approx_max) {
@@ -252,9 +305,12 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     uint8_t* p = nullptr;
     int32_t *off = nullptr, *off_end = nullptr;
     if (with_cigar) {
-        wk.p.assign((qlen + tlen - 1) * n_col, 0);
-        wk.off.assign(qlen + tlen - 1, 0);
-        wk.off_end.assign(qlen + tlen - 1, 0);
+        if ((int64_t)wk.p.size() < (qlen + tlen - 1) * n_col)
+            wk.p.resize((qlen + tlen - 1) * n_col);
+        if ((int64_t)wk.off.size() < qlen + tlen - 1) {
+            wk.off.resize(qlen + tlen - 1);
+            wk.off_end.resize(qlen + tlen - 1);
+        }
         p = wk.p.data();
         off = wk.off.data();
         off_end = wk.off_end.data();
@@ -265,9 +321,6 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     int64_t last_st = -1, last_en = -1;
     int8_t qe_ = (int8_t)(q + e), qe2_ = (int8_t)(q2 + e2);
     int8_t q_ = (int8_t)q, q2_ = (int8_t)q2;
-
-    // shifted-row scratch (xt1/x2t1/vt1 of the model)
-    static thread_local std::vector<int8_t> xt1_b, x2t1_b, vt1_b, ut_b, vt_b;
 
     for (int64_t r = 0; r < qlen + tlen - 1; ++r) {
         int64_t st = 0, en = tlen - 1;
@@ -282,7 +335,7 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         int8_t x1, x21, v1;
         if (st > 0) {
             if (last_st <= st - 1 && st - 1 <= last_en) {
-                x1 = x[st-1]; x21 = x2[st-1]; v1 = v[st-1];
+                x1 = xp[st-1]; x21 = x2p[st-1]; v1 = vp[st-1];
             } else {
                 x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2 - e2);
                 v1 = (int8_t)(-q - e);
@@ -295,16 +348,19 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         if (en >= r) {
             y[r] = (int8_t)(-q - e);
             y2[r] = (int8_t)(-q2 - e2);
-            u[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
-                            : r == long_thres ? long_diff : -e2);
+            up[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                             : r == long_thres ? long_diff : -e2);
         }
         int64_t qrr = qlen - 1 - r;
         if (!generic_sc) {
             for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+                const uint8_t* RST sfp = sf + t0;
+                const uint8_t* RST qrp = qr + qrr + t0;
+                int8_t* RST sp = s + t0;
                 for (int l = 0; l < 16; ++l) {
-                    uint8_t sq = sf[t0 + l], stq = qr[qrr + t0 + l];
-                    s[t0 + l] = (sq == m - 1 || stq == m - 1) ? sc_N
-                              : (sq == stq ? sc_mch : sc_mis);
+                    uint8_t sq = sfp[l], stq = qrp[l];
+                    int8_t v0 = sq == stq ? sc_mch : sc_mis;
+                    sp[l] = (uint8_t)(sq | stq) >= (uint8_t)(m - 1) ? sc_N : v0;
                 }
             }
         } else {
@@ -313,59 +369,37 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
                 s[t] = mat[sf[t] * m + qr[qrr + t]];
         }
         int64_t len = en - st + 1;
-        if ((int64_t)xt1_b.size() < len) {
-            xt1_b.resize(len); x2t1_b.resize(len); vt1_b.resize(len);
-            ut_b.resize(len); vt_b.resize(len);
-        }
-        xt1_b[0] = x1; x2t1_b[0] = x21; vt1_b[0] = v1;
-        if (len > 1) {
-            memcpy(xt1_b.data() + 1, x + st, len - 1);
-            memcpy(x2t1_b.data() + 1, x2 + st, len - 1);
-            memcpy(vt1_b.data() + 1, v + st, len - 1);
-        }
-        memcpy(ut_b.data(), u + st, len);
-        memcpy(vt_b.data(), v + st, len);
-        const int8_t *xt1 = xt1_b.data(), *x2t1 = x2t1_b.data(),
-                     *vt1 = vt1_b.data(), *ut = ut_b.data(),
-                     *vt = vt_b.data();
-        (void)vt;
+        // patch the carry cell so the shifted prev-row reads start at x1/x21/v1
+        xp[st-1] = x1; x2p[st-1] = x21; vp[st-1] = v1;
         if (with_cigar && !right) {
-            row_left(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
-                     x + st, y + st, x2 + st, y2 + st, p + r * n_col,
-                     (int8_t)mat0, q_, q2_, qe_, qe2_);
+            row_left(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                     up + st, uc + st, vc + st, xc + st, y + st, x2c + st,
+                     y2 + st, p + r * n_col, (int8_t)mat0, q_, q2_, qe_, qe2_);
         } else if (with_cigar) {
-            row_right(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
-                      x + st, y + st, x2 + st, y2 + st, p + r * n_col,
-                      (int8_t)mat0, q_, q2_, qe_, qe2_);
+            row_right(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                      up + st, uc + st, vc + st, xc + st, y + st, x2c + st,
+                      y2 + st, p + r * n_col, (int8_t)mat0, q_, q2_, qe_, qe2_);
         } else {
-            row_score(len, s + st, xt1, x2t1, vt1, ut, u + st, v + st,
-                      x + st, y + st, x2 + st, y2 + st,
-                      (int8_t)mat0, q_, q2_, qe_, qe2_);
+            row_score(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                      up + st, uc + st, vc + st, xc + st, y + st, x2c + st,
+                      y2 + st, (int8_t)mat0, q_, q2_, qe_, qe2_);
         }
         if (with_cigar) { off[r] = (int32_t)st; off_end[r] = (int32_t)en; }
 
         if (!approx_max) {
             int64_t max_H, max_t;
             if (r > 0) {
-                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
-                else H[en0] = H[en0] + v[en0];
+                if (en0 > 0) H[en0] = H[en0 - 1] + uc[en0];
+                else H[en0] = H[en0] + vc[en0];
                 max_H = H[en0]; max_t = en0;
                 int64_t en1 = st0 + (en0 - st0) / 4 * 4;
-                if (en1 > st0) {
-                    for (int64_t t = st0; t < en1; ++t) H[t] += v[t];
-                    for (int lane = 0; lane < 4; ++lane) {
-                        int64_t cmax = INT64_MIN, ct = -1;
-                        for (int64_t t = st0 + lane; t < en1; t += 4)
-                            if (H[t] > cmax) { cmax = H[t]; ct = t; }
-                        if (cmax > max_H) { max_H = cmax; max_t = ct; }
-                    }
-                }
+                if (en1 > st0) h_band_update(H, vc, st0, en1, max_H, max_t);
                 for (int64_t t = en1; t < en0; ++t) {
-                    H[t] += v[t];
+                    H[t] += vc[t];
                     if (H[t] > max_H) { max_H = H[t]; max_t = t; }
                 }
             } else {
-                H[0] = v[0] - (q + e);
+                H[0] = vc[0] - (q + e);
                 max_H = H[0]; max_t = 0;
             }
             if (en0 == tlen - 1 && H[en0] > ez.mte) {
@@ -381,17 +415,17 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
             if (r > 0) {
                 if (st0 <= last_H0_t && last_H0_t <= en0
                     && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
-                    int64_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    int64_t d0 = vc[last_H0_t], d1 = uc[last_H0_t + 1];
                     if (d0 > d1) H0 += d0;
                     else { H0 += d1; ++last_H0_t; }
                 } else if (st0 <= last_H0_t && last_H0_t <= en0) {
-                    H0 += v[last_H0_t];
+                    H0 += vc[last_H0_t];
                 } else {
                     ++last_H0_t;
-                    H0 += u[last_H0_t];
+                    H0 += uc[last_H0_t];
                 }
             } else {
-                H0 = (int64_t)v[0] - (q + e);
+                H0 = (int64_t)vc[0] - (q + e);
                 last_H0_t = 0;
             }
             if ((flag & KSW_EZ_APPROX_DROP)
@@ -399,6 +433,8 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
             if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
         }
         last_st = st; last_en = en;
+        std::swap(up, uc); std::swap(vp, vc);
+        std::swap(xp, xc); std::swap(x2p, x2c);
     }
 
     if (with_cigar) {
@@ -430,7 +466,8 @@ static void srow_left(int64_t len, const int8_t* RST s_,
                       int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
                       int8_t* RST y_, int8_t* RST x2_, uint8_t* RST prow,
                       int8_t q_, int8_t q2_, int8_t qe_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -463,7 +500,8 @@ static void srow_right(int64_t len, const int8_t* RST s_,
                        int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
                        int8_t* RST y_, int8_t* RST x2_, uint8_t* RST prow,
                        int8_t q_, int8_t q2_, int8_t qe_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -496,7 +534,8 @@ static void srow_score(int64_t len, const int8_t* RST s_,
                        int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
                        int8_t* RST y_, int8_t* RST x2_,
                        int8_t q_, int8_t q2_, int8_t qe_) {
-    for (int64_t i = 0; i < len; ++i) {
+    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
         int8_t b = (int8_t)(y_[i] + ut[i]);
@@ -541,14 +580,20 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     int64_t tlen16 = (tlen + 15) / 16 * 16;
     int64_t n_col = (std::min(qlen, tlen) + 15) / 16 * 16 + 16;
 
-    wk.u.assign(tlen16, (int8_t)(-q - e));
-    wk.v.assign(tlen16, (int8_t)(-q - e));
-    wk.x.assign(tlen16, (int8_t)(-q - e));
+    // ping-pong u/v/x/x2 row pairs with front pad — same scheme and stale-cell
+    // argument as extd2_one above (st/en monotone; carry cell patched at st-1)
+    int64_t stride = tlen16 + 16;
+    wk.u.assign(2 * stride, (int8_t)(-q - e));
+    wk.v.assign(2 * stride, (int8_t)(-q - e));
+    wk.x.assign(2 * stride, (int8_t)(-q - e));
     wk.y.assign(tlen16, (int8_t)(-q - e));
-    wk.x2.assign(tlen16, (int8_t)(-q2));
+    wk.x2.assign(2 * stride, (int8_t)(-q2));
     wk.s.assign(tlen16 + 16, 0);
-    int8_t *u = wk.u.data(), *v = wk.v.data(), *x = wk.x.data(),
-           *y = wk.y.data(), *x2 = wk.x2.data(), *s = wk.s.data();
+    int8_t *up = wk.u.data() + 16, *uc = wk.u.data() + stride + 16,
+           *vp = wk.v.data() + 16, *vc = wk.v.data() + stride + 16,
+           *xp = wk.x.data() + 16, *xc = wk.x.data() + stride + 16,
+           *x2p = wk.x2.data() + 16, *x2c = wk.x2.data() + stride + 16,
+           *y = wk.y.data(), *s = wk.s.data();
     // donor/acceptor signal arrays (reference ksw2_exts2_sse.c:112-131)
     static thread_local std::vector<int8_t> don_b, acc_b;
     don_b.assign(tlen16, 0);
@@ -593,16 +638,18 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     uint8_t* p = nullptr;
     int32_t *off = nullptr, *off_end = nullptr;
     if (with_cigar) {
-        wk.p.assign((qlen + tlen - 1) * n_col, 0);
-        wk.off.assign(qlen + tlen - 1, 0);
-        wk.off_end.assign(qlen + tlen - 1, 0);
+        if ((int64_t)wk.p.size() < (qlen + tlen - 1) * n_col)
+            wk.p.resize((qlen + tlen - 1) * n_col);
+        if ((int64_t)wk.off.size() < qlen + tlen - 1) {
+            wk.off.resize(qlen + tlen - 1);
+            wk.off_end.resize(qlen + tlen - 1);
+        }
         p = wk.p.data(); off = wk.off.data(); off_end = wk.off_end.data();
     }
     bool right = flag & KSW_EZ_RIGHT;
     bool generic_sc = flag & KSW_EZ_GENERIC_SC;
     int64_t last_st = -1, last_en = -1;
     int8_t qe_ = (int8_t)(q + e), q_ = (int8_t)q, q2_ = (int8_t)q2;
-    static thread_local std::vector<int8_t> xt1_b, x2t1_b, vt1_b, ut_b;
 
     for (int64_t r = 0; r < qlen + tlen - 1; ++r) {
         int64_t st = std::max((int64_t)0, r - qlen + 1);
@@ -613,7 +660,7 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         int8_t x1, x21, v1;
         if (st > 0) {
             if (last_st <= st - 1 && st - 1 <= last_en) {
-                x1 = x[st-1]; x21 = x2[st-1]; v1 = v[st-1];
+                x1 = xp[st-1]; x21 = x2p[st-1]; v1 = vp[st-1];
             } else {
                 x1 = (int8_t)(-q - e); x21 = (int8_t)(-q2);
                 v1 = (int8_t)(-q - e);
@@ -625,72 +672,59 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         }
         if (en >= r) {
             y[r] = (int8_t)(-q - e);
-            u[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
-                            : r == long_thres ? long_diff : 0);
+            up[r] = (int8_t)(r == 0 ? -q - e : r < long_thres ? -e
+                             : r == long_thres ? long_diff : 0);
         }
         int64_t qrr = qlen - 1 - r;
         if (!generic_sc) {
-            for (int64_t t0 = st0; t0 <= en0; t0 += 16)
+            for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+                const uint8_t* RST sfp = sf + t0;
+                const uint8_t* RST qrp = qr + qrr + t0;
+                int8_t* RST sp = s + t0;
                 for (int l = 0; l < 16; ++l) {
-                    uint8_t sq = sf[t0 + l], stq = qr[qrr + t0 + l];
-                    s[t0 + l] = (sq == m - 1 || stq == m - 1) ? sc_N
-                              : (sq == stq ? sc_mch : sc_mis);
+                    uint8_t sq = sfp[l], stq = qrp[l];
+                    int8_t v0 = sq == stq ? sc_mch : sc_mis;
+                    sp[l] = (uint8_t)(sq | stq) >= (uint8_t)(m - 1) ? sc_N : v0;
                 }
+            }
         } else {
             for (int64_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + qr[qrr + t]];
         }
         int64_t len = en - st + 1;
-        if ((int64_t)xt1_b.size() < len) {
-            xt1_b.resize(len); x2t1_b.resize(len); vt1_b.resize(len);
-            ut_b.resize(len);
-        }
-        xt1_b[0] = x1; x2t1_b[0] = x21; vt1_b[0] = v1;
-        if (len > 1) {
-            memcpy(xt1_b.data() + 1, x + st, len - 1);
-            memcpy(x2t1_b.data() + 1, x2 + st, len - 1);
-            memcpy(vt1_b.data() + 1, v + st, len - 1);
-        }
-        memcpy(ut_b.data(), u + st, len);
+        xp[st-1] = x1; x2p[st-1] = x21; vp[st-1] = v1;
         if (with_cigar && !right) {
-            srow_left(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
-                      ut_b.data(), don_b.data() + st, acc_b.data() + st,
-                      u + st, v + st, x + st, y + st, x2 + st, p + r * n_col,
-                      q_, q2_, qe_);
+            srow_left(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                      up + st, don_b.data() + st, acc_b.data() + st,
+                      uc + st, vc + st, xc + st, y + st, x2c + st,
+                      p + r * n_col, q_, q2_, qe_);
         } else if (with_cigar) {
-            srow_right(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
-                       ut_b.data(), don_b.data() + st, acc_b.data() + st,
-                       u + st, v + st, x + st, y + st, x2 + st, p + r * n_col,
-                       q_, q2_, qe_);
+            srow_right(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                       up + st, don_b.data() + st, acc_b.data() + st,
+                       uc + st, vc + st, xc + st, y + st, x2c + st,
+                       p + r * n_col, q_, q2_, qe_);
         } else {
-            srow_score(len, s + st, xt1_b.data(), x2t1_b.data(), vt1_b.data(),
-                       ut_b.data(), don_b.data() + st, acc_b.data() + st,
-                       u + st, v + st, x + st, y + st, x2 + st, q_, q2_, qe_);
+            srow_score(len, s + st, xp + st - 1, x2p + st - 1, vp + st - 1,
+                       up + st, don_b.data() + st, acc_b.data() + st,
+                       uc + st, vc + st, xc + st, y + st, x2c + st,
+                       q_, q2_, qe_);
         }
         if (with_cigar) { off[r] = (int32_t)st; off_end[r] = (int32_t)en; }
 
         if (!approx_max) {
             int64_t max_H, max_t;
             if (r > 0) {
-                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
-                else H[en0] = H[en0] + v[en0];
+                if (en0 > 0) H[en0] = H[en0 - 1] + uc[en0];
+                else H[en0] = H[en0] + vc[en0];
                 max_H = H[en0]; max_t = en0;
                 int64_t en1 = st0 + (en0 - st0) / 4 * 4;
-                if (en1 > st0) {
-                    for (int64_t t = st0; t < en1; ++t) H[t] += v[t];
-                    for (int lane = 0; lane < 4; ++lane) {
-                        int64_t cmax = INT64_MIN, ct = -1;
-                        for (int64_t t = st0 + lane; t < en1; t += 4)
-                            if (H[t] > cmax) { cmax = H[t]; ct = t; }
-                        if (cmax > max_H) { max_H = cmax; max_t = ct; }
-                    }
-                }
+                if (en1 > st0) h_band_update(H, vc, st0, en1, max_H, max_t);
                 for (int64_t t = en1; t < en0; ++t) {
-                    H[t] += v[t];
+                    H[t] += vc[t];
                     if (H[t] > max_H) { max_H = H[t]; max_t = t; }
                 }
             } else {
-                H[0] = v[0] - (q + e);
+                H[0] = vc[0] - (q + e);
                 max_H = H[0]; max_t = 0;
             }
             if (en0 == tlen - 1 && H[en0] > ez.mte) {
@@ -706,17 +740,17 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
             if (r > 0) {
                 if (st0 <= last_H0_t && last_H0_t <= en0
                     && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
-                    int64_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    int64_t d0 = vc[last_H0_t], d1 = uc[last_H0_t + 1];
                     if (d0 > d1) H0 += d0;
                     else { H0 += d1; ++last_H0_t; }
                 } else if (st0 <= last_H0_t && last_H0_t <= en0) {
-                    H0 += v[last_H0_t];
+                    H0 += vc[last_H0_t];
                 } else {
                     ++last_H0_t;
-                    H0 += u[last_H0_t];
+                    H0 += uc[last_H0_t];
                 }
             } else {
-                H0 = (int64_t)v[0] - (q + e);
+                H0 = (int64_t)vc[0] - (q + e);
                 last_H0_t = 0;
             }
             if ((flag & KSW_EZ_APPROX_DROP)
@@ -724,6 +758,8 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
             if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
         }
         last_st = st; last_en = en;
+        std::swap(up, uc); std::swap(vp, vc);
+        std::swap(xp, xc); std::swap(x2p, x2c);
     }
 
     if (with_cigar) {
