@@ -136,19 +136,52 @@ def _np_ptr(a, t=None):
     return a.__array_interface__["data"][0]
 
 
+_ptr_cache: dict = {}
+
+
+def _np_ptr_cached(a):
+    """Pointer for long-lived arrays passed repeatedly (e.g. the score
+    matrix): id-keyed cache holding the array ref so the id stays valid."""
+    hit = _ptr_cache.get(id(a))
+    if hit is not None and hit[0] is a:
+        return hit[1]
+    p = a.__array_interface__["data"][0]
+    if len(_ptr_cache) < 64:
+        _ptr_cache[id(a)] = (a, p)
+    return p
+
+
+_u8dt = np.dtype(np.uint8)
+_i8dt = np.dtype(np.int8)
+
+
+def _as_u8(a):
+    """ascontiguousarray(dtype=uint8) with a fast path for the common case
+    (already a C-contiguous uint8 ndarray — e.g. encoded sequence slices)."""
+    if type(a) is np.ndarray and a.dtype is _u8dt and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def _as_i8(a):
+    if type(a) is np.ndarray and a.dtype is _i8dt and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a, dtype=np.int8)
+
+
 def zdrop_scan(qseq, tseq, cigar, mat, q, e):
     """Native mm_test_zdrop scan. Returns (max_zdrop, pos) or None."""
     lib = load_align()
     if lib is None:
         return None
     cig = np.asarray(cigar, dtype=np.uint32)
-    qa = np.ascontiguousarray(qseq, dtype=np.uint8)
-    ta = np.ascontiguousarray(tseq, dtype=np.uint8)
-    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    qa = _as_u8(qseq)
+    ta = _as_u8(tseq)
+    ma = _as_i8(mat)
     pos = np.zeros(4, dtype=np.int32)
     mz = lib.mm2tpu_zdrop_scan(_np_ptr(qa, _p8), _np_ptr(ta, _p8),
                                _np_ptr(cig, _pu32), len(cig),
-                               _np_ptr(ma, _pi8), q, e, _np_ptr(pos, _p32))
+                               _np_ptr_cached(ma), q, e, _np_ptr(pos, _p32))
     return int(mz), [[int(pos[0]), int(pos[1])], [int(pos[2]), int(pos[3])]]
 
 
@@ -159,13 +192,13 @@ def update_extra_scan(qseq, tseq, cigar, mat, q, e, exp_qoff, exp_toff):
     if lib is None:
         return None
     cig = np.asarray(cigar, dtype=np.uint32)
-    qa = np.ascontiguousarray(qseq, dtype=np.uint8)
-    ta = np.ascontiguousarray(tseq, dtype=np.uint8)
-    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    qa = _as_u8(qseq)
+    ta = _as_u8(tseq)
+    ma = _as_i8(mat)
     out = np.zeros(5, dtype=np.int64)
     lib.mm2tpu_update_extra_scan(_np_ptr(qa, _p8), _np_ptr(ta, _p8),
                                  _np_ptr(cig, _pu32), len(cig),
-                                 _np_ptr(ma, _pi8), q, e,
+                                 _np_ptr_cached(ma), q, e,
                                  exp_qoff, exp_toff, _np_ptr(out, _p64))
     return tuple(int(v) for v in out)
 
@@ -300,13 +333,13 @@ def extd2_batch_native(jobs, mat, q, e, q2, e2):
     seq_buf = np.ascontiguousarray(
         np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
         if parts else np.empty(0, np.uint8))
-    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    ma = _as_i8(mat)
     ez_out = np.empty((n, 11), dtype=np.int64)
     cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
     cig_lens = np.empty(n, dtype=np.int64)
     lib.mm2tpu_extd2_batch(
         _np_ptr(seq_buf), _np_ptr(qoff), _np_ptr(toff), n, _np_ptr(params),
-        _np_ptr(ma), q, e, q2, e2, _np_ptr(ez_out), _np_ptr(cig_buf),
+        _np_ptr_cached(ma), q, e, q2, e2, _np_ptr(ez_out), _np_ptr(cig_buf),
         _np_ptr(cig_offs), _np_ptr(cig_lens))
     out = []
     rows = ez_out.tolist()          # one bulk conversion, not 11n genexprs
@@ -356,13 +389,13 @@ def exts2_batch_native(jobs, mat, q, e, q2, noncan):
     seq_buf = np.ascontiguousarray(
         np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
         if parts else np.empty(0, np.uint8))
-    ma = np.ascontiguousarray(mat, dtype=np.int8)
+    ma = _as_i8(mat)
     ez_out = np.empty((n, 11), dtype=np.int64)
     cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
     cig_lens = np.empty(n, dtype=np.int64)
     lib.mm2tpu_exts2_batch(
         _np_ptr(seq_buf), _np_ptr(qoff), _np_ptr(toff), n, _np_ptr(params),
-        _np_ptr(ma), q, e, q2, noncan, _np_ptr(ez_out), _np_ptr(cig_buf),
+        _np_ptr_cached(ma), q, e, q2, noncan, _np_ptr(ez_out), _np_ptr(cig_buf),
         _np_ptr(cig_offs), _np_ptr(cig_lens))
     out = []
     rows = ez_out.tolist()
