@@ -309,30 +309,29 @@ def extd2_batch_native(jobs, mat, q, e, q2, e2):
         return None
     from .ops.ksw2 import Ez
     n = len(jobs)
-    qoff = np.empty(n + 1, dtype=np.int64)
-    toff = np.empty(n, dtype=np.int64)
-    pos = 0
-    parts = []
-    params = np.empty(4 * n, dtype=np.int32)
-    cig_offs = np.empty(n, dtype=np.int64)
-    cpos = 0
-    for i, j in enumerate(jobs):
-        qoff[i] = pos
-        parts.append(j["qseq"])
-        pos += len(j["qseq"])
-        toff[i] = pos
-        parts.append(j["tseq"])
-        pos += len(j["tseq"])
-        params[4*i] = j["w"]
-        params[4*i+1] = j["zdrop"]
-        params[4*i+2] = j["end_bonus"]
-        params[4*i+3] = j["flag"]
-        cig_offs[i] = cpos
-        cpos += len(j["qseq"]) + len(j["tseq"]) + 4
-    qoff[n] = pos
-    seq_buf = np.ascontiguousarray(
-        np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
-        if parts else np.empty(0, np.uint8))
+    # bulk packing: per-job Python work is one list append + one slice
+    # assign per sequence; offsets/params come from vectorized numpy ops
+    # (the packing loop used to cost more than the C kernel itself)
+    qseqs = [j["qseq"] for j in jobs]
+    tseqs = [j["tseq"] for j in jobs]
+    lens = np.empty(2 * n + 1, dtype=np.int64)
+    lens[0] = 0
+    lens[1::2] = [len(s) for s in qseqs]
+    lens[2::2] = [len(s) for s in tseqs]
+    offs = np.cumsum(lens)
+    qoff = np.ascontiguousarray(offs[0:2 * n + 1:2])
+    toff = np.ascontiguousarray(offs[1::2])
+    pos = int(offs[-1])
+    params = np.array([(j["w"], j["zdrop"], j["end_bonus"], j["flag"])
+                       for j in jobs], dtype=np.int32).reshape(-1)
+    per_cig = lens[1::2] + lens[2::2] + 4
+    cig_offs = np.ascontiguousarray(np.cumsum(per_cig) - per_cig)
+    cpos = int(per_cig.sum())
+    seq_buf = np.empty(pos, dtype=np.uint8)
+    ol = offs.tolist()
+    for i in range(n):
+        seq_buf[ol[2*i]:ol[2*i+1]] = qseqs[i]
+        seq_buf[ol[2*i+1]:ol[2*i+2]] = tseqs[i]
     ma = _as_i8(mat)
     ez_out = np.empty((n, 11), dtype=np.int64)
     cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
@@ -367,28 +366,26 @@ def exts2_batch_native(jobs, mat, q, e, q2, noncan):
         return None
     from .ops.ksw2 import Ez
     n = len(jobs)
-    qoff = np.empty(n + 1, dtype=np.int64)
-    toff = np.empty(n, dtype=np.int64)
-    pos = 0
-    parts = []
-    params = np.empty(2 * n, dtype=np.int32)
-    cig_offs = np.empty(n, dtype=np.int64)
-    cpos = 0
-    for i, j in enumerate(jobs):
-        qoff[i] = pos
-        parts.append(j["qseq"])
-        pos += len(j["qseq"])
-        toff[i] = pos
-        parts.append(j["tseq"])
-        pos += len(j["tseq"])
-        params[2*i] = j["zdrop"]
-        params[2*i+1] = j["flag"]
-        cig_offs[i] = cpos
-        cpos += len(j["qseq"]) + len(j["tseq"]) + 4
-    qoff[n] = pos
-    seq_buf = np.ascontiguousarray(
-        np.concatenate([np.asarray(p, dtype=np.uint8) for p in parts])
-        if parts else np.empty(0, np.uint8))
+    qseqs = [j["qseq"] for j in jobs]
+    tseqs = [j["tseq"] for j in jobs]
+    lens = np.empty(2 * n + 1, dtype=np.int64)
+    lens[0] = 0
+    lens[1::2] = [len(s) for s in qseqs]
+    lens[2::2] = [len(s) for s in tseqs]
+    offs = np.cumsum(lens)
+    qoff = np.ascontiguousarray(offs[0:2 * n + 1:2])
+    toff = np.ascontiguousarray(offs[1::2])
+    pos = int(offs[-1])
+    params = np.array([(j["zdrop"], j["flag"]) for j in jobs],
+                      dtype=np.int32).reshape(-1)
+    per_cig = lens[1::2] + lens[2::2] + 4
+    cig_offs = np.ascontiguousarray(np.cumsum(per_cig) - per_cig)
+    cpos = int(per_cig.sum())
+    seq_buf = np.empty(pos, dtype=np.uint8)
+    ol = offs.tolist()
+    for i in range(n):
+        seq_buf[ol[2*i]:ol[2*i+1]] = qseqs[i]
+        seq_buf[ol[2*i+1]:ol[2*i+2]] = tseqs[i]
     ma = _as_i8(mat)
     ez_out = np.empty((n, 11), dtype=np.int64)
     cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)

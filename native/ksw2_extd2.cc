@@ -125,6 +125,22 @@ void backtrack_rot(const uint8_t* p, const int32_t* off,
 
 #define RST __restrict__
 
+#ifdef __AVX2__
+static inline void row_left_v(int64_t, const int8_t* RST, const int8_t* RST,
+    const int8_t* RST, const int8_t* RST, const int8_t* RST, int8_t* RST,
+    int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST,
+    uint8_t* RST, int8_t, int8_t, int8_t, int8_t, int8_t, int64_t&);
+static inline void row_right_v(int64_t, const int8_t* RST, const int8_t* RST,
+    const int8_t* RST, const int8_t* RST, const int8_t* RST, int8_t* RST,
+    int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST,
+    uint8_t* RST, int8_t, int8_t, int8_t, int8_t, int8_t, int64_t&);
+static inline void row_score_v(int64_t, const int8_t* RST, const int8_t* RST,
+    const int8_t* RST, const int8_t* RST, const int8_t* RST, int8_t* RST,
+    int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST, int8_t* RST,
+    int8_t, int8_t, int8_t, int8_t, int8_t, int64_t&);
+#endif
+
+
 // core anti-diagonal update, left-aligned gaps (model lines 266-310);
 // all-distinct buffers => autovectorizes (int8, 32/64-lane AVX2/512)
 static void row_left(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
@@ -133,7 +149,12 @@ static void row_left(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                      int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                      int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
                      int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    int64_t iv = 0;
+#ifdef __AVX2__
+    row_left_v(len, s_, xt1, x2t1, vt1, ut, u_, v_, x_, y_, x2_, y2_, prow,
+               mat0, q_, q2_, qe_, qe2_, iv);
+#endif
+    for (int64_t i0 = iv; i0 < len; i0 += 16)
     for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
@@ -163,13 +184,208 @@ static void row_left(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
     }
 }
 
+#ifdef __AVX2__
+// 32-lane AVX2 bodies of the three row kernels.  Bit-exact with the scalar
+// loops: int8 adds/subs wrap identically, the blend chain reproduces the
+// scalar ternary order (compare against z BEFORE folding the candidate in),
+// and writes cover exactly [0,len) so stale-byte semantics are unchanged.
+// len is always a multiple of 16; the 16-byte remainder runs the scalar loop.
+static inline void row_left_v(int64_t len, const int8_t* RST s_,
+                              const int8_t* RST xt1, const int8_t* RST x2t1,
+                              const int8_t* RST vt1, const int8_t* RST ut,
+                              int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                              int8_t* RST y_, int8_t* RST x2_, int8_t* RST y2_,
+                              uint8_t* RST prow, int8_t mat0, int8_t q_,
+                              int8_t q2_, int8_t qe_, int8_t qe2_,
+                              int64_t& i) {
+    const __m256i vmat0 = _mm256_set1_epi8(mat0), vq = _mm256_set1_epi8(q_),
+                  vq2 = _mm256_set1_epi8(q2_), vqe = _mm256_set1_epi8(qe_),
+                  vqe2 = _mm256_set1_epi8(qe2_), zero = _mm256_setzero_si256(),
+                  c1 = _mm256_set1_epi8(1), c2 = _mm256_set1_epi8(2),
+                  c3 = _mm256_set1_epi8(3), c4 = _mm256_set1_epi8(4),
+                  c8 = _mm256_set1_epi8(0x08), c16 = _mm256_set1_epi8(0x10),
+                  c32 = _mm256_set1_epi8(0x20), c64 = _mm256_set1_epi8(0x40);
+    for (; i + 32 <= len; i += 32) {
+        __m256i z = _mm256_loadu_si256((const __m256i*)(s_ + i));
+        __m256i vt = _mm256_loadu_si256((const __m256i*)(vt1 + i));
+        __m256i u0 = _mm256_loadu_si256((const __m256i*)(ut + i));
+        __m256i a = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(xt1 + i)), vt);
+        __m256i b = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y_ + i)), u0);
+        __m256i a2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(x2t1 + i)), vt);
+        __m256i b2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y2_ + i)), u0);
+        __m256i m = _mm256_cmpgt_epi8(a, z);
+        __m256i d = _mm256_and_si256(m, c1);
+        z = _mm256_max_epi8(z, a);
+        m = _mm256_cmpgt_epi8(b, z);
+        d = _mm256_blendv_epi8(d, c2, m);
+        z = _mm256_max_epi8(z, b);
+        m = _mm256_cmpgt_epi8(a2, z);
+        d = _mm256_blendv_epi8(d, c3, m);
+        z = _mm256_max_epi8(z, a2);
+        m = _mm256_cmpgt_epi8(b2, z);
+        d = _mm256_blendv_epi8(d, c4, m);
+        z = _mm256_max_epi8(z, b2);
+        z = _mm256_min_epi8(z, vmat0);
+        _mm256_storeu_si256((__m256i*)(u_ + i), _mm256_sub_epi8(z, vt));
+        _mm256_storeu_si256((__m256i*)(v_ + i), _mm256_sub_epi8(z, u0));
+        __m256i t1 = _mm256_sub_epi8(z, vq);
+        a = _mm256_sub_epi8(a, t1);
+        b = _mm256_sub_epi8(b, t1);
+        __m256i t2 = _mm256_sub_epi8(z, vq2);
+        a2 = _mm256_sub_epi8(a2, t2);
+        b2 = _mm256_sub_epi8(b2, t2);
+        m = _mm256_cmpgt_epi8(a, zero);
+        d = _mm256_or_si256(d, _mm256_and_si256(m, c8));
+        _mm256_storeu_si256((__m256i*)(x_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a, zero), vqe));
+        m = _mm256_cmpgt_epi8(b, zero);
+        d = _mm256_or_si256(d, _mm256_and_si256(m, c16));
+        _mm256_storeu_si256((__m256i*)(y_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b, zero), vqe));
+        m = _mm256_cmpgt_epi8(a2, zero);
+        d = _mm256_or_si256(d, _mm256_and_si256(m, c32));
+        _mm256_storeu_si256((__m256i*)(x2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a2, zero), vqe2));
+        m = _mm256_cmpgt_epi8(b2, zero);
+        d = _mm256_or_si256(d, _mm256_and_si256(m, c64));
+        _mm256_storeu_si256((__m256i*)(y2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
+        _mm256_storeu_si256((__m256i*)(prow + i), d);
+    }
+}
+
+static inline void row_right_v(int64_t len, const int8_t* RST s_,
+                               const int8_t* RST xt1, const int8_t* RST x2t1,
+                               const int8_t* RST vt1, const int8_t* RST ut,
+                               int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                               int8_t* RST y_, int8_t* RST x2_,
+                               int8_t* RST y2_, uint8_t* RST prow,
+                               int8_t mat0, int8_t q_, int8_t q2_,
+                               int8_t qe_, int8_t qe2_, int64_t& i) {
+    const __m256i vmat0 = _mm256_set1_epi8(mat0), vq = _mm256_set1_epi8(q_),
+                  vq2 = _mm256_set1_epi8(q2_), vqe = _mm256_set1_epi8(qe_),
+                  vqe2 = _mm256_set1_epi8(qe2_), zero = _mm256_setzero_si256(),
+                  c1 = _mm256_set1_epi8(1), c2 = _mm256_set1_epi8(2),
+                  c3 = _mm256_set1_epi8(3), c4 = _mm256_set1_epi8(4),
+                  c8 = _mm256_set1_epi8(0x08), c16 = _mm256_set1_epi8(0x10),
+                  c32 = _mm256_set1_epi8(0x20), c64 = _mm256_set1_epi8(0x40);
+    for (; i + 32 <= len; i += 32) {
+        __m256i z = _mm256_loadu_si256((const __m256i*)(s_ + i));
+        __m256i vt = _mm256_loadu_si256((const __m256i*)(vt1 + i));
+        __m256i u0 = _mm256_loadu_si256((const __m256i*)(ut + i));
+        __m256i a = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(xt1 + i)), vt);
+        __m256i b = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y_ + i)), u0);
+        __m256i a2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(x2t1 + i)), vt);
+        __m256i b2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y2_ + i)), u0);
+        // d = z > a ? 0 : 1  (keep where z strictly greater)
+        __m256i m = _mm256_cmpgt_epi8(z, a);
+        __m256i d = _mm256_andnot_si256(m, c1);
+        z = _mm256_max_epi8(z, a);
+        m = _mm256_cmpgt_epi8(z, b);
+        d = _mm256_blendv_epi8(c2, d, m);
+        z = _mm256_max_epi8(z, b);
+        m = _mm256_cmpgt_epi8(z, a2);
+        d = _mm256_blendv_epi8(c3, d, m);
+        z = _mm256_max_epi8(z, a2);
+        m = _mm256_cmpgt_epi8(z, b2);
+        d = _mm256_blendv_epi8(c4, d, m);
+        z = _mm256_max_epi8(z, b2);
+        z = _mm256_min_epi8(z, vmat0);
+        _mm256_storeu_si256((__m256i*)(u_ + i), _mm256_sub_epi8(z, vt));
+        _mm256_storeu_si256((__m256i*)(v_ + i), _mm256_sub_epi8(z, u0));
+        __m256i t1 = _mm256_sub_epi8(z, vq);
+        a = _mm256_sub_epi8(a, t1);
+        b = _mm256_sub_epi8(b, t1);
+        __m256i t2 = _mm256_sub_epi8(z, vq2);
+        a2 = _mm256_sub_epi8(a2, t2);
+        b2 = _mm256_sub_epi8(b2, t2);
+        // d |= a >= 0 ? bit : 0  ==  ~(0 > a)
+        m = _mm256_cmpgt_epi8(zero, a);
+        d = _mm256_or_si256(d, _mm256_andnot_si256(m, c8));
+        _mm256_storeu_si256((__m256i*)(x_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a, zero), vqe));
+        m = _mm256_cmpgt_epi8(zero, b);
+        d = _mm256_or_si256(d, _mm256_andnot_si256(m, c16));
+        _mm256_storeu_si256((__m256i*)(y_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b, zero), vqe));
+        m = _mm256_cmpgt_epi8(zero, a2);
+        d = _mm256_or_si256(d, _mm256_andnot_si256(m, c32));
+        _mm256_storeu_si256((__m256i*)(x2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a2, zero), vqe2));
+        m = _mm256_cmpgt_epi8(zero, b2);
+        d = _mm256_or_si256(d, _mm256_andnot_si256(m, c64));
+        _mm256_storeu_si256((__m256i*)(y2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
+        _mm256_storeu_si256((__m256i*)(prow + i), d);
+    }
+}
+
+static inline void row_score_v(int64_t len, const int8_t* RST s_,
+                               const int8_t* RST xt1, const int8_t* RST x2t1,
+                               const int8_t* RST vt1, const int8_t* RST ut,
+                               int8_t* RST u_, int8_t* RST v_, int8_t* RST x_,
+                               int8_t* RST y_, int8_t* RST x2_,
+                               int8_t* RST y2_, int8_t mat0, int8_t q_,
+                               int8_t q2_, int8_t qe_, int8_t qe2_,
+                               int64_t& i) {
+    const __m256i vmat0 = _mm256_set1_epi8(mat0), vq = _mm256_set1_epi8(q_),
+                  vq2 = _mm256_set1_epi8(q2_), vqe = _mm256_set1_epi8(qe_),
+                  vqe2 = _mm256_set1_epi8(qe2_), zero = _mm256_setzero_si256();
+    for (; i + 32 <= len; i += 32) {
+        __m256i z = _mm256_loadu_si256((const __m256i*)(s_ + i));
+        __m256i vt = _mm256_loadu_si256((const __m256i*)(vt1 + i));
+        __m256i u0 = _mm256_loadu_si256((const __m256i*)(ut + i));
+        __m256i a = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(xt1 + i)), vt);
+        __m256i b = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y_ + i)), u0);
+        __m256i a2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(x2t1 + i)), vt);
+        __m256i b2 = _mm256_add_epi8(
+            _mm256_loadu_si256((const __m256i*)(y2_ + i)), u0);
+        z = _mm256_max_epi8(_mm256_max_epi8(z, a), _mm256_max_epi8(b, a2));
+        z = _mm256_max_epi8(z, b2);
+        z = _mm256_min_epi8(z, vmat0);
+        _mm256_storeu_si256((__m256i*)(u_ + i), _mm256_sub_epi8(z, vt));
+        _mm256_storeu_si256((__m256i*)(v_ + i), _mm256_sub_epi8(z, u0));
+        __m256i t1 = _mm256_sub_epi8(z, vq);
+        a = _mm256_sub_epi8(a, t1);
+        b = _mm256_sub_epi8(b, t1);
+        __m256i t2 = _mm256_sub_epi8(z, vq2);
+        a2 = _mm256_sub_epi8(a2, t2);
+        b2 = _mm256_sub_epi8(b2, t2);
+        _mm256_storeu_si256((__m256i*)(x_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a, zero), vqe));
+        _mm256_storeu_si256((__m256i*)(y_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b, zero), vqe));
+        _mm256_storeu_si256((__m256i*)(x2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(a2, zero), vqe2));
+        _mm256_storeu_si256((__m256i*)(y2_ + i),
+            _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
+    }
+}
+#endif  // __AVX2__
+
 static void row_right(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                       const int8_t* RST x2t1, const int8_t* RST vt1,
                       const int8_t* RST ut, int8_t* RST u_, int8_t* RST v_,
                       int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                       int8_t* RST y2_, uint8_t* RST prow, int8_t mat0,
                       int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    int64_t iv = 0;
+#ifdef __AVX2__
+    row_right_v(len, s_, xt1, x2t1, vt1, ut, u_, v_, x_, y_, x2_, y2_, prow,
+                mat0, q_, q2_, qe_, qe2_, iv);
+#endif
+    for (int64_t i0 = iv; i0 < len; i0 += 16)
     for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
@@ -205,7 +421,12 @@ static void row_score(int64_t len, const int8_t* RST s_, const int8_t* RST xt1,
                       int8_t* RST x_, int8_t* RST y_, int8_t* RST x2_,
                       int8_t* RST y2_, int8_t mat0,
                       int8_t q_, int8_t q2_, int8_t qe_, int8_t qe2_) {
-    for (int64_t i0 = 0; i0 < len; i0 += 16)
+    int64_t iv = 0;
+#ifdef __AVX2__
+    row_score_v(len, s_, xt1, x2t1, vt1, ut, u_, v_, x_, y_, x2_, y2_,
+                mat0, q_, q2_, qe_, qe2_, iv);
+#endif
+    for (int64_t i0 = iv; i0 < len; i0 += 16)
     for (int64_t i = i0; i < i0 + 16; ++i) {
         int8_t z = s_[i];
         int8_t a = (int8_t)(xt1[i] + vt1[i]);
