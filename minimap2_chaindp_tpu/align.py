@@ -44,10 +44,16 @@ def mm_update_max_zdrop(score, i, j, state, e, pos):
     return (maxv, max_i, max_j, max_zdrop)
 
 
-def test_zdrop(opt, qseq, tseq, cigar, mat) -> int:
-    """Z-drop + inversion test on a CIGAR (reference mm_test_zdrop, align.c:46-88)."""
-    from .native import zdrop_scan
-    nat = zdrop_scan(qseq, tseq, cigar, mat, opt.q, opt.e)
+def test_zdrop(opt, qseq, tseq, cigar, mat, ez=None) -> int:
+    """Z-drop + inversion test on a CIGAR (reference mm_test_zdrop, align.c:46-88).
+
+    When the extension ran through the native batch with want_zdrop, the
+    scan result rides on the Ez (computed in C right after the job) and no
+    further native call is needed."""
+    nat = getattr(ez, "zscan", None) if ez is not None else None
+    if nat is None:
+        from .native import zdrop_scan
+        nat = zdrop_scan(qseq, tseq, cigar, mat, opt.q, opt.e)
     if nat is not None:
         max_zdrop, pos = nat
     else:
@@ -669,7 +675,8 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
             wave.append(dict(qseq=qseq0[rev][qs_c:qe_c],
                              tseq=mi.getseq(rid, rs_c, re_c), w=bw1,
                              end_bonus=-1, zdrop=opt.zdrop,
-                             flag=extra_flag | K.KSW_EZ_APPROX_MAX))
+                             flag=extra_flag | K.KSW_EZ_APPROX_MAX,
+                             want_zdrop=True))
             n_fill += 1
         rs_c, qs_c = re_c, qe_c
     has_right = qs_c < qe0 and rs_c < re0
@@ -709,7 +716,7 @@ def align1_gen(opt, mi, qlen, qseq0, r: Region, n_a: int, a,
         else:
             ez = thunks[fill0 + k_fill]()
             k_fill += 1
-        zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+        zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat, ez)
         if zdrop_code != 0:
             t2 = yield [dict(
                 qseq=qseq, tseq=tseq, w=bw1, end_bonus=-1,

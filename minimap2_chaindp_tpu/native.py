@@ -289,7 +289,7 @@ def load_ksw():
         lib.mm2tpu_extd2_batch.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
             _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
-            _vp, _vp, _vp, _vp]
+            _vp, _vp, _vp, _vp, _vp, _vp]
         lib.mm2tpu_exts2_batch.restype = None
         lib.mm2tpu_exts2_batch.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
@@ -336,14 +336,23 @@ def extd2_batch_native(jobs, mat, q, e, q2, e2):
     ez_out = np.empty((n, 11), dtype=np.int64)
     cig_buf = np.empty(max(cpos, 1), dtype=np.uint32)
     cig_lens = np.empty(n, dtype=np.int64)
+    # fused mm_test_zdrop scan for jobs that will be retested (fill pass 1)
+    zwant = np.array([1 if j.get("want_zdrop") else 0 for j in jobs],
+                     dtype=np.uint8)
+    any_z = bool(zwant.any()) if n else False
+    zout = np.empty((n, 5), dtype=np.int64) if any_z else None
     lib.mm2tpu_extd2_batch(
         _np_ptr(seq_buf), _np_ptr(qoff), _np_ptr(toff), n, _np_ptr(params),
         _np_ptr_cached(ma), q, e, q2, e2, _np_ptr(ez_out), _np_ptr(cig_buf),
-        _np_ptr(cig_offs), _np_ptr(cig_lens))
+        _np_ptr(cig_offs), _np_ptr(cig_lens),
+        _np_ptr(zwant) if any_z else None,
+        _np_ptr(zout) if any_z else None)
     out = []
     rows = ez_out.tolist()          # one bulk conversion, not 11n genexprs
     offs = cig_offs.tolist()
     lens = cig_lens.tolist()
+    zrows = zout.tolist() if any_z else None
+    zw = zwant.tolist() if any_z else None
     for i in range(n):
         ez = Ez()
         r = rows[i]
@@ -354,6 +363,9 @@ def extd2_batch_native(jobs, mat, q, e, q2, e2):
         if nc:
             o = offs[i]
             ez.cigar = cig_buf[o:o + nc].tolist()
+        if zrows is not None and zw[i]:
+            zr = zrows[i]
+            ez.zscan = (zr[0], [[zr[1], zr[2]], [zr[3], zr[4]]])
         out.append(ez)
     return out
 

@@ -996,6 +996,49 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     ez.n_cigar = n_cig;
 }
 
+// mm_test_zdrop's scan half (align.c:46-66): walk a CIGAR accumulating the
+// running score, tracking the max and the largest diagonal-adjusted drop.
+// out[5] = {max_zdrop, t_start, t_end, q_start, q_end}.
+static void zdrop_scan_one(const uint8_t* qseq, const uint8_t* tseq,
+                           const uint32_t* cigar, int64_t n_cigar,
+                           const int8_t* mat, int32_t q, int32_t e,
+                           int64_t* out) {
+    int64_t score = 0, maxv = -(1LL << 31), max_zdrop = 0;
+    int64_t i = 0, j = 0, max_i = -1, max_j = -1;
+    out[1] = out[2] = out[3] = out[4] = -1;
+    auto upd = [&](int64_t ci, int64_t cj) {
+        if (score < maxv) {
+            int64_t li = ci - max_i, lj = cj - max_j;
+            int64_t diff = li > lj ? li - lj : lj - li;
+            int64_t z = maxv - score - diff * e;
+            if (z > max_zdrop) {
+                max_zdrop = z;
+                out[1] = max_i; out[2] = ci + 1;
+                out[3] = max_j; out[4] = cj + 1;
+            }
+        } else {
+            maxv = score; max_i = ci; max_j = cj;
+        }
+    };
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t c = cigar[k];
+        int op = c & 0xF;
+        int64_t len = c >> 4;
+        if (op == 0) {
+            for (int64_t l = 0; l < len; ++l) {
+                score += mat[tseq[i + l] * 5 + qseq[j + l]];
+                upd(i + l, j + l);
+            }
+            i += len; j += len;
+        } else if (op == 1 || op == 2 || op == 3) {
+            score -= q + e * len;
+            if (op == 1) j += len; else i += len;
+            upd(i, j);
+        }
+    }
+    out[0] = max_zdrop;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1004,12 +1047,15 @@ extern "C" {
 // (qseq then tseq per job); params per job int32 {w, zdrop, end_bonus,
 // flag}; results: ez_out is (n, 11) int64 rows, cigars written at
 // cig_offs[i] into cig_buf (caller sizes it as sum(qlen+tlen+4)).
+// zwant/zout (both may be null): jobs with zwant[i] != 0 additionally get
+// the mm_test_zdrop scan run on their result CIGAR (fused here so the
+// pipeline needs no second native call per fill job), 5 int64 per job.
 void mm2tpu_extd2_batch(
     const uint8_t* seq_buf, const int64_t* qoff, const int64_t* toff,
     int64_t n_jobs, const int32_t* params, const int8_t* mat,
     int32_t q, int32_t e, int32_t q2, int32_t e2,
     int64_t* ez_out, uint32_t* cig_buf, const int64_t* cig_offs,
-    int64_t* cig_lens)
+    int64_t* cig_lens, const uint8_t* zwant, int64_t* zout)
 {
     Work wk;
     for (int64_t i = 0; i < n_jobs; ++i) {
@@ -1028,6 +1074,9 @@ void mm2tpu_extd2_batch(
         row[6] = ez.mte; row[7] = ez.mte_q; row[8] = ez.score;
         row[9] = ez.reach_end; row[10] = n_cig;
         cig_lens[i] = n_cig;
+        if (zwant && zwant[i])
+            zdrop_scan_one(qs, ts, cig_buf + cig_offs[i], n_cig, mat, q, e,
+                           zout + 5 * i);
     }
 }
 
