@@ -162,6 +162,14 @@ def update_extra(r: Region, qseq, tseq, mat, q, e) -> None:
     p = r.p
     if p is None:
         return
+    from .native import fix_update_extra
+    fused = fix_update_extra(qseq, tseq, p.cigar, mat, q, e, r.rev,
+                             r.qs, r.qe, r.rs, r.re)
+    if fused is not None:
+        p.cigar, (r.qs, r.qe, r.rs, r.re), r.blen, r.mlen, n_ambi, \
+            p.dp_max = fused
+        p.n_ambi += n_ambi
+        return
     qshift, tshift = fix_cigar(r, qseq, tseq)
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]

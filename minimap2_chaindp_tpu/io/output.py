@@ -41,6 +41,11 @@ def parse_rg_id(rg: str | None) -> str:
 
 
 def _cigar_str(cigar: list[int]) -> str:
+    if len(cigar) > 8:
+        from ..native import cigar_str_native
+        s = cigar_str_native(cigar)
+        if s is not None:
+            return s
     return "".join(f"{c >> 4}{'MIDN'[c & 0xF]}" for c in cigar)
 
 

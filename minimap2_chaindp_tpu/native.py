@@ -96,6 +96,12 @@ def load_align():
         lib.mm2tpu_update_extra_scan.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _c.c_int32, _c.c_int32,
             _c.c_int64, _c.c_int64, _vp]
+        lib.mm2tpu_cigar_str.restype = _c.c_int64
+        lib.mm2tpu_cigar_str.argtypes = [_vp, _c.c_int64, _vp]
+        lib.mm2tpu_fix_update_extra.restype = None
+        lib.mm2tpu_fix_update_extra.argtypes = [
+            _vp, _vp, _vp, _c.c_int64, _vp, _c.c_int32, _c.c_int32,
+            _c.c_int32, _vp, _vp]
         lib.mm2tpu_est_err_merge.restype = _c.c_int32
         lib.mm2tpu_est_err_merge.argtypes = [
             _vp, _vp, _c.c_int64, _c.c_int64, _c.c_int32, _c.c_int64,
@@ -201,6 +207,41 @@ def update_extra_scan(qseq, tseq, cigar, mat, q, e, exp_qoff, exp_toff):
                                  _np_ptr_cached(ma), q, e,
                                  exp_qoff, exp_toff, _np_ptr(out, _p64))
     return tuple(int(v) for v in out)
+
+
+def cigar_str_native(cigar) -> str | None:
+    """CIGAR words -> "123M4I..." via one native call; None = no lib."""
+    lib = load_align()
+    if lib is None:
+        return None
+    cig = np.asarray(cigar, dtype=np.uint32)
+    buf = np.empty(11 * len(cig) + 1, dtype=np.uint8)
+    n = lib.mm2tpu_cigar_str(_np_ptr(cig), len(cig), _np_ptr(buf))
+    return buf[:n].tobytes().decode("ascii")
+
+
+def fix_update_extra(qseq, tseq, cigar, mat, q, e, rev, qs, qe, rs, re):
+    """Fused native mm_fix_cigar + mm_update_extra.
+    Returns (new_cigar_list, (qs,qe,rs,re), blen, mlen, n_ambi, dp_max)
+    or None (fallback to the Python path)."""
+    lib = load_align()
+    if lib is None:
+        return None
+    cig = np.asarray(cigar, dtype=np.uint32)
+    qa = _as_u8(qseq)
+    ta = _as_u8(tseq)
+    ma = _as_i8(mat)
+    coords = np.array([qs, qe, rs, re], dtype=np.int64)
+    out = np.zeros(6, dtype=np.int64)
+    lib.mm2tpu_fix_update_extra(_np_ptr(qa), _np_ptr(ta),
+                                _np_ptr(cig), len(cig),
+                                _np_ptr_cached(ma), q, e, 1 if rev else 0,
+                                _np_ptr(coords), _np_ptr(out))
+    if not out[5]:
+        return None
+    n = int(out[0])
+    return (cig[:n].tolist(), tuple(int(v) for v in coords),
+            int(out[1]), int(out[2]), int(out[3]), int(out[4]))
 
 
 def est_err_merge(ax, ay, as_, cnt, rev, qlen, mp_lo):

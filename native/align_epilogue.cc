@@ -386,6 +386,137 @@ void* mm2tpu_collect_seeds(
     return res;
 }
 
+// ---- fused mm_fix_cigar + mm_update_extra (align.c:90-146 + 148-193).
+// cigar is modified in place (shrunk); coords[4] = {qs, qe, rs, re} are
+// updated by the leading-I/D strip.  out[6] =
+// {n_cigar_new, blen, mlen, n_ambi_added, dp_max, ok}.
+void mm2tpu_fix_update_extra(
+    const uint8_t* qseq, const uint8_t* tseq,
+    uint32_t* cigar, int64_t n_cigar,
+    const int8_t* mat /*25*/, int32_t q, int32_t e, int32_t rev,
+    int64_t* coords, int64_t* out)
+{
+    int64_t qs = coords[0], qe = coords[1], rs = coords[2], re = coords[3];
+    int64_t qshift = 0, tshift = 0;
+    // fix_cigar: indel left-shift against the preceding M run
+    if (n_cigar > 1) {
+        bool shrink = false;
+        int64_t toff = 0, qoff = 0;
+        for (int64_t k = 0; k < n_cigar; ++k) {
+            int op = cigar[k] & 0xF;
+            int64_t len = cigar[k] >> 4;
+            if (len == 0) shrink = true;
+            if (op == 0) {
+                toff += len; qoff += len;
+            } else if (op == 1 || op == 2) {
+                if (k > 0 && k < n_cigar - 1 &&
+                    (cigar[k-1] & 0xF) == 0 && (cigar[k+1] & 0xF) == 0) {
+                    int64_t prev = cigar[k-1] >> 4, l = 0;
+                    if (op == 1) {
+                        while (l < prev &&
+                               qseq[qoff - 1 - l] == qseq[qoff + len - 1 - l])
+                            ++l;
+                    } else {
+                        while (l < prev &&
+                               tseq[toff - 1 - l] == tseq[toff + len - 1 - l])
+                            ++l;
+                    }
+                    if (l > 0) {
+                        cigar[k-1] -= (uint32_t)(l << 4);
+                        cigar[k+1] += (uint32_t)(l << 4);
+                        qoff -= l; toff -= l;
+                    }
+                    if (l == prev) shrink = true;
+                }
+                if (op == 1) qoff += len; else toff += len;
+            } else if (op == 3) {
+                toff += len;
+            }
+        }
+        if (qoff != qe - qs || toff != re - rs) { out[5] = 0; return; }
+        if (shrink) {
+            int64_t m = 0;
+            for (int64_t k = 0; k < n_cigar; ++k) {
+                if ((cigar[k] >> 4) == 0) continue;
+                if (m > 0 && (cigar[m-1] & 0xF) == (int)(cigar[k] & 0xF))
+                    cigar[m-1] += (cigar[k] >> 4) << 4;
+                else
+                    cigar[m++] = cigar[k];
+            }
+            n_cigar = m;
+        }
+        if (n_cigar > 0) {
+            int op0 = cigar[0] & 0xF;
+            int64_t l0 = cigar[0] >> 4;
+            if (op0 == 1) {
+                if (rev) qe -= l0; else qs += l0;
+                qshift = l0;
+                memmove(cigar, cigar + 1, (--n_cigar) * 4);
+            } else if (op0 == 2) {
+                rs += l0;
+                tshift = l0;
+                memmove(cigar, cigar + 1, (--n_cigar) * 4);
+            }
+        }
+    }
+    coords[0] = qs; coords[1] = qe; coords[2] = rs; coords[3] = re;
+    // update_extra scan on the shifted sequences
+    const uint8_t* qp = qseq + qshift;
+    const uint8_t* tp = tseq + tshift;
+    int64_t blen = 0, mlen = 0, n_ambi_tot = 0;
+    int64_t toff = 0, qoff = 0, s = 0, maxv = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        int op = cigar[k] & 0xF;
+        int64_t len = cigar[k] >> 4;
+        if (op == 0) {
+            int64_t n_ambi = 0, n_diff = 0;
+            for (int64_t l = 0; l < len; ++l) {
+                uint8_t ct = tp[toff + l], cq = qp[qoff + l];
+                if (ct > 3 || cq > 3) ++n_ambi;
+                else if (ct != cq) ++n_diff;
+                s += mat[ct * 5 + cq];
+                if (s < 0) s = 0; else if (s > maxv) maxv = s;
+            }
+            blen += len - n_ambi;
+            mlen += len - (n_ambi + n_diff);
+            n_ambi_tot += n_ambi;
+            toff += len; qoff += len;
+        } else if (op == 1 || op == 2) {
+            const uint8_t* sp = (op == 1) ? qp + qoff : tp + toff;
+            int64_t n_ambi = 0;
+            for (int64_t l = 0; l < len; ++l)
+                if (sp[l] > 3) ++n_ambi;
+            blen += len - n_ambi;
+            n_ambi_tot += n_ambi;
+            s -= q + e * len;
+            if (s < 0) s = 0;
+            if (op == 1) qoff += len; else toff += len;
+        } else if (op == 3) {
+            toff += len;
+        }
+    }
+    out[0] = n_cigar; out[1] = blen; out[2] = mlen; out[3] = n_ambi_tot;
+    out[4] = maxv;
+    out[5] = (qoff == qe - qs && toff == re - rs) ? 1 : 0;
+}
+
+// ---- CIGAR-to-ASCII ("123M4I..."), ops MIDN (+SH handled by the caller).
+// buf must hold >= 11*n_cigar bytes; returns the byte count written.
+int64_t mm2tpu_cigar_str(const uint32_t* cigar, int64_t n_cigar, char* buf)
+{
+    static const char OPS[] = "MIDNSH";
+    char* p = buf;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t len = cigar[k] >> 4;
+        char tmp[10];
+        int t = 0;
+        do { tmp[t++] = (char)('0' + len % 10); len /= 10; } while (len);
+        while (t) *p++ = tmp[--t];
+        *p++ = OPS[cigar[k] & 0xF];
+    }
+    return p - buf;
+}
+
 void mm2tpu_collect_take(void* h, uint64_t* anchors, uint64_t* mini)
 {
     auto* res = (Mm2tpuCollectOut*)h;

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""End-to-end mapping throughput bench: simulated ~1 kb ONT-like reads vs
+MT-human, `-a` SAM output, this framework vs the reference binary on the
+same host.
+
+Usage:
+  python tools/e2e_bench.py [--reads N] [--device tpu|host] [--profile]
+  python tools/e2e_bench.py --ref          # time the reference binary only
+
+The read simulator matches tests/test_mapeval_accuracy.py (10% error,
+pbsim-style names) so accuracy can be cross-checked with paftools mapeval.
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+BASES = "ACGT"
+REF_FA = "/root/reference/test/MT-human.fa"
+REF_BIN = os.path.join(ROOT, ".golden", "minimap2_ref")
+
+
+def simulate(ref_seq, n, read_len, err, seed):
+    rng = np.random.default_rng(seed)
+    reads = []
+    for i in range(n):
+        st = int(rng.integers(0, len(ref_seq) - read_len))
+        en = st + read_len
+        out = []
+        for c in ref_seq[st:en]:
+            r = rng.random()
+            if r < err * 0.6:
+                out.append(BASES[int(rng.integers(0, 4))])
+            elif r < err * 0.8:
+                pass
+            elif r < err:
+                out.append(c)
+                out.append(BASES[int(rng.integers(0, 4))])
+            else:
+                out.append(c)
+        strand = "+" if rng.random() < 0.5 else "-"
+        s = "".join(out)
+        if strand == "-":
+            s = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        reads.append((f"S1_{i}!MT_human!{st}!{en}!{strand}", s))
+    return reads
+
+
+def write_reads(path, reads):
+    with open(path, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{seq}\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=400)
+    ap.add_argument("--len", dest="read_len", type=int, default=1000)
+    ap.add_argument("--device", default="host", choices=["host", "tpu"])
+    ap.add_argument("--ref", action="store_true", help="reference binary only")
+    ap.add_argument("--both", action="store_true")
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--batch", type=int, default=400)
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="timed repeats (first run includes warmup)")
+    args = ap.parse_args()
+
+    from minimap2_chaindp_tpu.io.fastx import read_fastx
+    refs = list(read_fastx(REF_FA))
+    reads = simulate(refs[0].seq, args.reads, args.read_len, 0.10, seed=7)
+    qpath = "/tmp/e2e_bench_reads.fa"
+    write_reads(qpath, reads)
+
+    if args.ref or args.both:
+        # warm once, then time
+        for it in range(2):
+            t0 = time.perf_counter()
+            subprocess.run([REF_BIN, "-ax", "map-ont", "-t", "4", REF_FA, qpath],
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                           check=True)
+            dt = time.perf_counter() - t0
+        print(f"reference: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)")
+        if not args.both:
+            return
+
+    env_cmd = [sys.executable, "-m", "minimap2_chaindp_tpu.cli",
+               "-ax", "map-ont", "-K", str(args.batch * args.read_len),
+               "--device", args.device, REF_FA, qpath]
+
+    if args.profile:
+        import cProfile
+        import pstats
+        sys.argv = ["mm2tpu", "-ax", "map-ont",
+                    "-K", str(args.batch * args.read_len),
+                    "--device", args.device, REF_FA, qpath]
+        from minimap2_chaindp_tpu import cli
+        out = open("/tmp/e2e_bench.sam", "w")
+        old = sys.stdout
+        sys.stdout = out
+        pr = cProfile.Profile()
+        t0 = time.perf_counter()
+        pr.enable()
+        cli.main()
+        pr.disable()
+        dt = time.perf_counter() - t0
+        sys.stdout = old
+        out.close()
+        print(f"profiled: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)")
+        st = pstats.Stats(pr)
+        st.sort_stats("cumulative").print_stats(35)
+        return
+
+    best = None
+    for it in range(args.repeat):
+        t0 = time.perf_counter()
+        subprocess.run(env_cmd, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=True)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        print(f"mm2tpu[{args.device}] run{it}: {args.reads / dt:8.1f} reads/s"
+              f"  ({dt:.2f}s incl. startup)")
+
+
+if __name__ == "__main__":
+    main()
