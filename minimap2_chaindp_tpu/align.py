@@ -851,13 +851,40 @@ def align_skeleton(opt, mi, qlen: int, qstr: str, regs: list[Region],
         return e.value
 
 
+def _native_skeleton_ok(opt, mi) -> bool:
+    """Native per-read align driver eligibility: the dual-affine non-splice
+    path with reference sequences available (splice and the single-affine
+    extz path stay on the Python golden model)."""
+    import os
+    if os.environ.get("MM2TPU_NATIVE_SKELETON", "1") == "0":
+        return False
+    if not getattr(opt, "native_skeleton", True):
+        return False  # executor routes extension jobs to the device kernel
+    if opt.flag & C.MM_F_SPLICE:
+        return False
+    if opt.q == opt.q2 and opt.e == opt.e2:
+        return False
+    return len(mi.S) > 0 and mi.S.flags.c_contiguous
+
+
 def align_skeleton_gen(opt, mi, qlen: int, qstr: str, regs: list[Region],
                        a: np.ndarray):
     """Generator form of mm_align_skeleton: forwards the per-region job
     waves of align1_gen, so a batch scheduler can interleave many reads'
-    extension work into shared device calls."""
-    qseq0 = [None, None]
+    extension work into shared device calls.  When the whole read is
+    eligible for the native per-read driver (align_driver.cc), it runs
+    there in one call and no waves are yielded."""
     fwd = C.seq_to_nt4(qstr)
+    if regs and _native_skeleton_ok(opt, mi):
+        from .native import align_skeleton_native
+        n_a = squeeze_a(regs, a)
+        res = align_skeleton_native(opt, mi, qlen, fwd, regs, a, n_a,
+                                    K.gen_simple_mat(5, opt.a, opt.b))
+        if res is not None:
+            res = filter_regs(res, opt, qlen)
+            return hit_sort_by_dp(res)
+        # native driver unavailable; fall through (squeeze_a is idempotent)
+    qseq0 = [None, None]
     qseq0[0] = fwd
     qseq0[1] = np.where(fwd < 4, (3 - fwd).astype(np.uint8), np.uint8(4))[::-1].copy()
 

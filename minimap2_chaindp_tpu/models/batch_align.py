@@ -64,6 +64,22 @@ class DeviceAlignExecutor:
         from ..utils.device_guard import DEFAULT_TIMEOUT_S
         self.timeout = DEFAULT_TIMEOUT_S
 
+    def _sync_native_skeleton(self):
+        # the one-call-per-read native align driver (align_driver.cc) only
+        # engages when every extension job would route to host SIMD anyway;
+        # lowering native_max re-enables wave scheduling so the device
+        # kernel sees the jobs
+        self.opt.native_skeleton = self._native_max >= 100000
+
+    @property
+    def native_max(self):
+        return self._native_max
+
+    @native_max.setter
+    def native_max(self, v):
+        self._native_max = int(v)
+        self._sync_native_skeleton()
+
     def _eligible(self, job) -> bool:
         if not self.enabled:
             return False

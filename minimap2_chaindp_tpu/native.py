@@ -307,23 +307,30 @@ def cal_fuzzy_len_native(a, as_, cnt):
 
 
 _KSW_SRC = os.path.join(_ROOT, "native", "ksw2_extd2.cc")
+_DRV_SRC = os.path.join(_ROOT, "native", "align_driver.cc")
 _KSW_SO = os.path.join(_ROOT, "native", "libmm2tpu_ksw2.so")
 _ksw_lib = None
 _ksw_tried = False
 
 
 def load_ksw():
-    """Loader for the native exact ksw_extd2 (native/ksw2_extd2.cc)."""
+    """Loader for the native exact ksw2 kernels + the per-read align driver
+    (native/align_driver.cc textually includes ksw2_extd2.cc so the row
+    kernels inline; align_epilogue.cc supplies the fix_cigar/update_extra
+    scan to the same shared object)."""
     global _ksw_lib, _ksw_tried
     if _ksw_lib is not None or _ksw_tried:
         return _ksw_lib
     _ksw_tried = True
     try:
+        srcs = [_DRV_SRC, _AL_SRC]
+        src_mtime = max(os.path.getmtime(s) for s in srcs + [_KSW_SRC])
         if (not os.path.exists(_KSW_SO)
-                or os.path.getmtime(_KSW_SO) < os.path.getmtime(_KSW_SRC)):
+                or os.path.getmtime(_KSW_SO) < src_mtime):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _KSW_SRC,
-                 "-o", _KSW_SO], check=True, capture_output=True)
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17"] + srcs + ["-o", _KSW_SO],
+                check=True, capture_output=True)
         lib = ctypes.CDLL(_KSW_SO)
         _vp = _c.c_void_p
         lib.mm2tpu_extd2_batch.restype = None
@@ -336,10 +343,100 @@ def load_ksw():
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
             _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp, _vp]
+        lib.mm2tpu_align_skeleton.restype = _c.c_int64
+        lib.mm2tpu_align_skeleton.argtypes = [
+            _vp, _c.c_int64, _vp, _c.c_int64,
+            _vp, _vp, _vp, _c.c_int64, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _vp, _c.c_int64, _vp, _c.c_int64]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
     return _ksw_lib
+
+
+# Region field order shared with native/align_driver.cc (28 int64 slots)
+_REG_ATTRS = ("id", "cnt", "rid", "score", "qs", "qe", "rs", "re", "parent",
+              "subsc", "as_", "mlen", "blen", "n_sub", "score0", "mapq",
+              "split", "rev", "inv", "sam_pri", "proper_frag", "pe_thru",
+              "seg_split", "seg_id", "split_inv", "hash")
+
+
+def _mi_nat_tables(mi):
+    """Cached (seq_off, seq_len) int64 arrays for an index."""
+    cache = getattr(mi, "_nat_tables", None)
+    if cache is None:
+        off = np.array([s.offset for s in mi.seqs], dtype=np.int64)
+        ln = np.array([s.length for s in mi.seqs], dtype=np.int64)
+        cache = (off, ln)
+        mi._nat_tables = cache
+    return cache
+
+
+def align_skeleton_native(opt, mi, qlen, qseq_fwd, regs, a, n_a, mat):
+    """Native per-read align_skeleton (align_driver.cc).  regs: list of
+    hits.Region entering alignment (p must be unset); a: squeezed anchors.
+    Returns the new region list or None (ineligible / lib missing /
+    contract fallback)."""
+    lib = load_ksw()
+    if lib is None or not len(mi.S):
+        return None
+    from .hits import Extra, Region
+    if any(r.p is not None for r in regs):
+        return None
+    nr = len(regs)
+    regs_in = np.zeros((nr, 28), dtype=np.int64)
+    for i, r in enumerate(regs):
+        row = regs_in[i]
+        for j, name in enumerate(_REG_ATTRS):
+            row[j] = getattr(r, name)
+        row[26] = np.float64(r.div).view(np.int64)
+        row[27] = 0
+    optv = np.array([opt.flag, opt.a, opt.b, opt.q, opt.e, opt.q2, opt.e2,
+                     opt.zdrop, opt.zdrop_inv, opt.end_bonus, opt.min_cnt,
+                     opt.min_chain_score, opt.min_dp_max, opt.max_gap,
+                     opt.bw, opt.min_ksw_len], dtype=np.int64)
+    seq_off, seq_len = _mi_nat_tables(mi)
+    qa = _as_u8(qseq_fwd)
+    aa = np.ascontiguousarray(a, dtype=np.uint64)
+    ma = _as_i8(mat)
+    nr_cap = 2 * nr + 8
+    cig_cap = 4 * qlen + 1024 * nr + 4096
+    for _attempt in range(2):
+        regs_out = np.empty((nr_cap, 28), dtype=np.int64)
+        extras = np.empty((nr_cap, 7), dtype=np.int64)
+        cig_buf = np.empty(cig_cap, dtype=np.uint32)
+        n_out = lib.mm2tpu_align_skeleton(
+            _np_ptr(qa), qlen, _np_ptr(aa), n_a,
+            _np_ptr(mi.S), _np_ptr(seq_off), _np_ptr(seq_len), len(mi.seqs),
+            mi.k, 1 if (mi.flag & 1) else 0,
+            _np_ptr_cached(ma), _np_ptr(optv),
+            _np_ptr(regs_in), nr,
+            _np_ptr(regs_out), _np_ptr(extras), nr_cap,
+            _np_ptr(cig_buf), cig_cap)
+        if n_out != -2:
+            break
+        nr_cap *= 4
+        cig_cap *= 4
+    if n_out < 0:
+        return None
+    if aa is not a:
+        a[:] = aa  # seed flags set by filter_bad_seeds
+    out = []
+    rows = regs_out[:n_out].tolist()
+    exrows = extras[:n_out].tolist()
+    for i in range(n_out):
+        row = rows[i]
+        r = Region(**{("hash" if nm == "hash" else nm): row[j]
+                      for j, nm in enumerate(_REG_ATTRS)})
+        r.div = float(np.int64(row[26]).view(np.float64))
+        if row[27]:
+            ex = exrows[i]
+            r.p = Extra(dp_score=ex[0], dp_max=ex[1], dp_max2=ex[2],
+                        n_ambi=ex[3], trans_strand=ex[4],
+                        cigar=cig_buf[ex[5]:ex[5] + ex[6]].tolist())
+        out.append(r)
+    return out
 
 
 def extd2_batch_native(jobs, mat, q, e, q2, e2):

@@ -1,0 +1,826 @@
+// Native per-read alignment driver: the full mm_align_skeleton region loop
+// in C++ (reference align.c:423-761), exact port of the golden Python models
+// in minimap2_chaindp_tpu/align.py + hits.py (split_reg/reg_set_coor).
+//
+// Covers the non-splice presets (dual-affine extd2 path, sr ungapped fill,
+// HPC anchor adjustment, Z-drop retest + inversion probe via ksw_ll,
+// chain splitting and inversion rescue).  Splice and the single-affine
+// extz path stay on the Python generator (align.align_skeleton_gen), which
+// remains the golden model this port is tested against byte-for-byte.
+//
+// Built as one translation unit with the extd2 kernel (textual include) so
+// the row kernels inline; mm2tpu_fix_update_extra comes from
+// align_epilogue.cc compiled into the same shared object.
+#include "ksw2_extd2.cc"
+
+#include <cmath>
+
+extern "C" void mm2tpu_fix_update_extra(
+    const uint8_t* qseq, const uint8_t* tseq, uint32_t* cigar,
+    int64_t n_cigar, const int8_t* mat, int32_t q, int32_t e, int32_t rev,
+    int64_t* coords, int64_t* out);
+
+namespace {
+
+constexpr uint64_t SEED_LONG_JOIN = 1ull << 40;
+constexpr uint64_t SEED_IGNORE = 1ull << 41;
+constexpr uint64_t SEED_TANDEM = 1ull << 42;
+constexpr uint64_t SEED_SELF = 1ull << 43;
+constexpr int64_t PARENT_UNSET = -1;
+constexpr int64_t PARENT_TMP_PRI = -2;
+constexpr int64_t F_SPLICE = 0x080, F_SR = 0x1000, F_FOR_ONLY = 0x100000,
+                  F_REV_ONLY = 0x200000;
+
+inline int32_t lo32(uint64_t v) { return (int32_t)(uint32_t)v; }
+inline int64_t span_of(uint64_t y) { return (int64_t)((y >> 32) & 0xFF); }
+
+// region record exchanged with Python (28 int64 slots, see native.py)
+constexpr int RF = 28;
+enum { R_ID, R_CNT, R_RID, R_SCORE, R_QS, R_QE, R_RS, R_RE, R_PARENT,
+       R_SUBSC, R_AS, R_MLEN, R_BLEN, R_NSUB, R_SCORE0, R_MAPQ, R_SPLIT,
+       R_REV, R_INV, R_SAMPRI, R_PROPER, R_PETHRU, R_SEGSPLIT, R_SEGID,
+       R_SPLITINV, R_HASH, R_DIVBITS, R_HASP };
+
+struct NatReg {
+    int64_t f[RF];
+    int64_t dp_score = 0, dp_max = 0, dp_max2 = 0, n_ambi = 0,
+            trans_strand = 0;
+    std::vector<uint32_t> cigar;
+    int64_t& operator[](int i) { return f[i]; }
+    int64_t operator[](int i) const { return f[i]; }
+};
+
+struct Ctx {
+    // index
+    const uint8_t* S;
+    const int64_t* seq_off;
+    const int64_t* seq_len;
+    int64_t n_seq;
+    int32_t k;
+    bool hpc;
+    // options
+    const int8_t* mat;
+    int64_t flag, oa, ob, q, e, q2, e2, zdrop, zdrop_inv, end_bonus,
+        min_cnt, min_chain_score, min_dp_max, max_gap, bw, min_ksw_len;
+    // per-read
+    uint64_t* A;       // anchors (n_a, 2) modified in place (seed flags)
+    int64_t n_a;
+    const uint8_t* qstr[2];  // fwd / revcomp nt4
+    int64_t qlen;
+    Work wk;
+    bool bad = false;  // contract violation -> caller falls back
+};
+
+inline uint64_t AX(const Ctx& c, int64_t i) { return c.A[2 * i]; }
+inline uint64_t AY(const Ctx& c, int64_t i) { return c.A[2 * i + 1]; }
+
+inline const uint8_t* getseq(const Ctx& c, int64_t rid, int64_t st,
+                             int64_t en, int64_t& len) {
+    int64_t L = c.seq_len[rid];
+    if (en > L) en = L;
+    len = en - st;
+    return c.S + c.seq_off[rid] + st;
+}
+
+// ---- ksw_ll (golden model ops/ksw2.py:ksw_ll; reference ksw2_ll_sse.c):
+// local SW score + end coords with the striped-layout qe tie rule.
+static int64_t ksw_ll(const uint8_t* qs, int64_t qlen, const uint8_t* ts,
+                      int64_t tlen, const int8_t* mat, int64_t gapo,
+                      int64_t gape, int64_t* qe_out, int64_t* te_out) {
+    *qe_out = -1; *te_out = -1;
+    if (qlen <= 0 || tlen <= 0) return 0;
+    int64_t slen = (qlen + 7) / 8, q8 = slen * 8, gapoe = gapo + gape;
+    std::vector<int64_t> Hp(q8, 0), E(q8, 0), h0(q8), h(q8), Hmax(q8, 0);
+    int64_t gmax = 0, te = -1;
+    for (int64_t i = 0; i < tlen; ++i) {
+        const int8_t* mrow = mat + ts[i] * 5;
+        for (int64_t j = 0; j < q8; ++j) {
+            int64_t sc = j < qlen ? mrow[qs[j]] : 0;
+            int64_t diag = (j ? Hp[j - 1] : 0) + sc;
+            h0[j] = diag > E[j] ? diag : E[j];
+        }
+        // exact F: opening only from h0 (prefix-max formulation)
+        int64_t fmax = INT64_MIN;
+        for (int64_t j = 0; j < q8; ++j) {
+            int64_t F = 0;
+            if (j > 0) {
+                F = fmax - (j - 1) * gape;
+                if (F < 0) F = 0;
+            }
+            int64_t tv = h0[j] - gapoe + j * gape;
+            if (tv > fmax) fmax = tv;
+            int64_t hv = h0[j] > F ? h0[j] : F;
+            if (hv < 0) hv = 0;
+            h[j] = hv;
+            int64_t ev = E[j] - gape;
+            int64_t e2v = hv - gapoe;
+            if (e2v > ev) ev = e2v;
+            if (ev < 0) ev = 0;
+            E[j] = ev;
+        }
+        int64_t imax = 0;
+        for (int64_t j = 0; j < q8; ++j)
+            if (h[j] > imax) imax = h[j];
+        if (imax >= gmax) {
+            gmax = imax; te = i;
+            Hmax = h;
+        }
+        Hp = h;
+    }
+    int64_t best_stripe = -1, qe = -1;
+    for (int64_t j = 0; j < q8; ++j) {
+        if (Hmax[j] == gmax) {
+            int64_t stripe = (j % slen) * 8 + j / slen;
+            if (stripe > best_stripe) { best_stripe = stripe; qe = j; }
+        }
+    }
+    *qe_out = qe; *te_out = te;
+    return gmax;
+}
+
+// ---- mm_append_cigar (align.c:195-218)
+static void append_cigar(NatReg& r, const uint32_t* cig, int64_t n) {
+    if (n <= 0) return;
+    r[R_HASP] = 1;
+    auto& c = r.cigar;
+    int64_t i = 0;
+    if (!c.empty() && (c.back() & 0xF) == (cig[0] & 0xF)) {
+        c.back() += (cig[0] >> 4) << 4;
+        i = 1;
+    }
+    c.insert(c.end(), cig + i, cig + n);
+}
+
+// ---- cal_fuzzy_len + reg_set_coor (hit.c:8-38)
+static void cal_fuzzy_len(const Ctx& c, NatReg& r) {
+    r[R_MLEN] = r[R_BLEN] = 0;
+    if (r[R_CNT] <= 0) return;
+    int64_t as_ = r[R_AS];
+    int64_t m = span_of(AY(c, as_)), b = m;
+    for (int64_t i = as_ + 1; i < as_ + r[R_CNT]; ++i) {
+        int64_t span = span_of(AY(c, i));
+        int64_t tl = (int64_t)(uint32_t)AX(c, i) - (int64_t)(uint32_t)AX(c, i - 1);
+        int64_t ql = (int64_t)(uint32_t)AY(c, i) - (int64_t)(uint32_t)AY(c, i - 1);
+        b += tl > ql ? tl : ql;
+        m += (tl > span && ql > span) ? span : (tl < ql ? tl : ql);
+    }
+    r[R_MLEN] = m; r[R_BLEN] = b;
+}
+
+static void reg_set_coor(const Ctx& c, NatReg& r) {
+    int64_t k = r[R_AS];
+    int64_t q_span = span_of(AY(c, k));
+    r[R_REV] = (int64_t)(AX(c, k) >> 63);
+    r[R_RID] = (int64_t)((AX(c, k) << 1) >> 33);
+    int64_t rs = (int64_t)lo32(AX(c, k)) + 1 - q_span;
+    r[R_RS] = rs > 0 ? rs : 0;
+    r[R_RE] = (int64_t)lo32(AX(c, k + r[R_CNT] - 1)) + 1;
+    int64_t y0 = lo32(AY(c, k)), y1 = lo32(AY(c, k + r[R_CNT] - 1));
+    if (!r[R_REV]) {
+        r[R_QS] = y0 + 1 - q_span;
+        r[R_QE] = y1 + 1;
+    } else {
+        r[R_QS] = c.qlen - (y1 + 1);
+        r[R_QE] = c.qlen - (y0 + 1 - q_span);
+    }
+    cal_fuzzy_len(c, r);
+}
+
+// ---- mm_split_reg (hit.c:90-107)
+static bool split_reg(const Ctx& c, NatReg& r, int64_t n, NatReg& r2) {
+    if (n <= 0 || n >= r[R_CNT]) return false;
+    r2 = NatReg();
+    memcpy(r2.f, r.f, sizeof(r.f));
+    r2[R_ID] = -1;
+    r2[R_SAMPRI] = 0;
+    r2[R_HASP] = 0;
+    r2[R_SPLITINV] = 0;
+    r2[R_CNT] = r[R_CNT] - n;
+    r2[R_SCORE] = (int64_t)((double)r[R_SCORE]
+                            * ((double)r2[R_CNT] / (double)r[R_CNT]) + .499);
+    r2[R_AS] = r[R_AS] + n;
+    if (r[R_PARENT] == r[R_ID]) r2[R_PARENT] = PARENT_TMP_PRI;
+    reg_set_coor(c, r2);
+    r[R_CNT] -= r2[R_CNT];
+    r[R_SCORE] -= r2[R_SCORE];
+    reg_set_coor(c, r);
+    r[R_SPLIT] |= 1;
+    r2[R_SPLIT] |= 2;
+    return true;
+}
+
+// ---- adjust_minier (align.c:254-269)
+static void adjust_minier(const Ctx& c, uint64_t ax, uint64_t ay,
+                          int64_t& rr, int64_t& qq) {
+    if (c.hpc) {
+        const uint8_t* qseq = c.qstr[ax >> 63];
+        int64_t q = lo32(ay);
+        uint8_t ch = qseq[q];
+        int64_t i = q - 1;
+        while (i > 0 && qseq[i] == ch) --i;
+        qq = i + 1;
+        int64_t rid = (int64_t)((ax << 1) >> 33);
+        int64_t x = lo32(ax);
+        const uint8_t* S = c.S + c.seq_off[rid];
+        uint8_t cr = S[x];
+        i = x - 1;
+        while (i >= 0 && S[i] == cr) --i;
+        rr = x + 1 - (x - i);
+    } else {
+        rr = lo32(ax) - (c.k >> 1);
+        qq = lo32(ay) - (c.k >> 1);
+    }
+}
+
+// ---- mm_fix_bad_ends (align.c:317-351)
+static void fix_bad_ends(const Ctx& c, const NatReg& r, int64_t bw,
+                         int64_t min_match, int64_t& as_out,
+                         int64_t& cnt_out) {
+    int64_t as_ = r[R_AS], cnt = r[R_CNT];
+    as_out = as_; cnt_out = cnt;
+    if (cnt < 3) return;
+    int64_t m, l;
+    m = l = span_of(AY(c, as_));
+    for (int64_t i = as_ + 1; i < as_ + cnt - 1; ++i) {
+        int64_t q_span = span_of(AY(c, i));
+        if (AY(c, i) & SEED_LONG_JOIN) break;
+        int64_t lr = (int64_t)lo32(AX(c, i)) - lo32(AX(c, i - 1));
+        int64_t lq = (int64_t)lo32(AY(c, i)) - lo32(AY(c, i - 1));
+        int64_t mn = lr < lq ? lr : lq, mx = lr > lq ? lr : lq;
+        if (mx - mn > (l >> 1)) as_out = i;
+        l += mn;
+        m += mn < q_span ? mn : q_span;
+        if (l >= bw << 1 || (m >= min_match && m >= bw) || m >= r[R_MLEN] >> 1)
+            break;
+    }
+    cnt_out = as_ + cnt - as_out;
+    m = l = span_of(AY(c, as_ + cnt - 1));
+    for (int64_t i = as_ + cnt - 2; i > as_out; --i) {
+        int64_t q_span = span_of(AY(c, i + 1));
+        if (AY(c, i + 1) & SEED_LONG_JOIN) break;
+        int64_t lr = (int64_t)lo32(AX(c, i + 1)) - lo32(AX(c, i));
+        int64_t lq = (int64_t)lo32(AY(c, i + 1)) - lo32(AY(c, i));
+        int64_t mn = lr < lq ? lr : lq, mx = lr > lq ? lr : lq;
+        if (mx - mn > (l >> 1)) cnt_out = i + 1 - as_out;
+        l += mn;
+        m += mn < q_span ? mn : q_span;
+        if (l >= bw << 1 || (m >= min_match && m >= bw) || m >= r[R_MLEN] >> 1)
+            break;
+    }
+}
+
+// ---- max_stretch for sr (align.c:353-379)
+static void max_stretch(const Ctx& c, const NatReg& r, int64_t& as_out,
+                        int64_t& cnt_out) {
+    int64_t as_ = r[R_AS], cnt = r[R_CNT];
+    as_out = as_; cnt_out = cnt;
+    if (cnt < 2) return;
+    int64_t max_score = -1, max_i = -1, max_len = 0;
+    int64_t score = span_of(AY(c, as_)), length = 1;
+    int64_t i = as_ + 1;
+    for (; i < as_ + cnt; ++i) {
+        int64_t q_span = span_of(AY(c, i));
+        int64_t lr = (int64_t)lo32(AX(c, i)) - lo32(AX(c, i - 1));
+        int64_t lq = (int64_t)lo32(AY(c, i)) - lo32(AY(c, i - 1));
+        if (lq == lr) {
+            score += lq < q_span ? lq : q_span;
+            ++length;
+        } else {
+            if (score > max_score) {
+                max_score = score; max_len = length; max_i = i - length;
+            }
+            score = q_span; length = 1;
+        }
+    }
+    if (score > max_score) {
+        max_score = score; max_len = length; max_i = i - length;
+    }
+    as_out = max_i; cnt_out = max_len;
+}
+
+// ---- mm_filter_bad_seeds (align.c:271-315)
+static void filter_bad_seeds(Ctx& c, int64_t as1, int64_t cnt1,
+                             int64_t min_gap, int64_t diff_thres,
+                             int64_t max_ext_len, int64_t max_ext_cnt) {
+    std::vector<int64_t> K;  // gap positions (1-based within the chain)
+    for (int64_t i = 1; i < cnt1; ++i) {
+        int64_t gap = ((int64_t)(uint32_t)AY(c, as1 + i)
+                       - (int64_t)(uint32_t)AY(c, as1 + i - 1))
+                      - ((int64_t)(uint32_t)AX(c, as1 + i)
+                         - (int64_t)(uint32_t)AX(c, as1 + i - 1));
+        if (gap < -min_gap || gap > min_gap) K.push_back(i);
+    }
+    int64_t n = (int64_t)K.size();
+    if (n <= 1) return;
+    auto gap_at = [&](int64_t i) {
+        return ((int64_t)(uint32_t)AY(c, as1 + i)
+                - (int64_t)(uint32_t)AY(c, as1 + i - 1))
+               - ((int64_t)(uint32_t)AX(c, as1 + i)
+                  - (int64_t)(uint32_t)AX(c, as1 + i - 1));
+    };
+    int64_t maxv = 0, max_st = -1, max_en = -1;
+    int64_t k = 0;
+    while (true) {
+        if (k == n || k >= max_en) {
+            if (max_en > 0)
+                for (int64_t i = K[max_st]; i < K[max_en]; ++i)
+                    c.A[2 * (as1 + i) + 1] |= SEED_IGNORE;
+            maxv = 0; max_st = max_en = -1;
+            if (k == n) break;
+        }
+        int64_t i = K[k];
+        int64_t gap = gap_at(i);
+        int64_t n_ins = gap > 0 ? gap : 0;
+        int64_t n_del = gap <= 0 ? -gap : 0;
+        int64_t qs = (int64_t)lo32(AY(c, as1 + i - 1));
+        int64_t rs = (int64_t)lo32(AX(c, as1 + i - 1));
+        int64_t max_diff = 0, max_diff_l = -1;
+        for (int64_t l = k + 1; l < n && l <= k + max_ext_cnt; ++l) {
+            int64_t j = K[l];
+            if ((int64_t)lo32(AY(c, as1 + j)) - qs > max_ext_len
+                || (int64_t)lo32(AX(c, as1 + j)) - rs > max_ext_len)
+                break;
+            int64_t g = gap_at(j);
+            if (g > 0) n_ins += g; else n_del += -g;
+            int64_t d = n_ins + n_del - llabs(n_ins - n_del);
+            if (max_diff < d) { max_diff = d; max_diff_l = l; }
+        }
+        if (max_diff > diff_thres && max_diff > maxv) {
+            maxv = max_diff; max_st = k; max_en = max_diff_l;
+        }
+        ++k;
+    }
+}
+
+// ---- mm_test_zdrop incl. inversion probe (align.c:46-88)
+static int test_zdrop(Ctx& c, const uint8_t* qseq, const uint8_t* tseq,
+                      const uint32_t* cig, int64_t n_cig) {
+    int64_t out[5];
+    zdrop_scan_one(qseq, tseq, cig, n_cig, c.mat, (int32_t)c.q, (int32_t)c.e,
+                   out);
+    int64_t max_zdrop = out[0];
+    int64_t t_st = out[1], t_en = out[2], q_st = out[3], q_en = out[4];
+    int64_t q_len = q_en - q_st, t_len = t_en - t_st;
+    if (!(c.flag & (F_SPLICE | F_SR | F_FOR_ONLY | F_REV_ONLY))
+        && max_zdrop > c.zdrop_inv && q_len < c.max_gap
+        && t_len < c.max_gap) {
+        std::vector<uint8_t> q2v(q_len);
+        for (int64_t i = 0; i < q_len; ++i) {
+            uint8_t b = qseq[q_en - 1 - i];
+            q2v[i] = b >= 4 ? 4 : (uint8_t)(3 - b);
+        }
+        int64_t qe, te;
+        int64_t score = ksw_ll(q2v.data(), q_len, tseq + t_st, t_len, c.mat,
+                               c.q, c.e, &qe, &te);
+        if (score >= c.min_chain_score * c.oa && score >= c.min_dp_max)
+            return 2;
+    }
+    return max_zdrop > c.zdrop ? 1 : 0;
+}
+
+// extension-job runner on the shared Work
+static void run_ext(Ctx& c, const uint8_t* qs, int64_t ql, const uint8_t* ts,
+                    int64_t tl, int64_t w, int64_t zdrop, int64_t end_bonus,
+                    int64_t flag, EzOut& ez, std::vector<uint32_t>& cig) {
+    cig.resize(ql + tl + 4);
+    int64_t n_cig = 0;
+    extd2_one(qs, ql, ts, tl, c.mat, (int)c.q, (int)c.e, (int)c.q2,
+              (int)c.e2, (int)w, (int)zdrop, (int)end_bonus, (int)flag,
+              c.wk, ez, cig.data(), n_cig);
+    cig.resize(n_cig);
+}
+
+// ---- mm_update_extra via the fused fix_cigar+scan (align_epilogue.cc)
+static void update_extra(Ctx& c, NatReg& r, const uint8_t* qseq,
+                         const uint8_t* tseq) {
+    if (!r[R_HASP]) return;
+    int64_t coords[4] = {r[R_QS], r[R_QE], r[R_RS], r[R_RE]};
+    int64_t out[6] = {0, 0, 0, 0, 0, 0};
+    mm2tpu_fix_update_extra(qseq, tseq, r.cigar.data(),
+                            (int64_t)r.cigar.size(), c.mat, (int32_t)c.q,
+                            (int32_t)c.e, (int32_t)r[R_REV], coords, out);
+    if (!out[5]) { c.bad = true; return; }
+    r.cigar.resize(out[0]);
+    r[R_QS] = coords[0]; r[R_QE] = coords[1];
+    r[R_RS] = coords[2]; r[R_RE] = coords[3];
+    r[R_BLEN] = out[1]; r[R_MLEN] = out[2];
+    r.n_ambi += out[3];
+    r.dp_max = out[4];
+}
+
+// ---- mm_align1 (align.c:423-636).  Returns true when a split region r2
+// was produced.
+static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
+    bool is_sr = c.flag & F_SR;
+    bool made_r2 = false;
+    if (r[R_CNT] == 0) return false;
+    int64_t as0 = r[R_AS];
+    int64_t rid = (int64_t)((AX(c, as0) << 1) >> 33);
+    int64_t rev = (int64_t)(AX(c, as0) >> 63);
+    int64_t bw = (int64_t)((double)c.bw * 1.5 + 1.0);
+    int64_t dropped = 0;
+
+    int64_t as1, cnt1, rs, qs, re, qe;
+    if (is_sr && !c.hpc) {
+        max_stretch(c, r, as1, cnt1);
+        rs = (int64_t)lo32(AX(c, as1)) + 1 - span_of(AY(c, as1));
+        qs = (int64_t)lo32(AY(c, as1)) + 1 - span_of(AY(c, as1));
+        re = (int64_t)lo32(AX(c, as1 + cnt1 - 1)) + 1;
+        qe = (int64_t)lo32(AY(c, as1 + cnt1 - 1)) + 1;
+    } else {
+        fix_bad_ends(c, r, c.bw, c.min_chain_score * 2, as1, cnt1);
+        filter_bad_seeds(c, as1, cnt1, 10, 40, c.max_gap >> 1, 10);
+        adjust_minier(c, AX(c, as1), AY(c, as1), rs, qs);
+        adjust_minier(c, AX(c, as1 + cnt1 - 1), AY(c, as1 + cnt1 - 1), re, qe);
+    }
+    if (cnt1 <= 0) { c.bad = true; return false; }
+
+    int64_t tlen_rid = c.seq_len[rid];
+    int64_t rs0, qs0, re0, qe0;
+    if (is_sr) {
+        qs0 = 0; qe0 = c.qlen;
+        int64_t l = qs;
+        if (l * c.oa + c.end_bonus > c.q)
+            l += (l * c.oa + c.end_bonus - c.q) / c.e;
+        rs0 = rs - l > 0 ? rs - l : 0;
+        l = c.qlen - qe;
+        if (l * c.oa + c.end_bonus > c.q)
+            l += (l * c.oa + c.end_bonus - c.q) / c.e;
+        re0 = re + l < tlen_rid ? re + l : tlen_rid;
+    } else {
+        rs0 = (int64_t)lo32(AX(c, as0)) + 1 - span_of(AY(c, as0));
+        qs0 = (int64_t)lo32(AY(c, as0)) + 1 - span_of(AY(c, as0));
+        if (rs0 < 0) rs0 = 0;
+        if (qs0 < 0) { c.bad = true; return false; }
+        int64_t rs1 = 0, qs1 = 0;
+        uint64_t hi32 = AX(c, as0) >> 32;
+        // same-target-block bounds (anchors sorted by x)
+        int64_t blk_lo = 0, blk_hi = c.n_a;
+        {
+            int64_t lo = 0, hi = c.n_a;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if ((AX(c, mid) >> 32) < hi32) lo = mid + 1; else hi = mid;
+            }
+            blk_lo = lo;
+            lo = 0; hi = c.n_a;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if ((AX(c, mid) >> 32) <= hi32) lo = mid + 1; else hi = mid;
+            }
+            blk_hi = lo;
+        }
+        if (blk_lo < as0) {
+            // (min_cnt+1)-th colinear predecessor from the end
+            int64_t found = 0, h = -1;
+            for (int64_t i = as0 - 1; i >= blk_lo; --i) {
+                int64_t xs = (int64_t)lo32(AX(c, i)) + 1 - span_of(AY(c, i));
+                int64_t ys = (int64_t)lo32(AY(c, i)) + 1 - span_of(AY(c, i));
+                if (xs < rs0 && ys < qs0) {
+                    ++found;
+                    if (found == c.min_cnt + 1) { h = i; break; }
+                }
+            }
+            if (h >= 0) {
+                int64_t xs = (int64_t)lo32(AX(c, h)) + 1 - span_of(AY(c, h));
+                int64_t ys = (int64_t)lo32(AY(c, h)) + 1 - span_of(AY(c, h));
+                int64_t l = rs0 - xs > qs0 - ys ? rs0 - xs : qs0 - ys;
+                rs1 = rs0 - l; qs1 = qs0 - l;
+            }
+        }
+        if (qs > 0 && rs > 0) {
+            int64_t l = qs < c.max_gap ? qs : c.max_gap;
+            qs1 = qs1 > qs - l ? qs1 : qs - l;
+            qs0 = qs0 < qs1 ? qs0 : qs1;
+            if (l * c.oa > c.q) l += (l * c.oa - c.q) / c.e;
+            l = l < c.max_gap ? l : c.max_gap;
+            l = l < rs ? l : rs;
+            rs1 = rs1 > rs - l ? rs1 : rs - l;
+            rs0 = rs0 < rs1 ? rs0 : rs1;
+        } else {
+            rs0 = rs; qs0 = qs;
+        }
+        re0 = (int64_t)lo32(AX(c, as0 + r[R_CNT] - 1)) + 1;
+        qe0 = (int64_t)lo32(AY(c, as0 + r[R_CNT] - 1)) + 1;
+        int64_t re1 = tlen_rid, qe1 = c.qlen;
+        int64_t i0f = as0 + r[R_CNT];
+        if (i0f < blk_hi) {
+            int64_t found = 0, h = -1;
+            for (int64_t i = i0f; i < blk_hi; ++i) {
+                int64_t xs = (int64_t)lo32(AX(c, i)) + 1;
+                int64_t ys = (int64_t)lo32(AY(c, i)) + 1;
+                if (xs > re0 && ys > qe0) {
+                    if (found == c.min_cnt) { h = i; break; }
+                    ++found;
+                }
+            }
+            if (h >= 0) {
+                int64_t xs = (int64_t)lo32(AX(c, h)) + 1;
+                int64_t ys = (int64_t)lo32(AY(c, h)) + 1;
+                int64_t l = xs - re0 > ys - qe0 ? xs - re0 : ys - qe0;
+                re1 = re0 + l; qe1 = qe0 + l;
+            }
+        }
+        if (qe < c.qlen && re < tlen_rid) {
+            int64_t l = c.qlen - qe < c.max_gap ? c.qlen - qe : c.max_gap;
+            qe1 = qe1 < qe + l ? qe1 : qe + l;
+            qe0 = qe0 > qe1 ? qe0 : qe1;
+            if (l * c.oa > c.q) l += (l * c.oa - c.q) / c.e;
+            l = l < c.max_gap ? l : c.max_gap;
+            l = l < tlen_rid - re ? l : tlen_rid - re;
+            re1 = re1 < re + l ? re1 : re + l;
+            re0 = re0 > re1 ? re0 : re1;
+        } else {
+            re0 = re; qe0 = qe;
+        }
+    }
+    if (AY(c, as0) & SEED_SELF) {
+        int64_t max_ext = llabs(r[R_QS] - r[R_RS]);
+        if (r[R_RS] - rs0 > max_ext) rs0 = r[R_RS] - max_ext;
+        if (r[R_QS] - qs0 > max_ext) qs0 = r[R_QS] - max_ext;
+        max_ext = llabs(r[R_QE] - r[R_RE]);
+        if (re0 - r[R_RE] > max_ext) re0 = r[R_RE] + max_ext;
+        if (qe0 - r[R_QE] > max_ext) qe0 = r[R_QE] + max_ext;
+    }
+    if (re0 <= rs0) { c.bad = true; return false; }
+
+    const uint8_t* qstrand = c.qstr[rev];
+
+    // cut-point enumeration (the fill loop's ksw job boundaries)
+    struct Cut { int64_t i, re, qe; bool lj; };
+    std::vector<Cut> cuts;
+    {
+        int64_t rs_c = rs, qs_c = qs;
+        int64_t i = is_sr ? cnt1 - 1 : 1;
+        for (; i < cnt1; ++i) {
+            uint64_t ay_i = AY(c, as1 + i);
+            if ((ay_i & (SEED_IGNORE | SEED_TANDEM)) && i != cnt1 - 1)
+                continue;
+            int64_t re_c, qe_c;
+            if (is_sr && !c.hpc) {
+                re_c = (int64_t)lo32(AX(c, as1 + i)) + 1;
+                qe_c = (int64_t)lo32(AY(c, as1 + i)) + 1;
+            } else {
+                adjust_minier(c, AX(c, as1 + i), ay_i, re_c, qe_c);
+            }
+            if (i == cnt1 - 1 || (ay_i & SEED_LONG_JOIN)
+                || (qe_c - qs_c >= c.min_ksw_len
+                    && re_c - rs_c >= c.min_ksw_len)) {
+                cuts.push_back({i, re_c, qe_c,
+                                (bool)(ay_i & SEED_LONG_JOIN)});
+                rs_c = re_c; qs_c = qe_c;
+            }
+        }
+    }
+
+    EzOut ez;
+    std::vector<uint32_t> cig;
+    int64_t rs1, qs1, re1, qe1;
+    bool has_left = qs > 0 && rs > 0;
+    if (has_left) {  // left extension on reversed sequences
+        std::vector<uint8_t> qb(qs - qs0), tb;
+        for (int64_t j = 0; j < qs - qs0; ++j) qb[j] = qstrand[qs - 1 - j];
+        int64_t tl;
+        const uint8_t* tp = getseq(c, rid, rs0, rs, tl);
+        tb.resize(tl);
+        for (int64_t j = 0; j < tl; ++j) tb[j] = tp[tl - 1 - j];
+        run_ext(c, qb.data(), (int64_t)qb.size(), tb.data(), tl, bw,
+                r[R_SPLITINV] ? c.zdrop_inv : c.zdrop, c.end_bonus,
+                KSW_EZ_EXTZ_ONLY | KSW_EZ_RIGHT | KSW_EZ_REV_CIGAR, ez, cig);
+        if (!cig.empty()) {
+            append_cigar(r, cig.data(), (int64_t)cig.size());
+            r.dp_score += ez.max;
+        }
+        rs1 = rs - (ez.reach_end ? ez.mqe_t + 1 : ez.max_t + 1);
+        qs1 = qs - (ez.reach_end ? qs - qs0 : ez.max_q + 1);
+    } else {
+        rs1 = rs; qs1 = qs;
+    }
+    re1 = rs; qe1 = qs;
+    if (qs1 < 0 || rs1 < 0) { c.bad = true; return false; }
+
+    for (auto& cut : cuts) {  // gap filling
+        int64_t i = cut.i, rec = cut.re, qec = cut.qe;
+        re1 = rec; qe1 = qec;
+        int64_t bw1 = cut.lj
+            ? (qec - qs > rec - rs ? qec - qs : rec - rs) : bw;
+        const uint8_t* qseq = qstrand + qs;
+        int64_t tl;
+        const uint8_t* tseq = getseq(c, rid, rs, rec, tl);
+        if (is_sr) {  // ungapped
+            if (qec - qs != rec - rs) { c.bad = true; return false; }
+            ez = EzOut{0, 0, -1, -1, KSW_NEG_INF, -1, KSW_NEG_INF, -1, 0,
+                       0, 0};
+            int64_t sc = 0;
+            for (int64_t j = 0; j < qec - qs; ++j) {
+                uint8_t cq = qseq[j], ct = tseq[j];
+                if (cq >= 4 || ct >= 4) sc += c.e2;
+                else sc += cq == ct ? c.oa : -c.ob;
+            }
+            ez.score = sc;
+            cig.assign(1, (uint32_t)((qec - qs) << 4 | 0));
+            ez.n_cigar = 1;
+        } else {
+            run_ext(c, qseq, qec - qs, tseq, tl, bw1, c.zdrop, -1,
+                    KSW_EZ_APPROX_MAX, ez, cig);
+        }
+        int zcode = test_zdrop(c, qseq, tseq, cig.data(),
+                               (int64_t)cig.size());
+        if (zcode != 0) {  // exact second pass
+            run_ext(c, qseq, qec - qs, tseq, tl, bw1,
+                    zcode == 2 ? c.zdrop_inv : c.zdrop, -1, 0, ez, cig);
+        }
+        if (!cig.empty())
+            append_cigar(r, cig.data(), (int64_t)cig.size());
+        if (ez.zdropped) {
+            int64_t j = i - 1;
+            while (j >= 0) {
+                if ((int64_t)lo32(AX(c, as1 + j)) <= rs + ez.max_t) break;
+                --j;
+            }
+            dropped = 1;
+            if (j < 0) j = 0;
+            r[R_HASP] = 1;
+            r.dp_score += ez.max;
+            re1 = rs + (ez.max_t + 1);
+            qe1 = qs + (ez.max_q + 1);
+            if (cnt1 - (j + 1) >= c.min_cnt) {
+                if (split_reg(c, r, as1 + j + 1 - r[R_AS], r2)) {
+                    made_r2 = true;
+                    if (zcode == 2) r2[R_SPLITINV] = 1;
+                }
+            }
+            break;
+        } else {
+            r[R_HASP] = 1;
+            r.dp_score += ez.score;
+        }
+        rs = rec; qs = qec;
+    }
+
+    if (!dropped && qe < qe0 && re < re0) {  // right extension
+        const uint8_t* qseq = qstrand + qe;
+        int64_t tl;
+        const uint8_t* tseq = getseq(c, rid, re, re0, tl);
+        run_ext(c, qseq, qe0 - qe, tseq, tl, bw, c.zdrop, c.end_bonus,
+                KSW_EZ_EXTZ_ONLY, ez, cig);
+        if (!cig.empty()) {
+            append_cigar(r, cig.data(), (int64_t)cig.size());
+            r.dp_score += ez.max;
+        }
+        re1 = re + (ez.reach_end ? ez.mqe_t + 1 : ez.max_t + 1);
+        qe1 = qe + (ez.reach_end ? qe0 - qe : ez.max_q + 1);
+    }
+    if (qe1 > c.qlen) { c.bad = true; return made_r2; }
+
+    r[R_RS] = rs1; r[R_RE] = re1;
+    if (rev) { r[R_QS] = c.qlen - qe1; r[R_QE] = c.qlen - qs1; }
+    else { r[R_QS] = qs1; r[R_QE] = qe1; }
+
+    if (re1 - rs1 > re0 - rs0) { c.bad = true; return made_r2; }
+    if (r[R_HASP]) {
+        int64_t tl;
+        const uint8_t* tseq = getseq(c, rid, rs1, re1, tl);
+        update_extra(c, r, c.qstr[r[R_REV]] + qs1, tseq);
+        if (r[R_REV] && r.trans_strand) r.trans_strand ^= 3;
+    }
+    return made_r2;
+}
+
+// ---- mm_align1_inv (align.c:638-693)
+static bool align1_inv(Ctx& c, const NatReg& r1, const NatReg& r2,
+                       NatReg& ri) {
+    if (!(r1[R_SPLIT] & 1) || !(r2[R_SPLIT] & 2)) return false;
+    if (r1[R_ID] != r1[R_PARENT] && r1[R_PARENT] != PARENT_TMP_PRI)
+        return false;
+    if (r2[R_ID] != r2[R_PARENT] && r2[R_PARENT] != PARENT_TMP_PRI)
+        return false;
+    if (r1[R_RID] != r2[R_RID] || r1[R_REV] != r2[R_REV]) return false;
+    int64_t ql = r1[R_REV] ? r1[R_QS] - r2[R_QE] : r2[R_QS] - r1[R_QE];
+    int64_t tl = r2[R_RS] - r1[R_RE];
+    if (ql < c.min_chain_score || ql > c.max_gap) return false;
+    if (tl < c.min_chain_score || tl > c.max_gap) return false;
+    int64_t tlen;
+    const uint8_t* tseq = getseq(c, r1[R_RID], r1[R_RE], r2[R_RS], tlen);
+    const uint8_t* qseq;
+    if (r1[R_REV]) qseq = c.qstr[0] + r2[R_QE];
+    else qseq = c.qstr[1] + (c.qlen - r2[R_QS]);
+    // ksw_ll on the reversed pair
+    std::vector<uint8_t> qr(ql), tr(tlen);
+    for (int64_t i = 0; i < ql; ++i) qr[i] = qseq[ql - 1 - i];
+    for (int64_t i = 0; i < tlen; ++i) tr[i] = tseq[tlen - 1 - i];
+    int64_t q_off, t_off;
+    int64_t score = ksw_ll(qr.data(), ql, tr.data(), tlen, c.mat, c.q, c.e,
+                           &q_off, &t_off);
+    if (score < c.min_dp_max) return false;
+    q_off = ql - (q_off + 1);
+    t_off = tl - (t_off + 1);
+    EzOut ez;
+    std::vector<uint32_t> cig;
+    run_ext(c, qseq + q_off, ql - q_off, tseq + t_off, tlen - t_off,
+            (int64_t)((double)c.bw * 1.5), c.zdrop, -1, KSW_EZ_EXTZ_ONLY,
+            ez, cig);
+    if (cig.empty()) return false;
+    ri = NatReg();
+    for (int i = 0; i < RF; ++i) ri[i] = 0;
+    append_cigar(ri, cig.data(), (int64_t)cig.size());
+    ri.dp_score = ez.max;
+    ri[R_ID] = -1;
+    ri[R_PARENT] = PARENT_UNSET;
+    ri[R_INV] = 1;
+    ri[R_REV] = r1[R_REV] ? 0 : 1;
+    ri[R_RID] = r1[R_RID];
+    double div = -1.0;
+    memcpy(&ri.f[R_DIVBITS], &div, 8);
+    if (ri[R_REV] == 0) {
+        ri[R_QS] = r2[R_QE] + q_off;
+        ri[R_QE] = ri[R_QS] + ez.max_q + 1;
+    } else {
+        ri[R_QE] = r2[R_QS] - q_off;
+        ri[R_QS] = ri[R_QE] - (ez.max_q + 1);
+    }
+    ri[R_RS] = r1[R_RE] + t_off;
+    ri[R_RE] = ri[R_RS] + ez.max_t + 1;
+    update_extra(c, ri, qseq + q_off, tseq + t_off);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full align_skeleton region loop.  regs_io: nr_in x 28 int64 rows (layout
+// above); a: (n_a, 2) uint64 anchors AFTER squeeze_a (seed flags are set in
+// place).  Outputs: up to nr_cap rows in regs_out + extras (7 int64 per
+// region: dp_score, dp_max, dp_max2, n_ambi, trans_strand, cig_off,
+// n_cigar) + cigar words in cig_buf.  Returns the output region count,
+// -1 on a contract violation (caller reruns the Python model), -2 when
+// cig_cap or nr_cap is too small (caller retries bigger).
+int64_t mm2tpu_align_skeleton(
+    const uint8_t* qseq_fwd, int64_t qlen,
+    uint64_t* a, int64_t n_a,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq, int32_t k, int32_t hpc,
+    const int8_t* mat, const int64_t* opt,
+    const int64_t* regs_in, int64_t nr_in,
+    int64_t* regs_out, int64_t* extras_out, int64_t nr_cap,
+    uint32_t* cig_buf, int64_t cig_cap)
+{
+    Ctx c;
+    c.S = S; c.seq_off = seq_off; c.seq_len = seq_len; c.n_seq = n_seq;
+    c.k = k; c.hpc = hpc != 0;
+    c.mat = mat;
+    c.flag = opt[0]; c.oa = opt[1]; c.ob = opt[2]; c.q = opt[3];
+    c.e = opt[4]; c.q2 = opt[5]; c.e2 = opt[6]; c.zdrop = opt[7];
+    c.zdrop_inv = opt[8]; c.end_bonus = opt[9]; c.min_cnt = opt[10];
+    c.min_chain_score = opt[11]; c.min_dp_max = opt[12];
+    c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
+    c.A = a; c.n_a = n_a;
+    c.qlen = qlen;
+    std::vector<uint8_t> qrev(qlen);
+    for (int64_t i = 0; i < qlen; ++i) {
+        uint8_t b = qseq_fwd[qlen - 1 - i];
+        qrev[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+    }
+    c.qstr[0] = qseq_fwd;
+    c.qstr[1] = qrev.data();
+
+    std::vector<NatReg> regs(nr_in);
+    for (int64_t i = 0; i < nr_in; ++i)
+        memcpy(regs[i].f, regs_in + i * RF, RF * 8);
+
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg r2;
+        bool has_r2 = align1(c, regs[i], r2);
+        if (c.bad) return -1;
+        if (has_r2 && r2[R_CNT] > 0)
+            regs.insert(regs.begin() + i + 1, std::move(r2));
+        if (i > 0 && regs[i][R_SPLITINV]) {
+            NatReg ri;
+            if (align1_inv(c, regs[i - 1], regs[i], ri)) {
+                if (c.bad) return -1;
+                regs.insert(regs.begin() + i + 1, std::move(ri));
+                ++i;  // skip the inserted INV alignment
+            }
+            if (c.bad) return -1;
+        }
+    }
+
+    int64_t n_out = (int64_t)regs.size();
+    if (n_out > nr_cap) return -2;
+    int64_t cpos = 0;
+    for (int64_t i = 0; i < n_out; ++i) {
+        memcpy(regs_out + i * RF, regs[i].f, RF * 8);
+        int64_t* ex = extras_out + i * 7;
+        ex[0] = regs[i].dp_score; ex[1] = regs[i].dp_max;
+        ex[2] = regs[i].dp_max2; ex[3] = regs[i].n_ambi;
+        ex[4] = regs[i].trans_strand;
+        ex[5] = cpos; ex[6] = (int64_t)regs[i].cigar.size();
+        if (cpos + ex[6] > cig_cap) return -2;
+        memcpy(cig_buf + cpos, regs[i].cigar.data(), ex[6] * 4);
+        cpos += ex[6];
+    }
+    return n_out;
+}
+
+}  // extern "C"
