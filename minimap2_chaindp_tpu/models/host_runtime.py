@@ -53,23 +53,43 @@ class HostRuntime:
         from .pipeline import (finish_unit_gen, format_frag, host_chain,
                                prepare_frag, seed_unit)
 
+        from ..native import map_unit_native, map_unit_ok
+        fast_ok = map_unit_ok(opt, mi)
         frag_meta = []
-        units = []
+        units = []           # (unit, info) for the staged path, or None
+        done: list = []      # per-unit fast-path results
         with self.timers.time("seed"):
             for frag in frags:
                 work, flipped, us = prepare_frag(opt, frag.segs)
                 start = len(units)
-                units.extend((u, seed_unit(mi, opt, u)) for u in us)
+                for u in us:
+                    res = None
+                    if fast_ok and len(u) == 1:
+                        # whole-read native fast path (one C call)
+                        res = map_unit_native(mi, opt, u[0].name, u[0].seq)
+                        self.timers.count("fast_native" if res is not None
+                                          else "fast_miss")
+                    if res is not None:
+                        units.append(None)
+                        done.append([res[0]])
+                    else:
+                        units.append((u, seed_unit(mi, opt, u)))
+                        done.append(None)
                 frag_meta.append((frag.segs, work, flipped,
                                   slice(start, len(units))))
 
         with self.timers.time("chain"):
-            chains = [host_chain(opt, info, len(u)) for u, info in units]
+            chains = [host_chain(opt, ui[1], len(ui[0]))
+                      if ui is not None else None for ui in units]
 
         with self.timers.time("align"):
-            gens = [finish_unit_gen(mi, opt, info, ch)
-                    for (u, info), ch in zip(units, chains)]
-            regss_per_unit = run_scheduler(gens, self._align_exec)
+            slow_idx = [i for i, ui in enumerate(units) if ui is not None]
+            gens = [finish_unit_gen(mi, opt, units[i][1], chains[i])
+                    for i in slow_idx]
+            slow_res = run_scheduler(gens, self._align_exec)
+            regss_per_unit = list(done)
+            for i, res in zip(slow_idx, slow_res):
+                regss_per_unit[i] = res
 
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):

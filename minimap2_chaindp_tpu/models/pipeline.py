@@ -174,6 +174,12 @@ def map_frag(mi, opt, segs: list[SeqRecord]) -> list[list[H.Region]]:
     Mirrors mm_map_frag front half (map.c:326-445) + read_result_handle back
     half (map.c:816-898); synchronous driver of seed_unit/finish_unit_gen."""
     from ..align import K, _host_thunk
+    if len(segs) == 1:
+        from ..native import map_unit_native, map_unit_ok
+        if map_unit_ok(opt, mi):
+            res = map_unit_native(mi, opt, segs[0].name, segs[0].seq)
+            if res is not None:
+                return [res[0]]
     info = seed_unit(mi, opt, segs)
     ch = host_chain(opt, info, len(segs))
     mat = K.gen_simple_mat(5, opt.a, opt.b)

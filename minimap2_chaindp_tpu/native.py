@@ -323,7 +323,7 @@ def load_ksw():
         return _ksw_lib
     _ksw_tried = True
     try:
-        srcs = [_DRV_SRC, _AL_SRC]
+        srcs = [_DRV_SRC, _AL_SRC, _SRC, _SK_SRC]
         src_mtime = max(os.path.getmtime(s) for s in srcs + [_KSW_SRC])
         if (not os.path.exists(_KSW_SO)
                 or os.path.getmtime(_KSW_SO) < src_mtime):
@@ -349,6 +349,14 @@ def load_ksw():
             _vp, _vp, _vp, _c.c_int64, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp, _c.c_int64,
             _vp, _vp, _c.c_int64, _vp, _c.c_int64]
+        lib.mm2tpu_map_unit.restype = _c.c_int64
+        lib.mm2tpu_map_unit.argtypes = [
+            _vp, _c.c_int64, _c.c_uint64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
@@ -422,13 +430,17 @@ def align_skeleton_native(opt, mi, qlen, qseq_fwd, regs, a, n_a, mat):
         return None
     if aa is not a:
         a[:] = aa  # seed flags set by filter_bad_seeds
+    return _rebuild_regions(n_out, regs_out, extras, cig_buf)
+
+
+def _rebuild_regions(n_out, regs_out, extras, cig_buf):
+    from .hits import Extra, Region
     out = []
     rows = regs_out[:n_out].tolist()
     exrows = extras[:n_out].tolist()
     for i in range(n_out):
         row = rows[i]
-        r = Region(**{("hash" if nm == "hash" else nm): row[j]
-                      for j, nm in enumerate(_REG_ATTRS)})
+        r = Region(**{nm: row[j] for j, nm in enumerate(_REG_ATTRS)})
         r.div = float(np.int64(row[26]).view(np.float64))
         if row[27]:
             ex = exrows[i]
@@ -437,6 +449,99 @@ def align_skeleton_native(opt, mi, qlen, qseq_fwd, regs, a, n_a, mat):
                         cigar=cig_buf[ex[5]:ex[5] + ex[6]].tolist())
         out.append(r)
     return out
+
+
+def map_unit_ok(opt, mi) -> bool:
+    """Eligibility for the one-call native per-read map path."""
+    import os
+    if os.environ.get("MM2TPU_NATIVE_SKELETON", "1") == "0":
+        return False
+    if not getattr(opt, "native_skeleton", True):
+        return False
+    if load_ksw() is None:
+        return False
+    C_SPLICE, C_NO_DIAG = 0x080, 0x001
+    if opt.flag & C_SPLICE:
+        return False
+    if opt.flag & C_NO_DIAG:          # ava name-compare modes
+        return False
+    if opt.sdust_thres > 0:           # -T minimizer masking
+        return False
+    do_align = bool(opt.flag & 0x4)   # MM_F_CIGAR
+    if do_align and opt.q == opt.q2 and opt.e == opt.e2:
+        return False                  # single-affine extz path
+    if do_align and not (len(mi.S) and mi.S.flags.c_contiguous):
+        return False
+    return len(mi.keys) > 0
+
+
+def map_unit_native(mi, opt, qname: str, seq: str):
+    """Map one single-segment read fully natively (align_driver.cc
+    mm2tpu_map_unit).  Returns (regions, rep_len) or None."""
+    from . import constants as CC
+    lib = load_ksw()
+    qlen = len(seq)
+    if qlen == 0 or lib is None:
+        return None
+    gq, gr = _map_gap_bounds(opt, qlen)
+    qa = CC.seq_to_nt4(seq)
+    hash_ = CC.qname_hash(qname, qlen, opt.seed)
+    optv = np.array([opt.flag, opt.a, opt.b, opt.q, opt.e, opt.q2, opt.e2,
+                     opt.zdrop, opt.zdrop_inv, opt.end_bonus, opt.min_cnt,
+                     opt.min_chain_score, opt.min_dp_max, opt.max_gap,
+                     opt.bw, opt.min_ksw_len, gq, gr, opt.max_chain_skip,
+                     opt.mid_occ, opt.best_n, opt.max_join_long,
+                     opt.max_join_short, opt.min_join_flank_sc,
+                     ((1 if opt.flag & CC.MM_F_FOR_ONLY else 0)
+                      | (2 if opt.flag & CC.MM_F_REV_ONLY else 0)),
+                     1 if opt.flag & CC.MM_F_CIGAR else 0,
+                     1 if opt.flag & (CC.MM_F_SPLICE | CC.MM_F_SR
+                                      | CC.MM_F_NO_LJOIN) else 0,
+                     1 if opt.flag & CC.MM_F_ALL_CHAINS else 0],
+                    dtype=np.int64)
+    optf = np.array([opt.mask_level, opt.pri_ratio, opt.max_clip_ratio],
+                    dtype=np.float64)
+    seq_off, seq_len = _mi_nat_tables(mi)
+    from .ops.ksw2 import gen_simple_mat
+    ma = _as_i8(gen_simple_mat(5, opt.a, opt.b))
+    nr_cap = 64
+    cig_cap = 8 * qlen + 8192
+    misc = np.zeros(1, dtype=np.int64)
+    for _attempt in range(3):
+        regs_out = np.empty((nr_cap, 28), dtype=np.int64)
+        extras = np.empty((nr_cap, 7), dtype=np.int64)
+        cig_buf = np.empty(cig_cap, dtype=np.uint32)
+        n_out = lib.mm2tpu_map_unit(
+            _np_ptr(qa), qlen, hash_,
+            _np_ptr(mi.S), _np_ptr(seq_off), _np_ptr(seq_len), len(mi.seqs),
+            _np_ptr(mi.keys), len(mi.keys), _np_ptr(mi.starts),
+            _np_ptr(mi.values),
+            mi.k, mi.w, 1 if (mi.flag & 1) else 0,
+            _np_ptr_cached(ma), _np_ptr(optv), _np_ptr(optf),
+            _np_ptr(regs_out), _np_ptr(extras), nr_cap,
+            _np_ptr(cig_buf), cig_cap, _np_ptr(misc))
+        if n_out != -2:
+            break
+        nr_cap *= 4
+        cig_cap *= 4
+    if n_out < 0:
+        return None
+    return _rebuild_regions(n_out, regs_out, extras, cig_buf), int(misc[0])
+
+
+def _map_gap_bounds(opt, qlen_sum):
+    """compute_gap_bounds (map.c:357-366) for a single-segment unit."""
+    if opt.flag & 0x1000:  # MM_F_SR
+        gq = max(qlen_sum, opt.max_gap)
+    else:
+        gq = opt.max_gap
+    if opt.max_gap_ref > 0:
+        gr = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        gr = max(opt.max_frag_len - qlen_sum, opt.max_gap)
+    else:
+        gr = opt.max_gap
+    return gq, gr
 
 
 def extd2_batch_native(jobs, mat, q, e, q2, e2):

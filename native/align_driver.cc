@@ -19,6 +19,22 @@ extern "C" void mm2tpu_fix_update_extra(
     const uint8_t* qseq, const uint8_t* tseq, uint32_t* cigar,
     int64_t n_cigar, const int8_t* mat, int32_t q, int32_t e, int32_t rev,
     int64_t* coords, int64_t* out);
+extern "C" void* mm2tpu_sketch_batch(const uint8_t* nt4, const int64_t* offs,
+                                     int64_t n_seqs, int32_t w, int32_t k,
+                                     const uint32_t* rids, int32_t is_hpc,
+                                     int64_t* out_counts);
+extern "C" void mm2tpu_sketch_take(void* handle, uint64_t* out);
+extern "C" void* mm2tpu_collect_seeds(
+    const uint64_t* mv, int64_t n_mv, const uint64_t* keys, int64_t n_keys,
+    const int64_t* starts, const uint64_t* values, int64_t max_occ,
+    int64_t qlen_sum, int32_t skip_mode, int64_t* out_sizes);
+extern "C" void mm2tpu_collect_take(void* h, uint64_t* anchors,
+                                    uint64_t* mini);
+extern "C" int64_t mm2tpu_chain_dp(
+    int64_t n, const uint64_t* ax, const uint64_t* ay, int64_t max_dist_x,
+    int64_t max_dist_y, int64_t bw, int64_t max_skip, int32_t min_cnt,
+    int32_t min_sc, int32_t is_cdna, int32_t n_segs, uint64_t* out_a,
+    uint64_t* out_u, int64_t* out_n_v);
 
 namespace {
 
@@ -745,6 +761,463 @@ static bool align1_inv(Ctx& c, const NatReg& r1, const NatReg& r2,
     return true;
 }
 
+// ======================= per-read map unit =========================
+// Ports of the hit post-processing golden models (hits.py / esterr.py,
+// reference hit.c / esterr.c) so one native call maps a whole read:
+// sketch -> collect -> chain -> gen_regs -> chain_post -> est_err ->
+// align skeleton -> mapq.
+
+// hash64 without mask (hit.c:40-50)
+static inline uint64_t hash64(uint64_t key) {
+    key = ~key + (key << 21);
+    key ^= key >> 24;
+    key = (key + (key << 3)) + (key << 8);
+    key ^= key >> 14;
+    key = (key + (key << 2)) + (key << 4);
+    key ^= key >> 28;
+    key = key + (key << 31);
+    return key;
+}
+
+// ---- mm_gen_regs (hit.c:52-88)
+static std::vector<NatReg> gen_regs(const Ctx& c, uint64_t hash_,
+                                    const uint64_t* u, int64_t n_u) {
+    std::vector<NatReg> regs;
+    if (n_u == 0) return regs;
+    std::vector<uint64_t> zx(n_u), zy(n_u);
+    int64_t k = 0;
+    for (int64_t i = 0; i < n_u; ++i) {
+        uint64_t h = (hash64((hash64(AX(c, k)) + hash64(AY(c, k)))
+                             ^ hash_)) & 0xFFFFFFFFull;
+        zx[i] = u[i] ^ h;
+        zy[i] = ((uint64_t)k << 32) | (u[i] & 0xFFFFFFFFull);
+        k += (int64_t)(u[i] & 0xFFFFFFFFull);
+    }
+    // stable argsort ascending then reversed == sort by (zx desc, idx desc)
+    std::vector<int64_t> order(n_u);
+    for (int64_t i = 0; i < n_u; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a1, int64_t b1) {
+        if (zx[a1] != zx[b1]) return zx[a1] > zx[b1];
+        return a1 > b1;
+    });
+    regs.resize(n_u);
+    for (int64_t i = 0; i < n_u; ++i) {
+        int64_t j = order[i];
+        NatReg& r = regs[i];
+        for (int jj = 0; jj < RF; ++jj) r[jj] = 0;
+        r[R_ID] = i;
+        r[R_PARENT] = PARENT_UNSET;
+        r[R_SCORE] = r[R_SCORE0] = (int64_t)(zx[j] >> 32);
+        r[R_HASH] = (int64_t)(zx[j] & 0xFFFFFFFFull);
+        r[R_CNT] = (int64_t)(zy[j] & 0xFFFFFFFFull);
+        r[R_AS] = (int64_t)(zy[j] >> 32);
+        double div = -1.0;
+        memcpy(&r.f[R_DIVBITS], &div, 8);
+        reg_set_coor(c, r);
+    }
+    return regs;
+}
+
+// ---- mm_set_parent (hit.c:109-165)
+static void set_parent(std::vector<NatReg>& regs, double mask_level,
+                       int64_t sub_diff) {
+    int64_t n = (int64_t)regs.size();
+    if (n <= 0) return;
+    for (int64_t i = 0; i < n; ++i) regs[i][R_ID] = i;
+    std::vector<int64_t> w;
+    w.push_back(0);
+    regs[0][R_PARENT] = 0;
+    for (int64_t i = 1; i < n; ++i) {
+        NatReg& ri = regs[i];
+        int64_t si = ri[R_QS], ei = ri[R_QE];
+        std::vector<uint64_t> cov;
+        for (int64_t wj : w) {
+            const NatReg& rp = regs[wj];
+            int64_t sj = rp[R_QS], ej = rp[R_QE];
+            if (ej <= si || sj >= ei) continue;
+            int64_t s_ = sj > si ? sj : si, e_ = ej < ei ? ej : ei;
+            cov.push_back(((uint64_t)s_ << 32) | (uint64_t)e_);
+        }
+        int64_t uncov_len = 0;
+        bool placed = false;
+        if (!cov.empty()) {
+            std::sort(cov.begin(), cov.end());
+            int64_t x = si;
+            for (uint64_t cc : cov) {
+                int64_t s_ = (int64_t)(cc >> 32), e_ = (int64_t)(cc & 0xFFFFFFFFull);
+                if (s_ > x) uncov_len += s_ - x;
+                if (e_ > x) x = e_;
+            }
+            if (ei > x) uncov_len += ei - x;
+            for (int64_t wj : w) {
+                NatReg& rp = regs[wj];
+                int64_t sj = rp[R_QS], ej = rp[R_QE];
+                if (ej <= si || sj >= ei) continue;
+                int64_t min_l = (ej - sj) < (ei - si) ? ej - sj : ei - si;
+                int64_t max_l = (ej - sj) > (ei - si) ? ej - sj : ei - si;
+                int64_t ol;
+                if (si < sj) ol = ei < sj ? 0 : (ei < ej ? ei - sj : ej - sj);
+                else ol = ej < si ? 0 : (ej < ei ? ej - si : ei - si);
+                if ((double)ol / min_l - (double)uncov_len / max_l
+                    > mask_level) {
+                    int cnt_sub = 0;
+                    ri[R_PARENT] = rp[R_PARENT];
+                    if (ri[R_SCORE] > rp[R_SUBSC]) rp[R_SUBSC] = ri[R_SCORE];
+                    if (ri[R_CNT] >= rp[R_CNT]) cnt_sub = 1;
+                    if (rp[R_HASP] && ri[R_HASP]
+                        && (rp[R_RID] != ri[R_RID] || rp[R_RS] != ri[R_RS]
+                            || rp[R_RE] != ri[R_RE] || ol != min_l)) {
+                        if (ri.dp_max > rp.dp_max2) rp.dp_max2 = ri.dp_max;
+                        if (rp.dp_max - ri.dp_max <= sub_diff) cnt_sub = 1;
+                    }
+                    if (cnt_sub) rp[R_NSUB] += 1;
+                    placed = true;
+                    break;
+                }
+            }
+        }
+        if (!placed) {
+            w.push_back(i);
+            ri[R_PARENT] = i;
+            ri[R_NSUB] = 0;
+        }
+    }
+}
+
+static int64_t set_sam_pri(std::vector<NatReg>& regs) {
+    int64_t n_pri = 0;
+    for (auto& r : regs) {
+        if (r[R_ID] == r[R_PARENT]) {
+            ++n_pri;
+            r[R_SAMPRI] = n_pri == 1 ? 1 : 0;
+        } else {
+            r[R_SAMPRI] = 0;
+        }
+    }
+    return n_pri;
+}
+
+// ---- mm_sync_regs (hit.c:206-228)
+static void sync_regs(std::vector<NatReg>& regs) {
+    if (regs.empty()) return;
+    int64_t max_id = -1;
+    for (auto& r : regs) if (r[R_ID] > max_id) max_id = r[R_ID];
+    std::vector<int64_t> tmp(max_id + 1, -1);
+    for (size_t i = 0; i < regs.size(); ++i)
+        if (regs[i][R_ID] >= 0) tmp[regs[i][R_ID]] = (int64_t)i;
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg& r = regs[i];
+        int64_t p = r[R_PARENT];
+        r[R_ID] = (int64_t)i;
+        if (p == PARENT_TMP_PRI) r[R_PARENT] = (int64_t)i;
+        else if (p >= 0 && tmp[p] >= 0) r[R_PARENT] = tmp[p];
+        else r[R_PARENT] = PARENT_UNSET;
+    }
+    set_sam_pri(regs);
+}
+
+// ---- mm_select_sub (hit.c:230-247)
+static void select_sub(std::vector<NatReg>& regs, double pri_ratio,
+                       int64_t min_diff, int64_t best_n) {
+    if (pri_ratio <= 0.0 || regs.empty()) return;
+    std::vector<NatReg> out;
+    int64_t n_2nd = 0;
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg& r = regs[i];
+        int64_t p = r[R_PARENT];
+        if (p == (int64_t)i || r[R_INV]) {
+            out.push_back(std::move(r));
+        } else if ((r[R_SCORE] >= regs[p][R_SCORE] * pri_ratio
+                    || r[R_SCORE] + min_diff >= regs[p][R_SCORE])
+                   && n_2nd < best_n) {
+            if (!(r[R_QS] == regs[p][R_QS] && r[R_QE] == regs[p][R_QE]
+                  && r[R_RID] == regs[p][R_RID] && r[R_RS] == regs[p][R_RS]
+                  && r[R_RE] == regs[p][R_RE])) {
+                out.push_back(std::move(r));
+                ++n_2nd;
+            }
+        }
+    }
+    bool changed = out.size() != regs.size();
+    regs = std::move(out);
+    if (changed) sync_regs(regs);
+}
+
+// ---- mm_filter_regs (hit.c:249-268)
+static void filter_regs_nat(std::vector<NatReg>& regs, int64_t min_cnt,
+                            int64_t min_chain_score, int64_t min_dp_max,
+                            double max_clip_ratio, int64_t qlen) {
+    std::vector<NatReg> out;
+    for (auto& r : regs) {
+        bool flt = false;
+        if (!r[R_INV] && !r[R_SEGSPLIT] && r[R_CNT] < min_cnt) flt = true;
+        if (r[R_HASP]) {
+            if (r[R_MLEN] < min_chain_score) flt = true;
+            else if (r.dp_max < min_dp_max) flt = true;
+            else if ((double)r[R_QS] > qlen * max_clip_ratio
+                     && (double)(qlen - r[R_QE]) > qlen * max_clip_ratio)
+                flt = true;
+        }
+        if (!flt) out.push_back(std::move(r));
+    }
+    regs = std::move(out);
+}
+
+// ---- squeeze_a (hit.c:270-288)
+static int64_t squeeze_a_nat(const Ctx& c, std::vector<NatReg>& regs) {
+    std::vector<int64_t> aux(regs.size());
+    for (size_t i = 0; i < regs.size(); ++i) aux[i] = (int64_t)i;
+    std::sort(aux.begin(), aux.end(), [&](int64_t a1, int64_t b1) {
+        if (regs[a1][R_AS] != regs[b1][R_AS])
+            return regs[a1][R_AS] < regs[b1][R_AS];
+        return a1 < b1;
+    });
+    int64_t as_ = 0;
+    for (int64_t i : aux) {
+        NatReg& r = regs[i];
+        if (r[R_AS] != as_) {
+            memmove(c.A + 2 * as_, c.A + 2 * r[R_AS], r[R_CNT] * 16);
+            r[R_AS] = as_;
+        }
+        as_ += r[R_CNT];
+    }
+    return as_;
+}
+
+// ---- mm_join_long (hit.c:290-345)
+static void join_long(Ctx& c, std::vector<NatReg>& regs, int64_t max_join_long,
+                      int64_t max_join_short, int64_t min_join_flank_sc,
+                      int64_t min_cnt, int64_t min_chain_score,
+                      int64_t min_dp_max, double max_clip_ratio) {
+    if (regs.size() < 2) return;
+    squeeze_a_nat(c, regs);
+    std::vector<int64_t> aux;
+    for (size_t i = 0; i < regs.size(); ++i)
+        if (regs[i][R_PARENT] == (int64_t)i || regs[i][R_PARENT] < 0)
+            aux.push_back((int64_t)i);
+    std::sort(aux.begin(), aux.end(), [&](int64_t a1, int64_t b1) {
+        if (regs[a1][R_AS] != regs[b1][R_AS])
+            return regs[a1][R_AS] < regs[b1][R_AS];
+        return a1 < b1;
+    });
+    int64_t n_drop = 0;
+    for (int64_t ii = (int64_t)aux.size() - 1; ii > 0; --ii) {
+        NatReg& r0 = regs[aux[ii - 1]];
+        NatReg& r1 = regs[aux[ii]];
+        if (r0[R_AS] + r0[R_CNT] != r1[R_AS]) continue;
+        if (r0[R_RID] != r1[R_RID] || r0[R_REV] != r1[R_REV]) continue;
+        uint64_t a0ex = AX(c, r0[R_AS] + r0[R_CNT] - 1);
+        uint64_t a0ey = AY(c, r0[R_AS] + r0[R_CNT] - 1);
+        uint64_t a1sx = AX(c, r1[R_AS]);
+        uint64_t a1sy = AY(c, r1[R_AS]);
+        if (a1sx <= a0ex || (int64_t)lo32(a1sy) <= (int64_t)lo32(a0ey))
+            continue;
+        int64_t gq = (int64_t)lo32(a1sy) - lo32(a0ey);
+        int64_t gr = (int64_t)(a1sx - a0ex);
+        int64_t max_gap = gq > gr ? gq : gr, min_gap = gq < gr ? gq : gr;
+        if (max_gap > max_join_long || min_gap > max_join_short) continue;
+        int64_t sc_thres = (int64_t)((double)min_join_flank_sc
+                                     / max_join_long * max_gap + .499);
+        if (r0[R_SCORE] < sc_thres || r1[R_SCORE] < sc_thres) continue;
+        if (r0[R_RE] - r0[R_RS] < (max_gap >> 1)
+            || r0[R_QE] - r0[R_QS] < (max_gap >> 1)) continue;
+        if (r1[R_RE] - r1[R_RS] < (max_gap >> 1)
+            || r1[R_QE] - r1[R_QS] < (max_gap >> 1)) continue;
+        c.A[2 * r1[R_AS] + 1] |= SEED_LONG_JOIN;
+        r0[R_CNT] += r1[R_CNT];
+        r0[R_SCORE] += r1[R_SCORE];
+        reg_set_coor(c, r0);
+        r1[R_CNT] = 0;
+        r1[R_PARENT] = r0[R_ID];
+        ++n_drop;
+    }
+    if (n_drop > 0) {
+        for (auto& r : regs) {
+            if (r[R_PARENT] >= 0 && r[R_ID] != r[R_PARENT]) {
+                const NatReg* pr = nullptr;
+                for (auto& x : regs)
+                    if (x[R_ID] == r[R_PARENT]) { pr = &x; break; }
+                if (pr && (*pr)[R_PARENT] >= 0
+                    && (*pr)[R_PARENT] != r[R_PARENT])
+                    r[R_PARENT] = (*pr)[R_PARENT];
+            }
+        }
+        filter_regs_nat(regs, min_cnt, min_chain_score, min_dp_max,
+                        max_clip_ratio, c.qlen);
+        sync_regs(regs);
+    }
+}
+
+// ---- hit_sort_by_dp (hit.c:167-193)
+static void hit_sort_by_dp(std::vector<NatReg>& regs) {
+    if (regs.size() <= 1) return;
+    std::vector<int64_t> keep;
+    for (size_t i = 0; i < regs.size(); ++i)
+        if (regs[i][R_INV] || regs[i][R_CNT] > 0) keep.push_back((int64_t)i);
+    std::sort(keep.begin(), keep.end(), [&](int64_t a1, int64_t b1) {
+        uint64_t ka = ((uint64_t)regs[a1].dp_max << 32)
+                      | (uint64_t)regs[a1][R_HASH];
+        uint64_t kb = ((uint64_t)regs[b1].dp_max << 32)
+                      | (uint64_t)regs[b1][R_HASH];
+        if (ka != kb) return ka > kb;
+        return a1 > b1;
+    });
+    std::vector<NatReg> out;
+    out.reserve(keep.size());
+    for (int64_t i : keep) out.push_back(std::move(regs[i]));
+    regs = std::move(out);
+}
+
+// ---- mm_est_err (esterr.c:16-64)
+static void est_err_nat(Ctx& c, std::vector<NatReg>& regs,
+                        const uint64_t* mini_pos, int64_t n_mini) {
+    if (n_mini == 0) return;
+    int64_t sum_k = 0;
+    for (int64_t i = 0; i < n_mini; ++i)
+        sum_k += (int64_t)((mini_pos[i] >> 32) & 0xFF);
+    float avg_k = (float)((double)sum_k / n_mini);
+    std::vector<int64_t> mp_lo(n_mini);
+    for (int64_t i = 0; i < n_mini; ++i)
+        mp_lo[i] = (int64_t)(mini_pos[i] & 0xFFFFFFFFull);
+    auto qpos_of = [&](uint64_t ax, uint64_t ay) {
+        int64_t x = lo32(ay);
+        int64_t q_span = span_of(ay);
+        if (ax >> 63) x = c.qlen - 1 - (x + 1 - q_span);
+        return x;
+    };
+    for (auto& r : regs) {
+        double div = -1.0;
+        memcpy(&r.f[R_DIVBITS], &div, 8);
+        if (r[R_CNT] == 0) continue;
+        int64_t l_ref = c.seq_len[r[R_RID]];
+        int64_t k0 = r[R_REV] ? r[R_AS] + r[R_CNT] - 1 : r[R_AS];
+        int64_t x = qpos_of(AX(c, k0), AY(c, k0));
+        int64_t st = (int64_t)(std::lower_bound(mp_lo.begin(), mp_lo.end(), x)
+                               - mp_lo.begin());
+        if (st >= n_mini || mp_lo[st] != x) continue;
+        int64_t en = st, n_match = 1, k = 1;
+        for (int64_t j = st + 1; j < n_mini && k < r[R_CNT]; ++j) {
+            int64_t ki = r[R_REV] ? r[R_AS] + r[R_CNT] - 1 - k : r[R_AS] + k;
+            int64_t xx = qpos_of(AX(c, ki), AY(c, ki));
+            if (xx == mp_lo[j]) { ++k; en = j; ++n_match; }
+        }
+        int64_t n_tot = en - st + 1;
+        if ((double)r[R_QS] > avg_k && (double)r[R_RS] > avg_k) ++n_tot;
+        if ((double)(c.qlen - r[R_QS]) > avg_k
+            && (double)(l_ref - r[R_RE]) > avg_k) ++n_tot;
+        div = (double)(float)(logf((float)n_tot / (float)n_match) / avg_k);
+        memcpy(&r.f[R_DIVBITS], &div, 8);
+    }
+}
+
+// ---- mm_set_mapq (hit.c:437-481) incl. inversion mapq (hit.c:411-435)
+static void set_mapq_nat(std::vector<NatReg>& regs, int64_t min_chain_sc,
+                         int64_t match_sc, int64_t rep_len, bool is_sr) {
+    const double q_coef = 40.0;
+    int64_t sum_sc = 0;
+    for (auto& r : regs)
+        if (r[R_PARENT] == r[R_ID]) sum_sc += r[R_SCORE];
+    double uniq_ratio = (sum_sc + rep_len)
+        ? (double)(float)((double)sum_sc / (sum_sc + rep_len)) : 0.0;
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg& r = regs[i];
+        if (r[R_INV]) { r[R_MAPQ] = 0; continue; }
+        if (r[R_PARENT] != r[R_ID]) { r[R_MAPQ] = 0; continue; }
+        double pen_s1 = (double)(float)(
+            (r[R_SCORE] > 100 ? 1.0 : (double)(float)(0.01 * r[R_SCORE]))
+            * uniq_ratio);
+        double pen_cm = r[R_CNT] > 10 ? 1.0 : (double)(float)(0.1 * r[R_CNT]);
+        if (pen_s1 < pen_cm) pen_cm = pen_s1;
+        int64_t subsc = r[R_SUBSC] > min_chain_sc ? r[R_SUBSC] : min_chain_sc;
+        int64_t mapq;
+        if (r[R_HASP] && r.dp_max2 > 0 && r.dp_max > 0) {
+            double identity = (double)(float)((double)r[R_MLEN] / r[R_BLEN]);
+            // float32 chain, as the model computes it (hit.c:456)
+            float xf = (float)r.dp_max2;
+            xf = xf * subsc;
+            xf = xf / r.dp_max;
+            xf = xf / r[R_SCORE0];
+            double x = (double)xf;
+            mapq = (int64_t)(identity * pen_cm * q_coef * (1.0 - x * x)
+                             * (double)logf((float)((double)r.dp_max
+                                                    / match_sc)));
+            if (!is_sr) {
+                int64_t mapq_alt = (int64_t)(6.02 * identity * identity
+                                             * (r.dp_max - r.dp_max2)
+                                             / match_sc + .499);
+                if (mapq_alt < mapq) mapq = mapq_alt;
+            }
+        } else {
+            double x = r[R_SCORE0]
+                ? (double)(float)((double)subsc / r[R_SCORE0]) : 0.0;
+            if (r[R_HASP]) {
+                double identity = (double)(float)((double)r[R_MLEN]
+                                                  / r[R_BLEN]);
+                mapq = (int64_t)(identity * pen_cm * q_coef * (1.0 - x)
+                                 * (double)logf((float)((double)r.dp_max
+                                                        / match_sc)));
+            } else {
+                mapq = (int64_t)(pen_cm * q_coef * (1.0 - x)
+                                 * (double)logf((float)r[R_SCORE]));
+            }
+        }
+        mapq -= (int64_t)(4.343 * (double)logf((float)(r[R_NSUB] + 1))
+                          + .499);
+        if (mapq < 0) mapq = 0;
+        r[R_MAPQ] = mapq < 60 ? mapq : 60;
+        if (r[R_HASP] && r.dp_max > r.dp_max2 && r[R_MAPQ] == 0)
+            r[R_MAPQ] = 1;
+    }
+    // inversion hits inherit min flanking mapq
+    bool any_inv = false;
+    for (auto& r : regs) if (r[R_INV]) { any_inv = true; break; }
+    if (regs.size() >= 3 && any_inv) {
+        std::vector<int64_t> aux;
+        for (size_t i = 0; i < regs.size(); ++i)
+            if (regs[i][R_PARENT] == (int64_t)i || regs[i][R_PARENT] < 0)
+                aux.push_back((int64_t)i);
+        std::sort(aux.begin(), aux.end(), [&](int64_t a1, int64_t b1) {
+            if (regs[a1][R_AS] != regs[b1][R_AS])
+                return regs[a1][R_AS] < regs[b1][R_AS];
+            return a1 < b1;
+        });
+        for (size_t ii = 1; ii + 1 < aux.size(); ++ii) {
+            NatReg& inv = regs[aux[ii]];
+            if (inv[R_INV]) {
+                int64_t m0 = regs[aux[ii - 1]][R_MAPQ];
+                int64_t m1 = regs[aux[ii + 1]][R_MAPQ];
+                inv[R_MAPQ] = m0 < m1 ? m0 : m1;
+            }
+        }
+    }
+}
+
+// the align_skeleton loop body shared by both entries
+static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
+                             int64_t min_cnt, int64_t min_chain_score,
+                             int64_t min_dp_max, double max_clip_ratio) {
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg r2;
+        bool has_r2 = align1(c, regs[i], r2);
+        if (c.bad) return -1;
+        if (has_r2 && r2[R_CNT] > 0)
+            regs.insert(regs.begin() + i + 1, std::move(r2));
+        if (i > 0 && regs[i][R_SPLITINV]) {
+            NatReg ri;
+            if (align1_inv(c, regs[i - 1], regs[i], ri)) {
+                if (c.bad) return -1;
+                regs.insert(regs.begin() + i + 1, std::move(ri));
+                ++i;
+            }
+            if (c.bad) return -1;
+        }
+    }
+    filter_regs_nat(regs, min_cnt, min_chain_score, min_dp_max,
+                    max_clip_ratio, c.qlen);
+    hit_sort_by_dp(regs);
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -805,6 +1278,130 @@ int64_t mm2tpu_align_skeleton(
             if (c.bad) return -1;
         }
     }
+
+    int64_t n_out = (int64_t)regs.size();
+    if (n_out > nr_cap) return -2;
+    int64_t cpos = 0;
+    for (int64_t i = 0; i < n_out; ++i) {
+        memcpy(regs_out + i * RF, regs[i].f, RF * 8);
+        int64_t* ex = extras_out + i * 7;
+        ex[0] = regs[i].dp_score; ex[1] = regs[i].dp_max;
+        ex[2] = regs[i].dp_max2; ex[3] = regs[i].n_ambi;
+        ex[4] = regs[i].trans_strand;
+        ex[5] = cpos; ex[6] = (int64_t)regs[i].cigar.size();
+        if (cpos + ex[6] > cig_cap) return -2;
+        memcpy(cig_buf + cpos, regs[i].cigar.data(), ex[6] * 4);
+        cpos += ex[6];
+    }
+    return n_out;
+}
+
+// Whole-read mapping in one call (the host fast path): sketch -> seed
+// collect -> chaining DP -> gen_regs -> chain_post (set_parent /
+// select_sub / join_long) -> est_err -> align skeleton -> post select ->
+// mapq.  Single-segment, non-splice, non-ava reads only (the Python
+// pipeline keeps every other mode and is the golden model).
+//
+// opt layout (int64): 0 flag, 1 a, 2 b, 3 q, 4 e, 5 q2, 6 e2, 7 zdrop,
+// 8 zdrop_inv, 9 end_bonus, 10 min_cnt, 11 min_chain_score,
+// 12 min_dp_max, 13 max_gap, 14 bw, 15 min_ksw_len, 16 gap_qry,
+// 17 gap_ref, 18 max_chain_skip, 19 mid_occ, 20 best_n,
+// 21 max_join_long, 22 max_join_short, 23 min_join_flank_sc,
+// 24 skip_mode, 25 do_align, 26 no_ljoin, 27 all_chains.
+// optf (double): 0 mask_level, 1 pri_ratio, 2 max_clip_ratio.
+// out_misc (int64): 0 rep_len.
+// Returns region count, -1 contract fallback, -2 capacity.
+int64_t mm2tpu_map_unit(
+    const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    int64_t* regs_out, int64_t* extras_out, int64_t nr_cap,
+    uint32_t* cig_buf, int64_t cig_cap, int64_t* out_misc)
+{
+    out_misc[0] = 0;
+    if (qlen <= 0) return 0;
+    // sketch
+    int64_t offs2[2] = {0, qlen};
+    uint32_t rid0 = 0;
+    int64_t n_mv = 0;
+    void* sh = mm2tpu_sketch_batch(qseq_fwd, offs2, 1, w, k, &rid0, hpc,
+                                   &n_mv);
+    std::vector<uint64_t> mv(2 * (n_mv > 0 ? n_mv : 1));
+    mm2tpu_sketch_take(sh, mv.data());
+    if (n_mv == 0) return 0;
+    // seed-hit collection
+    int64_t sizes[3] = {0, 0, 0};
+    void* ch = mm2tpu_collect_seeds(mv.data(), n_mv, keys, n_keys, starts,
+                                    values, opt[19], qlen, (int32_t)opt[24],
+                                    sizes);
+    int64_t n_anch = sizes[0], n_mini = sizes[1];
+    std::vector<uint64_t> anch(2 * (n_anch > 0 ? n_anch : 1));
+    std::vector<uint64_t> mini(n_mini > 0 ? n_mini : 1);
+    mm2tpu_collect_take(ch, anch.data(), mini.data());
+    int64_t rep_len = sizes[2];
+    out_misc[0] = rep_len;
+    if (n_anch == 0) return 0;
+    // chaining DP
+    std::vector<uint64_t> ax(n_anch), ay(n_anch);
+    for (int64_t i = 0; i < n_anch; ++i) {
+        ax[i] = anch[2 * i];
+        ay[i] = anch[2 * i + 1];
+    }
+    std::vector<uint64_t> out_a(4 * n_anch), out_u(2 * n_anch);
+    int64_t n_v = 0;
+    int64_t n_u = mm2tpu_chain_dp(
+        n_anch, ax.data(), ay.data(), opt[17] /*gap_ref = max_dist_x*/,
+        opt[16] /*gap_qry = max_dist_y*/, opt[14], opt[18],
+        (int32_t)opt[10], (int32_t)opt[11], 0, 1,
+        out_a.data(), out_u.data(), &n_v);
+    if (n_u <= 0) return 0;
+
+    Ctx c;
+    c.S = S; c.seq_off = seq_off; c.seq_len = seq_len; c.n_seq = n_seq;
+    c.k = k; c.hpc = hpc != 0;
+    c.mat = mat;
+    c.flag = opt[0]; c.oa = opt[1]; c.ob = opt[2]; c.q = opt[3];
+    c.e = opt[4]; c.q2 = opt[5]; c.e2 = opt[6]; c.zdrop = opt[7];
+    c.zdrop_inv = opt[8]; c.end_bonus = opt[9]; c.min_cnt = opt[10];
+    c.min_chain_score = opt[11]; c.min_dp_max = opt[12];
+    c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
+    c.A = out_a.data(); c.n_a = n_v;
+    c.qlen = qlen;
+    std::vector<uint8_t> qrev(qlen);
+    for (int64_t i = 0; i < qlen; ++i) {
+        uint8_t b = qseq_fwd[qlen - 1 - i];
+        qrev[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+    }
+    c.qstr[0] = qseq_fwd;
+    c.qstr[1] = qrev.data();
+
+    bool is_sr = c.flag & F_SR;
+    double mask_level = optf[0], pri_ratio = optf[1], max_clip = optf[2];
+    int64_t sub_diff = 2 * c.oa + c.ob;
+
+    std::vector<NatReg> regs = gen_regs(c, qhash, out_u.data(), n_u);
+    if (!opt[27]) {  // chain_post unless MM_F_ALL_CHAINS
+        set_parent(regs, mask_level, sub_diff);
+        select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
+        if (!opt[26])
+            join_long(c, regs, opt[21], opt[22], opt[23], c.min_cnt,
+                      c.min_chain_score, c.min_dp_max, max_clip);
+    }
+    if (!is_sr) est_err_nat(c, regs, mini.data(), n_mini);
+    if (opt[25] && !regs.empty()) {  // base-level alignment
+        c.n_a = squeeze_a_nat(c, regs);
+        if (skeleton_loop(c, regs, c.min_cnt, c.min_chain_score,
+                          c.min_dp_max, max_clip) < 0)
+            return -1;
+        set_parent(regs, mask_level, sub_diff);
+        select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
+        set_sam_pri(regs);
+    }
+    set_mapq_nat(regs, c.min_chain_score, c.oa, rep_len, is_sr);
 
     int64_t n_out = (int64_t)regs.size();
     if (n_out > nr_cap) return -2;
