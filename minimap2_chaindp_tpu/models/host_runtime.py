@@ -53,47 +53,47 @@ class HostRuntime:
         from .pipeline import (finish_unit_gen, format_frag, host_chain,
                                prepare_frag, seed_unit)
 
-        from ..native import map_unit_native, map_unit_ok
+        from ..native import map_unit_ok, map_unit_text_native
         fast_ok = map_unit_ok(opt, mi)
         frag_meta = []
-        units = []           # (unit, info) for the staged path, or None
-        done: list = []      # per-unit fast-path results
+        units = []           # (unit, info) for the staged path
+        fast_lines: list = []  # per-FRAG finished text, or None
         with self.timers.time("seed"):
             for frag in frags:
+                if fast_ok and len(frag.segs) == 1:
+                    # whole-read native fast path: one C call in, finished
+                    # SAM/PAF lines out
+                    lines_f = map_unit_text_native(mi, opt, frag.segs[0],
+                                                   rg_id)
+                    if lines_f is not None:
+                        self.timers.count("fast_native")
+                        fast_lines.append(lines_f)
+                        frag_meta.append(None)
+                        continue
+                    self.timers.count("fast_miss")
+                fast_lines.append(None)
                 work, flipped, us = prepare_frag(opt, frag.segs)
                 start = len(units)
                 for u in us:
-                    res = None
-                    if fast_ok and len(u) == 1:
-                        # whole-read native fast path (one C call)
-                        res = map_unit_native(mi, opt, u[0].name, u[0].seq)
-                        self.timers.count("fast_native" if res is not None
-                                          else "fast_miss")
-                    if res is not None:
-                        units.append(None)
-                        done.append([res[0]])
-                    else:
-                        units.append((u, seed_unit(mi, opt, u)))
-                        done.append(None)
+                    units.append((u, seed_unit(mi, opt, u)))
                 frag_meta.append((frag.segs, work, flipped,
                                   slice(start, len(units))))
 
         with self.timers.time("chain"):
-            chains = [host_chain(opt, ui[1], len(ui[0]))
-                      if ui is not None else None for ui in units]
+            chains = [host_chain(opt, info, len(u)) for u, info in units]
 
         with self.timers.time("align"):
-            slow_idx = [i for i, ui in enumerate(units) if ui is not None]
-            gens = [finish_unit_gen(mi, opt, units[i][1], chains[i])
-                    for i in slow_idx]
-            slow_res = run_scheduler(gens, self._align_exec)
-            regss_per_unit = list(done)
-            for i, res in zip(slow_idx, slow_res):
-                regss_per_unit[i] = res
+            gens = [finish_unit_gen(mi, opt, info, ch)
+                    for (u, info), ch in zip(units, chains)]
+            regss_per_unit = run_scheduler(gens, self._align_exec)
 
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):
-            for segs, work, flipped, sl in frag_meta:
+            for fi in range(len(frags)):
+                if fast_lines[fi] is not None:
+                    lines.append(fast_lines[fi])
+                    continue
+                segs, work, flipped, sl = frag_meta[fi]
                 regss = [r for unit_regs in regss_per_unit[sl]
                          for r in unit_regs]
                 lines.append(format_frag(mi, opt, segs, work, flipped,

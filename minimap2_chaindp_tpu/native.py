@@ -357,6 +357,19 @@ def load_ksw():
             _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp,
             _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp]
+        lib.mm2tpu_map_unit_text.restype = _c.c_int64
+        lib.mm2tpu_map_unit_text.argtypes = [
+            _vp, _c.c_int64, _c.c_uint64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_char_p,
+            _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_int64,
+            _vp, _vp, _c.c_int32,
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
@@ -378,6 +391,20 @@ def _mi_nat_tables(mi):
         ln = np.array([s.length for s in mi.seqs], dtype=np.int64)
         cache = (off, ln)
         mi._nat_tables = cache
+    return cache
+
+
+def _mi_rname_blob(mi):
+    """Cached concatenated target-name bytes + offsets for text emission."""
+    cache = getattr(mi, "_nat_rnames", None)
+    if cache is None:
+        names = [s.name.encode() for s in mi.seqs]
+        offs = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, nb in enumerate(names):
+            offs[i + 1] = offs[i] + len(nb)
+        blob = np.frombuffer(b"".join(names) or b"\0", dtype=np.uint8).copy()
+        cache = (blob, offs)
+        mi._nat_rnames = cache
     return cache
 
 
@@ -434,14 +461,16 @@ def align_skeleton_native(opt, mi, qlen, qseq_fwd, regs, a, n_a, mat):
 
 
 def _rebuild_regions(n_out, regs_out, extras, cig_buf):
+    # Region fields are declared in _REG_ATTRS order, so positional
+    # construction avoids 28 kwargs per region
     from .hits import Extra, Region
     out = []
     rows = regs_out[:n_out].tolist()
     exrows = extras[:n_out].tolist()
+    divs = regs_out[:n_out, 26].view(np.float64).tolist()
     for i in range(n_out):
         row = rows[i]
-        r = Region(**{nm: row[j] for j, nm in enumerate(_REG_ATTRS)})
-        r.div = float(np.int64(row[26]).view(np.float64))
+        r = Region(*row[:26], divs[i])
         if row[27]:
             ex = exrows[i]
             r.p = Extra(dp_score=ex[0], dp_max=ex[1], dp_max2=ex[2],
@@ -475,58 +504,178 @@ def map_unit_ok(opt, mi) -> bool:
     return len(mi.keys) > 0
 
 
+class _MapUnitCtx:
+    """Per-(opt, mi) marshalling state for the native map-unit fast path:
+    pre-built opt arrays + raw pointers + grow-only scratch buffers.
+    One instance per calling thread (map_stream maps two batches on a
+    thread pool)."""
+
+    def __init__(self, mi, opt):
+        from . import constants as CC
+        from .ops.ksw2 import gen_simple_mat
+        self.mi, self.opt = mi, opt
+        self.seed = opt.seed
+        self.is_sr = bool(opt.flag & CC.MM_F_SR)
+        self.optv = np.array(
+            [opt.flag, opt.a, opt.b, opt.q, opt.e, opt.q2, opt.e2,
+             opt.zdrop, opt.zdrop_inv, opt.end_bonus, opt.min_cnt,
+             opt.min_chain_score, opt.min_dp_max, opt.max_gap,
+             opt.bw, opt.min_ksw_len, 0, 0, opt.max_chain_skip,
+             opt.mid_occ, opt.best_n, opt.max_join_long,
+             opt.max_join_short, opt.min_join_flank_sc,
+             ((1 if opt.flag & CC.MM_F_FOR_ONLY else 0)
+              | (2 if opt.flag & CC.MM_F_REV_ONLY else 0)),
+             1 if opt.flag & CC.MM_F_CIGAR else 0,
+             1 if opt.flag & (CC.MM_F_SPLICE | CC.MM_F_SR
+                              | CC.MM_F_NO_LJOIN) else 0,
+             1 if opt.flag & CC.MM_F_ALL_CHAINS else 0],
+            dtype=np.int64)
+        self.optf = np.array([opt.mask_level, opt.pri_ratio,
+                              opt.max_clip_ratio], dtype=np.float64)
+        self.mat = _as_i8(gen_simple_mat(5, opt.a, opt.b))
+        seq_off, seq_len = _mi_nat_tables(mi)
+        self._refs = (mi.S, seq_off, seq_len, mi.keys, mi.starts, mi.values,
+                      self.optv, self.optf, self.mat)
+        self.ptrs = tuple(_np_ptr(x) for x in self._refs)
+        self.n_seq = len(mi.seqs)
+        self.n_keys = len(mi.keys)
+        self.k, self.w = mi.k, mi.w
+        self.hpc = 1 if (mi.flag & 1) else 0
+        gq, gr = _map_gap_bounds(opt, 0)
+        self.optv[16], self.optv[17] = gq, gr
+        self.nr_cap = 64
+        self.cig_cap = 1 << 16
+        self._alloc()
+        self.text_cap = 1 << 17
+        self._alloc_text()
+
+    def _alloc_text(self):
+        self.text_buf = np.empty(self.text_cap, dtype=np.uint8)
+        self.line_off = np.empty(258, dtype=np.int64)
+
+    def _alloc(self):
+        self.regs_out = np.empty((self.nr_cap, 28), dtype=np.int64)
+        self.extras = np.empty((self.nr_cap, 7), dtype=np.int64)
+        self.cig_buf = np.empty(self.cig_cap, dtype=np.uint32)
+        self.misc = np.zeros(1, dtype=np.int64)
+        self.out_ptrs = tuple(_np_ptr(x) for x in
+                              (self.regs_out, self.extras, self.cig_buf,
+                               self.misc))
+
+    def map(self, lib, qname, seq):
+        from . import constants as CC
+        qlen = len(seq)
+        if qlen == 0:
+            return None
+        if self.is_sr or self.opt.max_frag_len > 0:
+            self.optv[16], self.optv[17] = _map_gap_bounds(self.opt, qlen)
+        qa = CC.seq_to_nt4(seq)
+        hash_ = CC.qname_hash(qname, qlen, self.seed)
+        want_cig = 8 * qlen + 8192
+        if want_cig > self.cig_cap:
+            self.cig_cap = want_cig
+            self._alloc()
+        p = self.ptrs
+        while True:
+            n_out = lib.mm2tpu_map_unit(
+                _np_ptr(qa), qlen, hash_,
+                p[0], p[1], p[2], self.n_seq, p[3], self.n_keys, p[4], p[5],
+                self.k, self.w, self.hpc, p[8], p[6], p[7],
+                self.out_ptrs[0], self.out_ptrs[1], self.nr_cap,
+                self.out_ptrs[2], self.cig_cap, self.out_ptrs[3])
+            if n_out != -2:
+                break
+            self.nr_cap *= 4
+            self.cig_cap *= 4
+            self._alloc()
+        if n_out < 0:
+            return None
+        return (_rebuild_regions(n_out, self.regs_out, self.extras,
+                                 self.cig_buf), int(self.misc[0]))
+
+    def map_text(self, lib, rec, rg_id: str):
+        """Map one read and return its finished SAM/PAF lines (the fully
+        native path: text emitted in C).  None = fall back."""
+        from . import constants as CC
+        seq = rec.seq
+        qlen = len(seq)
+        if qlen == 0:
+            return None
+        opt = self.opt
+        if self.is_sr or opt.max_frag_len > 0:
+            self.optv[16], self.optv[17] = _map_gap_bounds(opt, qlen)
+        qa = CC.seq_to_nt4(seq)
+        hash_ = CC.qname_hash(rec.name, qlen, self.seed)
+        qname_b = rec.name.encode()
+        seq_b = seq.encode()
+        qual_b = rec.qual.encode() if rec.qual else None
+        com_b = (rec.comment.encode()
+                 if (opt.flag & CC.MM_F_COPY_COMMENT) and rec.comment
+                 else None)
+        rg_b = rg_id.encode() if rg_id else None
+        blob, roffs = _mi_rname_blob(self.mi)
+        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+        want_text = 4 * qlen + 65536
+        if want_text > self.text_cap:
+            self.text_cap = want_text
+            self._alloc_text()
+        p = self.ptrs
+        while True:
+            n_lines = lib.mm2tpu_map_unit_text(
+                _np_ptr(qa), qlen, hash_,
+                p[0], p[1], p[2], self.n_seq, p[3], self.n_keys, p[4], p[5],
+                self.k, self.w, self.hpc, p[8], p[6], p[7],
+                qname_b, len(qname_b), seq_b, qual_b,
+                com_b, len(com_b) if com_b else 0,
+                rg_b, len(rg_b) if rg_b else 0,
+                _np_ptr(blob), _np_ptr(roffs), sam_mode,
+                _np_ptr(self.text_buf), self.text_cap,
+                _np_ptr(self.line_off), len(self.line_off),
+                self.out_ptrs[3])
+            if n_lines != -2:
+                break
+            self.text_cap *= 4
+            self._alloc_text()
+        if n_lines < 0:
+            return None
+        offs = self.line_off[:n_lines + 1].tolist()
+        tb = self.text_buf
+        return [tb[offs[i]:offs[i + 1]].tobytes().decode("ascii",
+                                                         "surrogateescape")
+                for i in range(n_lines)]
+
+
+_map_ctx_local = None
+
+
+def _map_ctx(mi, opt):
+    global _map_ctx_local
+    import threading
+    if _map_ctx_local is None:
+        _map_ctx_local = threading.local()
+    ctx = getattr(_map_ctx_local, "ctx", None)
+    if ctx is None or ctx.mi is not mi or ctx.opt is not opt:
+        ctx = _MapUnitCtx(mi, opt)
+        _map_ctx_local.ctx = ctx
+    return ctx
+
+
 def map_unit_native(mi, opt, qname: str, seq: str):
     """Map one single-segment read fully natively (align_driver.cc
     mm2tpu_map_unit).  Returns (regions, rep_len) or None."""
-    from . import constants as CC
     lib = load_ksw()
-    qlen = len(seq)
-    if qlen == 0 or lib is None:
+    if lib is None:
         return None
-    gq, gr = _map_gap_bounds(opt, qlen)
-    qa = CC.seq_to_nt4(seq)
-    hash_ = CC.qname_hash(qname, qlen, opt.seed)
-    optv = np.array([opt.flag, opt.a, opt.b, opt.q, opt.e, opt.q2, opt.e2,
-                     opt.zdrop, opt.zdrop_inv, opt.end_bonus, opt.min_cnt,
-                     opt.min_chain_score, opt.min_dp_max, opt.max_gap,
-                     opt.bw, opt.min_ksw_len, gq, gr, opt.max_chain_skip,
-                     opt.mid_occ, opt.best_n, opt.max_join_long,
-                     opt.max_join_short, opt.min_join_flank_sc,
-                     ((1 if opt.flag & CC.MM_F_FOR_ONLY else 0)
-                      | (2 if opt.flag & CC.MM_F_REV_ONLY else 0)),
-                     1 if opt.flag & CC.MM_F_CIGAR else 0,
-                     1 if opt.flag & (CC.MM_F_SPLICE | CC.MM_F_SR
-                                      | CC.MM_F_NO_LJOIN) else 0,
-                     1 if opt.flag & CC.MM_F_ALL_CHAINS else 0],
-                    dtype=np.int64)
-    optf = np.array([opt.mask_level, opt.pri_ratio, opt.max_clip_ratio],
-                    dtype=np.float64)
-    seq_off, seq_len = _mi_nat_tables(mi)
-    from .ops.ksw2 import gen_simple_mat
-    ma = _as_i8(gen_simple_mat(5, opt.a, opt.b))
-    nr_cap = 64
-    cig_cap = 8 * qlen + 8192
-    misc = np.zeros(1, dtype=np.int64)
-    for _attempt in range(3):
-        regs_out = np.empty((nr_cap, 28), dtype=np.int64)
-        extras = np.empty((nr_cap, 7), dtype=np.int64)
-        cig_buf = np.empty(cig_cap, dtype=np.uint32)
-        n_out = lib.mm2tpu_map_unit(
-            _np_ptr(qa), qlen, hash_,
-            _np_ptr(mi.S), _np_ptr(seq_off), _np_ptr(seq_len), len(mi.seqs),
-            _np_ptr(mi.keys), len(mi.keys), _np_ptr(mi.starts),
-            _np_ptr(mi.values),
-            mi.k, mi.w, 1 if (mi.flag & 1) else 0,
-            _np_ptr_cached(ma), _np_ptr(optv), _np_ptr(optf),
-            _np_ptr(regs_out), _np_ptr(extras), nr_cap,
-            _np_ptr(cig_buf), cig_cap, _np_ptr(misc))
-        if n_out != -2:
-            break
-        nr_cap *= 4
-        cig_cap *= 4
-    if n_out < 0:
+    return _map_ctx(mi, opt).map(lib, qname, seq)
+
+
+def map_unit_text_native(mi, opt, rec, rg_id: str = ""):
+    """Map one single-segment read and return its finished output lines
+    (SAM records or PAF rows), or None to fall back."""
+    lib = load_ksw()
+    if lib is None:
         return None
-    return _rebuild_regions(n_out, regs_out, extras, cig_buf), int(misc[0])
+    return _map_ctx(mi, opt).map_text(lib, rec, rg_id)
 
 
 def _map_gap_bounds(opt, qlen_sum):

@@ -14,6 +14,8 @@
 #include "ksw2_extd2.cc"
 
 #include <cmath>
+#include <cstdio>
+#include <cctype>
 
 extern "C" void mm2tpu_fix_update_extra(
     const uint8_t* qseq, const uint8_t* tseq, uint32_t* cigar,
@@ -1192,6 +1194,384 @@ static void set_mapq_nat(std::vector<NatReg>& regs, int64_t min_chain_sc,
     }
 }
 
+// ---- SAM/PAF text emission (io/output.py, reference format.c) for the
+// single-segment fast path.
+struct TextOut {
+    char* buf;
+    int64_t cap, pos = 0;
+    bool of = false;
+    inline void ch(char c) {
+        if (pos >= cap) { of = true; return; }
+        buf[pos++] = c;
+    }
+    inline void mem(const char* s, int64_t n) {
+        if (pos + n > cap) { of = true; return; }
+        memcpy(buf + pos, s, n); pos += n;
+    }
+    inline void cstr(const char* s) { mem(s, (int64_t)strlen(s)); }
+    inline void num(int64_t v) {
+        char t[24]; int n = 0;
+        if (v < 0) { ch('-'); v = -v; }
+        do { t[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+        while (n) ch(t[--n]);
+    }
+};
+
+static const char NT_UPPER[] = "ACGTN";
+static const char NT_LOWER[] = "acgtn";
+
+static const char* comp_table() {
+    static char tbl[256];
+    static bool init = false;
+    if (!init) {
+        const char* A = "ACGTURYSWKMBDHVN";
+        const char* B = "TGCAAYRSWMKVHDBN";
+        for (int i = 0; i < 256; ++i) tbl[i] = (char)i;
+        for (int i = 0; A[i]; ++i) {
+            tbl[(uint8_t)A[i]] = B[i];
+            tbl[(uint8_t)tolower(A[i])] = (char)tolower(B[i]);
+        }
+        init = true;
+    }
+    return tbl;
+}
+
+struct EmitCtx {
+    const Ctx* c;
+    const char* qname; int64_t qname_len;
+    const char* seq;              // ASCII query, qlen
+    const char* qual;             // or nullptr
+    const char* comment; int64_t comment_len;
+    const char* rg_id; int64_t rg_len;
+    const char* rnames; const int64_t* rname_off;
+    const uint8_t* qa;            // nt4 fwd query
+};
+
+static void emit_tags(TextOut& o, const EmitCtx& e, const NatReg& r) {
+    char type_;
+    if (r[R_ID] == r[R_PARENT]) type_ = r[R_INV] ? 'I' : 'P';
+    else type_ = r[R_INV] ? 'i' : 'S';
+    if (r[R_HASP]) {
+        o.cstr("\tNM:i:"); o.num(r[R_BLEN] - r[R_MLEN] + r.n_ambi);
+        o.cstr("\tms:i:"); o.num(r.dp_max);
+        o.cstr("\tAS:i:"); o.num(r.dp_score);
+        o.cstr("\tnn:i:"); o.num(r.n_ambi);
+        if (r.trans_strand == 1 || r.trans_strand == 2) {
+            o.cstr("\tts:A:");
+            o.ch("?+-?"[r.trans_strand]);
+        }
+    }
+    o.cstr("\ttp:A:"); o.ch(type_);
+    o.cstr("\tcm:i:"); o.num(r[R_CNT]);
+    o.cstr("\ts1:i:"); o.num(r[R_SCORE]);
+    if (r[R_PARENT] == r[R_ID]) { o.cstr("\ts2:i:"); o.num(r[R_SUBSC]); }
+    double div;
+    memcpy(&div, &r.f[R_DIVBITS], 8);
+    if (div >= 0.0 && div <= 1.0) {
+        if (div == 0.0) o.cstr("\tdv:f:0");
+        else {
+            char t[32];
+            snprintf(t, sizeof(t), "\tdv:f:%.4f", div);
+            o.cstr(t);
+        }
+    }
+    if (r[R_SPLIT]) { o.cstr("\tzd:i:"); o.num(r[R_SPLIT]); }
+}
+
+static void emit_cigar_ops(TextOut& o, const std::vector<uint32_t>& cig) {
+    for (uint32_t cw : cig) {
+        o.num(cw >> 4);
+        o.ch("MIDNSH"[cw & 0xF]);
+    }
+}
+
+// region-oriented query/target for cs/MD (io/output.py:_get_align_seqs)
+static void align_seqs(const EmitCtx& e, const NatReg& r,
+                       std::vector<uint8_t>& q, const uint8_t*& t,
+                       int64_t& tlen) {
+    const Ctx& c = *e.c;
+    t = getseq(c, r[R_RID], r[R_RS], r[R_RE], tlen);
+    int64_t n = r[R_QE] - r[R_QS];
+    q.resize(n);
+    if (!r[R_REV]) {
+        memcpy(q.data(), e.qa + r[R_QS], n);
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t b = e.qa[r[R_QE] - 1 - i];
+            q[i] = b >= 4 ? 4 : (uint8_t)(3 - b);
+        }
+    }
+}
+
+static void emit_cs(TextOut& o, const EmitCtx& e, const NatReg& r,
+                    bool long_form) {
+    std::vector<uint8_t> q;
+    const uint8_t* t; int64_t tl;
+    align_seqs(e, r, q, t, tl);
+    o.cstr("\tcs:Z:");
+    int64_t qo = 0, to = 0;
+    for (uint32_t cw : r.cigar) {
+        int op = cw & 0xF;
+        int64_t len = cw >> 4;
+        if (op == 0) {
+            int64_t l_tmp = 0, run_st = 0;
+            for (int64_t j = 0; j < len; ++j) {
+                if (q[qo + j] != t[to + j]) {
+                    if (l_tmp > 0) {
+                        if (long_form) {
+                            o.ch('=');
+                            for (int64_t m = run_st; m < j; ++m)
+                                o.ch(NT_UPPER[q[qo + m]]);
+                        } else { o.ch(':'); o.num(l_tmp); }
+                        l_tmp = 0;
+                    }
+                    o.ch('*');
+                    o.ch(NT_LOWER[t[to + j]]);
+                    o.ch(NT_LOWER[q[qo + j]]);
+                    run_st = j + 1;
+                } else {
+                    if (l_tmp == 0) run_st = j;
+                    ++l_tmp;
+                }
+            }
+            if (l_tmp > 0) {
+                if (long_form) {
+                    o.ch('=');
+                    for (int64_t m = run_st; m < len; ++m)
+                        o.ch(NT_UPPER[q[qo + m]]);
+                } else { o.ch(':'); o.num(l_tmp); }
+            }
+            qo += len; to += len;
+        } else if (op == 1) {
+            o.ch('+');
+            for (int64_t j = 0; j < len; ++j) o.ch(NT_LOWER[q[qo + j]]);
+            qo += len;
+        } else if (op == 2) {
+            o.ch('-');
+            for (int64_t j = 0; j < len; ++j) o.ch(NT_LOWER[t[to + j]]);
+            to += len;
+        } else {
+            o.ch('~');
+            o.ch(NT_LOWER[t[to]]); o.ch(NT_LOWER[t[to + 1]]);
+            o.num(len);
+            o.ch(NT_LOWER[t[to + len - 2]]); o.ch(NT_LOWER[t[to + len - 1]]);
+            to += len;
+        }
+    }
+}
+
+static void emit_md(TextOut& o, const EmitCtx& e, const NatReg& r) {
+    std::vector<uint8_t> q;
+    const uint8_t* t; int64_t tl;
+    align_seqs(e, r, q, t, tl);
+    o.cstr("\tMD:Z:");
+    int64_t l_md = 0, qo = 0, to = 0;
+    for (uint32_t cw : r.cigar) {
+        int op = cw & 0xF;
+        int64_t len = cw >> 4;
+        if (op == 0) {
+            for (int64_t j = 0; j < len; ++j) {
+                if (q[qo + j] != t[to + j]) {
+                    o.num(l_md);
+                    o.ch(NT_UPPER[t[to + j]]);
+                    l_md = 0;
+                } else ++l_md;
+            }
+            qo += len; to += len;
+        } else if (op == 1) {
+            qo += len;
+        } else if (op == 2) {
+            o.num(l_md);
+            o.ch('^');
+            for (int64_t j = 0; j < len; ++j) o.ch(NT_UPPER[t[to + j]]);
+            l_md = 0;
+            to += len;
+        }
+    }
+    if (l_md > 0) o.num(l_md);
+}
+
+static void emit_seq_oriented(TextOut& o, const EmitCtx& e, const char* s,
+                              int64_t n, bool rev, bool comp) {
+    if (!rev) { o.mem(s, n); return; }
+    const char* tbl = comp_table();
+    if (o.pos + n > o.cap) { o.of = true; return; }
+    if (comp)
+        for (int64_t i = 0; i < n; ++i) o.buf[o.pos + i] = tbl[(uint8_t)s[n - 1 - i]];
+    else
+        for (int64_t i = 0; i < n; ++i) o.buf[o.pos + i] = s[n - 1 - i];
+    o.pos += n;
+}
+
+static void emit_rname(TextOut& o, const EmitCtx& e, int64_t rid) {
+    o.mem(e.rnames + e.rname_off[rid],
+          e.rname_off[rid + 1] - e.rname_off[rid]);
+}
+
+// one PAF row (io/output.py:write_paf)
+static void emit_paf(TextOut& o, const EmitCtx& e, const NatReg& r,
+                     int64_t flag) {
+    const Ctx& c = *e.c;
+    o.mem(e.qname, e.qname_len); o.ch('\t');
+    o.num(c.qlen); o.ch('\t');
+    o.num(r[R_QS]); o.ch('\t');
+    o.num(r[R_QE]); o.ch('\t');
+    o.ch("+-"[r[R_REV]]); o.ch('\t');
+    emit_rname(o, e, r[R_RID]); o.ch('\t');
+    o.num(c.seq_len[r[R_RID]]); o.ch('\t');
+    o.num(r[R_RS]); o.ch('\t');
+    o.num(r[R_RE]); o.ch('\t');
+    o.num(r[R_MLEN]); o.ch('\t');
+    o.num(r[R_BLEN]); o.ch('\t');
+    o.num(r[R_MAPQ]);
+    emit_tags(o, e, r);
+    constexpr int64_t F_OUT_CG = 0x020, F_OUT_CS = 0x040, F_OUT_MD = 0x1000000,
+        F_OUT_CS_LONG = 0x800, F_COPY_COMMENT = 0x2000000;
+    if (r[R_HASP] && (flag & F_OUT_CG)) {
+        o.cstr("\tcg:Z:");
+        emit_cigar_ops(o, r.cigar);
+    }
+    if (r[R_HASP] && (flag & (F_OUT_CS | F_OUT_MD))) {
+        if (flag & F_OUT_MD) emit_md(o, e, r);
+        else emit_cs(o, e, r, flag & F_OUT_CS_LONG);
+    }
+    if ((flag & F_COPY_COMMENT) && e.comment_len) {
+        o.ch('\t');
+        o.mem(e.comment, e.comment_len);
+    }
+}
+
+// one single-segment SAM record (io/output.py:write_sam, n_seg==1)
+static void emit_sam(TextOut& o, const EmitCtx& e,
+                     const std::vector<NatReg>& regs, int64_t reg_idx,
+                     int64_t oflag) {
+    const Ctx& c = *e.c;
+    constexpr int64_t F_SOFTCLIP = 0x80000, F_LONG_CIGAR = 0x10000,
+        F_OUT_CS = 0x040, F_OUT_MD = 0x1000000, F_OUT_CS_LONG = 0x800,
+        F_COPY_COMMENT = 0x2000000;
+    const NatReg* r = (reg_idx >= 0 && reg_idx < (int64_t)regs.size())
+        ? &regs[reg_idx] : nullptr;
+    int64_t qlen = c.qlen;
+    o.mem(e.qname, e.qname_len);
+    int64_t flag = 0;
+    if (!r) flag |= 0x4;
+    else {
+        if ((*r)[R_REV]) flag |= 0x10;
+        if ((*r)[R_PARENT] != (*r)[R_ID]) flag |= 0x100;
+        else if (!(*r)[R_SAMPRI]) flag |= 0x800;
+    }
+    o.ch('\t'); o.num(flag);
+    bool cigar_in_tag = false;
+    if (!r) {
+        o.cstr("\t*\t0\t0\t*");
+    } else {
+        o.ch('\t');
+        emit_rname(o, e, (*r)[R_RID]);
+        o.ch('\t'); o.num((*r)[R_RS] + 1);
+        o.ch('\t'); o.num((*r)[R_MAPQ]);
+        o.ch('\t');
+        constexpr int64_t MAX_BAM_OPS = 65535;
+        if ((oflag & F_LONG_CIGAR) && (*r)[R_HASP]
+            && (int64_t)r->cigar.size() > MAX_BAM_OPS - 2) {
+            int64_t nc = (int64_t)r->cigar.size();
+            if ((*r)[R_QS] != 0) ++nc;
+            if ((*r)[R_QE] != qlen) ++nc;
+            if (nc > MAX_BAM_OPS) cigar_in_tag = true;
+        }
+        if (cigar_in_tag) {
+            if (flag & 0x100) o.cstr("0S");
+            else if (flag & 0x800) { o.num((*r)[R_RE] - (*r)[R_RS]); o.ch('S'); }
+            else { o.num(qlen); o.ch('S'); }
+        } else if (!(*r)[R_HASP]) {
+            o.ch('*');
+        } else {
+            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
+            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
+            char cc = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 'H' : 'S';
+            if (clip0) { o.num(clip0); o.ch(cc); }
+            emit_cigar_ops(o, r->cigar);
+            if (clip1) { o.num(clip1); o.ch(cc); }
+        }
+    }
+    o.cstr("\t*\t0\t0\t");
+    if (!r) {
+        o.mem(e.seq, qlen);
+        o.ch('\t');
+        if (e.qual) o.mem(e.qual, qlen); else o.ch('*');
+    } else {
+        bool rev = (*r)[R_REV];
+        if ((flag & 0x900) == 0 || (oflag & F_SOFTCLIP)) {
+            emit_seq_oriented(o, e, e.seq, qlen, rev, true);
+            o.ch('\t');
+            if (e.qual) emit_seq_oriented(o, e, e.qual, qlen, rev, false);
+            else o.ch('*');
+        } else if (flag & 0x100) {
+            o.cstr("*\t*");
+        } else {
+            int64_t qs = (*r)[R_QS], n = (*r)[R_QE] - qs;
+            emit_seq_oriented(o, e, e.seq + qs, n, rev, true);
+            o.ch('\t');
+            if (e.qual) emit_seq_oriented(o, e, e.qual + qs, n, rev, false);
+            else o.ch('*');
+        }
+    }
+    if (e.rg_len) { o.cstr("\tRG:Z:"); o.mem(e.rg_id, e.rg_len); }
+    if (r) {
+        emit_tags(o, e, *r);
+        if ((*r)[R_PARENT] == (*r)[R_ID] && (*r)[R_HASP]
+            && regs.size() > 1) {
+            int64_t sa_start = o.pos;
+            bool any = false;
+            o.cstr("\tSA:Z:");
+            for (size_t qi = 0; qi < regs.size(); ++qi) {
+                const NatReg& q = regs[qi];
+                if (&q == r || q[R_PARENT] != q[R_ID] || !q[R_HASP])
+                    continue;
+                any = true;
+                int64_t l_m, l_i, l_d;
+                if (q[R_QE] - q[R_QS] < q[R_RE] - q[R_RS]) {
+                    l_m = q[R_QE] - q[R_QS];
+                    l_i = 0; l_d = (q[R_RE] - q[R_RS]) - l_m;
+                } else {
+                    l_m = q[R_RE] - q[R_RS];
+                    l_i = (q[R_QE] - q[R_QS]) - l_m; l_d = 0;
+                }
+                int64_t clip5 = q[R_REV] ? qlen - q[R_QE] : q[R_QS];
+                int64_t clip3 = q[R_REV] ? q[R_QS] : qlen - q[R_QE];
+                emit_rname(o, e, q[R_RID]);
+                o.ch(','); o.num(q[R_RS] + 1); o.ch(',');
+                o.ch("+-"[q[R_REV]]); o.ch(',');
+                if (clip5) { o.num(clip5); o.ch('S'); }
+                if (l_m) { o.num(l_m); o.ch('M'); }
+                if (l_i) { o.num(l_i); o.ch('I'); }
+                if (l_d) { o.num(l_d); o.ch('D'); }
+                if (clip3) { o.num(clip3); o.ch('S'); }
+                o.ch(','); o.num(q[R_MAPQ]); o.ch(',');
+                o.num(q[R_BLEN] - q[R_MLEN] + q.n_ambi);
+                o.ch(';');
+            }
+            if (!any) o.pos = sa_start;  // no supplementary parts
+        }
+        if ((*r)[R_HASP] && (oflag & (F_OUT_CS | F_OUT_MD))) {
+            if (oflag & F_OUT_MD) emit_md(o, e, *r);
+            else emit_cs(o, e, *r, oflag & F_OUT_CS_LONG);
+        }
+        if (cigar_in_tag) {
+            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
+            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
+            int64_t cchar = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 5 : 4;
+            o.cstr("\tCG:B:I");
+            if (clip0) { o.ch(','); o.num(clip0 << 4 | cchar); }
+            for (uint32_t cw : r->cigar) { o.ch(','); o.num((int64_t)cw); }
+            if (clip1) { o.ch(','); o.num(clip1 << 4 | cchar); }
+        }
+    }
+    if ((oflag & F_COPY_COMMENT) && e.comment_len) {
+        o.ch('\t');
+        o.mem(e.comment, e.comment_len);
+    }
+}
+
 // the align_skeleton loop body shared by both entries
 static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
                              int64_t min_cnt, int64_t min_chain_score,
@@ -1311,7 +1691,7 @@ int64_t mm2tpu_align_skeleton(
 // optf (double): 0 mask_level, 1 pri_ratio, 2 max_clip_ratio.
 // out_misc (int64): 0 rep_len.
 // Returns region count, -1 contract fallback, -2 capacity.
-int64_t mm2tpu_map_unit(
+static int64_t map_unit_core(
     const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
     const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
     int64_t n_seq,
@@ -1319,8 +1699,8 @@ int64_t mm2tpu_map_unit(
     const uint64_t* values,
     int32_t k, int32_t w, int32_t hpc,
     const int8_t* mat, const int64_t* opt, const double* optf,
-    int64_t* regs_out, int64_t* extras_out, int64_t nr_cap,
-    uint32_t* cig_buf, int64_t cig_cap, int64_t* out_misc)
+    int64_t* out_misc, Ctx& c, std::vector<NatReg>& regs,
+    std::vector<uint64_t>& out_a, std::vector<uint8_t>& qrev)
 {
     out_misc[0] = 0;
     if (qlen <= 0) return 0;
@@ -1351,7 +1731,8 @@ int64_t mm2tpu_map_unit(
         ax[i] = anch[2 * i];
         ay[i] = anch[2 * i + 1];
     }
-    std::vector<uint64_t> out_a(4 * n_anch), out_u(2 * n_anch);
+    out_a.resize(4 * n_anch);
+    std::vector<uint64_t> out_u(2 * n_anch);
     int64_t n_v = 0;
     int64_t n_u = mm2tpu_chain_dp(
         n_anch, ax.data(), ay.data(), opt[17] /*gap_ref = max_dist_x*/,
@@ -1360,7 +1741,6 @@ int64_t mm2tpu_map_unit(
         out_a.data(), out_u.data(), &n_v);
     if (n_u <= 0) return 0;
 
-    Ctx c;
     c.S = S; c.seq_off = seq_off; c.seq_len = seq_len; c.n_seq = n_seq;
     c.k = k; c.hpc = hpc != 0;
     c.mat = mat;
@@ -1371,7 +1751,7 @@ int64_t mm2tpu_map_unit(
     c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
     c.A = out_a.data(); c.n_a = n_v;
     c.qlen = qlen;
-    std::vector<uint8_t> qrev(qlen);
+    qrev.resize(qlen);
     for (int64_t i = 0; i < qlen; ++i) {
         uint8_t b = qseq_fwd[qlen - 1 - i];
         qrev[i] = b < 4 ? (uint8_t)(3 - b) : 4;
@@ -1383,7 +1763,7 @@ int64_t mm2tpu_map_unit(
     double mask_level = optf[0], pri_ratio = optf[1], max_clip = optf[2];
     int64_t sub_diff = 2 * c.oa + c.ob;
 
-    std::vector<NatReg> regs = gen_regs(c, qhash, out_u.data(), n_u);
+    regs = gen_regs(c, qhash, out_u.data(), n_u);
     if (!opt[27]) {  // chain_post unless MM_F_ALL_CHAINS
         set_parent(regs, mask_level, sub_diff);
         select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
@@ -1402,8 +1782,29 @@ int64_t mm2tpu_map_unit(
         set_sam_pri(regs);
     }
     set_mapq_nat(regs, c.min_chain_score, c.oa, rep_len, is_sr);
+    return (int64_t)regs.size();
+}
 
-    int64_t n_out = (int64_t)regs.size();
+int64_t mm2tpu_map_unit(
+    const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    int64_t* regs_out, int64_t* extras_out, int64_t nr_cap,
+    uint32_t* cig_buf, int64_t cig_cap, int64_t* out_misc)
+{
+    Ctx c;
+    std::vector<NatReg> regs;
+    std::vector<uint64_t> out_a;
+    std::vector<uint8_t> qrev;
+    int64_t n_out = map_unit_core(qseq_fwd, qlen, qhash, S, seq_off, seq_len,
+                                  n_seq, keys, n_keys, starts, values, k, w,
+                                  hpc, mat, opt, optf, out_misc, c, regs,
+                                  out_a, qrev);
+    if (n_out <= 0) return n_out;
     if (n_out > nr_cap) return -2;
     int64_t cpos = 0;
     for (int64_t i = 0; i < n_out; ++i) {
@@ -1418,6 +1819,76 @@ int64_t mm2tpu_map_unit(
         cpos += ex[6];
     }
     return n_out;
+}
+
+// Map one read and emit its SAM/PAF lines directly (single-segment fast
+// path): text into out_text (cap text_cap) with per-line offsets in
+// line_off (line k spans [line_off[k], line_off[k+1])); returns the line
+// count, -1 contract fallback, -2 text/line capacity.  out_misc[0] =
+// rep_len.  sam_mode != 0 -> SAM records (incl. the unmapped record on
+// zero regions); else PAF rows.  rnames = concatenated target names with
+// rname_off offsets (n_seq + 1).
+int64_t mm2tpu_map_unit_text(
+    const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    const char* qname, int64_t qname_len,
+    const char* seq_ascii, const char* qual,
+    const char* comment, int64_t comment_len,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
+    int64_t* out_misc)
+{
+    Ctx c;
+    std::vector<NatReg> regs;
+    std::vector<uint64_t> out_a;
+    std::vector<uint8_t> qrev;
+    int64_t n_regs = map_unit_core(qseq_fwd, qlen, qhash, S, seq_off,
+                                   seq_len, n_seq, keys, n_keys, starts,
+                                   values, k, w, hpc, mat, opt, optf,
+                                   out_misc, c, regs, out_a, qrev);
+    if (n_regs < 0) return n_regs;
+    EmitCtx e;
+    e.c = &c;
+    // core early-outs (no minimizers/anchors/chains) skip Ctx setup
+    if (n_regs == 0) {
+        c.qlen = qlen;
+        c.seq_len = seq_len;
+        c.S = S; c.seq_off = seq_off;
+    }
+    e.qname = qname; e.qname_len = qname_len;
+    e.seq = seq_ascii; e.qual = qual;
+    e.comment = comment; e.comment_len = comment_len;
+    e.rg_id = rg_id; e.rg_len = rg_len;
+    e.rnames = rnames; e.rname_off = rname_off;
+    e.qa = qseq_fwd;
+    constexpr int64_t F_NO_PRINT_2ND = 0x4000;
+    TextOut o{out_text, text_cap};
+    int64_t n_lines = 0;
+    auto start_line = [&]() {
+        if (n_lines + 1 >= line_cap) { o.of = true; return; }
+        line_off[n_lines++] = o.pos;
+    };
+    for (int64_t j = 0; j < (int64_t)regs.size(); ++j) {
+        const NatReg& r = regs[j];
+        if ((c.flag & F_NO_PRINT_2ND) && r[R_ID] != r[R_PARENT]) continue;
+        start_line();
+        if (sam_mode) emit_sam(o, e, regs, j, c.flag);
+        else emit_paf(o, e, r, c.flag);
+    }
+    if (regs.empty() && sam_mode) {
+        start_line();
+        emit_sam(o, e, regs, -1, c.flag);
+    }
+    line_off[n_lines] = o.pos;
+    if (o.of) return -2;
+    return n_lines;
 }
 
 }  // extern "C"
