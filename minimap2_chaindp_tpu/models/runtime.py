@@ -82,10 +82,29 @@ class DeviceRuntime:
         from .pipeline import (finish_unit_gen, format_frag, prepare_frag,
                                seed_unit)
 
+        from ..native import map_unit_ok, map_unit_text_native
+        # short single-segment reads take the one-call native path (below
+        # the measured chain crossover they would route to host native
+        # chaining + extension anyway); long reads keep the device kernels.
+        # ~5.3 bp per minimizer (w=10 average spacing) maps the anchor
+        # crossover to a query-length bound.
+        fast_ok = map_unit_ok(opt, mi) and not self.device_seeds
+        fast_qlen_max = self.native_chain_max * 5
         frag_meta = []
         units = []
+        fast_lines: list = []
         with self.timers.time("seed"):
             for frag in frags:
+                if fast_ok and len(frag.segs) == 1 \
+                        and len(frag.segs[0].seq) <= fast_qlen_max:
+                    lines_f = map_unit_text_native(mi, opt, frag.segs[0],
+                                                   rg_id)
+                    if lines_f is not None:
+                        self.timers.count("fast_native")
+                        fast_lines.append(lines_f)
+                        frag_meta.append(None)
+                        continue
+                fast_lines.append(None)
                 work, flipped, us = prepare_frag(opt, frag.segs)
                 start = len(units)
                 for u in us:
@@ -104,7 +123,11 @@ class DeviceRuntime:
 
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):
-            for segs, work, flipped, sl in frag_meta:
+            for fi in range(len(frags)):
+                if fast_lines[fi] is not None:
+                    lines.append(fast_lines[fi])
+                    continue
+                segs, work, flipped, sl = frag_meta[fi]
                 regss = [r for unit_regs in regss_per_unit[sl]
                          for r in unit_regs]
                 lines.append(format_frag(mi, opt, segs, work, flipped,
