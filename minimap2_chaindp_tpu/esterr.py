@@ -62,4 +62,9 @@ def est_err(mi, qlen: int, regs, a: np.ndarray, mini_pos: np.ndarray) -> None:
             n_tot += 1
         if qlen - r.qs > avg_k and l_ref - r.re > avg_k:
             n_tot += 1
-        r.div = float(np.float32(np.log(np.float32(n_tot) / np.float32(n_match))) / avg_k)
+        ratio = float(np.float32(np.float32(n_tot) / np.float32(n_match)))
+        from .native import logf_native
+        lg = logf_native(ratio)
+        if lg is None:
+            lg = float(np.log(np.float32(ratio)))
+        r.div = float(np.float32(np.float32(lg) / avg_k))

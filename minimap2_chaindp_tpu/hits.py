@@ -425,4 +425,11 @@ def set_inv_mapq(regs: list[Region]) -> None:
 
 
 def _logf(x: float) -> float:
+    # glibc logf (as the reference and the native fast path compute it);
+    # numpy's float32 log can differ by 1 ulp, enough to flip an int
+    # truncation at a mapq boundary
+    from .native import logf_native
+    v = logf_native(x)
+    if v is not None:
+        return v
     return float(np.log(np.float32(x)))

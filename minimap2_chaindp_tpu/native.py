@@ -96,6 +96,8 @@ def load_align():
         lib.mm2tpu_update_extra_scan.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _c.c_int32, _c.c_int32,
             _c.c_int64, _c.c_int64, _vp]
+        lib.mm2tpu_logf.restype = _c.c_float
+        lib.mm2tpu_logf.argtypes = [_c.c_float]
         lib.mm2tpu_cigar_str.restype = _c.c_int64
         lib.mm2tpu_cigar_str.argtypes = [_vp, _c.c_int64, _vp]
         lib.mm2tpu_fix_update_extra.restype = None
@@ -207,6 +209,15 @@ def update_extra_scan(qseq, tseq, cigar, mat, q, e, exp_qoff, exp_toff):
                                  _np_ptr_cached(ma), q, e,
                                  exp_qoff, exp_toff, _np_ptr(out, _p64))
     return tuple(int(v) for v in out)
+
+
+def logf_native(x: float):
+    """glibc logf of float32(x), as the native paths compute it; None if
+    the lib is unavailable (callers fall back to numpy's float32 log)."""
+    lib = load_align()
+    if lib is None:
+        return None
+    return lib.mm2tpu_logf(x)
 
 
 def cigar_str_native(cigar) -> str | None:

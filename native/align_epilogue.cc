@@ -9,6 +9,7 @@
 // C++ does the integer scans, which dominate host time at large batch
 // sizes. C ABI via ctypes (no pybind11 in this image).
 #include <cstdint>
+#include <cmath>
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
@@ -499,6 +500,11 @@ void mm2tpu_fix_update_extra(
     out[4] = maxv;
     out[5] = (qoff == qe - qs && toff == re - rs) ? 1 : 0;
 }
+
+// glibc logf, exposed so the Python golden models compute the same
+// float32 logarithm as the native paths (1-ulp differences vs numpy's
+// float32 log otherwise leak into dv:f and mapq rounding).
+float mm2tpu_logf(float x) { return logf(x); }
 
 // ---- CIGAR-to-ASCII ("123M4I..."), ops MIDN (+SH handled by the caller).
 // buf must hold >= 11*n_cigar bytes; returns the byte count written.

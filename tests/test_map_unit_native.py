@@ -1,0 +1,135 @@
+"""Differential tests for the one-call native per-read map path
+(native/align_driver.cc mm2tpu_map_unit_text): byte-identical output vs
+the staged Python pipeline (the golden model) on simulated reads, across
+output modes, case-masking, and quality strings."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from conftest import REF_TEST_DIR
+
+from minimap2_chaindp_tpu import constants as C
+from minimap2_chaindp_tpu import native
+from minimap2_chaindp_tpu.index.build import build_index
+from minimap2_chaindp_tpu.io.fastx import Frag, read_fastx
+from minimap2_chaindp_tpu.models.host_runtime import HostRuntime
+from minimap2_chaindp_tpu.options import set_opt
+
+BASES = "ACGT"
+
+
+def _simulate(ref_seq, n, read_len, err, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        st = int(rng.integers(0, len(ref_seq) - read_len))
+        seq = []
+        for ch in ref_seq[st:st + read_len]:
+            r = rng.random()
+            if r < err * 0.6:
+                seq.append(BASES[int(rng.integers(0, 4))])
+            elif r < err * 0.8:
+                pass
+            elif r < err:
+                seq.append(ch)
+                seq.append(BASES[int(rng.integers(0, 4))])
+            else:
+                seq.append(ch)
+        s = "".join(seq)
+        if rng.random() < 0.5:
+            s = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        if i % 5 == 1:
+            s = s.lower()
+        out.append((f"r{i}", s))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mt_index():
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    io_, _ = set_opt("map-ont")
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io_.w, io_.k, io_.flag, io_.bucket_bits)
+    return refs, mi
+
+
+@pytest.mark.parametrize("out_flags", [
+    C.MM_F_CIGAR | C.MM_F_OUT_SAM,
+    C.MM_F_CIGAR,                                    # PAF + cg implied off
+    C.MM_F_CIGAR | C.MM_F_OUT_CG,
+    C.MM_F_CIGAR | C.MM_F_OUT_SAM | C.MM_F_OUT_CS,
+    C.MM_F_CIGAR | C.MM_F_OUT_MD,
+    0,                                               # PAF, no alignment
+])
+def test_fast_path_matches_python(mt_index, out_flags, monkeypatch):
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    refs, mi = mt_index
+    _, mo = set_opt("map-ont")
+    mo.flag |= out_flags
+    mo.update(mi)
+    reads = _simulate(refs[0].seq, 25, 800, 0.12, seed=3)
+    frags = [Frag([type(refs[0])(n, s)]) for n, s in reads]
+
+    rt = HostRuntime(mi, mo)
+    fast = rt.map_batch(frags)
+    assert rt.timers.counters.get("fast_native", 0) > 0
+
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    rt2 = HostRuntime(mi, mo)
+    slow = rt2.map_batch(frags)
+    assert fast == slow
+
+
+def test_fast_path_fastq_qual(mt_index, monkeypatch):
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    refs, mi = mt_index
+    _, mo = set_opt("map-ont")
+    mo.flag |= C.MM_F_CIGAR | C.MM_F_OUT_SAM | C.MM_F_COPY_COMMENT
+    mo.update(mi)
+    reads = _simulate(refs[0].seq, 12, 600, 0.1, seed=9)
+    frags = []
+    for n, s in reads:
+        qual = "".join(chr(33 + (j * 3) % 40) for j in range(len(s)))
+        frags.append(Frag([type(refs[0])(n, s, qual, "xx:Z:comment")]))
+
+    rt = HostRuntime(mi, mo)
+    fast = rt.map_batch(frags)
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    slow = HostRuntime(mi, mo).map_batch(frags)
+    assert fast == slow
+
+
+def test_fast_path_region_mode(mt_index):
+    """map_unit (region mode, the mappy path) agrees with map_frag."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    import os as _os
+    refs, mi = mt_index
+    _, mo = set_opt("map-ont")
+    mo.flag |= C.MM_F_CIGAR
+    mo.update(mi)
+    reads = _simulate(refs[0].seq, 10, 700, 0.1, seed=5)
+    from minimap2_chaindp_tpu.models.pipeline import map_frag
+    from minimap2_chaindp_tpu.io.fastx import SeqRecord
+    for n, s in reads:
+        fast = map_frag(mi, mo, [SeqRecord(n, s)])
+        _os.environ["MM2TPU_NATIVE_SKELETON"] = "0"
+        try:
+            slow = map_frag(mi, mo, [SeqRecord(n, s)])
+        finally:
+            del _os.environ["MM2TPU_NATIVE_SKELETON"]
+        assert len(fast) == len(slow)
+        for fr, sr_ in zip(fast, slow):
+            for a, b in zip(fr, sr_):
+                assert (a.qs, a.qe, a.rs, a.re, a.mapq, a.score,
+                        a.blen, a.mlen, a.div) == \
+                       (b.qs, b.qe, b.rs, b.re, b.mapq, b.score,
+                        b.blen, b.mlen, b.div)
+                pa = a.p.cigar if a.p else None
+                pb = b.p.cigar if b.p else None
+                assert pa == pb
