@@ -53,18 +53,23 @@ class HostRuntime:
         from .pipeline import (finish_unit_gen, format_frag, host_chain,
                                prepare_frag, seed_unit)
 
-        from ..native import map_unit_ok, map_unit_text_native
+        from ..native import (map_frag_pe_native, map_unit_ok,
+                              map_unit_text_native)
         fast_ok = map_unit_ok(opt, mi)
         frag_meta = []
         units = []           # (unit, info) for the staged path
         fast_lines: list = []  # per-FRAG finished text, or None
         with self.timers.time("seed"):
             for frag in frags:
-                if fast_ok and len(frag.segs) == 1:
-                    # whole-read native fast path: one C call in, finished
-                    # SAM/PAF lines out
-                    lines_f = map_unit_text_native(mi, opt, frag.segs[0],
-                                                   rg_id)
+                if fast_ok and len(frag.segs) <= 2:
+                    # whole-fragment native fast path: one C call in,
+                    # finished SAM/PAF lines out
+                    if len(frag.segs) == 1:
+                        lines_f = map_unit_text_native(mi, opt,
+                                                       frag.segs[0], rg_id)
+                    else:
+                        lines_f = map_frag_pe_native(mi, opt, frag.segs,
+                                                     rg_id)
                     if lines_f is not None:
                         self.timers.count("fast_native")
                         fast_lines.append(lines_f)

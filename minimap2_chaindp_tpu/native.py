@@ -368,6 +368,21 @@ def load_ksw():
             _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp,
             _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp]
+        lib.mm2tpu_map_frag_pe.restype = _c.c_int64
+        lib.mm2tpu_map_frag_pe.argtypes = [
+            _vp, _c.c_int64, _vp, _c.c_int64,
+            _c.c_int32, _c.c_int32, _c.c_uint64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_int64, _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_char_p, _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_char_p, _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_int64,
+            _vp, _vp, _c.c_int32,
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         lib.mm2tpu_map_unit_text.restype = _c.c_int64
         lib.mm2tpu_map_unit_text.argtypes = [
             _vp, _c.c_int64, _c.c_uint64,
@@ -539,7 +554,8 @@ class _MapUnitCtx:
              1 if opt.flag & CC.MM_F_CIGAR else 0,
              1 if opt.flag & (CC.MM_F_SPLICE | CC.MM_F_SR
                               | CC.MM_F_NO_LJOIN) else 0,
-             1 if opt.flag & CC.MM_F_ALL_CHAINS else 0],
+             1 if opt.flag & CC.MM_F_ALL_CHAINS else 0,
+             opt.pe_ori, opt.pe_bonus],
             dtype=np.int64)
         self.optf = np.array([opt.mask_level, opt.pri_ratio,
                               opt.max_clip_ratio], dtype=np.float64)
@@ -654,6 +670,93 @@ class _MapUnitCtx:
         return [tb[offs[i]:offs[i + 1]].tobytes().decode("ascii",
                                                          "surrogateescape")
                 for i in range(n_lines)]
+
+
+def _pe_flips(opt, n_segs):
+    pe_ori = opt.pe_ori
+    return [n_segs == 2 and ((j == 0 and (pe_ori >> 1 & 1))
+                             or (j == 1 and (pe_ori & 1)))
+            for j in range(n_segs)]
+
+
+class _MapPECtx:
+    """Marshalling extension of _MapUnitCtx for 2-segment fragments."""
+
+    def map_pe(self, base, lib, segs, rg_id: str):
+        from . import constants as CC
+        from .io.fastx import strip_pair_suffix
+        opt = base.opt
+        qlens = [len(s.seq) for s in segs]
+        qlen_sum = qlens[0] + qlens[1]
+        if qlen_sum == 0 or min(qlens) == 0:
+            return None
+        flips = _pe_flips(opt, 2)
+        qa = []
+        for j, s in enumerate(segs):
+            a = CC.seq_to_nt4(s.seq)
+            if flips[j]:
+                a = np.where(a < 4, (3 - a).astype(np.uint8),
+                             np.uint8(4))[::-1].copy()
+            qa.append(a)
+        base.optv[16], base.optv[17] = _map_gap_bounds(opt, qlen_sum)
+        hash_ = CC.qname_hash(segs[0].name, qlen_sum, opt.seed)
+        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+        if sam_mode:
+            names = [strip_pair_suffix(s.name).encode() for s in segs]
+        else:
+            names = [s.name.encode() for s in segs]
+        seqs = [s.seq.encode() for s in segs]
+        quals = [s.qual.encode() if s.qual else None for s in segs]
+        copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
+        coms = [(s.comment.encode() if copy_com and s.comment else None)
+                for s in segs]
+        rg_b = rg_id.encode() if rg_id else None
+        blob, roffs = _mi_rname_blob(base.mi)
+        want_text = 4 * qlen_sum + 65536
+        if want_text > base.text_cap:
+            base.text_cap = want_text
+            base._alloc_text()
+        p = base.ptrs
+        while True:
+            n_lines = lib.mm2tpu_map_frag_pe(
+                _np_ptr(qa[0]), qlens[0], _np_ptr(qa[1]), qlens[1],
+                1 if flips[0] else 0, 1 if flips[1] else 0, hash_,
+                p[0], p[1], p[2], base.n_seq, p[3], base.n_keys, p[4], p[5],
+                base.k, base.w, base.hpc, p[8], p[6], p[7],
+                names[0], len(names[0]),
+                names[0], len(names[0]), names[1], len(names[1]),
+                seqs[0], quals[0], coms[0], len(coms[0]) if coms[0] else 0,
+                seqs[1], quals[1], coms[1], len(coms[1]) if coms[1] else 0,
+                rg_b, len(rg_b) if rg_b else 0,
+                _np_ptr(blob), _np_ptr(roffs), sam_mode,
+                _np_ptr(base.text_buf), base.text_cap,
+                _np_ptr(base.line_off), len(base.line_off),
+                base.out_ptrs[3])
+            if n_lines != -2:
+                break
+            base.text_cap *= 4
+            base._alloc_text()
+        if n_lines < 0:
+            return None
+        offs = base.line_off[:n_lines + 1].tolist()
+        tb = base.text_buf
+        return [tb[offs[i]:offs[i + 1]].tobytes().decode(
+                    "ascii", "surrogateescape") for i in range(n_lines)]
+
+
+_pe_helper = _MapPECtx()
+
+
+def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
+    """Map one 2-segment (paired-end) fragment fully natively and return
+    its finished output lines, or None to fall back."""
+    from . import constants as CC
+    lib = load_ksw()
+    if lib is None or len(segs) != 2:
+        return None
+    if opt.flag & CC.MM_F_INDEPEND_SEG:
+        return None
+    return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 
 
 _map_ctx_local = None

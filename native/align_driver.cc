@@ -1572,6 +1572,413 @@ static void emit_sam(TextOut& o, const EmitCtx& e,
     }
 }
 
+// one SAM record of a 2-segment fragment (io/output.py:write_sam,
+// n_seg==2: mate fields, TLEN, pair flags).  e = this segment's EmitCtx
+// (qname already pair-suffix-stripped); regs = this segment's regions;
+// r_next = the other segment's first sam_pri region (or null).
+static void emit_sam_pe(TextOut& o, const EmitCtx& e,
+                        const std::vector<NatReg>& regs, int64_t reg_idx,
+                        const NatReg* r_next, int seg_idx, int64_t oflag) {
+    const Ctx& c = *e.c;
+    constexpr int64_t F_SOFTCLIP = 0x80000, F_LONG_CIGAR = 0x10000,
+        F_OUT_CS = 0x040, F_OUT_MD = 0x1000000, F_OUT_CS_LONG = 0x800,
+        F_COPY_COMMENT = 0x2000000;
+    const NatReg* r = (reg_idx >= 0 && reg_idx < (int64_t)regs.size())
+        ? &regs[reg_idx] : nullptr;
+    const NatReg* r_prev = r_next;  // n_seg == 2
+    int64_t qlen = c.qlen;
+    o.mem(e.qname, e.qname_len);
+    int64_t flag = 0x1;
+    if (!r) flag |= 0x4;
+    else {
+        if ((*r)[R_REV]) flag |= 0x10;
+        if ((*r)[R_PARENT] != (*r)[R_ID]) flag |= 0x100;
+        else if (!(*r)[R_SAMPRI]) flag |= 0x800;
+    }
+    if (r && (*r)[R_PROPER]) flag |= 0x2;
+    if (seg_idx == 0) flag |= 0x40;
+    else flag |= 0x80;
+    if (!r_next) flag |= 0x8;
+    else if ((*r_next)[R_REV]) flag |= 0x20;
+    o.ch('\t'); o.num(flag);
+    bool cigar_in_tag = false;
+    int64_t this_rid = -1, this_pos = -1, this_rev = 0;
+    if (!r) {
+        if (r_prev) {
+            this_rid = (*r_prev)[R_RID];
+            this_pos = (*r_prev)[R_RS];
+            o.ch('\t');
+            emit_rname(o, e, this_rid);
+            o.ch('\t'); o.num(this_pos + 1);
+            o.cstr("\t0\t*");
+        } else {
+            o.cstr("\t*\t0\t0\t*");
+        }
+    } else {
+        this_rid = (*r)[R_RID]; this_pos = (*r)[R_RS];
+        this_rev = (*r)[R_REV];
+        o.ch('\t');
+        emit_rname(o, e, this_rid);
+        o.ch('\t'); o.num(this_pos + 1);
+        o.ch('\t'); o.num((*r)[R_MAPQ]);
+        o.ch('\t');
+        constexpr int64_t MAX_BAM_OPS = 65535;
+        if ((oflag & F_LONG_CIGAR) && (*r)[R_HASP]
+            && (int64_t)r->cigar.size() > MAX_BAM_OPS - 2) {
+            int64_t nc = (int64_t)r->cigar.size();
+            if ((*r)[R_QS] != 0) ++nc;
+            if ((*r)[R_QE] != qlen) ++nc;
+            if (nc > MAX_BAM_OPS) cigar_in_tag = true;
+        }
+        if (cigar_in_tag) {
+            if (flag & 0x100) o.cstr("0S");
+            else if (flag & 0x800) { o.num((*r)[R_RE] - (*r)[R_RS]); o.ch('S'); }
+            else { o.num(qlen); o.ch('S'); }
+        } else if (!(*r)[R_HASP]) {
+            o.ch('*');
+        } else {
+            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
+            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
+            char cc = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 'H' : 'S';
+            if (clip0) { o.num(clip0); o.ch(cc); }
+            emit_cigar_ops(o, r->cigar);
+            if (clip1) { o.num(clip1); o.ch(cc); }
+        }
+    }
+    // mate fields + TLEN
+    int64_t tlen = 0;
+    if (this_rid >= 0 && r_next) {
+        if (this_rid == (*r_next)[R_RID]) {
+            int64_t this_pos5 = (r && (*r)[R_REV]) ? (*r)[R_RE] - 1
+                                                   : this_pos;
+            int64_t next_pos5 = (*r_next)[R_REV] ? (*r_next)[R_RE] - 1
+                                                 : (*r_next)[R_RS];
+            tlen = next_pos5 - this_pos5;
+            o.cstr("\t=\t");
+        } else {
+            o.ch('\t');
+            emit_rname(o, e, (*r_next)[R_RID]);
+            o.ch('\t');
+        }
+        o.num((*r_next)[R_RS] + 1); o.ch('\t');
+    } else if (r_next) {
+        o.ch('\t');
+        emit_rname(o, e, (*r_next)[R_RID]);
+        o.ch('\t'); o.num((*r_next)[R_RS] + 1); o.ch('\t');
+    } else if (this_rid >= 0) {
+        int64_t this_pos5 = this_rev ? (*r)[R_RE] - 1 : this_pos;
+        tlen = this_pos - this_pos5;
+        o.cstr("\t=\t"); o.num(this_pos + 1); o.ch('\t');
+    } else {
+        o.cstr("\t*\t0\t");
+    }
+    if (tlen > 0) ++tlen; else if (tlen < 0) --tlen;
+    o.num(tlen); o.ch('\t');
+    if (!r) {
+        o.mem(e.seq, qlen);
+        o.ch('\t');
+        if (e.qual) o.mem(e.qual, qlen); else o.ch('*');
+    } else {
+        bool rev = (*r)[R_REV];
+        if ((flag & 0x900) == 0 || (oflag & F_SOFTCLIP)) {
+            emit_seq_oriented(o, e, e.seq, qlen, rev, true);
+            o.ch('\t');
+            if (e.qual) emit_seq_oriented(o, e, e.qual, qlen, rev, false);
+            else o.ch('*');
+        } else if (flag & 0x100) {
+            o.cstr("*\t*");
+        } else {
+            int64_t qs = (*r)[R_QS], n = (*r)[R_QE] - qs;
+            emit_seq_oriented(o, e, e.seq + qs, n, rev, true);
+            o.ch('\t');
+            if (e.qual) emit_seq_oriented(o, e, e.qual + qs, n, rev, false);
+            else o.ch('*');
+        }
+    }
+    if (e.rg_len) { o.cstr("\tRG:Z:"); o.mem(e.rg_id, e.rg_len); }
+    if (r) {
+        emit_tags(o, e, *r);
+        if ((*r)[R_PARENT] == (*r)[R_ID] && (*r)[R_HASP]
+            && regs.size() > 1) {
+            int64_t sa_start = o.pos;
+            bool any = false;
+            o.cstr("\tSA:Z:");
+            for (size_t qi = 0; qi < regs.size(); ++qi) {
+                const NatReg& q = regs[qi];
+                if (&q == r || q[R_PARENT] != q[R_ID] || !q[R_HASP])
+                    continue;
+                any = true;
+                int64_t l_m, l_i, l_d;
+                if (q[R_QE] - q[R_QS] < q[R_RE] - q[R_RS]) {
+                    l_m = q[R_QE] - q[R_QS];
+                    l_i = 0; l_d = (q[R_RE] - q[R_RS]) - l_m;
+                } else {
+                    l_m = q[R_RE] - q[R_RS];
+                    l_i = (q[R_QE] - q[R_QS]) - l_m; l_d = 0;
+                }
+                int64_t clip5 = q[R_REV] ? qlen - q[R_QE] : q[R_QS];
+                int64_t clip3 = q[R_REV] ? q[R_QS] : qlen - q[R_QE];
+                emit_rname(o, e, q[R_RID]);
+                o.ch(','); o.num(q[R_RS] + 1); o.ch(',');
+                o.ch("+-"[q[R_REV]]); o.ch(',');
+                if (clip5) { o.num(clip5); o.ch('S'); }
+                if (l_m) { o.num(l_m); o.ch('M'); }
+                if (l_i) { o.num(l_i); o.ch('I'); }
+                if (l_d) { o.num(l_d); o.ch('D'); }
+                if (clip3) { o.num(clip3); o.ch('S'); }
+                o.ch(','); o.num(q[R_MAPQ]); o.ch(',');
+                o.num(q[R_BLEN] - q[R_MLEN] + q.n_ambi);
+                o.ch(';');
+            }
+            if (!any) o.pos = sa_start;
+        }
+        if ((*r)[R_HASP] && (oflag & (F_OUT_CS | F_OUT_MD))) {
+            if (oflag & F_OUT_MD) emit_md(o, e, *r);
+            else emit_cs(o, e, *r, oflag & F_OUT_CS_LONG);
+        }
+        if (cigar_in_tag) {
+            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
+            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
+            int64_t cchar = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 5 : 4;
+            o.cstr("\tCG:B:I");
+            if (clip0) { o.ch(','); o.num(clip0 << 4 | cchar); }
+            for (uint32_t cw : r->cigar) { o.ch(','); o.num((int64_t)cw); }
+            if (clip1) { o.ch(','); o.num(clip1 << 4 | cchar); }
+        }
+    }
+    if ((oflag & F_COPY_COMMENT) && e.comment_len) {
+        o.ch('\t');
+        o.mem(e.comment, e.comment_len);
+    }
+}
+
+// ======================= paired-end (2-segment) =====================
+// Ports of pe.py (reference pe.c) + mm_seg_gen (hit.c:347-401).
+
+// ---- mm_select_sub_multi (pe.c:6-43)
+static void select_sub_multi(std::vector<NatReg>& regs, double pri_ratio,
+                             double pri1, double pri2, int64_t max_gap_ref,
+                             int64_t min_diff, int64_t best_n,
+                             int64_t n_segs, const int64_t* qlens) {
+    if (pri_ratio <= 0.0 || regs.empty()) return;
+    int64_t max_dist = n_segs == 2
+        ? qlens[0] + qlens[1] + max_gap_ref : 0;
+    std::vector<NatReg> out;
+    int64_t n_2nd = 0;
+    for (size_t i = 0; i < regs.size(); ++i) {
+        NatReg& q = regs[i];
+        int to_keep = 0;
+        if (q[R_PARENT] == (int64_t)i) to_keep = 1;
+        else if (q[R_SCORE] + min_diff >= regs[q[R_PARENT]][R_SCORE])
+            to_keep = 1;
+        else {
+            const NatReg& p = regs[q[R_PARENT]];
+            if (p[R_REV] == q[R_REV] && p[R_RID] == q[R_RID]
+                && q[R_RE] - p[R_RS] < max_dist
+                && p[R_RE] - q[R_RS] < max_dist) {
+                if (q[R_SCORE] >= p[R_SCORE] * pri1) to_keep = 1;
+            } else {
+                int is_par_both = n_segs == 2 && p[R_QS] < qlens[0]
+                                  && p[R_QE] > qlens[0];
+                int is_chi_both = n_segs == 2 && q[R_QS] < qlens[0]
+                                  && q[R_QE] > qlens[0];
+                if (is_chi_both || is_chi_both == is_par_both) {
+                    if (q[R_SCORE] >= p[R_SCORE] * pri_ratio) to_keep = 1;
+                } else {
+                    if (q[R_SCORE] >= p[R_SCORE] * pri2) to_keep = 1;
+                }
+            }
+        }
+        if (to_keep && q[R_PARENT] != (int64_t)i) {
+            ++n_2nd;
+            if (n_2nd > best_n) to_keep = 0;
+        }
+        if (to_keep) out.push_back(std::move(q));
+    }
+    bool changed = out.size() != regs.size();
+    regs = std::move(out);
+    if (changed) sync_regs(regs);
+}
+
+// ---- mm_seg_gen (hit.c:347-401): split joint chains into per-segment
+// chains with segment-local query coordinates.
+static void seg_gen(const Ctx& c, uint64_t hash_, int64_t n_segs,
+                    const int64_t* qlens, const std::vector<NatReg>& regs0,
+                    std::vector<std::vector<NatReg>>& seg_regs,
+                    std::vector<std::vector<uint64_t>>& seg_a) {
+    std::vector<int64_t> acc(n_segs, 0);
+    for (int64_t s = 1; s < n_segs; ++s) acc[s] = acc[s - 1] + qlens[s - 1];
+    int64_t qlen_sum = acc[n_segs - 1] + qlens[n_segs - 1];
+    std::vector<std::vector<uint64_t>> seg_u(
+        n_segs, std::vector<uint64_t>(regs0.size()));
+    for (int64_t s = 0; s < n_segs; ++s)
+        for (size_t i = 0; i < regs0.size(); ++i)
+            seg_u[s][i] = (uint64_t)regs0[i][R_SCORE] << 32;
+    seg_a.assign(n_segs, {});
+    for (size_t i = 0; i < regs0.size(); ++i) {
+        const NatReg& r = regs0[i];
+        for (int64_t j = 0; j < r[R_CNT]; ++j) {
+            uint64_t ay = AY(c, r[R_AS] + j);
+            int64_t sid = (int64_t)((ay & (0xFFull << 48)) >> 48);
+            seg_u[sid][i] += 1;
+        }
+    }
+    for (size_t i = 0; i < regs0.size(); ++i) {
+        const NatReg& r = regs0[i];
+        for (int64_t j = 0; j < r[R_CNT]; ++j) {
+            uint64_t ax = AX(c, r[R_AS] + j);
+            uint64_t ay = AY(c, r[R_AS] + j);
+            int64_t sid = (int64_t)((ay & (0xFFull << 48)) >> 48);
+            if (ax >> 63)
+                ay -= (uint64_t)(qlen_sum - (qlens[sid] + acc[sid]));
+            else
+                ay -= (uint64_t)acc[sid];
+            seg_a[sid].push_back(ax);
+            seg_a[sid].push_back(ay);
+        }
+    }
+    seg_regs.assign(n_segs, {});
+    for (int64_t s = 0; s < n_segs; ++s) {
+        std::vector<uint64_t> u;
+        for (size_t i = 0; i < regs0.size(); ++i)
+            if (seg_u[s][i] & 0xFFFFFFFFull) u.push_back(seg_u[s][i]);
+        Ctx cs;
+        cs.A = seg_a[s].data();
+        cs.n_a = (int64_t)seg_a[s].size() / 2;
+        cs.qlen = qlens[s];
+        cs.seq_len = c.seq_len;  // reg_set_coor only reads A/qlen
+        seg_regs[s] = gen_regs(cs, hash_, u.data(), (int64_t)u.size());
+        for (auto& r : seg_regs[s]) {
+            r[R_SEGSPLIT] = 1;
+            r[R_SEGID] = s;
+        }
+    }
+}
+
+// ---- mm_set_pe_thru (pe.c:45-63, incl. its re-re typo)
+static void set_pe_thru(const int64_t* qlens,
+                        std::vector<NatReg>* regss[2]) {
+    int64_t n_pri[2] = {0, 0}, pri[2] = {-1, -1};
+    for (int s = 0; s < 2; ++s)
+        for (size_t i = 0; i < regss[s]->size(); ++i)
+            if ((*regss[s])[i][R_ID] == (*regss[s])[i][R_PARENT]) {
+                ++n_pri[s];
+                pri[s] = (int64_t)i;
+            }
+    if (n_pri[0] == 1 && n_pri[1] == 1) {
+        NatReg& p = (*regss[0])[pri[0]];
+        NatReg& q = (*regss[1])[pri[1]];
+        if (p[R_RID] == q[R_RID] && p[R_REV] == q[R_REV]
+            && llabs(p[R_RS] - q[R_RS]) < 3
+            && llabs(p[R_RE] - p[R_RE]) < 3
+            && ((p[R_QS] == 0 && qlens[1] - q[R_QE] == 0)
+                || (q[R_QS] == 0 && qlens[0] - p[R_QE] == 0))) {
+            p[R_PETHRU] = q[R_PETHRU] = 1;
+        }
+    }
+}
+
+// ---- mm_pair (pe.c:76-177)
+static void pair_pe(int64_t max_gap_ref, int64_t pe_bonus, int64_t sub_diff,
+                    int64_t match_sc, const int64_t* qlens,
+                    std::vector<NatReg>* regss[2]) {
+    struct Ent { uint64_t key; int s; int64_t rev; NatReg* r; };
+    std::vector<Ent> entries;
+    int64_t dp_thres = 0;
+    int segs = 0;
+    for (int s = 0; s < 2; ++s) {
+        int64_t maxv = 0;
+        for (auto& r : *regss[s]) {
+            uint64_t key = ((uint64_t)r[R_RID] << 32)
+                           | ((uint64_t)r[R_RS] << 1)
+                           | (uint64_t)(s ^ (int)r[R_REV]);
+            entries.push_back({key, s, r[R_REV], &r});
+            int64_t dm = r[R_HASP] ? r.dp_max : 0;
+            if (dm > maxv) maxv = dm;
+            segs |= 1 << s;
+        }
+        dp_thres += maxv;
+    }
+    if (segs != 3) return;  // pe.c:126 returns before set_pe_thru
+    dp_thres = dp_thres - pe_bonus > 0 ? dp_thres - pe_bonus : 0;
+    std::stable_sort(entries.begin(), entries.end(),
+                     [](const Ent& a, const Ent& b) { return a.key < b.key; });
+    int64_t maxsc = -1;
+    int64_t max_idx[2] = {-1, -1};
+    int64_t last[2] = {-1, -1};
+    std::vector<int64_t> sc;
+    for (size_t i = 0; i < entries.size(); ++i) {
+        Ent& ei = entries[i];
+        if (ei.key & 1) {
+            if (last[ei.rev] < 0) continue;
+            NatReg* r = ei.r;
+            NatReg* q = entries[last[ei.rev]].r;
+            if ((*r)[R_RID] != (*q)[R_RID]
+                || (*r)[R_RS] - (*q)[R_RE] > max_gap_ref)
+                continue;
+            for (int64_t j = last[ei.rev]; j >= 0; --j) {
+                Ent& ej = entries[j];
+                if (ej.rev != ei.rev || ej.s == ei.s) continue;
+                q = ej.r;
+                if ((*r)[R_RID] != (*q)[R_RID]
+                    || (*r)[R_RS] - (*q)[R_RE] > max_gap_ref)
+                    break;
+                if (r->dp_max + q->dp_max < dp_thres) continue;
+                int64_t score = ((r->dp_max + q->dp_max) << 32)
+                    | (((*r)[R_HASH] + (*q)[R_HASH]) & 0xFFFFFFFFll);
+                if (score > maxsc) {
+                    maxsc = score;
+                    max_idx[ej.s] = j;
+                    max_idx[ei.s] = (int64_t)i;
+                }
+                sc.push_back(score);
+            }
+        } else {
+            last[ei.rev] = (int64_t)i;
+        }
+    }
+    std::sort(sc.begin(), sc.end());
+    if (!sc.empty() && maxsc > 0) {
+        NatReg* r[2] = {entries[max_idx[0]].r, entries[max_idx[1]].r};
+        (*r[0])[R_PROPER] = (*r[1])[R_PROPER] = 1;
+        for (int s = 0; s < 2; ++s) {
+            if ((*r[s])[R_ID] != (*r[s])[R_PARENT]) {  // lift to primary
+                NatReg& p = (*regss[s])[(*r[s])[R_PARENT]];
+                for (auto& x : *regss[s])
+                    if (x[R_PARENT] == p[R_ID]) x[R_PARENT] = (*r[s])[R_ID];
+                p[R_MAPQ] = 0;
+            }
+            if (!(*r[s])[R_SAMPRI]) {
+                for (auto& x : *regss[s]) x[R_SAMPRI] = 0;
+                (*r[s])[R_SAMPRI] = 1;
+            }
+        }
+        int64_t mapq_pe = (*r[0])[R_MAPQ] > (*r[1])[R_MAPQ]
+            ? (*r[0])[R_MAPQ] : (*r[1])[R_MAPQ];
+        int64_t n_sub = 0;
+        for (int64_t x : sc)
+            if ((x >> 32) + sub_diff >= (maxsc >> 32)) ++n_sub;
+        if (sc.size() > 1) {
+            int64_t mapq_pe_alt = (int64_t)(
+                6.02 * ((maxsc >> 32) - (sc[sc.size() - 2] >> 32)) / match_sc
+                - 4.343 * (double)logf((float)n_sub));
+            if (mapq_pe_alt < mapq_pe) mapq_pe = mapq_pe_alt;
+        }
+        for (int s = 0; s < 2; ++s)
+            if ((*r[s])[R_MAPQ] < mapq_pe)
+                (*r[s])[R_MAPQ] = (int64_t)(.2 * (*r[s])[R_MAPQ]
+                                            + .8 * mapq_pe + .499);
+        if (sc.size() == 1) {
+            for (int s = 0; s < 2; ++s)
+                if ((*r[s])[R_MAPQ] < 2) (*r[s])[R_MAPQ] = 2;
+        } else if ((maxsc >> 32) > (sc[sc.size() - 2] >> 32)) {
+            for (int s = 0; s < 2; ++s)
+                if ((*r[s])[R_MAPQ] < 1) (*r[s])[R_MAPQ] = 1;
+        }
+    }
+    set_pe_thru(qlens, regss);
+}
+
 // the align_skeleton loop body shared by both entries
 static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
                              int64_t min_cnt, int64_t min_chain_score,
@@ -1885,6 +2292,264 @@ int64_t mm2tpu_map_unit_text(
     if (regs.empty() && sam_mode) {
         start_line();
         emit_sam(o, e, regs, -1, c.flag);
+    }
+    line_off[n_lines] = o.pos;
+    if (o.of) return -2;
+    return n_lines;
+}
+
+
+// Map one 2-segment (paired-end) fragment and emit its SAM/PAF lines.
+// qa0/qa1 are the MAPPING-orientation nt4 queries (already PE-flipped per
+// pe_ori); flip0/flip1 say which segments were flipped so coordinates are
+// restored to read orientation before emission.  seq/qual/comment are the
+// ORIGINAL-orientation ASCII per segment; qname is pair-suffix-stripped
+// (SAM) and names0/1 are the full per-segment names (PAF rows).
+// opt adds: 28 pe_ori, 29 pe_bonus.  Returns the line count, -1 contract
+// fallback, -2 capacity.
+int64_t mm2tpu_map_frag_pe(
+    const uint8_t* qa0, int64_t qlen0, const uint8_t* qa1, int64_t qlen1,
+    int32_t flip0, int32_t flip1, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    const char* qname, int64_t qname_len,
+    const char* name0, int64_t name0_len,
+    const char* name1, int64_t name1_len,
+    const char* seq0, const char* qual0,
+    const char* com0, int64_t com0_len,
+    const char* seq1, const char* qual1,
+    const char* com1, int64_t com1_len,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
+    int64_t* out_misc)
+{
+    out_misc[0] = 0;
+    int64_t qlens[2] = {qlen0, qlen1};
+    int64_t qlen_sum = qlen0 + qlen1;
+    bool do_align = opt[25];
+    bool is_sr = opt[0] & F_SR;
+
+    // joint sketch (collect_minimizers, map.c:87-99): both segments with
+    // seg ids and running query-position offsets
+    std::vector<uint8_t> nt4(qlen_sum);
+    memcpy(nt4.data(), qa0, qlen0);
+    memcpy(nt4.data() + qlen0, qa1, qlen1);
+    int64_t offs3[3] = {0, qlen0, qlen_sum};
+    uint32_t rids2[2] = {0, 1};
+    int64_t counts[2] = {0, 0};
+    int64_t n_mv = 0;
+    std::vector<uint64_t> mv;
+    if (qlen_sum > 0) {
+        void* sh = mm2tpu_sketch_batch(nt4.data(), offs3, 2, w, k,
+                                       rids2, hpc, counts);
+        n_mv = counts[0] + counts[1];
+        mv.resize(2 * (n_mv > 0 ? n_mv : 1));
+        mm2tpu_sketch_take(sh, mv.data());
+        for (int64_t i = counts[0]; i < n_mv; ++i)
+            mv[2 * i + 1] += (uint64_t)(qlen0 << 1);
+    }
+    std::vector<NatReg> empty0, empty1;
+    std::vector<NatReg>* regss[2] = {&empty0, &empty1};
+    std::vector<std::vector<NatReg>> seg_regs;
+    std::vector<std::vector<uint64_t>> seg_a;
+    std::vector<uint64_t> out_a;
+    std::vector<uint64_t> mini;
+    int64_t n_mini = 0, rep_len = 0;
+    Ctx c0;
+    std::vector<uint8_t> qrev0(qlen0), qrev1(qlen1);
+    for (int64_t i = 0; i < qlen0; ++i) {
+        uint8_t b = qa0[qlen0 - 1 - i];
+        qrev0[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+    }
+    for (int64_t i = 0; i < qlen1; ++i) {
+        uint8_t b = qa1[qlen1 - 1 - i];
+        qrev1[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+    }
+
+    if (n_mv > 0) {
+        int64_t sizes[3] = {0, 0, 0};
+        void* ch = mm2tpu_collect_seeds(mv.data(), n_mv, keys, n_keys,
+                                        starts, values, opt[19], qlen_sum,
+                                        (int32_t)opt[24], sizes);
+        int64_t n_anch = sizes[0];
+        n_mini = sizes[1];
+        std::vector<uint64_t> anch(2 * (n_anch > 0 ? n_anch : 1));
+        mini.resize(n_mini > 0 ? n_mini : 1);
+        mm2tpu_collect_take(ch, anch.data(), mini.data());
+        rep_len = sizes[2];
+        out_misc[0] = rep_len;
+        if (n_anch > 0) {
+            std::vector<uint64_t> ax(n_anch), ay(n_anch);
+            for (int64_t i = 0; i < n_anch; ++i) {
+                ax[i] = anch[2 * i];
+                ay[i] = anch[2 * i + 1];
+            }
+            out_a.resize(4 * n_anch);
+            std::vector<uint64_t> out_u(2 * n_anch);
+            int64_t n_v = 0;
+            int64_t n_u = mm2tpu_chain_dp(
+                n_anch, ax.data(), ay.data(), opt[17], opt[16], opt[14],
+                opt[18], (int32_t)opt[10], (int32_t)opt[11], 0, 2,
+                out_a.data(), out_u.data(), &n_v);
+            if (n_u > 0) {
+                c0.S = S; c0.seq_off = seq_off; c0.seq_len = seq_len;
+                c0.n_seq = n_seq;
+                c0.k = k; c0.hpc = hpc != 0;
+                c0.mat = mat;
+                c0.flag = opt[0]; c0.oa = opt[1]; c0.ob = opt[2];
+                c0.q = opt[3]; c0.e = opt[4]; c0.q2 = opt[5];
+                c0.e2 = opt[6]; c0.zdrop = opt[7]; c0.zdrop_inv = opt[8];
+                c0.end_bonus = opt[9]; c0.min_cnt = opt[10];
+                c0.min_chain_score = opt[11]; c0.min_dp_max = opt[12];
+                c0.max_gap = opt[13]; c0.bw = opt[14];
+                c0.min_ksw_len = opt[15];
+                c0.A = out_a.data(); c0.n_a = n_v;
+                c0.qlen = qlen_sum;
+                double mask_level = optf[0], pri_ratio = optf[1],
+                       max_clip = optf[2];
+                int64_t sub_diff = 2 * c0.oa + c0.ob;
+                std::vector<NatReg> regs0 =
+                    gen_regs(c0, qhash, out_u.data(), n_u);
+                if (!opt[27]) {
+                    set_parent(regs0, mask_level, sub_diff);
+                    select_sub_multi(regs0, pri_ratio, 0.2, 0.7, opt[17],
+                                     2 * (int64_t)k, opt[20], 2, qlens);
+                    if (!opt[26])
+                        join_long(c0, regs0, opt[21], opt[22], opt[23],
+                                  c0.min_cnt, c0.min_chain_score,
+                                  c0.min_dp_max, max_clip);
+                }
+                if (!is_sr) est_err_nat(c0, regs0, mini.data(), n_mini);
+                seg_gen(c0, qhash, 2, qlens, regs0, seg_regs, seg_a);
+                const uint8_t* qas[2] = {qa0, qa1};
+                const uint8_t* qrs[2] = {qrev0.data(), qrev1.data()};
+                for (int s = 0; s < 2; ++s) {
+                    Ctx cs;
+                    cs.S = S; cs.seq_off = seq_off; cs.seq_len = seq_len;
+                    cs.n_seq = n_seq;
+                    cs.k = k; cs.hpc = hpc != 0;
+                    cs.mat = mat;
+                    cs.flag = c0.flag; cs.oa = c0.oa; cs.ob = c0.ob;
+                    cs.q = c0.q; cs.e = c0.e; cs.q2 = c0.q2; cs.e2 = c0.e2;
+                    cs.zdrop = c0.zdrop; cs.zdrop_inv = c0.zdrop_inv;
+                    cs.end_bonus = c0.end_bonus; cs.min_cnt = c0.min_cnt;
+                    cs.min_chain_score = c0.min_chain_score;
+                    cs.min_dp_max = c0.min_dp_max;
+                    cs.max_gap = c0.max_gap; cs.bw = c0.bw;
+                    cs.min_ksw_len = c0.min_ksw_len;
+                    cs.A = seg_a[s].data();
+                    cs.n_a = (int64_t)seg_a[s].size() / 2;
+                    cs.qlen = qlens[s];
+                    cs.qstr[0] = qas[s];
+                    cs.qstr[1] = qrs[s];
+                    std::vector<NatReg>& rs_ = seg_regs[s];
+                    set_parent(rs_, mask_level, sub_diff);
+                    if (do_align) {
+                        cs.n_a = squeeze_a_nat(cs, rs_);
+                        if (skeleton_loop(cs, rs_, cs.min_cnt,
+                                          cs.min_chain_score, cs.min_dp_max,
+                                          max_clip) < 0)
+                            return -1;
+                        set_parent(rs_, mask_level, sub_diff);
+                        select_sub(rs_, pri_ratio, 2 * (int64_t)k, opt[20]);
+                        set_sam_pri(rs_);
+                    }
+                    set_mapq_nat(rs_, cs.min_chain_score, cs.oa, rep_len,
+                                 is_sr);
+                    regss[s] = &rs_;
+                }
+                if (opt[28] >= 0 && do_align)
+                    pair_pe(opt[17], opt[29], sub_diff, c0.oa, qlens, regss);
+            }
+        }
+    }
+
+    // restore read orientation for flipped segments (format_frag)
+    int32_t flips[2] = {flip0, flip1};
+    for (int s = 0; s < 2; ++s) {
+        if (!flips[s]) continue;
+        for (auto& r : *regss[s]) {
+            int64_t qs = r[R_QS], qe = r[R_QE];
+            r[R_QS] = qlens[s] - qe;
+            r[R_QE] = qlens[s] - qs;
+            r[R_REV] = 1 - r[R_REV];
+        }
+    }
+
+    // emit text: per segment, original-orientation sequences
+    // (the mapping-orientation nt4 must be re-derived for flipped segs so
+    // cs/MD sees read-orientation bases)
+    std::vector<uint8_t> qa_orig0, qa_orig1;
+    const uint8_t* qa_o[2] = {qa0, qa1};
+    if (flip0) {
+        qa_orig0.resize(qlen0);
+        for (int64_t i = 0; i < qlen0; ++i) {
+            uint8_t b = qa0[qlen0 - 1 - i];
+            qa_orig0[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+        }
+        qa_o[0] = qa_orig0.data();
+    }
+    if (flip1) {
+        qa_orig1.resize(qlen1);
+        for (int64_t i = 0; i < qlen1; ++i) {
+            uint8_t b = qa1[qlen1 - 1 - i];
+            qa_orig1[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+        }
+        qa_o[1] = qa_orig1.data();
+    }
+
+    constexpr int64_t F_NO_PRINT_2ND = 0x4000;
+    int64_t oflag = opt[0];
+    TextOut o{out_text, text_cap};
+    int64_t n_lines = 0;
+    auto start_line = [&]() {
+        if (n_lines + 1 >= line_cap) { o.of = true; return; }
+        line_off[n_lines++] = o.pos;
+    };
+    const char* seqs[2] = {seq0, seq1};
+    const char* quals[2] = {qual0, qual1};
+    const char* coms[2] = {com0, com1};
+    int64_t com_lens[2] = {com0_len, com1_len};
+    const char* names[2] = {name0, name1};
+    int64_t name_lens[2] = {name0_len, name1_len};
+    for (int s = 0; s < 2; ++s) {
+        Ctx ce;
+        ce.S = S; ce.seq_off = seq_off; ce.seq_len = seq_len;
+        ce.n_seq = n_seq;
+        ce.qlen = qlens[s];
+        ce.flag = oflag;
+        EmitCtx e;
+        e.c = &ce;
+        e.qname = names[s];        // per-seg (stripped for SAM, full for PAF)
+        e.qname_len = name_lens[s];
+        (void)qname; (void)qname_len;
+        e.seq = seqs[s]; e.qual = quals[s];
+        e.comment = coms[s]; e.comment_len = com_lens[s];
+        e.rg_id = rg_id; e.rg_len = rg_len;
+        e.rnames = rnames; e.rname_off = rname_off;
+        e.qa = qa_o[s];
+        // the other segment's first sam_pri region
+        const NatReg* r_next = nullptr;
+        for (auto& rr : *regss[1 - s])
+            if (rr[R_SAMPRI]) { r_next = &rr; break; }
+        for (int64_t j = 0; j < (int64_t)regss[s]->size(); ++j) {
+            const NatReg& r = (*regss[s])[j];
+            if ((oflag & F_NO_PRINT_2ND) && r[R_ID] != r[R_PARENT])
+                continue;
+            start_line();
+            if (sam_mode) emit_sam_pe(o, e, *regss[s], j, r_next, s, oflag);
+            else emit_paf(o, e, r, oflag);
+        }
+        if (regss[s]->empty() && sam_mode) {
+            start_line();
+            emit_sam_pe(o, e, *regss[s], -1, r_next, s, oflag);
+        }
     }
     line_off[n_lines] = o.pos;
     if (o.of) return -2;

@@ -104,6 +104,40 @@ def test_fast_path_fastq_qual(mt_index, monkeypatch):
     assert fast == slow
 
 
+@pytest.mark.parametrize("sam", [True, False])
+def test_fast_path_paired_end(mt_index, sam, monkeypatch):
+    """2-segment native path (mm2tpu_map_frag_pe) vs the Python pipeline."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    refs, mi = mt_index
+    rng = np.random.default_rng(17)
+    seq = refs[0].seq
+    rc = lambda s: s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    frags = []
+    for i in range(30):
+        st = int(rng.integers(0, len(seq) - 500))
+        frag = seq[st:st + int(rng.integers(250, 500))]
+        r1 = frag[:120]
+        r2 = rc(frag)[:120]
+        frags.append(Frag([type(refs[0])(f"q{i}/1", r1, "I" * len(r1)),
+                           type(refs[0])(f"q{i}/2", r2, "I" * len(r2))]))
+    from minimap2_chaindp_tpu.options import set_opt as so
+    _, mo = so("sr")
+    mi_sr = mi
+    io_, _ = so("sr")
+    refs2, _ = mt_index
+    mi_sr = build_index([r.name for r in refs2], [r.seq for r in refs2],
+                        io_.w, io_.k, io_.flag, io_.bucket_bits)
+    mo.flag |= C.MM_F_CIGAR | (C.MM_F_OUT_SAM if sam else 0)
+    mo.update(mi_sr)
+    rt = HostRuntime(mi_sr, mo)
+    fast = rt.map_batch(frags)
+    assert rt.timers.counters.get("fast_native", 0) == len(frags)
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    slow = HostRuntime(mi_sr, mo).map_batch(frags)
+    assert fast == slow
+
+
 def test_fast_path_region_mode(mt_index):
     """map_unit (region mode, the mappy path) agrees with map_frag."""
     if native.load_ksw() is None:
