@@ -82,7 +82,8 @@ class DeviceRuntime:
         from .pipeline import (finish_unit_gen, format_frag, prepare_frag,
                                seed_unit)
 
-        from ..native import map_unit_ok, map_unit_text_native
+        from ..native import (map_frag_pe_native, map_unit_ok,
+                              map_unit_text_native)
         # short single-segment reads take the one-call native path (below
         # the measured chain crossover they would route to host native
         # chaining + extension anyway); long reads keep the device kernels.
@@ -95,10 +96,15 @@ class DeviceRuntime:
         fast_lines: list = []
         with self.timers.time("seed"):
             for frag in frags:
-                if fast_ok and len(frag.segs) == 1 \
-                        and len(frag.segs[0].seq) <= fast_qlen_max:
-                    lines_f = map_unit_text_native(mi, opt, frag.segs[0],
-                                                   rg_id)
+                if fast_ok and len(frag.segs) <= 2 \
+                        and sum(len(s.seq) for s in frag.segs) \
+                        <= fast_qlen_max:
+                    if len(frag.segs) == 1:
+                        lines_f = map_unit_text_native(mi, opt,
+                                                       frag.segs[0], rg_id)
+                    else:
+                        lines_f = map_frag_pe_native(mi, opt, frag.segs,
+                                                     rg_id)
                     if lines_f is not None:
                         self.timers.count("fast_native")
                         fast_lines.append(lines_f)

@@ -367,7 +367,8 @@ def load_ksw():
             _vp, _c.c_int64, _vp, _vp,
             _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp,
-            _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp]
+            _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp,
+            _vp, _c.c_int64, _c.c_int64]
         lib.mm2tpu_map_frag_pe.restype = _c.c_int64
         lib.mm2tpu_map_frag_pe.argtypes = [
             _vp, _c.c_int64, _vp, _c.c_int64,
@@ -395,7 +396,8 @@ def load_ksw():
             _c.c_char_p, _c.c_int64,
             _c.c_char_p, _c.c_int64,
             _vp, _vp, _c.c_int32,
-            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp,
+            _vp, _c.c_int64, _c.c_int64]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
@@ -518,8 +520,8 @@ def map_unit_ok(opt, mi) -> bool:
     C_SPLICE, C_NO_DIAG = 0x080, 0x001
     if opt.flag & C_SPLICE:
         return False
-    if opt.flag & C_NO_DIAG:          # ava name-compare modes
-        return False
+    if (opt.flag & C_NO_DIAG) and not len(mi.name_rank):
+        return False                  # ava needs the name-rank tables
     if opt.sdust_thres > 0:           # -T minimizer masking
         return False
     do_align = bool(opt.flag & 0x4)   # MM_F_CIGAR
@@ -570,6 +572,15 @@ class _MapUnitCtx:
         self.hpc = 1 if (mi.flag & 1) else 0
         gq, gr = _map_gap_bounds(opt, 0)
         self.optv[16], self.optv[17] = gq, gr
+        # ava self/dual skipping: per-read query rank among target names
+        self.is_ava = bool(opt.flag & CC.MM_F_NO_DIAG)
+        if self.is_ava:
+            self.name_rank = np.ascontiguousarray(mi.name_rank,
+                                                  dtype=np.int64)
+            self.rank_ptr = _np_ptr(self.name_rank)
+            self.sorted_names = mi.sorted_names
+        else:
+            self.rank_ptr = None
         self.nr_cap = 64
         self.cig_cap = 1 << 16
         self._alloc()
@@ -588,6 +599,17 @@ class _MapUnitCtx:
         self.out_ptrs = tuple(_np_ptr(x) for x in
                               (self.regs_out, self.extras, self.cig_buf,
                                self.misc))
+
+    def _qrank(self, qname):
+        """(q_exact, q_ins): the query name's exact / insertion rank among
+        target names (the fork's dichotomy_sort, map.c:262-284)."""
+        if not self.is_ava:
+            return -1, 0
+        import bisect
+        pos = bisect.bisect_left(self.sorted_names, qname)
+        exact = pos if (pos < len(self.sorted_names)
+                        and self.sorted_names[pos] == qname) else -1
+        return exact, pos
 
     def map(self, lib, qname, seq):
         from . import constants as CC
@@ -609,7 +631,8 @@ class _MapUnitCtx:
                 p[0], p[1], p[2], self.n_seq, p[3], self.n_keys, p[4], p[5],
                 self.k, self.w, self.hpc, p[8], p[6], p[7],
                 self.out_ptrs[0], self.out_ptrs[1], self.nr_cap,
-                self.out_ptrs[2], self.cig_cap, self.out_ptrs[3])
+                self.out_ptrs[2], self.cig_cap, self.out_ptrs[3],
+                self.rank_ptr, *self._qrank(qname))
             if n_out != -2:
                 break
             self.nr_cap *= 4
@@ -658,7 +681,8 @@ class _MapUnitCtx:
                 _np_ptr(blob), _np_ptr(roffs), sam_mode,
                 _np_ptr(self.text_buf), self.text_cap,
                 _np_ptr(self.line_off), len(self.line_off),
-                self.out_ptrs[3])
+                self.out_ptrs[3],
+                self.rank_ptr, *self._qrank(rec.name))
             if n_lines != -2:
                 break
             self.text_cap *= 4

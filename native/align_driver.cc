@@ -26,10 +26,12 @@ extern "C" void* mm2tpu_sketch_batch(const uint8_t* nt4, const int64_t* offs,
                                      const uint32_t* rids, int32_t is_hpc,
                                      int64_t* out_counts);
 extern "C" void mm2tpu_sketch_take(void* handle, uint64_t* out);
-extern "C" void* mm2tpu_collect_seeds(
+extern "C" void* mm2tpu_collect_seeds_ava(
     const uint64_t* mv, int64_t n_mv, const uint64_t* keys, int64_t n_keys,
     const int64_t* starts, const uint64_t* values, int64_t max_occ,
-    int64_t qlen_sum, int32_t skip_mode, int64_t* out_sizes);
+    int64_t qlen_sum, int32_t skip_mode, const int64_t* name_rank,
+    int64_t q_exact, int64_t q_ins, int32_t diag_flags,
+    int64_t* out_sizes);
 extern "C" void mm2tpu_collect_take(void* h, uint64_t* anchors,
                                     uint64_t* mini);
 extern "C" int64_t mm2tpu_chain_dp(
@@ -2106,6 +2108,7 @@ static int64_t map_unit_core(
     const uint64_t* values,
     int32_t k, int32_t w, int32_t hpc,
     const int8_t* mat, const int64_t* opt, const double* optf,
+    const int64_t* name_rank, int64_t q_exact, int64_t q_ins,
     int64_t* out_misc, Ctx& c, std::vector<NatReg>& regs,
     std::vector<uint64_t>& out_a, std::vector<uint8_t>& qrev)
 {
@@ -2122,9 +2125,10 @@ static int64_t map_unit_core(
     if (n_mv == 0) return 0;
     // seed-hit collection
     int64_t sizes[3] = {0, 0, 0};
-    void* ch = mm2tpu_collect_seeds(mv.data(), n_mv, keys, n_keys, starts,
-                                    values, opt[19], qlen, (int32_t)opt[24],
-                                    sizes);
+    int32_t diag_flags = (int32_t)(opt[0] & 0x3);  // NO_DIAG | NO_DUAL
+    void* ch = mm2tpu_collect_seeds_ava(
+        mv.data(), n_mv, keys, n_keys, starts, values, opt[19], qlen,
+        (int32_t)opt[24], name_rank, q_exact, q_ins, diag_flags, sizes);
     int64_t n_anch = sizes[0], n_mini = sizes[1];
     std::vector<uint64_t> anch(2 * (n_anch > 0 ? n_anch : 1));
     std::vector<uint64_t> mini(n_mini > 0 ? n_mini : 1);
@@ -2201,7 +2205,8 @@ int64_t mm2tpu_map_unit(
     int32_t k, int32_t w, int32_t hpc,
     const int8_t* mat, const int64_t* opt, const double* optf,
     int64_t* regs_out, int64_t* extras_out, int64_t nr_cap,
-    uint32_t* cig_buf, int64_t cig_cap, int64_t* out_misc)
+    uint32_t* cig_buf, int64_t cig_cap, int64_t* out_misc,
+    const int64_t* name_rank, int64_t q_exact, int64_t q_ins)
 {
     Ctx c;
     std::vector<NatReg> regs;
@@ -2209,8 +2214,8 @@ int64_t mm2tpu_map_unit(
     std::vector<uint8_t> qrev;
     int64_t n_out = map_unit_core(qseq_fwd, qlen, qhash, S, seq_off, seq_len,
                                   n_seq, keys, n_keys, starts, values, k, w,
-                                  hpc, mat, opt, optf, out_misc, c, regs,
-                                  out_a, qrev);
+                                  hpc, mat, opt, optf, name_rank, q_exact,
+                                  q_ins, out_misc, c, regs, out_a, qrev);
     if (n_out <= 0) return n_out;
     if (n_out > nr_cap) return -2;
     int64_t cpos = 0;
@@ -2250,7 +2255,8 @@ int64_t mm2tpu_map_unit_text(
     const char* rnames, const int64_t* rname_off,
     int32_t sam_mode,
     char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
-    int64_t* out_misc)
+    int64_t* out_misc,
+    const int64_t* name_rank, int64_t q_exact, int64_t q_ins)
 {
     Ctx c;
     std::vector<NatReg> regs;
@@ -2259,6 +2265,7 @@ int64_t mm2tpu_map_unit_text(
     int64_t n_regs = map_unit_core(qseq_fwd, qlen, qhash, S, seq_off,
                                    seq_len, n_seq, keys, n_keys, starts,
                                    values, k, w, hpc, mat, opt, optf,
+                                   name_rank, q_exact, q_ins,
                                    out_misc, c, regs, out_a, qrev);
     if (n_regs < 0) return n_regs;
     EmitCtx e;
@@ -2374,9 +2381,9 @@ int64_t mm2tpu_map_frag_pe(
 
     if (n_mv > 0) {
         int64_t sizes[3] = {0, 0, 0};
-        void* ch = mm2tpu_collect_seeds(mv.data(), n_mv, keys, n_keys,
-                                        starts, values, opt[19], qlen_sum,
-                                        (int32_t)opt[24], sizes);
+        void* ch = mm2tpu_collect_seeds_ava(
+            mv.data(), n_mv, keys, n_keys, starts, values, opt[19],
+            qlen_sum, (int32_t)opt[24], nullptr, -1, 0, 0, sizes);
         int64_t n_anch = sizes[0];
         n_mini = sizes[1];
         std::vector<uint64_t> anch(2 * (n_anch > 0 ? n_anch : 1));

@@ -327,13 +327,25 @@ struct Mm2tpuCollectOut {
     std::vector<uint64_t> mini_pos;
 };
 
-void* mm2tpu_collect_seeds(
+// Extended collect with the ava-mode self/dual skipping (map.c:146-185):
+// cmp(qname, target) is derived from lexicographic name ranks — q_exact is
+// the query's exact rank among target names (or -1), q_ins its insertion
+// rank; diag_flags bit0 = MM_F_NO_DIAG, bit1 = MM_F_NO_DUAL.
+void* mm2tpu_collect_seeds_ava(
     const uint64_t* mv, int64_t n_mv,
     const uint64_t* keys, int64_t n_keys,
     const int64_t* starts, const uint64_t* values,
     int64_t max_occ, int64_t qlen_sum, int32_t skip_mode,
+    const int64_t* name_rank, int64_t q_exact, int64_t q_ins,
+    int32_t diag_flags,
     int64_t* out_sizes /*3: n_anchors, n_mini, rep_len*/)
 {
+    auto cmp_t = [&](int64_t rid) -> int {
+        int64_t tr = name_rank[rid];
+        if (q_exact >= 0)
+            return tr == q_exact ? 0 : (tr < q_exact ? 1 : -1);
+        return tr < q_ins ? 1 : -1;
+    };
     auto* res = new Mm2tpuCollectOut();
     int64_t rep_len = 0, rep_st = 0, rep_en = 0;
     for (int64_t i = 0; i < n_mv; ++i) {
@@ -364,13 +376,23 @@ void* mm2tpu_collect_seeds(
         for (int64_t o = 0; o < cnt; ++o) {
             uint64_t r = values[starts[lo] + o];
             int fwd = (int)(r & 1) == (int)(q_pos & 1);
+            uint64_t self_flag = 0;
+            if (diag_flags & 1) {  // ava self/dual skipping
+                int64_t rid = (int64_t)(r >> 32);
+                int64_t rpos = (int64_t)((uint32_t)r >> 1);
+                int c = cmp_t(rid);
+                if (c == 0 && rpos == (q_pos >> 1)) continue;  // diagonal
+                if (c == 0 && fwd) self_flag = 1ULL << 43;     // MM_SEED_SELF
+                if ((diag_flags & 2) && c > 0) continue;       // dual
+            }
             if ((skip_mode & 2) && fwd) continue;   // MM_F_REV_ONLY
             if ((skip_mode & 1) && !fwd) continue;  // MM_F_FOR_ONLY
             uint64_t ax = ((uint64_t)(fwd ? 0 : 1) << 63)
                         | ((r >> 32) << 32) | ((uint32_t)r >> 1);
             int64_t qpo = fwd ? (q_pos >> 1)
                               : qlen_sum - ((q_pos >> 1) + 1 - q_span) - 1;
-            uint64_t ay = ((uint64_t)q_span << 32) | (uint64_t)qpo | yflags;
+            uint64_t ay = ((uint64_t)q_span << 32) | (uint64_t)qpo | yflags
+                        | self_flag;
             res->rows.emplace_back(ax, ay);
         }
     }
@@ -385,6 +407,18 @@ void* mm2tpu_collect_seeds(
     out_sizes[1] = (int64_t)res->mini_pos.size();
     out_sizes[2] = rep_len;
     return res;
+}
+
+void* mm2tpu_collect_seeds(
+    const uint64_t* mv, int64_t n_mv,
+    const uint64_t* keys, int64_t n_keys,
+    const int64_t* starts, const uint64_t* values,
+    int64_t max_occ, int64_t qlen_sum, int32_t skip_mode,
+    int64_t* out_sizes)
+{
+    return mm2tpu_collect_seeds_ava(mv, n_mv, keys, n_keys, starts, values,
+                                    max_occ, qlen_sum, skip_mode,
+                                    nullptr, -1, 0, 0, out_sizes);
 }
 
 // ---- fused mm_fix_cigar + mm_update_extra (align.c:90-146 + 148-193).
