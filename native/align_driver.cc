@@ -2188,9 +2188,11 @@ static int64_t map_unit_core(
         if (skeleton_loop(c, regs, c.min_cnt, c.min_chain_score,
                           c.min_dp_max, max_clip) < 0)
             return -1;
-        set_parent(regs, mask_level, sub_diff);
-        select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
-        set_sam_pri(regs);
+        if (!opt[27]) {  // post-align select, skipped by MM_F_ALL_CHAINS
+            set_parent(regs, mask_level, sub_diff);
+            select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
+            set_sam_pri(regs);
+        }
     }
     set_mapq_nat(regs, c.min_chain_score, c.oa, rep_len, is_sr);
     return (int64_t)regs.size();
@@ -2463,9 +2465,12 @@ int64_t mm2tpu_map_frag_pe(
                                           cs.min_chain_score, cs.min_dp_max,
                                           max_clip) < 0)
                             return -1;
-                        set_parent(rs_, mask_level, sub_diff);
-                        select_sub(rs_, pri_ratio, 2 * (int64_t)k, opt[20]);
-                        set_sam_pri(rs_);
+                        if (!opt[27]) {
+                            set_parent(rs_, mask_level, sub_diff);
+                            select_sub(rs_, pri_ratio, 2 * (int64_t)k,
+                                       opt[20]);
+                            set_sam_pri(rs_);
+                        }
                     }
                     set_mapq_nat(rs_, cs.min_chain_score, cs.oa, rep_len,
                                  is_sr);
