@@ -518,14 +518,19 @@ def map_unit_ok(opt, mi) -> bool:
     if load_ksw() is None:
         return False
     C_SPLICE, C_NO_DIAG = 0x080, 0x001
-    if opt.flag & C_SPLICE:
-        return False
     if (opt.flag & C_NO_DIAG) and not len(mi.name_rank):
         return False                  # ava needs the name-rank tables
     if opt.sdust_thres > 0:           # -T minimizer masking
         return False
     do_align = bool(opt.flag & 0x4)   # MM_F_CIGAR
-    if do_align and opt.q == opt.q2 and opt.e == opt.e2:
+    if do_align and (opt.flag & C_SPLICE):
+        # the native exts2 kernel's envelope (batch_align gating)
+        from .ops.ksw2 import gen_simple_mat
+        mat = gen_simple_mat(5, opt.a, opt.b)
+        if not (opt.q2 > opt.q + opt.e
+                and -int(mat.min()) <= 2 * (opt.q + opt.e)):
+            return False
+    elif do_align and opt.q == opt.q2 and opt.e == opt.e2:
         return False                  # single-affine extz path
     if do_align and not (len(mi.S) and mi.S.flags.c_contiguous):
         return False
@@ -557,7 +562,8 @@ class _MapUnitCtx:
              1 if opt.flag & (CC.MM_F_SPLICE | CC.MM_F_SR
                               | CC.MM_F_NO_LJOIN) else 0,
              1 if opt.flag & CC.MM_F_ALL_CHAINS else 0,
-             opt.pe_ori, opt.pe_bonus],
+             opt.pe_ori, opt.pe_bonus,
+             opt.noncan, opt.anchor_ext_len, opt.anchor_ext_shift],
             dtype=np.int64)
         self.optf = np.array([opt.mask_level, opt.pri_ratio,
                               opt.max_clip_ratio], dtype=np.float64)
@@ -778,7 +784,7 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
     lib = load_ksw()
     if lib is None or len(segs) != 2:
         return None
-    if opt.flag & CC.MM_F_INDEPEND_SEG:
+    if opt.flag & (CC.MM_F_INDEPEND_SEG | CC.MM_F_SPLICE):
         return None
     return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 

@@ -50,6 +50,8 @@ constexpr int64_t PARENT_UNSET = -1;
 constexpr int64_t PARENT_TMP_PRI = -2;
 constexpr int64_t F_SPLICE = 0x080, F_SR = 0x1000, F_FOR_ONLY = 0x100000,
                   F_REV_ONLY = 0x200000;
+constexpr int64_t KSW_EZ_SPLICE_FOR_F = 0x100, KSW_EZ_SPLICE_REV_F = 0x200,
+                  KSW_EZ_SPLICE_FLANK_F = 0x400;
 
 inline int32_t lo32(uint64_t v) { return (int32_t)(uint32_t)v; }
 inline int64_t span_of(uint64_t y) { return (int64_t)((y >> 32) & 0xFF); }
@@ -82,6 +84,7 @@ struct Ctx {
     const int8_t* mat;
     int64_t flag, oa, ob, q, e, q2, e2, zdrop, zdrop_inv, end_bonus,
         min_cnt, min_chain_score, min_dp_max, max_gap, bw, min_ksw_len;
+    int64_t noncan = 0, anchor_ext_len = 0, anchor_ext_shift = 0;
     // per-read
     uint64_t* A;       // anchors (n_a, 2) modified in place (seed flags)
     int64_t n_a;
@@ -404,10 +407,59 @@ static void run_ext(Ctx& c, const uint8_t* qs, int64_t ql, const uint8_t* ts,
                     int64_t flag, EzOut& ez, std::vector<uint32_t>& cig) {
     cig.resize(ql + tl + 4);
     int64_t n_cig = 0;
-    extd2_one(qs, ql, ts, tl, c.mat, (int)c.q, (int)c.e, (int)c.q2,
-              (int)c.e2, (int)w, (int)zdrop, (int)end_bonus, (int)flag,
-              c.wk, ez, cig.data(), n_cig);
+    if (c.flag & F_SPLICE)  // mm_align_pair splice route (align.c:230-233)
+        exts2_one(qs, ql, ts, tl, c.mat, (int)c.q, (int)c.e, (int)c.q2,
+                  (int)c.noncan, (int)zdrop, (int)flag, c.wk, ez,
+                  cig.data(), n_cig);
+    else
+        extd2_one(qs, ql, ts, tl, c.mat, (int)c.q, (int)c.e, (int)c.q2,
+                  (int)c.e2, (int)w, (int)zdrop, (int)end_bonus, (int)flag,
+                  c.wk, ez, cig.data(), n_cig);
     cig.resize(n_cig);
+}
+
+// ---- seed rescoring + splice end fixing (align.c:381-421)
+static int64_t seed_ext_score(Ctx& c, uint64_t ax, uint64_t ay) {
+    int64_t q_span = span_of(ay);
+    int64_t ext_len = c.anchor_ext_len;
+    int64_t rid = (int64_t)((ax << 1) >> 33);
+    int64_t re = (int64_t)lo32(ax) + 1, rs = re - q_span;
+    int64_t qe = (int64_t)lo32(ay) + 1, qs = qe - q_span;
+    rs = rs - ext_len > 0 ? rs - ext_len : 0;
+    qs = qs - ext_len > 0 ? qs - ext_len : 0;
+    int64_t L = c.seq_len[rid];
+    re = re + ext_len < L ? re + ext_len : L;
+    int64_t qmax = c.qlen;
+    qe = qe + ext_len < qmax ? qe + ext_len : qmax;
+    int64_t tl;
+    const uint8_t* ts = getseq(c, rid, rs, re, tl);
+    const uint8_t* qp = c.qstr[ax >> 63] + qs;
+    int64_t qeo, teo;
+    return ksw_ll(qp, qe - qs, ts, tl, c.mat, c.q, c.e, &qeo, &teo);
+}
+
+static void fix_bad_ends_splice(Ctx& c, const NatReg& r, int64_t& as_out,
+                                int64_t& cnt_out) {
+    int64_t as1 = r[R_AS], cnt1 = r[R_CNT];
+    as_out = as1; cnt_out = cnt1;
+    if (r[R_CNT] < 3) return;
+    double log_gap = log((double)((int64_t)lo32(AX(c, as1 + 1))
+                                  - lo32(AX(c, as1))));
+    if ((double)span_of(AY(c, as1)) < log_gap + c.anchor_ext_shift) {
+        int64_t score = seed_ext_score(c, AX(c, as1), AY(c, as1));
+        if ((double)score / c.mat[0] < log_gap + c.anchor_ext_shift) {
+            ++as_out; --cnt_out;
+        }
+    }
+    log_gap = log((double)((int64_t)lo32(AX(c, as1 + cnt1 - 1))
+                           - lo32(AX(c, as1 + cnt1 - 2))));
+    if ((double)span_of(AY(c, as1 + cnt1 - 1))
+        < log_gap + c.anchor_ext_shift) {
+        int64_t score = seed_ext_score(c, AX(c, as1 + cnt1 - 1),
+                                       AY(c, as1 + cnt1 - 1));
+        if ((double)score / c.mat[0] < log_gap + c.anchor_ext_shift)
+            --cnt_out;
+    }
 }
 
 // ---- mm_update_extra via the fused fix_cigar+scan (align_epilogue.cc)
@@ -430,8 +482,9 @@ static void update_extra(Ctx& c, NatReg& r, const uint8_t* qseq,
 
 // ---- mm_align1 (align.c:423-636).  Returns true when a split region r2
 // was produced.
-static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
+static bool align1(Ctx& c, NatReg& r, NatReg& r2, int64_t splice_flag = 0) {
     bool is_sr = c.flag & F_SR;
+    bool is_splice = c.flag & F_SPLICE;
     bool made_r2 = false;
     if (r[R_CNT] == 0) return false;
     int64_t as0 = r[R_AS];
@@ -439,6 +492,17 @@ static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
     int64_t rev = (int64_t)(AX(c, as0) >> 63);
     int64_t bw = (int64_t)((double)c.bw * 1.5 + 1.0);
     int64_t dropped = 0;
+    int64_t extra_flag = 0;
+    if (is_splice) {  // splice strand flags (align.c:538-544)
+        constexpr int64_t MF_SPLICE_FOR = 0x100, MF_SPLICE_REV = 0x200,
+            MF_SPLICE_FLANK = 0x40000;
+        if (splice_flag & MF_SPLICE_FOR)
+            extra_flag |= rev ? KSW_EZ_SPLICE_REV_F : KSW_EZ_SPLICE_FOR_F;
+        if (splice_flag & MF_SPLICE_REV)
+            extra_flag |= rev ? KSW_EZ_SPLICE_FOR_F : KSW_EZ_SPLICE_REV_F;
+        if (c.flag & MF_SPLICE_FLANK)
+            extra_flag |= KSW_EZ_SPLICE_FLANK_F;
+    }
 
     int64_t as1, cnt1, rs, qs, re, qe;
     if (is_sr && !c.hpc) {
@@ -448,7 +512,10 @@ static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
         re = (int64_t)lo32(AX(c, as1 + cnt1 - 1)) + 1;
         qe = (int64_t)lo32(AY(c, as1 + cnt1 - 1)) + 1;
     } else {
-        fix_bad_ends(c, r, c.bw, c.min_chain_score * 2, as1, cnt1);
+        if (is_splice)
+            fix_bad_ends_splice(c, r, as1, cnt1);
+        else
+            fix_bad_ends(c, r, c.bw, c.min_chain_score * 2, as1, cnt1);
         filter_bad_seeds(c, as1, cnt1, 10, 40, c.max_gap >> 1, 10);
         adjust_minier(c, AX(c, as1), AY(c, as1), rs, qs);
         adjust_minier(c, AX(c, as1 + cnt1 - 1), AY(c, as1 + cnt1 - 1), re, qe);
@@ -606,7 +673,8 @@ static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
         for (int64_t j = 0; j < tl; ++j) tb[j] = tp[tl - 1 - j];
         run_ext(c, qb.data(), (int64_t)qb.size(), tb.data(), tl, bw,
                 r[R_SPLITINV] ? c.zdrop_inv : c.zdrop, c.end_bonus,
-                KSW_EZ_EXTZ_ONLY | KSW_EZ_RIGHT | KSW_EZ_REV_CIGAR, ez, cig);
+                extra_flag | KSW_EZ_EXTZ_ONLY | KSW_EZ_RIGHT
+                | KSW_EZ_REV_CIGAR, ez, cig);
         if (!cig.empty()) {
             append_cigar(r, cig.data(), (int64_t)cig.size());
             r.dp_score += ez.max;
@@ -642,13 +710,14 @@ static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
             ez.n_cigar = 1;
         } else {
             run_ext(c, qseq, qec - qs, tseq, tl, bw1, c.zdrop, -1,
-                    KSW_EZ_APPROX_MAX, ez, cig);
+                    extra_flag | KSW_EZ_APPROX_MAX, ez, cig);
         }
         int zcode = test_zdrop(c, qseq, tseq, cig.data(),
                                (int64_t)cig.size());
         if (zcode != 0) {  // exact second pass
             run_ext(c, qseq, qec - qs, tseq, tl, bw1,
-                    zcode == 2 ? c.zdrop_inv : c.zdrop, -1, 0, ez, cig);
+                    zcode == 2 ? c.zdrop_inv : c.zdrop, -1, extra_flag,
+                    ez, cig);
         }
         if (!cig.empty())
             append_cigar(r, cig.data(), (int64_t)cig.size());
@@ -683,7 +752,7 @@ static bool align1(Ctx& c, NatReg& r, NatReg& r2) {
         int64_t tl;
         const uint8_t* tseq = getseq(c, rid, re, re0, tl);
         run_ext(c, qseq, qe0 - qe, tseq, tl, bw, c.zdrop, c.end_bonus,
-                KSW_EZ_EXTZ_ONLY, ez, cig);
+                extra_flag | KSW_EZ_EXTZ_ONLY, ez, cig);
         if (!cig.empty()) {
             append_cigar(r, cig.data(), (int64_t)cig.size());
             r.dp_score += ez.max;
@@ -1985,9 +2054,32 @@ static void pair_pe(int64_t max_gap_ref, int64_t pe_bonus, int64_t sub_diff,
 static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
                              int64_t min_cnt, int64_t min_chain_score,
                              int64_t min_dp_max, double max_clip_ratio) {
+    constexpr int64_t MF_SPLICE_FOR = 0x100, MF_SPLICE_REV = 0x200;
+    bool is_splice = c.flag & F_SPLICE;
+    bool two_round = is_splice && (c.flag & MF_SPLICE_FOR)
+                     && (c.flag & MF_SPLICE_REV);
     for (size_t i = 0; i < regs.size(); ++i) {
         NatReg r2;
-        bool has_r2 = align1(c, regs[i], r2);
+        bool has_r2;
+        if (two_round) {  // both-strand splice rounds (align.c:725-741)
+            NatReg s0 = regs[i], s1 = regs[i];
+            NatReg r20, r21;
+            bool h0 = align1(c, s0, r20, MF_SPLICE_FOR);
+            if (c.bad) return -1;
+            bool h1 = align1(c, s1, r21, MF_SPLICE_REV);
+            if (c.bad) return -1;
+            int64_t trans, which;
+            if (s0.dp_score > s1.dp_score) { which = 0; trans = 1; }
+            else if (s0.dp_score < s1.dp_score) { which = 1; trans = 2; }
+            else { trans = 3; which = (c.qlen + s0.dp_score) & 1; }
+            if (which == 0) { regs[i] = std::move(s0); r2 = std::move(r20); has_r2 = h0; }
+            else { regs[i] = std::move(s1); r2 = std::move(r21); has_r2 = h1; }
+            regs[i].trans_strand = trans;
+        } else {
+            has_r2 = align1(c, regs[i], r2, c.flag);
+            if (is_splice && regs[i][R_HASP])
+                regs[i].trans_strand = (c.flag & MF_SPLICE_FOR) ? 1 : 2;
+        }
         if (c.bad) return -1;
         if (has_r2 && r2[R_CNT] > 0)
             regs.insert(regs.begin() + i + 1, std::move(r2));
@@ -2148,7 +2240,8 @@ static int64_t map_unit_core(
     int64_t n_u = mm2tpu_chain_dp(
         n_anch, ax.data(), ay.data(), opt[17] /*gap_ref = max_dist_x*/,
         opt[16] /*gap_qry = max_dist_y*/, opt[14], opt[18],
-        (int32_t)opt[10], (int32_t)opt[11], 0, 1,
+        (int32_t)opt[10], (int32_t)opt[11],
+        (opt[0] & F_SPLICE) ? 1 : 0, 1,
         out_a.data(), out_u.data(), &n_v);
     if (n_u <= 0) return 0;
 
@@ -2160,6 +2253,8 @@ static int64_t map_unit_core(
     c.zdrop_inv = opt[8]; c.end_bonus = opt[9]; c.min_cnt = opt[10];
     c.min_chain_score = opt[11]; c.min_dp_max = opt[12];
     c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
+    c.noncan = opt[30]; c.anchor_ext_len = opt[31];
+    c.anchor_ext_shift = opt[32];
     c.A = out_a.data(); c.n_a = n_v;
     c.qlen = qlen;
     qrev.resize(qlen);
