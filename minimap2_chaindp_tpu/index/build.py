@@ -117,12 +117,19 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
     from ..utils.mlog import mlog
     mlog("mm_idx_gen", "collected minimizers")
     if len(mv):
-        key = mv[:, 0] >> np.uint64(8)
-        val = mv[:, 1]
-        order = np.lexsort((val, key))  # sort by key, then by value (index.c:349, 394)
-        key, val = key[order], val[order]
-        uniq, starts = np.unique(key, return_index=True)
-        mi.keys = uniq
+        key = np.ascontiguousarray(mv[:, 0] >> np.uint64(8))
+        val = np.ascontiguousarray(mv[:, 1])
+        # sort by key, then by value (index.c:349, 394)
+        from ..native import sort_kv_native
+        if not sort_kv_native(key, val):
+            order = np.lexsort((val, key))
+            key, val = key[order], val[order]
+        # run starts on the sorted keys (np.unique would re-sort)
+        neq = np.empty(len(key), dtype=bool)
+        neq[0] = True
+        np.not_equal(key[1:], key[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        mi.keys = key[starts]
         mi.starts = np.concatenate([starts, [len(val)]]).astype(np.int64)
         mi.values = val
     mlog("mm_idx_gen", "sorted minimizers")

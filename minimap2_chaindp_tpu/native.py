@@ -1031,6 +1031,9 @@ def _load_sketch():
         lib.mm2tpu_sketch_take.restype = None
         lib.mm2tpu_sketch_take.argtypes = [ctypes.c_void_p,
                                            ctypes.POINTER(ctypes.c_uint64)]
+        lib.mm2tpu_sort_kv.restype = None
+        lib.mm2tpu_sort_kv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64]
         _sk_lib = lib
     except Exception:
         _sk_lib = None
@@ -1068,6 +1071,16 @@ def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
         out.append(rows[pos:pos + int(c)])
         pos += int(c)
     return out
+
+
+def sort_kv_native(keys: np.ndarray, vals: np.ndarray) -> bool:
+    """In-place sort of (key, val) u64 pairs by key then val; False = no lib
+    (caller falls back to np.lexsort)."""
+    lib = _load_sketch()
+    if lib is None:
+        return False
+    lib.mm2tpu_sort_kv(_np_ptr(keys), _np_ptr(vals), len(keys))
+    return True
 
 
 def chain_dp_native(max_dist_x, max_dist_y, bw, max_skip, min_cnt, min_sc,
