@@ -1512,170 +1512,41 @@ static void emit_paf(TextOut& o, const EmitCtx& e, const NatReg& r,
     }
 }
 
-// one single-segment SAM record (io/output.py:write_sam, n_seg==1)
-static void emit_sam(TextOut& o, const EmitCtx& e,
-                     const std::vector<NatReg>& regs, int64_t reg_idx,
-                     int64_t oflag) {
+// one SAM record (io/output.py:write_sam).  n_seg == 1 has no mate
+// fields; n_seg == 2 adds the pair flags, RNEXT/PNEXT/TLEN from the
+// other segment's first sam_pri region (r_next; r_prev == r_next).
+static void emit_sam_rec(TextOut& o, const EmitCtx& e,
+                         const std::vector<NatReg>& regs, int64_t reg_idx,
+                         const NatReg* r_next, int seg_idx, int n_seg,
+                         int64_t oflag) {
     const Ctx& c = *e.c;
     constexpr int64_t F_SOFTCLIP = 0x80000, F_LONG_CIGAR = 0x10000,
         F_OUT_CS = 0x040, F_OUT_MD = 0x1000000, F_OUT_CS_LONG = 0x800,
         F_COPY_COMMENT = 0x2000000;
     const NatReg* r = (reg_idx >= 0 && reg_idx < (int64_t)regs.size())
         ? &regs[reg_idx] : nullptr;
+    const NatReg* r_prev = r_next;
     int64_t qlen = c.qlen;
     o.mem(e.qname, e.qname_len);
-    int64_t flag = 0;
+    int64_t flag = n_seg > 1 ? 0x1 : 0x0;
     if (!r) flag |= 0x4;
     else {
         if ((*r)[R_REV]) flag |= 0x10;
         if ((*r)[R_PARENT] != (*r)[R_ID]) flag |= 0x100;
         else if (!(*r)[R_SAMPRI]) flag |= 0x800;
     }
-    o.ch('\t'); o.num(flag);
-    bool cigar_in_tag = false;
-    if (!r) {
-        o.cstr("\t*\t0\t0\t*");
-    } else {
-        o.ch('\t');
-        emit_rname(o, e, (*r)[R_RID]);
-        o.ch('\t'); o.num((*r)[R_RS] + 1);
-        o.ch('\t'); o.num((*r)[R_MAPQ]);
-        o.ch('\t');
-        constexpr int64_t MAX_BAM_OPS = 65535;
-        if ((oflag & F_LONG_CIGAR) && (*r)[R_HASP]
-            && (int64_t)r->cigar.size() > MAX_BAM_OPS - 2) {
-            int64_t nc = (int64_t)r->cigar.size();
-            if ((*r)[R_QS] != 0) ++nc;
-            if ((*r)[R_QE] != qlen) ++nc;
-            if (nc > MAX_BAM_OPS) cigar_in_tag = true;
-        }
-        if (cigar_in_tag) {
-            if (flag & 0x100) o.cstr("0S");
-            else if (flag & 0x800) { o.num((*r)[R_RE] - (*r)[R_RS]); o.ch('S'); }
-            else { o.num(qlen); o.ch('S'); }
-        } else if (!(*r)[R_HASP]) {
-            o.ch('*');
-        } else {
-            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
-            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
-            char cc = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 'H' : 'S';
-            if (clip0) { o.num(clip0); o.ch(cc); }
-            emit_cigar_ops(o, r->cigar);
-            if (clip1) { o.num(clip1); o.ch(cc); }
-        }
+    if (n_seg > 1) {
+        if (r && (*r)[R_PROPER]) flag |= 0x2;
+        if (seg_idx == 0) flag |= 0x40;
+        else if (seg_idx == n_seg - 1) flag |= 0x80;
+        if (!r_next) flag |= 0x8;
+        else if ((*r_next)[R_REV]) flag |= 0x20;
     }
-    o.cstr("\t*\t0\t0\t");
-    if (!r) {
-        o.mem(e.seq, qlen);
-        o.ch('\t');
-        if (e.qual) o.mem(e.qual, qlen); else o.ch('*');
-    } else {
-        bool rev = (*r)[R_REV];
-        if ((flag & 0x900) == 0 || (oflag & F_SOFTCLIP)) {
-            emit_seq_oriented(o, e, e.seq, qlen, rev, true);
-            o.ch('\t');
-            if (e.qual) emit_seq_oriented(o, e, e.qual, qlen, rev, false);
-            else o.ch('*');
-        } else if (flag & 0x100) {
-            o.cstr("*\t*");
-        } else {
-            int64_t qs = (*r)[R_QS], n = (*r)[R_QE] - qs;
-            emit_seq_oriented(o, e, e.seq + qs, n, rev, true);
-            o.ch('\t');
-            if (e.qual) emit_seq_oriented(o, e, e.qual + qs, n, rev, false);
-            else o.ch('*');
-        }
-    }
-    if (e.rg_len) { o.cstr("\tRG:Z:"); o.mem(e.rg_id, e.rg_len); }
-    if (r) {
-        emit_tags(o, e, *r);
-        if ((*r)[R_PARENT] == (*r)[R_ID] && (*r)[R_HASP]
-            && regs.size() > 1) {
-            int64_t sa_start = o.pos;
-            bool any = false;
-            o.cstr("\tSA:Z:");
-            for (size_t qi = 0; qi < regs.size(); ++qi) {
-                const NatReg& q = regs[qi];
-                if (&q == r || q[R_PARENT] != q[R_ID] || !q[R_HASP])
-                    continue;
-                any = true;
-                int64_t l_m, l_i, l_d;
-                if (q[R_QE] - q[R_QS] < q[R_RE] - q[R_RS]) {
-                    l_m = q[R_QE] - q[R_QS];
-                    l_i = 0; l_d = (q[R_RE] - q[R_RS]) - l_m;
-                } else {
-                    l_m = q[R_RE] - q[R_RS];
-                    l_i = (q[R_QE] - q[R_QS]) - l_m; l_d = 0;
-                }
-                int64_t clip5 = q[R_REV] ? qlen - q[R_QE] : q[R_QS];
-                int64_t clip3 = q[R_REV] ? q[R_QS] : qlen - q[R_QE];
-                emit_rname(o, e, q[R_RID]);
-                o.ch(','); o.num(q[R_RS] + 1); o.ch(',');
-                o.ch("+-"[q[R_REV]]); o.ch(',');
-                if (clip5) { o.num(clip5); o.ch('S'); }
-                if (l_m) { o.num(l_m); o.ch('M'); }
-                if (l_i) { o.num(l_i); o.ch('I'); }
-                if (l_d) { o.num(l_d); o.ch('D'); }
-                if (clip3) { o.num(clip3); o.ch('S'); }
-                o.ch(','); o.num(q[R_MAPQ]); o.ch(',');
-                o.num(q[R_BLEN] - q[R_MLEN] + q.n_ambi);
-                o.ch(';');
-            }
-            if (!any) o.pos = sa_start;  // no supplementary parts
-        }
-        if ((*r)[R_HASP] && (oflag & (F_OUT_CS | F_OUT_MD))) {
-            if (oflag & F_OUT_MD) emit_md(o, e, *r);
-            else emit_cs(o, e, *r, oflag & F_OUT_CS_LONG);
-        }
-        if (cigar_in_tag) {
-            int64_t clip0 = (*r)[R_REV] ? qlen - (*r)[R_QE] : (*r)[R_QS];
-            int64_t clip1 = (*r)[R_REV] ? (*r)[R_QS] : qlen - (*r)[R_QE];
-            int64_t cchar = ((flag & 0x800) && !(oflag & F_SOFTCLIP)) ? 5 : 4;
-            o.cstr("\tCG:B:I");
-            if (clip0) { o.ch(','); o.num(clip0 << 4 | cchar); }
-            for (uint32_t cw : r->cigar) { o.ch(','); o.num((int64_t)cw); }
-            if (clip1) { o.ch(','); o.num(clip1 << 4 | cchar); }
-        }
-    }
-    if ((oflag & F_COPY_COMMENT) && e.comment_len) {
-        o.ch('\t');
-        o.mem(e.comment, e.comment_len);
-    }
-}
-
-// one SAM record of a 2-segment fragment (io/output.py:write_sam,
-// n_seg==2: mate fields, TLEN, pair flags).  e = this segment's EmitCtx
-// (qname already pair-suffix-stripped); regs = this segment's regions;
-// r_next = the other segment's first sam_pri region (or null).
-static void emit_sam_pe(TextOut& o, const EmitCtx& e,
-                        const std::vector<NatReg>& regs, int64_t reg_idx,
-                        const NatReg* r_next, int seg_idx, int64_t oflag) {
-    const Ctx& c = *e.c;
-    constexpr int64_t F_SOFTCLIP = 0x80000, F_LONG_CIGAR = 0x10000,
-        F_OUT_CS = 0x040, F_OUT_MD = 0x1000000, F_OUT_CS_LONG = 0x800,
-        F_COPY_COMMENT = 0x2000000;
-    const NatReg* r = (reg_idx >= 0 && reg_idx < (int64_t)regs.size())
-        ? &regs[reg_idx] : nullptr;
-    const NatReg* r_prev = r_next;  // n_seg == 2
-    int64_t qlen = c.qlen;
-    o.mem(e.qname, e.qname_len);
-    int64_t flag = 0x1;
-    if (!r) flag |= 0x4;
-    else {
-        if ((*r)[R_REV]) flag |= 0x10;
-        if ((*r)[R_PARENT] != (*r)[R_ID]) flag |= 0x100;
-        else if (!(*r)[R_SAMPRI]) flag |= 0x800;
-    }
-    if (r && (*r)[R_PROPER]) flag |= 0x2;
-    if (seg_idx == 0) flag |= 0x40;
-    else flag |= 0x80;
-    if (!r_next) flag |= 0x8;
-    else if ((*r_next)[R_REV]) flag |= 0x20;
     o.ch('\t'); o.num(flag);
     bool cigar_in_tag = false;
     int64_t this_rid = -1, this_pos = -1, this_rev = 0;
     if (!r) {
-        if (r_prev) {
+        if (n_seg > 1 && r_prev) {
             this_rid = (*r_prev)[R_RID];
             this_pos = (*r_prev)[R_RS];
             o.ch('\t');
@@ -1716,35 +1587,38 @@ static void emit_sam_pe(TextOut& o, const EmitCtx& e,
             if (clip1) { o.num(clip1); o.ch(cc); }
         }
     }
-    // mate fields + TLEN
-    int64_t tlen = 0;
-    if (this_rid >= 0 && r_next) {
-        if (this_rid == (*r_next)[R_RID]) {
-            int64_t this_pos5 = (r && (*r)[R_REV]) ? (*r)[R_RE] - 1
-                                                   : this_pos;
-            int64_t next_pos5 = (*r_next)[R_REV] ? (*r_next)[R_RE] - 1
-                                                 : (*r_next)[R_RS];
-            tlen = next_pos5 - this_pos5;
-            o.cstr("\t=\t");
-        } else {
+    if (n_seg > 1) {  // mate fields + TLEN (format.c:381-418)
+        int64_t tlen = 0;
+        if (this_rid >= 0 && r_next) {
+            if (this_rid == (*r_next)[R_RID]) {
+                int64_t this_pos5 = (r && (*r)[R_REV]) ? (*r)[R_RE] - 1
+                                                       : this_pos;
+                int64_t next_pos5 = (*r_next)[R_REV] ? (*r_next)[R_RE] - 1
+                                                     : (*r_next)[R_RS];
+                tlen = next_pos5 - this_pos5;
+                o.cstr("\t=\t");
+            } else {
+                o.ch('\t');
+                emit_rname(o, e, (*r_next)[R_RID]);
+                o.ch('\t');
+            }
+            o.num((*r_next)[R_RS] + 1); o.ch('\t');
+        } else if (r_next) {
             o.ch('\t');
             emit_rname(o, e, (*r_next)[R_RID]);
-            o.ch('\t');
+            o.ch('\t'); o.num((*r_next)[R_RS] + 1); o.ch('\t');
+        } else if (this_rid >= 0) {
+            int64_t this_pos5 = this_rev ? (*r)[R_RE] - 1 : this_pos;
+            tlen = this_pos - this_pos5;
+            o.cstr("\t=\t"); o.num(this_pos + 1); o.ch('\t');
+        } else {
+            o.cstr("\t*\t0\t");
         }
-        o.num((*r_next)[R_RS] + 1); o.ch('\t');
-    } else if (r_next) {
-        o.ch('\t');
-        emit_rname(o, e, (*r_next)[R_RID]);
-        o.ch('\t'); o.num((*r_next)[R_RS] + 1); o.ch('\t');
-    } else if (this_rid >= 0) {
-        int64_t this_pos5 = this_rev ? (*r)[R_RE] - 1 : this_pos;
-        tlen = this_pos - this_pos5;
-        o.cstr("\t=\t"); o.num(this_pos + 1); o.ch('\t');
+        if (tlen > 0) ++tlen; else if (tlen < 0) --tlen;
+        o.num(tlen); o.ch('\t');
     } else {
-        o.cstr("\t*\t0\t");
+        o.cstr("\t*\t0\t0\t");
     }
-    if (tlen > 0) ++tlen; else if (tlen < 0) --tlen;
-    o.num(tlen); o.ch('\t');
     if (!r) {
         o.mem(e.seq, qlen);
         o.ch('\t');
@@ -1821,6 +1695,19 @@ static void emit_sam_pe(TextOut& o, const EmitCtx& e,
         o.ch('\t');
         o.mem(e.comment, e.comment_len);
     }
+}
+
+static inline void emit_sam(TextOut& o, const EmitCtx& e,
+                            const std::vector<NatReg>& regs,
+                            int64_t reg_idx, int64_t oflag) {
+    emit_sam_rec(o, e, regs, reg_idx, nullptr, 0, 1, oflag);
+}
+
+static inline void emit_sam_pe(TextOut& o, const EmitCtx& e,
+                               const std::vector<NatReg>& regs,
+                               int64_t reg_idx, const NatReg* r_next,
+                               int seg_idx, int64_t oflag) {
+    emit_sam_rec(o, e, regs, reg_idx, r_next, seg_idx, 2, oflag);
 }
 
 // ======================= paired-end (2-segment) =====================
