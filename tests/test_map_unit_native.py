@@ -167,3 +167,35 @@ def test_fast_path_region_mode(mt_index):
                 pa = a.p.cigar if a.p else None
                 pb = b.p.cigar if b.p else None
                 assert pa == pb
+
+
+def test_large_reference_consistency(monkeypatch):
+    """References beyond the fork's 2 Mbp-contig limit (SURVEY §2): the
+    stock 64-bit anchor encoding must keep working; fast path == Python."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = bases[rng.integers(0, 4, 3_000_000)].tobytes().decode()
+    io_, mo = set_opt("map-ont")
+    mo.flag |= C.MM_F_CIGAR | C.MM_F_OUT_SAM
+    mi = build_index(["big"], [seq], io_.w, io_.k, io_.flag, io_.bucket_bits)
+    mo.update(mi)
+    from minimap2_chaindp_tpu.io.fastx import SeqRecord
+    reads = []
+    for i in range(8):
+        st = int(rng.integers(0, len(seq) - 5000))
+        s = list(seq[st:st + 5000])
+        for j in range(0, len(s), 17):
+            s[j] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append(Frag([SeqRecord(f"big{i}", "".join(s))]))
+    rt = HostRuntime(mi, mo)
+    fast = rt.map_batch(reads)
+    assert rt.timers.counters.get("fast_native", 0) == len(reads)
+    # at least one hit lands beyond the fork's 2^21 coordinate limit
+    pos = [int(l.split("\t")[3]) for lines in fast for l in lines
+           if not l.split("\t")[2] == "*"]
+    assert pos and max(pos) > 2_097_152
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    slow = HostRuntime(mi, mo).map_batch(reads)
+    assert fast == slow
