@@ -125,6 +125,42 @@ void backtrack_rot(const uint8_t* p, const int32_t* off,
 
 #define RST __restrict__
 
+// score-profile fill for the simple match/mismatch matrices: covers
+// [st0, st0 + 16*ceil((en0-st0+1)/16)) in 16-byte blocks, exactly like the
+// scalar model (stale bytes outside that range are load-bearing).  Hand
+// SSE4.1: the autovectorizer versions the scalar loop for aliasing per
+// 16-byte block, which dominates short rows.
+static inline void build_score_profile(
+    const uint8_t* RST sf, const uint8_t* RST qr, int64_t qrr,
+    int8_t* RST s_, int64_t st0, int64_t en0,
+    int8_t sc_mch, int8_t sc_mis, int8_t sc_N, int m) {
+#ifdef __SSE4_1__
+    const __m128i vmch = _mm_set1_epi8(sc_mch), vmis = _mm_set1_epi8(sc_mis),
+                  vN = _mm_set1_epi8(sc_N),
+                  vm1 = _mm_set1_epi8((char)(m - 1));
+    for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+        __m128i sq = _mm_loadu_si128((const __m128i*)(sf + t0));
+        __m128i stq = _mm_loadu_si128((const __m128i*)(qr + qrr + t0));
+        __m128i v = _mm_blendv_epi8(vmis, vmch, _mm_cmpeq_epi8(sq, stq));
+        __m128i orv = _mm_or_si128(sq, stq);
+        // unsigned orv >= m-1  <=>  max_epu8(orv, m-1) == orv
+        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(orv, vm1), orv);
+        _mm_storeu_si128((__m128i*)(s_ + t0), _mm_blendv_epi8(v, vN, ge));
+    }
+#else
+    for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+        const uint8_t* RST sfp = sf + t0;
+        const uint8_t* RST qrp = qr + qrr + t0;
+        int8_t* RST sp = s_ + t0;
+        for (int l = 0; l < 16; ++l) {
+            uint8_t sq = sfp[l], stq = qrp[l];
+            int8_t v0 = sq == stq ? sc_mch : sc_mis;
+            sp[l] = (uint8_t)(sq | stq) >= (uint8_t)(m - 1) ? sc_N : v0;
+        }
+    }
+#endif
+}
+
 #ifdef __AVX2__
 static inline void row_left_v(int64_t, const int8_t* RST, const int8_t* RST,
     const int8_t* RST, const int8_t* RST, const int8_t* RST, int8_t* RST,
@@ -574,16 +610,8 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         }
         int64_t qrr = qlen - 1 - r;
         if (!generic_sc) {
-            for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
-                const uint8_t* RST sfp = sf + t0;
-                const uint8_t* RST qrp = qr + qrr + t0;
-                int8_t* RST sp = s + t0;
-                for (int l = 0; l < 16; ++l) {
-                    uint8_t sq = sfp[l], stq = qrp[l];
-                    int8_t v0 = sq == stq ? sc_mch : sc_mis;
-                    sp[l] = (uint8_t)(sq | stq) >= (uint8_t)(m - 1) ? sc_N : v0;
-                }
-            }
+            build_score_profile(sf, qr, qrr, s, st0, en0, sc_mch, sc_mis,
+                                sc_N, m);
         } else {
             // generic matrix path (unused by the simple mat presets)
             for (int64_t t = st0; t <= en0; ++t)
@@ -898,16 +926,8 @@ void exts2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         }
         int64_t qrr = qlen - 1 - r;
         if (!generic_sc) {
-            for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
-                const uint8_t* RST sfp = sf + t0;
-                const uint8_t* RST qrp = qr + qrr + t0;
-                int8_t* RST sp = s + t0;
-                for (int l = 0; l < 16; ++l) {
-                    uint8_t sq = sfp[l], stq = qrp[l];
-                    int8_t v0 = sq == stq ? sc_mch : sc_mis;
-                    sp[l] = (uint8_t)(sq | stq) >= (uint8_t)(m - 1) ? sc_N : v0;
-                }
-            }
+            build_score_profile(sf, qr, qrr, s, st0, en0, sc_mch, sc_mis,
+                                sc_N, m);
         } else {
             for (int64_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + qr[qrr + t]];
