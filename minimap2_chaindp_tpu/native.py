@@ -520,8 +520,6 @@ def map_unit_ok(opt, mi) -> bool:
     C_SPLICE, C_NO_DIAG = 0x080, 0x001
     if (opt.flag & C_NO_DIAG) and not len(mi.name_rank):
         return False                  # ava needs the name-rank tables
-    if opt.sdust_thres > 0:           # -T minimizer masking
-        return False
     do_align = bool(opt.flag & 0x4)   # MM_F_CIGAR
     if do_align and (opt.flag & C_SPLICE):
         # the native exts2 kernel's envelope (batch_align gating)
@@ -563,7 +561,8 @@ class _MapUnitCtx:
                               | CC.MM_F_NO_LJOIN) else 0,
              1 if opt.flag & CC.MM_F_ALL_CHAINS else 0,
              opt.pe_ori, opt.pe_bonus,
-             opt.noncan, opt.anchor_ext_len, opt.anchor_ext_shift],
+             opt.noncan, opt.anchor_ext_len, opt.anchor_ext_shift,
+             opt.sdust_thres],
             dtype=np.int64)
         self.optf = np.array([opt.mask_level, opt.pri_ratio,
                               opt.max_clip_ratio], dtype=np.float64)
@@ -786,6 +785,8 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
         return None
     if opt.flag & (CC.MM_F_INDEPEND_SEG | CC.MM_F_SPLICE):
         return None
+    if opt.sdust_thres > 0:
+        return None  # per-segment LCR coords need the Python quirk replay
     return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 
 

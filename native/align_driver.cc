@@ -834,6 +834,156 @@ static bool align1_inv(Ctx& c, const NatReg& r1, const NatReg& r2,
     return true;
 }
 
+// ---- symmetric DUST masker (sdust.py golden model; reference sdust.c
+// sdust_core + the mm_dust_minier minimizer filter, map.c:61-85).
+namespace sdust_impl {
+constexpr int WLEN = 3, WTOT = 1 << (2 * WLEN), WMSK = WTOT - 1;
+
+struct PerfectIv { int64_t start, finish, r, l; };
+
+struct SdState {
+    std::vector<int> w;        // word deque (head..tail)
+    int64_t head = 0;          // logical start of w
+    std::vector<PerfectIv> P;  // by descending start, ascending finish
+    std::vector<std::pair<int64_t, int64_t>> res;
+    int64_t L = 0, rw = 0, rv = 0;
+    int cw[WTOT] = {0}, cv[WTOT] = {0};
+    int64_t wlen() const { return (int64_t)w.size() - head; }
+    int wat(int64_t i) const { return w[head + i]; }
+};
+
+static void save_masked(SdState& st, int64_t start) {
+    if (st.P.empty() || st.P.back().start >= start) return;
+    int64_t ps = st.P.back().start, pf = st.P.back().finish;
+    if (!st.res.empty() && ps <= st.res.back().second) {
+        if (pf > st.res.back().second) st.res.back().second = pf;
+    } else {
+        st.res.emplace_back(ps, pf);
+    }
+    int64_t i = (int64_t)st.P.size() - 1;
+    while (i >= 0 && st.P[i].start < start) --i;
+    st.P.resize(i + 1);
+}
+
+static void shift_window(SdState& st, int t, int T, int W) {
+    if (st.wlen() >= W - WLEN + 1) {
+        int sdrop = st.wat(0);
+        ++st.head;
+        st.cw[sdrop] -= 1;
+        st.rw -= st.cw[sdrop];
+        if (st.L > st.wlen()) {
+            st.L -= 1;
+            st.cv[sdrop] -= 1;
+            st.rv -= st.cv[sdrop];
+        }
+    }
+    st.w.push_back(t);
+    st.L += 1;
+    st.rw += st.cw[t];
+    st.cw[t] += 1;
+    st.rv += st.cv[t];
+    st.cv[t] += 1;
+    if (st.cv[t] * 10 > 2 * T) {
+        for (;;) {
+            int sd = st.wat(st.wlen() - st.L);
+            st.cv[sd] -= 1;
+            st.rv -= st.cv[sd];
+            st.L -= 1;
+            if (sd == t) break;
+        }
+    }
+    if (st.head > 4096) {  // compact the deque
+        st.w.erase(st.w.begin(), st.w.begin() + st.head);
+        st.head = 0;
+    }
+}
+
+static void find_perfect(SdState& st, int T, int64_t start) {
+    int c[WTOT];
+    memcpy(c, st.cv, sizeof(c));
+    int64_t r = st.rv;
+    int64_t max_r = 0, max_l = 0;
+    for (int64_t i = st.wlen() - st.L - 1; i >= 0; --i) {
+        int t = st.wat(i);
+        r += c[t];
+        c[t] += 1;
+        int64_t new_l = st.wlen() - i - 1;
+        if (r * 10 > (int64_t)T * new_l) {
+            size_t j = 0;
+            while (j < st.P.size() && st.P[j].start >= i + start) {
+                const PerfectIv& p = st.P[j];
+                if (max_r == 0 || p.r * max_l > max_r * p.l) {
+                    max_r = p.r; max_l = p.l;
+                }
+                ++j;
+            }
+            if (max_r == 0 || r * max_l >= max_r * new_l) {
+                max_r = r; max_l = new_l;
+                st.P.insert(st.P.begin() + j,
+                            {i + start, st.wlen() + WLEN - 1 + start, r,
+                             new_l});
+            }
+        }
+    }
+}
+
+static void sdust_core(const uint8_t* b4, int64_t n, int T, int W,
+                       std::vector<std::pair<int64_t, int64_t>>& out) {
+    SdState st;
+    int64_t l = 0;
+    int t = 0;
+    for (int64_t i = 0; i <= n; ++i) {
+        int b = i < n ? b4[i] : 4;
+        if (b < 4) {
+            ++l;
+            t = ((t << 2) | b) & WMSK;
+            if (l >= WLEN) {
+                int64_t start = (l - W > 0 ? l - W : 0) + (i + 1 - l);
+                save_masked(st, start);
+                shift_window(st, t, T, W);
+                if (st.rw * 10 > st.L * (int64_t)T)
+                    find_perfect(st, T, start);
+            }
+        } else {
+            int64_t start = (l - W + 1 > 0 ? l - W + 1 : 0) + (i + 1 - l);
+            while (!st.P.empty()) {
+                save_masked(st, start);
+                ++start;
+            }
+            l = 0; t = 0;
+        }
+    }
+    out = std::move(st.res);
+}
+
+// drop minimizers overlapping low-complexity regions by more than half
+// their span (map.c:61-85).  mv shrinks in place; returns the new count.
+static int64_t dust_mask_mv(uint64_t* mv, int64_t n_mv, const uint8_t* b4,
+                            int64_t qlen, int T) {
+    std::vector<std::pair<int64_t, int64_t>> dregs;
+    sdust_core(b4, qlen, T, 64, dregs);
+    if (dregs.empty()) return n_mv;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n_mv; ++i) {
+        int64_t span = (int64_t)(mv[2 * i] & 0xFF);
+        int64_t qpos = (int64_t)((mv[2 * i + 1] & 0xFFFFFFFFull) >> 1);
+        int64_t s0 = qpos - (span - 1), e0 = s0 + span;
+        int64_t ov = 0;
+        for (auto& d : dregs) {
+            int64_t lo = s0 > d.first ? s0 : d.first;
+            int64_t hi = e0 < d.second ? e0 : d.second;
+            if (hi > lo) ov += hi - lo;
+        }
+        if (ov <= (span >> 1)) {
+            mv[2 * m] = mv[2 * i];
+            mv[2 * m + 1] = mv[2 * i + 1];
+            ++m;
+        }
+    }
+    return m;
+}
+}  // namespace sdust_impl
+
 // ======================= per-read map unit =========================
 // Ports of the hit post-processing golden models (hits.py / esterr.py,
 // reference hit.c / esterr.c) so one native call maps a whole read:
@@ -2101,6 +2251,10 @@ static int64_t map_unit_core(
                                    &n_mv);
     std::vector<uint64_t> mv(2 * (n_mv > 0 ? n_mv : 1));
     mm2tpu_sketch_take(sh, mv.data());
+    if (n_mv == 0) return 0;
+    if (opt[33] > 0)  // -T low-complexity minimizer masking
+        n_mv = sdust_impl::dust_mask_mv(mv.data(), n_mv, qseq_fwd, qlen,
+                                        (int)opt[33]);
     if (n_mv == 0) return 0;
     // seed-hit collection
     int64_t sizes[3] = {0, 0, 0};
