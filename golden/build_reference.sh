@@ -21,4 +21,6 @@ gcc $CFLAGS -o "$OUT/minimap2_ref" "$OUT"/*.o -lm -lz -lpthread
 gcc $CFLAGS -I"$REF" /root/repo/golden/ksw_test.c \
   "$OUT"/ksw2_extd2_sse.o "$OUT"/ksw2_extz2_sse.o "$OUT"/ksw2_exts2_sse.o \
   "$OUT"/ksw2_ll_sse.o "$OUT"/kalloc.o -o "$OUT/ksw_test" -lm -lz -lpthread
-echo "built $OUT/minimap2_ref + $OUT/ksw_test"
+gcc -O2 -std=gnu99 -D_SDUST_MAIN -DHAVE_KALLOC "$REF/sdust.c" "$REF/kalloc.c" \
+  "$REF/getopt.c" -o "$OUT/sdust_ref" -lz -lm
+echo "built $OUT/minimap2_ref + $OUT/ksw_test + $OUT/sdust_ref"

@@ -369,6 +369,9 @@ def load_ksw():
             _vp, _vp, _vp,
             _vp, _vp, _c.c_int64, _vp, _c.c_int64, _vp,
             _vp, _c.c_int64, _c.c_int64]
+        lib.mm2tpu_sdust.restype = _c.c_int64
+        lib.mm2tpu_sdust.argtypes = [
+            _vp, _c.c_int64, _c.c_int32, _c.c_int32, _vp, _c.c_int64]
         lib.mm2tpu_map_frag_pe.restype = _c.c_int64
         lib.mm2tpu_map_frag_pe.argtypes = [
             _vp, _c.c_int64, _vp, _c.c_int64,
@@ -1072,6 +1075,22 @@ def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
         out.append(rows[pos:pos + int(c)])
         pos += int(c)
     return out
+
+
+def sdust_native(b4: np.ndarray, T: int, W: int):
+    """Native symmetric-DUST intervals for an nt4 sequence, or None."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    cap = max(len(b4) // 8, 64)
+    while True:
+        out = np.empty(2 * cap, dtype=np.int64)
+        n = lib.mm2tpu_sdust(_np_ptr(_as_u8(b4)), len(b4), T, W,
+                             _np_ptr(out), cap)
+        if n <= cap:
+            return [(int(out[2 * i]), int(out[2 * i + 1]))
+                    for i in range(n)]
+        cap = n
 
 
 def sort_kv_native(keys: np.ndarray, vals: np.ndarray) -> bool:

@@ -120,6 +120,10 @@ def sdust(seq, T: int = 20, W: int = 64) -> list[tuple[int, int]]:
     if isinstance(seq, str):
         seq = seq.encode()
     b4 = _NT4[np.frombuffer(seq, dtype=np.uint8)]
+    from .native import sdust_native
+    nat = sdust_native(b4, T, W)
+    if nat is not None:
+        return nat
     st = _State()
     l = t = 0
     n = len(b4)

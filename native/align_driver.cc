@@ -2140,6 +2140,21 @@ static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
 
 extern "C" {
 
+// Standalone symmetric-DUST entry (the sdust CLI): writes up to max_out
+// (start, end) pairs into out; returns the interval count.
+int64_t mm2tpu_sdust(const uint8_t* b4, int64_t n, int32_t T, int32_t W,
+                     int64_t* out, int64_t max_out)
+{
+    std::vector<std::pair<int64_t, int64_t>> res;
+    sdust_impl::sdust_core(b4, n, T, W, res);
+    int64_t m = (int64_t)res.size() < max_out ? (int64_t)res.size() : max_out;
+    for (int64_t i = 0; i < m; ++i) {
+        out[2 * i] = res[i].first;
+        out[2 * i + 1] = res[i].second;
+    }
+    return (int64_t)res.size();
+}
+
 // Full align_skeleton region loop.  regs_io: nr_in x 28 int64 rows (layout
 // above); a: (n_a, 2) uint64 anchors AFTER squeeze_a (seed flags are set in
 // place).  Outputs: up to nr_cap rows in regs_out + extras (7 int64 per
