@@ -247,6 +247,14 @@ def append_cigar(r: Region, cigar: list[int]) -> None:
 
 def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag) -> K.Ez:
     """Kernel dispatch (reference mm_align_pair, align.c:220-243)."""
+    from .utils import mlog
+    if mlog.dbg_flag & C.MM_DBG_PRINT_ALN_SEQ:
+        import sys
+        print(f"===> q=({opt.q},{opt.q2}), e=({opt.e},{opt.e2}), bw={w}, "
+              f"flag={flag}, zdrop={opt.zdrop} <===", file=sys.stderr)
+        bases = "ACGTN"
+        print("".join(bases[b] for b in tseq), file=sys.stderr)
+        print("".join(bases[b] for b in qseq), file=sys.stderr)
     if opt.flag & C.MM_F_SPLICE:
         from .native import exts2_batch_native
         res = exts2_batch_native(

@@ -38,13 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     a("-G", dest="max_intron_len", default=None)
     a("-F", dest="max_frag_len", type=int, default=None)
     a("-r", dest="bw", type=int, default=None)
-    a("-n", dest="min_cnt", type=int, default=None)
-    a("-m", dest="min_chain_score", type=int, default=None)
+    a("-n", "--min-count", dest="min_cnt", type=int, default=None)
+    a("-m", "--min-chain-score", dest="min_chain_score", type=int,
+      default=None)
     a("-X", dest="ava", action="store_true", help="skip self and dual mappings")
-    a("-D", dest="no_diag", action="store_true", help="skip self mappings")
-    a("-P", dest="all_chains", action="store_true", help="retain all chains")
+    a("-D", "--no-self", dest="no_diag", action="store_true",
+      help="skip self mappings")
+    a("-P", "--all-chain", dest="all_chains", action="store_true",
+      help="retain all chains")
     a("-M", dest="mask_level", type=float, default=None)
-    a("-C", dest="noncan", type=int, default=None,
+    a("-C", "--cost-non-gt-ag", dest="noncan", type=int, default=None,
       help="cost of non-canonical splicing sites")
     a("-Y", dest="softclip2", action="store_true",
       help="use soft clipping for supplementary alignments")
@@ -69,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--no-kalloc", action="store_true", help="(accepted for compatibility)")
     a("--heap-sort", default=None, help="(accepted for compatibility)")
     a("--print-qname", action="store_true")
+    a("--print-seeds", action="store_true",
+      help="debug: dump per-chain anchors (CN lines) to stderr")
+    a("--print-aln-seq", action="store_true",
+      help="debug: dump each DP problem's sequences to stderr")
     a("-T", dest="sdust_thres", type=int, default=None,
       help="SDUST threshold; 0 to disable low-complexity minimizer masking")
     a("-p", dest="pri_ratio", type=float, default=None)
@@ -79,16 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
     a("-O", dest="gap_open", default=None)
     a("-E", dest="gap_ext", default=None)
     a("-z", dest="zdrop", default=None)
-    a("-s", dest="min_dp_max", type=int, default=None)
+    a("-s", "--min-dp-score", dest="min_dp_max", type=int, default=None)
     a("-u", dest="splice_strand", default=None)
     # io
-    a("-a", dest="sam", action="store_true", help="output SAM")
+    a("-a", "--sam", dest="sam", action="store_true", help="output SAM")
     a("-c", dest="cigar", action="store_true", help="output CIGAR in PAF")
     a("-Q", dest="no_qual", action="store_true")
     a("-L", dest="long_cigar", action="store_true")
     a("-R", dest="rg", default=None, help="SAM read group line")
     a("-t", dest="threads", type=int, default=3)
-    a("-K", dest="mini_batch", default=None)
+    a("-K", "--mb-size", dest="mini_batch", default=None)
     a("-x", dest="preset", default=None)
     a("--cs", dest="cs", nargs="?", const="short", default=None)
     a("--MD", dest="md", action="store_true")
@@ -107,6 +114,35 @@ def build_parser() -> argparse.ArgumentParser:
     a("target")
     a("query", nargs="*")
     return p
+
+
+def _run_debug_sequential(mi, mo, ns, rg_id, out, part_no, is_multi,
+                          argv_disp) -> None:
+    """--print-seeds / --print-aln-seq: single-threaded per-fragment mapping
+    so the stderr dumps interleave deterministically (reference forces
+    n_threads=1, main.c:358/361). QR/QM lines per map.c:606/449."""
+    from .models.pipeline import map_fragment_output
+    from .utils import mlog
+    if (mo.flag & C.MM_F_OUT_SAM) and part_no == 1:
+        if is_multi:
+            print("[WARNING] For a multi-part index, no @SQ lines will "
+                  "be outputted.", file=sys.stderr)
+        print(write_sam_hdr(None if is_multi else mi, ns.rg, "2.10-r761",
+                            "mm2tpu " + " ".join(argv_disp)), file=out)
+    frag_mode = len(ns.query) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
+    for batch in read_frags(ns.query, mo.mini_batch_size, frag_mode):
+        for frag in batch:
+            s0 = frag.segs[0]
+            print(f"QR\t{s0.name}\t0\t{len(s0.seq)}", file=sys.stderr)
+            # QM follows the front half, before any result dump (map.c:449)
+            qlen_sum = sum(len(s.seq) for s in frag.segs)
+            print(f"QM\t{s0.name}\t{qlen_sum}\tcap=0,nCore=0,largest=0",
+                  file=sys.stderr)
+            lines = map_fragment_output(mi, mo, frag.segs, rg_id)
+            for line in lines:
+                print(line, file=out)
+        mlog.mlog("worker_pipeline",
+                  f"mapped {sum(len(f.segs) for f in batch)} sequences")
 
 
 def _si(v) -> int:
@@ -365,6 +401,20 @@ def main(argv=None) -> int:
             if not ns.query:
                 return 0
 
+        # debug dump modes force the single-threaded sequential host
+        # pipeline (reference main.c:358/361 forces n_threads=1)
+        dbg = 0
+        if ns.print_seeds:
+            dbg |= C.MM_DBG_PRINT_QNAME | C.MM_DBG_PRINT_SEED
+        if ns.print_aln_seq:
+            dbg |= C.MM_DBG_PRINT_QNAME | C.MM_DBG_PRINT_ALN_SEQ
+        if dbg:
+            mlog.set_dbg(dbg)
+            mo.native_skeleton = False  # dumps live in the Python models
+            _run_debug_sequential(mi, mo, ns, rg_id, out, part_no,
+                                  cur is not None, argv_disp)
+            continue
+
         use_device = ns.device in ("tpu", "auto")
         if use_device:
             # probe through the guarded owner thread: jax.devices() blocks
@@ -407,11 +457,13 @@ def main(argv=None) -> int:
         # stage read batch k+1 while batch k maps (kt_pipeline step overlap)
         batches = prefetch(read_frags(ns.query, mo.mini_batch_size,
                                       frag_mode), depth=2)
-        if ns.print_qname:  # MM_DBG_PRINT_QNAME (main.c:47, kthread)
+        if ns.print_qname:  # MM_DBG_PRINT_QNAME (main.c:47, map.c:606)
             def _announce(bs):
                 for b in bs:
                     for frag in b:
-                        print(f"QR\t{frag.segs[0].name}", file=sys.stderr)
+                        s0 = frag.segs[0]
+                        print(f"QR\t{s0.name}\t0\t{len(s0.seq)}",
+                              file=sys.stderr)
                     yield b
             batches = _announce(batches)
         from collections import deque

@@ -56,6 +56,11 @@ MM_SEED_SEG_MASK = 0xFF << MM_SEED_SEG_SHIFT
 MM_PARENT_UNSET = -1
 MM_PARENT_TMP_PRI = -2
 
+# --- debug-dump bits (reference mmpriv.h:11-14 mm_dbg_flag) ---
+MM_DBG_PRINT_QNAME = 0x2
+MM_DBG_PRINT_SEED = 0x4
+MM_DBG_PRINT_ALN_SEQ = 0x8
+
 # --- CIGAR ops (reference ksw2.h comment; SAM spec order MIDNSHP=X) ---
 CIGAR_STR = "MIDNSHP=X"
 

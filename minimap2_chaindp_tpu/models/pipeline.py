@@ -21,6 +21,21 @@ from ..io import output as out
 from ..io.fastx import SeqRecord
 from ..ops.chain import chain_dp
 from ..ops.seeds import collect_minimizers, collect_seed_hits
+from ..utils import mlog
+
+
+def _print_chain_anchors(mi, regs, a) -> None:
+    """--print-seeds CN\\t... chain-anchor dump (reference map.c:864-868)."""
+    import sys
+    i32 = lambda v: int(np.int32(np.uint64(v) & np.uint64(0xFFFFFFFF)))
+    for j, r in enumerate(regs):
+        for i in range(r.as_, r.as_ + r.cnt):
+            x, y = int(a[i, 0]), int(a[i, 1])
+            gap = 0 if i == r.as_ else \
+                (i32(y) - i32(a[i - 1, 1])) - (i32(x) - i32(a[i - 1, 0]))
+            print(f"CN\t{j}\t{mi.seqs[(x & 0x7FFFFFFFFFFFFFFF) >> 32].name}"
+                  f"\t{i32(x)}\t{'+-'[x >> 63]}\t{i32(y)}"
+                  f"\t{(y >> 32) & 0xFF}\t{gap}", file=sys.stderr)
 
 
 def chain_post(opt, max_chain_gap_ref, mi, qlen_sum, n_segs, qlens, regs, a):
@@ -126,6 +141,8 @@ def finish_unit_gen(mi, opt, info: UnitInfo, ch):
     is_sr = bool(opt.flag & C.MM_F_SR)
     a, u = ch.anchors.copy(), ch.u
     regs0 = H.gen_regs(info.hash_, info.qlen_sum, u, a)
+    if mlog.dbg_flag & C.MM_DBG_PRINT_SEED:
+        _print_chain_anchors(mi, regs0, a)
     regs0 = chain_post(opt, info.gap_ref, mi, info.qlen_sum, n_segs,
                        info.qlens, regs0, a)
     if not is_sr:

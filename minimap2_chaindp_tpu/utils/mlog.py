@@ -10,12 +10,18 @@ import sys
 import time
 
 verbose = 1
+dbg_flag = 0  # mm_dbg_flag bitfield (constants.MM_DBG_*)
 _t0 = time.time()
 
 
 def set_verbose(v: int) -> None:
     global verbose
     verbose = v
+
+
+def set_dbg(flag: int) -> None:
+    global dbg_flag
+    dbg_flag = flag
 
 
 def reset_timer() -> None:

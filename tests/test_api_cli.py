@@ -126,3 +126,53 @@ def test_cli_bare_cs_does_not_eat_positionals():
     assert ns.target == "t.fa" and ns.query == ["q.fa"]
     ns2 = build_parser().parse_args(["--cs=long", "t.fa", "q.fa"])
     assert ns2.cs == "long" and ns2.target == "t.fa"
+
+
+def test_cli_print_seeds_dump():
+    """--print-seeds QR/QM/CN stderr dump is byte-identical to the reference
+    (fixture pinned from `minimap2_ref --print-seeds -t 12` whose CN lines
+    come from map.c:864-868)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--print-seeds",
+         "-a", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+         os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    mine = [l for l in out.stderr.split("\n")
+            if l.startswith(("QR\t", "QM\t", "CN\t"))]
+    with open(os.path.join(GOLDEN_DIR, "mt.print_seeds.txt")) as f:
+        golden = [l.rstrip("\n") for l in f]
+    assert mine == golden
+    assert any(l.startswith("MT_orang\t") for l in out.stdout.split("\n"))
+
+
+def test_cli_print_aln_seq_dump():
+    """--print-aln-seq DP-problem dump (align.c:222-228) matches the
+    reference fixture on the inversion pair."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--print-aln-seq",
+         "-a", os.path.join(REF_TEST_DIR, "t-inv.fa"),
+         os.path.join(REF_TEST_DIR, "q-inv.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    lines = out.stderr.split("\n")
+    mine = []
+    for i, l in enumerate(lines):
+        if l.startswith("===>"):
+            mine.extend(lines[i:i + 3])
+    with open(os.path.join(GOLDEN_DIR, "inv.print_aln_seq.txt")) as f:
+        golden = [l.rstrip("\n") for l in f]
+    assert mine == golden
+
+
+def test_cli_long_option_aliases():
+    """The reference's long-option spellings (main.c:42-82) parse."""
+    from minimap2_chaindp_tpu.cli import build_parser
+    ns = build_parser().parse_args(
+        ["--sam", "--min-count", "3", "--min-chain-score", "40",
+         "--min-dp-score", "80", "--no-self", "--all-chain",
+         "--cost-non-gt-ag", "9", "--mb-size", "100M", "t.fa", "q.fa"])
+    assert ns.sam and ns.no_diag and ns.all_chains
+    assert ns.min_cnt == 3 and ns.min_chain_score == 40
+    assert ns.min_dp_max == 80 and ns.noncan == 9
+    assert ns.mini_batch == "100M"
