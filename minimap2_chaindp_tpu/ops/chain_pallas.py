@@ -57,10 +57,13 @@ TBL = 2048    # c_lin exactness domain; requires bw < TBL
 N_EXC = 2     # c_lin exception slots per read (slope search removes most)
 
 
-def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
+def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
                   nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
-                  is_cdna, many_segs):
+                  is_cdna, many_segs, single_seg=False):
+    # meta packs nold<<16 | q_span: nold = number of older window chunks
+    # for anchor i (host-precomputed per grid row from the stw window
+    # starts), q_span <= 255 (sketch encoding) — one roll extracts both
     SUBL = subl
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
@@ -74,40 +77,58 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
     zero8 = jnp.zeros((SUBL, 1), jnp.int32)
 
     def score_block(xh, rp, qp, sd, fj, base, i, act_read,
-                    xi, ri, qi, qs, si, state):
-        """Score one 128-candidate chunk for anchor i (chain.c:52-90)."""
+                    xi, ri, qi, qs, si, state, newest=False):
+        """Score one 128-candidate chunk for anchor i (chain.c:52-90).
+        `newest`: the chunk containing i itself, where j < i must be
+        enforced (older chunks satisfy it by construction)."""
         cur_pmax, best_j, cnt_best, val_tot = state
         j = base + lane
         dr = ri - rp
         dq = qi - qp
-        same = sd == si
         dd = jnp.abs(dr - dq)
-        valid = (j < i) & act_read & (xh == xi) & (dr <= max_dist_x)
-        valid &= ~((same & (dr == 0)) | (dq <= 0))
-        valid &= ~((same & (dq > max_dist_y)) | (dq > max_dist_x))
-        valid &= ~(same & (dd > bw))
-        if many_segs and not is_cdna:
-            valid &= ~(same & (dr > max_dist_y))
+        if single_seg:
+            # one segment => sid==0 everywhere => `same` is identically
+            # true: the whole pen_other branch and the seg-aware masks
+            # fold away (~25% fewer VPU ops on the common path)
+            valid = act_read & (xh == xi) & (dr <= max_dist_x)
+            valid &= ~((dr == 0) | (dq <= 0))
+            valid &= ~(dq > min(max_dist_y, max_dist_x))
+            valid &= ~(dd > bw)
+        else:
+            same = sd == si
+            valid = act_read & (xh == xi) & (dr <= max_dist_x)
+            valid &= ~((same & (dr == 0)) | (dq <= 0))
+            valid &= ~((same & (dq > max_dist_y)) | (dq > max_dist_x))
+            valid &= ~(same & (dd > bw))
+            if many_segs and not is_cdna:
+                valid &= ~(same & (dr > max_dist_y))
+        if newest:
+            valid &= j < i
 
         min_d = jnp.minimum(dq, dr)
         sc = jnp.minimum(min_d, qs)
         c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
         for dd_k, cl_k in exc:
             c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
-        dexp = (jax.lax.bitcast_convert_type(
+        # ilog2 via the f32 exponent; max(dd,1) makes dd==0 land on
+        # exponent 0, so no dd>0 select is needed (chain.c ilog2 LUT)
+        log_dd = (jax.lax.bitcast_convert_type(
             jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
-        log_dd = jnp.where(dd > 0, dexp, 0)
-        # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
-        # (requires avg_qspan >= 1.6, asserted host-side)
-        pen_other = jnp.where(dd >= TBL, log_dd, jnp.minimum(c_lin, log_dd))
         pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
-        if is_cdna:
-            sc = jnp.where(~same & (dr == 0), sc + 1,
-                           jnp.where((dr > dq) | ~same, sc - pen_other,
-                                     sc - pen_same))
+        if single_seg:
+            sc = sc - pen_same
         else:
-            sc = jnp.where(same, sc - pen_same,
-                           jnp.where(dr == 0, sc + 1, sc - pen_other))
+            # beyond the table c_lin >= 0.01*avg*TBL > 31 >= any c_log
+            # (requires avg_qspan >= 1.6, asserted host-side)
+            pen_other = jnp.where(dd >= TBL, log_dd,
+                                  jnp.minimum(c_lin, log_dd))
+            if is_cdna:
+                sc = jnp.where(~same & (dr == 0), sc + 1,
+                               jnp.where((dr > dq) | ~same, sc - pen_other,
+                                         sc - pen_same))
+            else:
+                sc = jnp.where(same, sc - pen_same,
+                               jnp.where(dr == 0, sc + 1, sc - pen_other))
         sc = sc + fj
         # pack (score, lane) so max+argmax is ONE reduction; ties pick the
         # larger lane = first-scanned j on a descending scan (chain.c:62)
@@ -139,9 +160,8 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
         xb = xhi_ref[:, isl]
         rb = rpos_ref[:, isl]
         qb = qpos_ref[:, isl]
-        sb = span_ref[:, isl]
-        sib = sid_ref[:, isl]
-        stb = stw_ref[:, isl]
+        mb = meta_ref[:, isl]
+        sib = None if single_seg else sid_ref[:, isl]
 
         def inner(off, carry):
             fb, pb, flags = carry
@@ -150,25 +170,26 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, span_ref, sid_ref, stw_ref,
             xi = pltpu.roll(xb, rot, 1)[:, 0:1]
             ri = pltpu.roll(rb, rot, 1)[:, 0:1]
             qi = pltpu.roll(qb, rot, 1)[:, 0:1]
-            qs = pltpu.roll(sb, rot, 1)[:, 0:1]
-            si = pltpu.roll(sib, rot, 1)[:, 0:1]
-            sti = pltpu.roll(stb, rot, 1)[:, 0:1]
+            mi = pltpu.roll(mb, rot, 1)[:, 0:1]
+            qs = mi & 0xFFFF
+            si = None if single_seg else pltpu.roll(sib, rot, 1)[:, 0:1]
             act_read = (i < n_vec)
 
-            # host-precomputed max_dist_x window start (chain.c:58): older
-            # chunks are [min st//128, ic), scanned newest first
-            first_c = jnp.min(jnp.where(act_read, sti, i)) // LANES
-            n_old = ic - first_c
+            # host-precomputed older-window-chunk count (from the sliding
+            # st of chain.c:58, reduced over the grid row's reads): all
+            # rows carry the same value, so max extracts the scalar
+            n_old = jnp.max(mi) >> 16
 
             state0 = (qs * 256 + 255, zero8 - 1, zero8, zero8)
             state1 = score_block(xb, rb, qb, sib, fb, base_i, i, act_read,
-                                 xi, ri, qi, qs, si, state0)
+                                 xi, ri, qi, qs, si, state0, newest=True)
 
             def old_chunk(c, state):
                 base = (ic - 1 - c) * LANES
                 sl = pl.ds(base, LANES)
                 return score_block(xhi_ref[:, sl], rpos_ref[:, sl],
-                                   qpos_ref[:, sl], sid_ref[:, sl],
+                                   qpos_ref[:, sl],
+                                   None if single_seg else sid_ref[:, sl],
                                    f_ref[:, sl], base, i, act_read,
                                    xi, ri, qi, qs, si, state)
 
@@ -219,22 +240,40 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     while R % SUBL:
         SUBL //= 2
     grid = (R // SUBL,)
+    assert max_n // LANES <= 0x7FFF, "nold overflows the meta packing"
+    # one segment, genomic scoring: sid==0 everywhere, so the kernel's
+    # seg-aware masks and pen_other branch compile away and the sid block
+    # is never read (shrunk to one chunk to skip its DMA)
+    single_seg = not is_cdna and not many_segs
+    if single_seg:
+        sid = jax.lax.slice(sid, (0, 0), (R, LANES))
+    # XLA prelude: meta = nold<<16 | q_span, where nold[i] = i//128 -
+    # min_r(st[r,i]//128) is the per-grid-row count of older window
+    # chunks (padded reads contribute their own chunk, i.e. nothing)
+    ici = jnp.arange(max_n, dtype=jnp.int32) // LANES
+    fc = jnp.where(jnp.arange(max_n, dtype=jnp.int32) < nn[:, 0:1],
+                   stw // LANES, ici)
+    nold = ici - fc.reshape(R // SUBL, SUBL, max_n).min(axis=1)
+    meta = span | jnp.broadcast_to(
+        nold[:, None, :] << 16, (R // SUBL, SUBL, max_n)).reshape(R, max_n)
     kern = functools.partial(
         _chain_kernel, subl=SUBL, max_n=max_n, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, max_skip=max_skip, is_cdna=is_cdna,
-        many_segs=many_segs)
+        many_segs=many_segs, single_seg=single_seg)
     blk = lambda w: pl.BlockSpec((SUBL, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
+    sid_blk = blk(LANES) if single_seg else blk(max_n)
     f, p, flag = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[blk(max_n)] * 6 + [blk(LANES), blk(LANES), blk(LANES)],
+        in_specs=[blk(max_n)] * 4 + [sid_blk]
+                 + [blk(LANES), blk(LANES), blk(LANES)],
         out_specs=(blk(max_n), blk(max_n), blk(LANES)),
         out_shape=(jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, LANES), jnp.int32)),
         interpret=interpret,
-    )(xhi, rpos, qpos, span, sid, stw, nn, w1, exc)
+    )(xhi, rpos, qpos, meta, sid, nn, w1, exc)
     return f, p, flag
 
 
