@@ -327,12 +327,22 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    from .index.serialize import dump_index, is_mm2tpu_index, load_index
+    from .index.serialize import (dump_index, is_mm2tpu_index, is_mmi_index,
+                                  load_index, load_mmi_parts)
 
     def index_parts():
         """Yield index parts: prebuilt single-part, or FASTA split every
         ~batch_size bases (the reference's -I multi-part indexing,
         index.c:459, mm_idx_reader_read index.c:921)."""
+        if is_mmi_index(ns.target):
+            # stock minimap2 .mmi (MMI\2), possibly multi-part
+            for j, mi in enumerate(load_mmi_parts(ns.target)):
+                if j == 0 and (mi.k != io.k or mi.w != io.w):
+                    print(f"[WARNING] Indexing parameters (-k {mi.k} "
+                          f"-w {mi.w}) overriding command line",
+                          file=sys.stderr)
+                yield mi
+            return
         if is_mm2tpu_index(ns.target):
             mi = load_index(ns.target)
             if mi.k != io.k or mi.w != io.w:
@@ -359,11 +369,16 @@ def main(argv=None) -> int:
     rg_id = parse_rg_id(ns.rg)
     # build index part k+1 while part k maps (reference main.c:133-275)
     parts = prefetch(index_parts(), depth=1)
-    if ns.dump_index:  # a dump must be single-part: look ahead before writing
+    dump_mmi_fp = None
+    if ns.dump_index and ns.dump_index.endswith(".mmi"):
+        # stock .mmi dumps stream one part after another (index.c:785)
+        dump_mmi_fp = open(ns.dump_index, "wb")
+    elif ns.dump_index:  # .mm2i dumps are single-part: look ahead first
         parts = list(parts)
         if len(parts) > 1:
             print("[ERROR] the index dump does not support multi-part "
-                  "indexes; raise -I", file=sys.stderr)
+                  "indexes; raise -I (or dump stock format via a .mmi "
+                  "extension)", file=sys.stderr)
             return 1
     # one-part lookahead: the SAM header is written once, with @SQ lines
     # only when the index is single-part (reference main.c:224-231) — the
@@ -397,9 +412,17 @@ def main(argv=None) -> int:
                 f"average spacing: "
                 f"{(st['total_bases'] / sum_occ) if sum_occ else 0.0:.3f}")
         if ns.dump_index:
-            dump_index(mi, ns.dump_index)
+            if dump_mmi_fp is not None:
+                from .index.serialize import dump_mmi
+                dump_mmi(mi, dump_mmi_fp)
+            else:
+                dump_index(mi, ns.dump_index)
             if not ns.query:
-                return 0
+                if cur is None:
+                    if dump_mmi_fp is not None:
+                        dump_mmi_fp.close()
+                    return 0
+                continue
 
         # debug dump modes force the single-threaded sequential host
         # pipeline (reference main.c:358/361 forces n_threads=1)
@@ -486,6 +509,8 @@ def main(argv=None) -> int:
         # per-stage telemetry at exit, like the reference's perf
         # counters (main.c:629-663)
         runtime.timers.report()
+    if dump_mmi_fp is not None:
+        dump_mmi_fp.close()
     mlog.banner("2.10-r761", argv_disp)
     return 0
 

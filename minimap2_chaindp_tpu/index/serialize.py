@@ -76,3 +76,172 @@ def is_mm2tpu_index(path: str) -> bool:
             return f.read(len(MAGIC)) == MAGIC
     except OSError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Stock minimap2 .mmi interop (MMI\2, reference index.c:785-874, minimap.h:39)
+#
+# Layout: magic | w k b n_seq flag (u32 x5) | per-seq u8 name_len, name,
+# u32 len | per-bucket (2^b): u32 n, p u64[n], u32 size, size x (key, val)
+# u64 pairs | packed 4-bit S as u32 words (8 bases/word) unless MM_I_NO_SEQ.
+# Hash keys are bucket-local: kh_key = (minier >> b) << 1, low bit 1 when
+# the single occurrence is stored inline in kh_val; otherwise kh_val =
+# start<<32|n into the bucket's p[] (index.c:377-404). Values use the STOCK
+# encoding rid<<32|pos<<1|strand — the same encoding this framework uses
+# internally — NOT the fork's 21/21/21-bit repack, so indexes dumped here
+# load in stock minimap2 v2.10 and vice versa. Multi-part .mmi files are
+# successive dumps in one stream (mm_idx_reader_read index.c:921-939).
+# ---------------------------------------------------------------------------
+
+MMI_MAGIC = b"MMI\x02"
+
+
+def is_mmi_index(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == MMI_MAGIC
+    except OSError:
+        return False
+
+
+def _pack_seq4(S: np.ndarray) -> np.ndarray:
+    """nt4 byte codes -> packed 4-bit u32 words (mm_seq4_set, mmpriv.h:30)."""
+    n = len(S)
+    pad = (-n) % 8
+    s = np.concatenate([S.astype(np.uint32),
+                        np.zeros(pad, np.uint32)]).reshape(-1, 8)
+    return (s << (np.arange(8, dtype=np.uint32) * 4)).sum(
+        axis=1, dtype=np.uint32)
+
+
+def _unpack_seq4(words: np.ndarray, n: int) -> np.ndarray:
+    """Packed 4-bit u32 words -> nt4 byte codes (mm_seq4_get, mmpriv.h:29)."""
+    s = (words[:, None] >> (np.arange(8, dtype=np.uint32) * 4)) & np.uint32(
+        0xF)
+    return s.reshape(-1)[:n].astype(np.uint8)
+
+
+def _ragged_gather(values, starts, rows, row_cnt):
+    """Concatenate values[starts[r]:starts[r]+row_cnt_of_r] over `rows`,
+    vectorized (the CSR slices for the given rows, in row order)."""
+    cnt = row_cnt[rows]
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, values.dtype)
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    ridx = np.repeat(np.arange(len(rows)), cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], cnt)
+    return values[starts[rows][ridx] + within]
+
+
+def dump_mmi(mi: MinimizerIndex, f) -> None:
+    """Append one stock-format .mmi part to an open binary file."""
+    f.write(MMI_MAGIC)
+    f.write(struct.pack("<5I", mi.w, mi.k, mi.b, mi.n_seq, mi.flag))
+    for s in mi.seqs:
+        nb = s.name.encode()
+        f.write(struct.pack("<B", len(nb)))
+        f.write(nb)
+        f.write(struct.pack("<I", s.length))
+    nb_buckets = 1 << mi.b
+    bucket_of = (mi.keys & np.uint64(nb_buckets - 1)).astype(np.int64)
+    cnt = np.diff(mi.starts)
+    order = np.argsort(bucket_of, kind="stable")
+    bounds = np.searchsorted(bucket_of[order],
+                             np.arange(nb_buckets + 1, dtype=np.int64))
+    for i in range(nb_buckets):
+        sel = order[bounds[i]:bounds[i + 1]]
+        multi = sel[cnt[sel] > 1]
+        # p[] = concatenated multi-occurrence lists (position-sorted, as
+        # our CSR already is per index.c:394)
+        p = _ragged_gather(mi.values, mi.starts, multi, cnt)
+        f.write(struct.pack("<I", len(p)))
+        f.write(p.astype("<u8").tobytes())
+        f.write(struct.pack("<I", len(sel)))
+        if not len(sel):
+            continue
+        is_multi = cnt[sel] > 1
+        kh = np.empty((len(sel), 2), dtype="<u8")
+        kh[:, 0] = ((mi.keys[sel] >> np.uint64(mi.b)) << np.uint64(1)) \
+            | np.uint64(1) * ~is_multi
+        m_cnt = cnt[multi]
+        start_p = np.concatenate([[0], np.cumsum(m_cnt)[:-1]]) \
+            if len(multi) else np.empty(0, np.int64)
+        kh[is_multi, 1] = (start_p.astype(np.uint64) << np.uint64(32)) \
+            | m_cnt.astype(np.uint64)
+        kh[~is_multi, 1] = mi.values[mi.starts[sel[~is_multi]]]
+        f.write(kh.tobytes())
+    if not (mi.flag & 0x2):  # MM_I_NO_SEQ
+        f.write(_pack_seq4(mi.S).astype("<u4").tobytes())
+    f.flush()
+
+
+def load_mmi_parts(path: str):
+    """Yield MinimizerIndex parts from a stock .mmi file (mm_idx_load,
+    index.c:823-874; multi-part files are successive dumps)."""
+    with open(path, "rb") as f:
+        while True:
+            magic = f.read(4)
+            if len(magic) < 4:
+                return
+            if magic != MMI_MAGIC:
+                raise ValueError(f"{path}: bad .mmi part magic")
+            w, k, b, n_seq, flag = struct.unpack("<5I", f.read(20))
+            mi = MinimizerIndex(k=k, w=w, flag=flag, b=b)
+            names, off = [], 0
+            for _ in range(n_seq):
+                (nl,) = struct.unpack("<B", f.read(1))
+                name = f.read(nl).decode()
+                (length,) = struct.unpack("<I", f.read(4))
+                mi.seqs.append(RefSeq(name=name, offset=off, length=length))
+                names.append(name)
+                off += length
+            key_parts, cnt_parts, val_parts = [], [], []
+            for i in range(1 << b):
+                (n_p,) = struct.unpack("<I", f.read(4))
+                p = np.frombuffer(f.read(8 * n_p), dtype="<u8")
+                (size,) = struct.unpack("<I", f.read(4))
+                if size == 0:
+                    continue
+                kh = np.frombuffer(f.read(16 * size),
+                                   dtype="<u8").reshape(size, 2)
+                single = (kh[:, 0] & np.uint64(1)).astype(bool)
+                key_parts.append(((kh[:, 0] >> np.uint64(1))
+                                  << np.uint64(b)) | np.uint64(i))
+                n_occ = np.where(single, 1,
+                                 kh[:, 1] & np.uint64(0xFFFFFFFF)
+                                 ).astype(np.int64)
+                st = (kh[:, 1] >> np.uint64(32)).astype(np.int64)
+                total = int(n_occ.sum())
+                offs = np.concatenate([[0], np.cumsum(n_occ)])
+                ridx = np.repeat(np.arange(size), n_occ)
+                within = np.arange(total, dtype=np.int64) \
+                    - np.repeat(offs[:-1], n_occ)
+                pv = p[np.minimum(st[ridx] + within,
+                                  max(len(p) - 1, 0))] \
+                    if len(p) else np.zeros(total, np.uint64)
+                val_parts.append(np.where(single[ridx], kh[ridx, 1], pv))
+                cnt_parts.append(n_occ)
+            if key_parts:
+                keys = np.concatenate(key_parts)
+                cnts = np.concatenate(cnt_parts)
+                vals = np.concatenate(val_parts)
+                order = np.argsort(keys, kind="stable")
+                mi.keys = keys[order]
+                new_cnt = cnts[order]
+                mi.starts = np.concatenate(
+                    [[0], np.cumsum(new_cnt)]).astype(np.int64)
+                old_starts = np.concatenate(
+                    [[0], np.cumsum(cnts)]).astype(np.int64)
+                mi.values = _ragged_gather(vals, old_starts, order, cnts)
+            if not (flag & 0x2):  # MM_I_NO_SEQ
+                n_words = (off + 7) // 8
+                mi.S = _unpack_seq4(
+                    np.frombuffer(f.read(4 * n_words), dtype="<u4"), off)
+            ordern = sorted(range(len(names)), key=lambda i: names[i])
+            mi.sorted_names = [names[i] for i in ordern]
+            rank = np.empty(len(names), dtype=np.int64)
+            for r, i in enumerate(ordern):
+                rank[i] = r
+            mi.name_rank = rank
+            yield mi

@@ -176,3 +176,49 @@ def test_cli_long_option_aliases():
     assert ns.min_cnt == 3 and ns.min_chain_score == 40
     assert ns.min_dp_max == 80 and ns.noncan == 9
     assert ns.mini_batch == "100M"
+
+
+def test_mmi_roundtrip_multi_occ():
+    """Stock .mmi (MMI\\2, index.c:785-874) dump/load round-trips the CSR
+    exactly, including multi-occurrence p[] lists and the packed 4-bit S."""
+    import numpy as np
+    from minimap2_chaindp_tpu.index.build import build_index
+    from minimap2_chaindp_tpu.index.serialize import dump_mmi, load_mmi_parts
+    import tempfile
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+    seq = unit * 6 + "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    mi = build_index(["rep"], [seq], 10, 15, 0, 14)
+    assert (np.diff(mi.starts) > 1).any()
+    with tempfile.NamedTemporaryFile(suffix=".mmi") as tf:
+        dump_mmi(mi, tf.file)
+        dump_mmi(mi, tf.file)  # multi-part stream
+        tf.file.flush()
+        parts = list(load_mmi_parts(tf.name))
+    assert len(parts) == 2
+    for m2 in parts:
+        assert (m2.k, m2.w, m2.b, m2.flag) == (mi.k, mi.w, mi.b, mi.flag)
+        assert np.array_equal(m2.keys, mi.keys)
+        assert np.array_equal(m2.starts, mi.starts)
+        assert np.array_equal(m2.values, mi.values)
+        assert np.array_equal(m2.S, mi.S)
+
+
+def test_cli_map_from_mmi(tmp_path):
+    """-d foo.mmi writes the stock format; mapping from it is byte-identical
+    to mapping from the FASTA."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    mmi = str(tmp_path / "mt.mmi")
+    subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-d", mmi,
+         os.path.join(REF_TEST_DIR, "MT-human.fa")],
+        capture_output=True, check=True, cwd="/root/repo", env=env)
+    a = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a",
+         "--device", "host", mmi, os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    with open(os.path.join(GOLDEN_DIR, "mt.sam")) as f:
+        golden = [l.rstrip("\n") for l in f if not l.startswith("@PG")]
+    mine = [l for l in a.stdout.rstrip("\n").split("\n")
+            if not l.startswith("@PG")]
+    assert mine == golden
