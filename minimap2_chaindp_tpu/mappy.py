@@ -93,8 +93,12 @@ class Aligner:
             self._mi = build_index(["N/A"], [seq], io.w, io.k, io.flag,
                                    io.bucket_bits)
         elif fn_idx_in is not None:
+            from .index.serialize import is_mmi_index, load_mmi_parts
             if is_mm2tpu_index(fn_idx_in):
                 self._mi = load_index(fn_idx_in)
+            elif is_mmi_index(fn_idx_in):
+                # stock minimap2 .mmi (single-part, like mappy.pyx:103)
+                self._mi = next(load_mmi_parts(fn_idx_in))
             else:
                 refs = list(read_fastx(fn_idx_in))
                 self._mi = build_index([r.name for r in refs],
@@ -104,8 +108,13 @@ class Aligner:
             raise ValueError("provide fn_idx_in or seq")
         mo.update(self._mi)
         if fn_idx_out:
-            from .index.serialize import dump_index
-            dump_index(self._mi, fn_idx_out)
+            if fn_idx_out.endswith(".mmi"):
+                from .index.serialize import dump_mmi
+                with open(fn_idx_out, "wb") as f:
+                    dump_mmi(self._mi, f)
+            else:
+                from .index.serialize import dump_index
+                dump_index(self._mi, fn_idx_out)
 
     def __bool__(self) -> bool:
         return self._mi is not None

@@ -222,3 +222,20 @@ def test_cli_map_from_mmi(tmp_path):
     mine = [l for l in a.stdout.rstrip("\n").split("\n")
             if not l.startswith("@PG")]
     assert mine == golden
+
+
+def test_mappy_mmi_roundtrip():
+    """Aligner accepts stock .mmi input and fn_idx_out=*.mmi (mappy.pyx:103);
+    hits from the loaded index match the FASTA-built index."""
+    from minimap2_chaindp_tpu import mappy
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        mmi = os.path.join(td, "mt.mmi")
+        a = mappy.Aligner(os.path.join(REF_TEST_DIR, "MT-human.fa"),
+                          preset="map-ont", fn_idx_out=mmi)
+        b = mappy.Aligner(mmi, preset="map-ont")
+        q = next(mappy.fastx_read(
+            os.path.join(REF_TEST_DIR, "MT-orang.fa")))[1]
+        ha = [str(h) for h in a.map(q)]
+        hb = [str(h) for h in b.map(q)]
+    assert ha and ha == hb
