@@ -788,8 +788,6 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
         return None
     if opt.flag & (CC.MM_F_INDEPEND_SEG | CC.MM_F_SPLICE):
         return None
-    if opt.sdust_thres > 0:
-        return None  # per-segment LCR coords need the Python quirk replay
     return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 
 

@@ -2513,6 +2513,23 @@ int64_t mm2tpu_map_frag_pe(
         mm2tpu_sketch_take(sh, mv.data());
         for (int64_t i = counts[0]; i < n_mv; ++i)
             mv[2 * i + 1] += (uint64_t)(qlen0 << 1);
+        if (opt[33] > 0) {
+            // -T masking per segment with its own sequence.  The reference
+            // masks AFTER the concat offset is added (map.c:94-96), so
+            // segment 1's overlap test runs on shifted positions against
+            // segment-local LCRs — replayed exactly (usually a no-op mask
+            // for segment 1).
+            int64_t m0 = sdust_impl::dust_mask_mv(
+                mv.data(), counts[0], qa0, qlen0, (int)opt[33]);
+            int64_t m1 = sdust_impl::dust_mask_mv(
+                mv.data() + 2 * counts[0], counts[1], qa1, qlen1,
+                (int)opt[33]);
+            memmove(mv.data() + 2 * m0, mv.data() + 2 * counts[0],
+                    2 * m1 * sizeof(uint64_t));
+            counts[0] = m0;
+            counts[1] = m1;
+            n_mv = m0 + m1;
+        }
     }
     std::vector<NatReg> empty0, empty1;
     std::vector<NatReg>* regss[2] = {&empty0, &empty1};

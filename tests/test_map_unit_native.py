@@ -199,3 +199,38 @@ def test_large_reference_consistency(monkeypatch):
     monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
     slow = HostRuntime(mi, mo).map_batch(reads)
     assert fast == slow
+
+
+def test_fast_path_paired_end_sdust(mt_index, monkeypatch):
+    """PE -T masking on the native path replays the reference's
+    post-offset quirk (map.c:94-96) — byte-equal to the Python pipeline."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    refs, mi = mt_index
+    rng = np.random.default_rng(23)
+    seq = refs[0].seq
+    rc = lambda s: s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    frags = []
+    for i in range(24):
+        st = int(rng.integers(0, len(seq) - 500))
+        frag = seq[st:st + int(rng.integers(250, 500))]
+        r1, r2 = frag[:130], rc(frag)[:130]
+        if i % 3 == 0:  # inject low-complexity runs so the mask fires
+            r1 = r1[:40] + "A" * 40 + r1[80:]
+        if i % 4 == 0:
+            r2 = r2[:50] + "AT" * 25 + r2[100:]
+        frags.append(Frag([type(refs[0])(f"q{i}/1", r1, "I" * len(r1)),
+                           type(refs[0])(f"q{i}/2", r2, "I" * len(r2))]))
+    from minimap2_chaindp_tpu.options import set_opt as so
+    io_, mo = so("sr")
+    mi_sr = build_index([r.name for r in refs], [r.seq for r in refs],
+                        io_.w, io_.k, io_.flag, io_.bucket_bits)
+    mo.flag |= C.MM_F_CIGAR | C.MM_F_OUT_SAM
+    mo.sdust_thres = 20
+    mo.update(mi_sr)
+    rt = HostRuntime(mi_sr, mo)
+    fast = rt.map_batch(frags)
+    assert rt.timers.counters.get("fast_native", 0) == len(frags)
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    slow = HostRuntime(mi_sr, mo).map_batch(frags)
+    assert fast == slow
