@@ -786,7 +786,7 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
     lib = load_ksw()
     if lib is None or len(segs) != 2:
         return None
-    if opt.flag & (CC.MM_F_INDEPEND_SEG | CC.MM_F_SPLICE):
+    if opt.flag & CC.MM_F_INDEPEND_SEG:
         return None
     return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 

@@ -2572,7 +2572,8 @@ int64_t mm2tpu_map_frag_pe(
             int64_t n_v = 0;
             int64_t n_u = mm2tpu_chain_dp(
                 n_anch, ax.data(), ay.data(), opt[17], opt[16], opt[14],
-                opt[18], (int32_t)opt[10], (int32_t)opt[11], 0, 2,
+                opt[18], (int32_t)opt[10], (int32_t)opt[11],
+                (opt[0] & F_SPLICE) ? 1 : 0, 2,
                 out_a.data(), out_u.data(), &n_v);
             if (n_u > 0) {
                 c0.S = S; c0.seq_off = seq_off; c0.seq_len = seq_len;
@@ -2586,6 +2587,8 @@ int64_t mm2tpu_map_frag_pe(
                 c0.min_chain_score = opt[11]; c0.min_dp_max = opt[12];
                 c0.max_gap = opt[13]; c0.bw = opt[14];
                 c0.min_ksw_len = opt[15];
+                c0.noncan = opt[30]; c0.anchor_ext_len = opt[31];
+                c0.anchor_ext_shift = opt[32];
                 c0.A = out_a.data(); c0.n_a = n_v;
                 c0.qlen = qlen_sum;
                 double mask_level = optf[0], pri_ratio = optf[1],
@@ -2620,6 +2623,9 @@ int64_t mm2tpu_map_frag_pe(
                     cs.min_dp_max = c0.min_dp_max;
                     cs.max_gap = c0.max_gap; cs.bw = c0.bw;
                     cs.min_ksw_len = c0.min_ksw_len;
+                    cs.noncan = c0.noncan;
+                    cs.anchor_ext_len = c0.anchor_ext_len;
+                    cs.anchor_ext_shift = c0.anchor_ext_shift;
                     cs.A = seg_a[s].data();
                     cs.n_a = (int64_t)seg_a[s].size() / 2;
                     cs.qlen = qlens[s];

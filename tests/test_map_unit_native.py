@@ -234,3 +234,37 @@ def test_fast_path_paired_end_sdust(mt_index, monkeypatch):
     monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
     slow = HostRuntime(mi_sr, mo).map_batch(frags)
     assert fast == slow
+
+
+def test_fast_path_paired_end_splice(monkeypatch):
+    """Splice PE on the native path (two-round strand selection, cdna
+    chaining, noncan signal costs per segment) vs the Python pipeline."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    import os as _os
+    from minimap2_chaindp_tpu.io.fastx import read_fastx
+    from minimap2_chaindp_tpu.options import set_opt as so
+    data = _os.path.join(_os.path.dirname(__file__), "data")
+    genome = list(read_fastx(_os.path.join(data, "splice_genome.fa")))
+    cdnas = list(read_fastx(_os.path.join(data, "splice_cdna.fa")))
+    rc = lambda s: s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    frags = []
+    for r in cdnas:
+        if len(r.seq) < 260:
+            continue
+        a, b = r.seq[:150], rc(r.seq[-150:])
+        frags.append(Frag([type(r)(f"{r.name}/1", a, "I" * len(a)),
+                           type(r)(f"{r.name}/2", b, "I" * len(b))]))
+    assert frags
+    io_, mo = so("splice")
+    mi = build_index([g.name for g in genome], [g.seq for g in genome],
+                     io_.w, io_.k, io_.flag, io_.bucket_bits)
+    mo.flag |= C.MM_F_CIGAR | C.MM_F_OUT_SAM
+    mo.update(mi)
+    rt = HostRuntime(mi, mo)
+    fast = rt.map_batch(frags)
+    assert rt.timers.counters.get("fast_native", 0) == len(frags)
+    monkeypatch.setenv("MM2TPU_NATIVE_SKELETON", "0")
+    slow = HostRuntime(mi, mo).map_batch(frags)
+    assert fast == slow
+    assert any("ts:A:" in line for batch in fast for line in batch)
