@@ -255,6 +255,18 @@ def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag) -> K.Ez:
         bases = "ACGTN"
         print("".join(bases[b] for b in tseq), file=sys.stderr)
         print("".join(bases[b] for b in qseq), file=sys.stderr)
+        ez = _align_pair_dispatch(opt, qseq, tseq, mat, w, end_bonus, zdrop,
+                                  flag)
+        # post-alignment result line (align.c:236-241)
+        cig = "".join(f"{c >> 4}{'MIDN'[c & 0xF]}" for c in ez.cigar)
+        print(f"score={ez.score}, cigar={cig}", file=sys.stderr)
+        return ez
+    return _align_pair_dispatch(opt, qseq, tseq, mat, w, end_bonus, zdrop,
+                                flag)
+
+
+def _align_pair_dispatch(opt, qseq, tseq, mat, w, end_bonus, zdrop,
+                         flag) -> K.Ez:
     if opt.flag & C.MM_F_SPLICE:
         from .native import exts2_batch_native
         res = exts2_batch_native(

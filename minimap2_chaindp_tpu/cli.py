@@ -370,9 +370,11 @@ def main(argv=None) -> int:
     # build index part k+1 while part k maps (reference main.c:133-275)
     parts = prefetch(index_parts(), depth=1)
     dump_mmi_fp = None
-    if ns.dump_index and ns.dump_index.endswith(".mmi"):
-        # stock .mmi dumps stream one part after another (index.c:785)
-        dump_mmi_fp = open(ns.dump_index, "wb")
+    dump_mmi_streaming = bool(ns.dump_index
+                              and ns.dump_index.endswith(".mmi"))
+    if dump_mmi_streaming:
+        pass  # opened lazily at the first part, so a failed build/read
+        # never truncates an existing index file
     elif ns.dump_index:  # .mm2i dumps are single-part: look ahead first
         parts = list(parts)
         if len(parts) > 1:
@@ -392,6 +394,12 @@ def main(argv=None) -> int:
         mi = cur
         cur = next(parts, None)
         part_no += 1
+        if (mo.flag & C.MM_F_CIGAR) and (mi.flag & C.MM_I_NO_SEQ):
+            # post-load re-check: a prebuilt index may lack sequences even
+            # when the command line didn't say --idx-no-seq (main.c:214)
+            print("[ERROR] the prebuilt index doesn't contain sequences.",
+                  file=sys.stderr)
+            return 1
         mlog.mlog("main", f"loaded/built the index for {mi.n_seq} "
                   "target sequence(s)")
         if ns.query:
@@ -412,8 +420,10 @@ def main(argv=None) -> int:
                 f"average spacing: "
                 f"{(st['total_bases'] / sum_occ) if sum_occ else 0.0:.3f}")
         if ns.dump_index:
-            if dump_mmi_fp is not None:
+            if dump_mmi_streaming:
                 from .index.serialize import dump_mmi
+                if dump_mmi_fp is None:
+                    dump_mmi_fp = open(ns.dump_index, "wb")
                 dump_mmi(mi, dump_mmi_fp)
             else:
                 dump_index(mi, ns.dump_index)

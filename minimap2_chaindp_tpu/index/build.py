@@ -134,10 +134,6 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         mi.values = val
     mlog("mm_idx_gen", "sorted minimizers")
     # lexicographic name ranks (ava-mode ordering, index.c:560-592)
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    mi.sorted_names = [names[i] for i in order]
-    rank = np.empty(len(names), dtype=np.int64)
-    for r, i in enumerate(order):
-        rank[i] = r
-    mi.name_rank = rank
+    from .serialize import set_name_tables
+    set_name_tables(mi, list(names))
     return mi

@@ -23,6 +23,27 @@ from .build import MinimizerIndex, RefSeq
 MAGIC = b"MM2TPU\x01"
 
 
+def set_name_tables(mi: MinimizerIndex, names: list[str]) -> None:
+    """Lexicographic name-rank tables for ava-mode self/dual skipping
+    (reference rname_rid/rever_rid, index.c:560-592)."""
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    mi.sorted_names = [names[i] for i in order]
+    rank = np.empty(len(names), dtype=np.int64)
+    for r, i in enumerate(order):
+        rank[i] = r
+    mi.name_rank = rank
+
+
+def dump_index_auto(mi: MinimizerIndex, path: str) -> None:
+    """Dump one index part, stock .mmi format when the path ends in .mmi,
+    native .mm2i otherwise."""
+    if path.endswith(".mmi"):
+        with open(path, "wb") as f:
+            dump_mmi(mi, f)
+    else:
+        dump_index(mi, path)
+
+
 def dump_index(mi: MinimizerIndex, path: str) -> None:
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -61,12 +82,7 @@ def load_index(path: str) -> MinimizerIndex:
         mi.starts = np.frombuffer(f.read(8 * (n_keys + 1)), dtype="<i8").copy()
         (n_vals,) = struct.unpack("<q", f.read(8))
         mi.values = np.frombuffer(f.read(8 * n_vals), dtype="<u8").copy()
-        order = sorted(range(len(names)), key=lambda i: names[i])
-        mi.sorted_names = [names[i] for i in order]
-        rank = np.empty(len(names), dtype=np.int64)
-        for r, i in enumerate(order):
-            rank[i] = r
-        mi.name_rank = rank
+        set_name_tables(mi, names)
     return mi
 
 
@@ -140,8 +156,12 @@ def dump_mmi(mi: MinimizerIndex, f) -> None:
     f.write(struct.pack("<5I", mi.w, mi.k, mi.b, mi.n_seq, mi.flag))
     for s in mi.seqs:
         nb = s.name.encode()
-        f.write(struct.pack("<B", len(nb)))
-        f.write(nb)
+        # stock writes `uint8_t l = strlen(name)` (index.c:790-793): names
+        # over 255 bytes wrap mod 256 and only that prefix is stored —
+        # replicated so the stream stays loadable either way
+        nl = len(nb) & 0xFF
+        f.write(struct.pack("<B", nl))
+        f.write(nb[:nl])
         f.write(struct.pack("<I", s.length))
     nb_buckets = 1 << mi.b
     bucket_of = (mi.keys & np.uint64(nb_buckets - 1)).astype(np.int64)
@@ -238,10 +258,5 @@ def load_mmi_parts(path: str):
                 n_words = (off + 7) // 8
                 mi.S = _unpack_seq4(
                     np.frombuffer(f.read(4 * n_words), dtype="<u4"), off)
-            ordern = sorted(range(len(names)), key=lambda i: names[i])
-            mi.sorted_names = [names[i] for i in ordern]
-            rank = np.empty(len(names), dtype=np.int64)
-            for r, i in enumerate(ordern):
-                rank[i] = r
-            mi.name_rank = rank
+            set_name_tables(mi, names)
             yield mi

@@ -108,13 +108,8 @@ class Aligner:
             raise ValueError("provide fn_idx_in or seq")
         mo.update(self._mi)
         if fn_idx_out:
-            if fn_idx_out.endswith(".mmi"):
-                from .index.serialize import dump_mmi
-                with open(fn_idx_out, "wb") as f:
-                    dump_mmi(self._mi, f)
-            else:
-                from .index.serialize import dump_index
-                dump_index(self._mi, fn_idx_out)
+            from .index.serialize import dump_index_auto
+            dump_index_auto(self._mi, fn_idx_out)
 
     def __bool__(self) -> bool:
         return self._mi is not None

@@ -159,7 +159,7 @@ def test_cli_print_aln_seq_dump():
     mine = []
     for i, l in enumerate(lines):
         if l.startswith("===>"):
-            mine.extend(lines[i:i + 3])
+            mine.extend(lines[i:i + 4])  # header, tseq, qseq, score/cigar
     with open(os.path.join(GOLDEN_DIR, "inv.print_aln_seq.txt")) as f:
         golden = [l.rstrip("\n") for l in f]
     assert mine == golden
@@ -239,3 +239,20 @@ def test_mappy_mmi_roundtrip():
         ha = [str(h) for h in a.map(q)]
         hb = [str(h) for h in b.map(q)]
     assert ha and ha == hb
+
+
+def test_cli_prebuilt_noseq_guard(tmp_path):
+    """Mapping with CIGAR from a prebuilt index that lacks sequences gives
+    the reference's clean error (main.c:214), not a crash."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    mmi = str(tmp_path / "noseq.mmi")
+    subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--idx-no-seq",
+         "-d", mmi, os.path.join(REF_TEST_DIR, "MT-human.fa")],
+        capture_output=True, check=True, cwd="/root/repo", env=env)
+    r = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a", mmi,
+         os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1
+    assert "doesn't contain sequences" in r.stderr
