@@ -164,15 +164,17 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
         sib = None if single_seg else sid_ref[:, isl]
 
         def inner(off, carry):
-            fb, pb, flags = carry
+            # per-anchor fields come from carried registers rotated by a
+            # CONSTANT 1 each iteration (cheaper than a dynamic roll by
+            # LANES-off): column `off` of the original block sits at lane 0
+            fb, pb, xr, rr, qr, mr, sr, flags = carry
             i = base_i + off
-            rot = LANES - off
-            xi = pltpu.roll(xb, rot, 1)[:, 0:1]
-            ri = pltpu.roll(rb, rot, 1)[:, 0:1]
-            qi = pltpu.roll(qb, rot, 1)[:, 0:1]
-            mi = pltpu.roll(mb, rot, 1)[:, 0:1]
+            xi = xr[:, 0:1]
+            ri = rr[:, 0:1]
+            qi = qr[:, 0:1]
+            mi = mr[:, 0:1]
             qs = mi & 0xFFFF
-            si = None if single_seg else pltpu.roll(sib, rot, 1)[:, 0:1]
+            si = None if single_seg else sr[:, 0:1]
             act_read = (i < n_vec)
 
             # host-precomputed older-window-chunk count (from the sliding
@@ -204,11 +206,16 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
             fb = jnp.where(lane == off, f_new, fb)
             pb = jnp.where(lane == off, p_new, pb)
             skip_bad = have & (cnt_best > max_skip) & act_read
-            return fb, pb, flags | jnp.where(skip_bad, 1, 0)
+            rot1 = lambda t: pltpu.roll(t, LANES - 1, 1)
+            return (fb, pb, rot1(xr), rot1(rr), rot1(qr), rot1(mr),
+                    sr if single_seg else rot1(sr),
+                    flags | jnp.where(skip_bad, 1, 0))
 
         fb0 = jnp.zeros((SUBL, LANES), jnp.int32)
         pb0 = jnp.full((SUBL, LANES), -1, jnp.int32)
-        fb, pb, flags = jax.lax.fori_loop(0, LANES, inner, (fb0, pb0, flags))
+        fb, pb, *_, flags = jax.lax.fori_loop(
+            0, LANES, inner,
+            (fb0, pb0, xb, rb, qb, mb, zero8 if single_seg else sib, flags))
         f_ref[:, isl] = fb
         p_ref[:, isl] = pb
         return flags
