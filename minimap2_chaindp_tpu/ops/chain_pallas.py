@@ -42,15 +42,16 @@ def pick_subl(max_n: int) -> int:
     import os
     if "MM2TPU_SUBL" in os.environ:
         return int(os.environ["MM2TPU_SUBL"])
-    # ~8 (subl, max_n) i32 blocks live at once, DOUBLE-BUFFERED by the
-    # pipeline — budget well under the 16 MiB scoped-vmem limit
-    budget = 6 * 1024 * 1024
-    subl = budget // (max_n * 4 * 7)
+    # 6 (subl, max_n) i32 blocks live at once (xhi/rpos/qpos/meta in, f/p
+    # out), DOUBLE-BUFFERED by the pipeline — budget well under the 16 MiB
+    # scoped-vmem limit
+    budget = 7 * 1024 * 1024
+    subl = budget // (max_n * 4 * 6)
     # power of two only: the caller halves SUBL until it divides the padded
     # read count (a multiple of 8), and Mosaic requires block dim -2 >= 8 —
     # a non-pow2 start (e.g. 72) can halve through 9 -> 4 and fail lowering
     pow2 = 8
-    while pow2 * 2 <= min(128, subl):
+    while pow2 * 2 <= min(256, subl):
         pow2 *= 2
     return pow2
 TBL = 2048    # c_lin exactness domain; requires bw < TBL
