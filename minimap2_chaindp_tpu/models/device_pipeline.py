@@ -22,6 +22,35 @@ from jax.experimental.shard_map import shard_map
 from ..ops import chain_pallas as CP
 
 
+def make_sharded_collect_step(mesh: Mesh, *, cap: int):
+    """Build the jitted sharded-index seed-collect step (>chip-HBM genomes).
+
+    The CSR minimizer index is key-range-sharded over the "index" axis
+    (ops/seeds_device.shard_index_tables); query minimizer batches are
+    data-parallel over "data". Each index shard looks up its own key range
+    and the disjoint per-slot anchor contributions combine with psums over
+    ICI — no shard ever holds the whole index. Output anchors are
+    data-sharded and identical to the single-chip device collector's.
+    """
+    from ..ops.seeds_device import _collect_dev
+    dspec, ispec = P("data"), P("index")
+
+    def step(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
+             qseg, qtnd, max_occ, qls):
+        return _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid,
+                            qpos, qspan, qseg, qtnd, max_occ, qls,
+                            cap=cap, axis_name="index")
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(ispec, ispec, ispec, ispec, ispec,
+                  dspec, dspec, dspec, dspec, dspec, dspec, dspec,
+                  P(), dspec),
+        out_specs=(dspec,) * 7,
+        check_rep=False,
+    ))
+
+
 def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
                           max_skip: int, interpret: bool = False):
     """Build the jitted multi-chip mapping compute step.

@@ -55,11 +55,17 @@ class DeviceIndex:
         self.n_keys = len(mi.keys)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "axis_name"))
 def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
-                 qseg, qtandem, max_occ, qlen_sum, *, cap):
+                 qseg, qtandem, max_occ, qlen_sum, *, cap, axis_name=None):
     """The batched device stage. q* inputs are (R, M); returns per-read padded
-    anchor component arrays (R, cap) sorted by x, plus cnt/over masks."""
+    anchor component arrays (R, cap) sorted by x, plus cnt/over masks.
+
+    With `axis_name` set (inside shard_map), the index tables are one shard
+    of a key-range-sharded CSR: every key's occurrence list lives on exactly
+    one shard, so per-query counts and per-slot anchor components combine
+    across shards with a psum (all-reduce over ICI) — the all-to-all seed
+    routing design for >chip-HBM genomes (BASELINE north star)."""
     R, M = qhi.shape
     K = khi.shape[0]
 
@@ -84,6 +90,13 @@ def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
     over = found & (cnt >= max_occ)
     keep = found & ~over
     occ = jnp.where(keep, cnt, 0)
+    if axis_name is not None:
+        # each query key is owned by exactly one shard: psum = gather
+        occ = jax.lax.psum(occ, axis_name)
+        cnt_out = jax.lax.psum(cnt, axis_name)
+        over_out = jax.lax.psum(over.astype(jnp.int32), axis_name) > 0
+    else:
+        cnt_out, over_out = cnt, over
 
     # CSR expansion: slot s of a read belongs to the match whose cumulative
     # occurrence range contains s
@@ -122,6 +135,14 @@ def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
         | (sid << (C.MM_SEED_SEG_SHIFT - 32))
     ylo = qpos_out
 
+    if axis_name is not None:
+        # a slot's values are real only on the shard owning its match;
+        # zero elsewhere, then psum-combine the disjoint contributions
+        own = jnp.take_along_axis(keep, midx_c, axis=1) & live
+        xhi, xlo, yhi, ylo = (
+            jax.lax.psum(jnp.where(own, v, 0), axis_name)
+            for v in (xhi, xlo, yhi, ylo))
+
     # stable sort by x == (xhi unsigned, xlo): bias xhi for signed compare
     pad = ~live
     sk_hi = jnp.where(pad, jnp.int32(0x7FFFFFFF), xhi ^ sign)
@@ -129,7 +150,44 @@ def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
     sk_hi, sk_lo, xhi, xlo, yhi, ylo = jax.lax.sort(
         (sk_hi, sk_lo, xhi, xlo, yhi, ylo), dimension=1, num_keys=2,
         is_stable=True)
-    return xhi, xlo, yhi, ylo, total, cnt, over
+    return xhi, xlo, yhi, ylo, total, cnt_out, over_out
+
+
+def shard_index_tables(mi, n_shards: int):
+    """Split the CSR index into `n_shards` equal-padded key-range shards for
+    an index-sharded mesh axis (>chip-HBM genomes). Every key's occurrence
+    list lives entirely on one shard. Returns stacked arrays shaped
+    (n_shards*Kp,) keys / (n_shards*(Kp+1),) starts / (n_shards*Vp,) values,
+    ready to device_put with PartitionSpec("index")."""
+    K = len(mi.keys)
+    Kp = max((K + n_shards - 1) // n_shards, 1)
+    khi_g, klo_g = split_u64(mi.keys)
+    vhi_g = (mi.values >> np.uint64(32)).astype(np.int64).astype(np.int32)
+    vlo_g = (mi.values & np.uint64(0xFFFFFFFF)).astype(np.int64) \
+        .astype(np.int32)
+    khi = np.full((n_shards, Kp), 0x7FFFFFFF, np.int32)
+    klo = np.full((n_shards, Kp), 0x7FFFFFFF, np.int32)
+    Vp = 1
+    cuts = [min(s * Kp, K) for s in range(n_shards + 1)]
+    Vp = max(max(int(mi.starts[cuts[s + 1]] - mi.starts[cuts[s]])
+                 for s in range(n_shards)), 1)
+    starts = np.zeros((n_shards, Kp + 1), np.int32)
+    vhi = np.zeros((n_shards, Vp), np.int32)
+    vlo = np.zeros((n_shards, Vp), np.int32)
+    for s in range(n_shards):
+        k0, k1 = cuts[s], cuts[s + 1]
+        n = k1 - k0
+        khi[s, :n] = khi_g[k0:k1]
+        klo[s, :n] = klo_g[k0:k1]
+        v0, v1 = int(mi.starts[k0]), int(mi.starts[k1])
+        # local CSR: rebased starts; sentinel keys repeat the end offset so
+        # their counts are 0 (a query colliding with the sentinel is harmless)
+        starts[s, :n + 1] = mi.starts[k0:k1 + 1] - v0
+        starts[s, n + 1:] = v1 - v0
+        vhi[s, :v1 - v0] = vhi_g[v0:v1]
+        vlo[s, :v1 - v0] = vlo_g[v0:v1]
+    return (khi.reshape(-1), klo.reshape(-1), starts.reshape(-1),
+            vhi.reshape(-1), vlo.reshape(-1), Kp, Vp)
 
 
 class DeviceSeedCollector:
