@@ -17,9 +17,24 @@ _SRC = os.path.join(_ROOT, "native", "chain_epilogue.cc")
 _SO = os.path.join(_ROOT, "native", "libmm2tpu_epilogue.so")
 _lib = None
 _tried = False
+# one lock for all three loaders: map_stream calls them from two pipeline
+# threads at once, and an unguarded tried-flag makes the losing thread see
+# "tried, no lib" and silently take the slow fallback for its whole batch
+import threading as _threading
+_load_lock = _threading.Lock()
 
 
 def _load():
+    if _lib is not None:
+        return _lib
+    # NB: _tried may only be consulted under the lock — a concurrent
+    # loader sets it before _lib is published, and an unlocked read
+    # would wrongly report "tried, no lib"
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -74,6 +89,16 @@ _pu64 = _c.POINTER(_c.c_uint64)
 def load_align():
     """Loader for the alignment-epilogue scans (native/align_epilogue.cc);
     returns the ctypes lib or None."""
+    if _al_lib is not None:
+        return _al_lib
+    # NB: _al_tried may only be consulted under the lock — a concurrent
+    # loader sets it before _al_lib is published, and an unlocked read
+    # would wrongly report "tried, no lib"
+    with _load_lock:
+        return _load_align_locked()
+
+
+def _load_align_locked():
     global _al_lib, _al_tried
     if _al_lib is not None or _al_tried:
         return _al_lib
@@ -329,6 +354,16 @@ def load_ksw():
     (native/align_driver.cc textually includes ksw2_extd2.cc so the row
     kernels inline; align_epilogue.cc supplies the fix_cigar/update_extra
     scan to the same shared object)."""
+    if _ksw_lib is not None:
+        return _ksw_lib
+    # NB: _ksw_tried may only be consulted under the lock — a concurrent
+    # loader sets it before _ksw_lib is published, and an unlocked read
+    # would wrongly report "tried, no lib"
+    with _load_lock:
+        return _load_ksw_locked()
+
+
+def _load_ksw_locked():
     global _ksw_lib, _ksw_tried
     if _ksw_lib is not None or _ksw_tried:
         return _ksw_lib
@@ -1012,6 +1047,16 @@ _sk_tried = False
 
 
 def _load_sketch():
+    if _sk_lib is not None:
+        return _sk_lib
+    # NB: _sk_tried may only be consulted under the lock — a concurrent
+    # loader sets it before _sk_lib is published, and an unlocked read
+    # would wrongly report "tried, no lib"
+    with _load_lock:
+        return _load_sketch_locked()
+
+
+def _load_sketch_locked():
     global _sk_lib, _sk_tried
     if _sk_lib is not None or _sk_tried:
         return _sk_lib

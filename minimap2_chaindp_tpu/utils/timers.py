@@ -6,6 +6,7 @@ accumulators, main.c:110-116 & :629-663): named stage timers, counters
 (device reads vs host fallbacks ~ soft_chaindp_num), and a summary printer."""
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -16,6 +17,9 @@ class Timers:
         self.acc: dict[str, float] = defaultdict(float)
         self.n: dict[str, int] = defaultdict(int)
         self.counters: dict[str, int] = defaultdict(int)
+        # map_stream runs two batches on a thread pool; += on the dicts is
+        # a read-modify-write that loses updates without a lock
+        self._lock = threading.Lock()
 
     @contextmanager
     def time(self, name: str):
@@ -23,11 +27,14 @@ class Timers:
         try:
             yield
         finally:
-            self.acc[name] += time.perf_counter() - t0
-            self.n[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.acc[name] += dt
+                self.n[name] += 1
 
     def count(self, name: str, inc: int = 1) -> None:
-        self.counters[name] += inc
+        with self._lock:
+            self.counters[name] += inc
 
     def summary(self) -> str:
         parts = [f"{k}={v * 1000:.1f}ms/{self.n[k]}" for k, v in
