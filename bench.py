@@ -137,27 +137,28 @@ def main_device():
             reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
                               avg_qspan=np.float32(span.sum() / len(a))))
         packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, MAX_DIST)
+        use_exc = bool((exc[:, 0:2 * CP.N_EXC:2] >= 0).any())
         args = [jax.device_put(packed[k])
                 for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")]
         args += [jax.device_put(nn), jax.device_put(w1), jax.device_put(exc)]
         jax.block_until_ready(args)  # materialize host->HBM before timing
-        return anchors, args
+        return anchors, args, use_exc
 
-    def run(args):
+    def run(args, use_exc):
         f, p, flag = CP.chain_scores_batch(
             *args, max_n=max_n, max_dist_x=MAX_DIST, max_dist_y=MAX_DIST,
             bw=BW, max_skip=MAX_SKIP, is_cdna=False, many_segs=False,
-            interpret=interpret)
+            interpret=interpret, use_exc=use_exc)
         # fetch a tiny slice: defeats async dispatch illusions on tunneled
         # backends where block_until_ready returns before execution finishes
         return f, int(np.asarray(flag[:, 0]).sum())
 
     n_iter = 1 if interpret else 4
     batches = [pack(s) for s in range(n_iter + 1)]
-    f, flagged = run(batches[0][1])  # warmup/compile
+    f, flagged = run(batches[0][1], batches[0][2])  # warmup/compile
     t0 = time.perf_counter()
     for it in range(n_iter):  # every timed call sees a never-executed batch
-        f, flagged = run(batches[it + 1][1])
+        f, flagged = run(batches[it + 1][1], batches[it + 1][2])
     t1 = time.perf_counter()
     total_anchors = N_READS * ANCHORS_PER_READ * n_iter
     value = total_anchors / (t1 - t0)

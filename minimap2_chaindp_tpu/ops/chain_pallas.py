@@ -61,7 +61,7 @@ N_EXC = 2     # c_lin exception slots per read (slope search removes most)
 def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
                   nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
-                  is_cdna, many_segs, single_seg=False):
+                  is_cdna, many_segs, single_seg=False, use_exc=True):
     # meta packs nold<<16 | q_span: nold = number of older window chunks
     # for anchor i (host-precomputed per grid row from the stw window
     # starts), q_span <= 255 (sketch encoding) — one roll extracts both
@@ -69,9 +69,11 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
     w1 = w1_ref[:, 0:1]             # (8,1) f32: f32(0.01 * avg_qspan)
-    # exception slots: exc[:, 2k] = dd, exc[:, 2k+1] = exact c_lin
+    # exception slots: exc[:, 2k] = dd, exc[:, 2k+1] = exact c_lin; the
+    # host dispatches the no-exception variant when the slope search left
+    # every read's list empty (the common case)
     exc = [(exc_ref[:, 2 * k:2 * k + 1], exc_ref[:, 2 * k + 1:2 * k + 2])
-           for k in range(N_EXC)]
+           for k in range(N_EXC)] if use_exc else []
     f_ref[:, :] = jnp.zeros((SUBL, max_n), jnp.int32)
     p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
     max_i = jnp.max(n_vec)
@@ -90,8 +92,11 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
         if single_seg:
             # one segment => sid==0 everywhere => `same` is identically
             # true: the whole pen_other branch and the seg-aware masks
-            # fold away (~25% fewer VPU ops on the common path)
-            valid = act_read & (xh == xi) & (dr <= max_dist_x)
+            # fold away (~25% fewer VPU ops on the common path).  act_read
+            # is also implied: a padded anchor i has xi=-1 which no real
+            # candidate matches, and padded candidates have rpos=qpos=0 so
+            # dr==0/dq<=0 mask them (pack_reads padding invariants)
+            valid = (xh == xi) & (dr <= max_dist_x)
             valid &= ~((dr == 0) | (dq <= 0))
             valid &= ~(dq > min(max_dist_y, max_dist_x))
             valid &= ~(dd > bw)
@@ -227,17 +232,35 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
     flag_ref[:, :] = jnp.broadcast_to(flags, (SUBL, LANES))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
-    "many_segs", "interpret"))
 def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
                        max_n, max_dist_x, max_dist_y, bw, max_skip, is_cdna,
-                       many_segs, interpret=False):
+                       many_segs, interpret=False, use_exc=None):
     """Batched chaining score pass. Inputs (R, max_n) int32 with R % 8 == 0;
     stw: (R, max_n) precomputed max_dist_x window starts (chain.c:58);
     nn: (R, 128) counts in col 0; w1: (R, 128) f32 gap-cost slope in col 0;
     exc: (R, 128) c_lin exceptions as (dd, value) pairs in cols 0..2*N_EXC.
-    Returns f, p, flag."""
+    Returns f, p, flag.
+
+    use_exc: statically drops the c_lin exception patches when the host
+    knows every read's list is empty (the common case — pack_reads' slope
+    search usually finds a mismatch-free f32 slope); inferred from `exc`
+    when it is still a host array, conservative True otherwise."""
+    if use_exc is None:
+        use_exc = not isinstance(exc, np.ndarray) \
+            or bool((exc[:, 0:2 * N_EXC:2] >= 0).any())
+    return _chain_scores_jit(
+        xhi, rpos, qpos, span, sid, stw, nn, w1, exc, max_n=max_n,
+        max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+        max_skip=max_skip, is_cdna=is_cdna, many_segs=many_segs,
+        interpret=interpret, use_exc=bool(use_exc))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
+    "many_segs", "interpret", "use_exc"))
+def _chain_scores_jit(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
+                      max_n, max_dist_x, max_dist_y, bw, max_skip, is_cdna,
+                      many_segs, interpret, use_exc):
     # exact-c_lin domain: pen_same's dd is bounded by the same-seg band
     # (dd <= bw) in genomic mode, and by dq <= max_dist_y in cdna mode
     # (chain.c:65-78); beyond TBL only the log penalty survives the min
@@ -267,7 +290,7 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     kern = functools.partial(
         _chain_kernel, subl=SUBL, max_n=max_n, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, max_skip=max_skip, is_cdna=is_cdna,
-        many_segs=many_segs, single_seg=single_seg)
+        many_segs=many_segs, single_seg=single_seg, use_exc=use_exc)
     blk = lambda w: pl.BlockSpec((SUBL, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
     sid_blk = blk(LANES) if single_seg else blk(max_n)

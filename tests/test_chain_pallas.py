@@ -146,3 +146,25 @@ def test_pallas_chain_many_segs():
         n = int(rng.integers(30, 200))
         batch.append(synth_anchors(rng, n, seg_split=n // 2))
     check_mode(batch, mo, 600, 800, False, True, 2)
+
+
+def test_use_exc_variant_equivalence():
+    """Forcing the exception-patch variant (use_exc=True) gives the same
+    f/p as the inferred dispatch (which drops the patches when every
+    read's exception list is empty)."""
+    anchor_list, mo = reads_from("MT-human.fa", "MT-orang.fa")
+    reads = []
+    for a in anchor_list:
+        xhi, rpos, qpos, span, sid = split_anchors(a)
+        reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
+                          avg_qspan=np.float32(span.sum() / max(len(a), 1))))
+    max_n = (max(len(a) for a in anchor_list) + 127) // 128 * 128
+    packed, nn, w1, exc, _ = CP.pack_reads(reads, max_n, mo.max_gap)
+    kw = dict(max_n=max_n, max_dist_x=mo.max_gap, max_dist_y=mo.max_gap,
+              bw=mo.bw, max_skip=mo.max_chain_skip, is_cdna=False,
+              many_segs=False, interpret=True)
+    ins = [packed[k] for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")]
+    f0, p0, _ = CP.chain_scores_batch(*ins, nn, w1, exc, **kw)
+    f1, p1, _ = CP.chain_scores_batch(*ins, nn, w1, exc, **kw, use_exc=True)
+    assert np.array_equal(np.asarray(f0), np.asarray(f1))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
