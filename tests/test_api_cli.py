@@ -256,3 +256,29 @@ def test_cli_prebuilt_noseq_guard(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 1
     assert "doesn't contain sequences" in r.stderr
+
+
+def test_cli_mmi_hpc_roundtrip(tmp_path):
+    """A map-pb (HPC) index survives the .mmi round trip: the MM_I_HPC flag
+    rides the header and mapping from the loaded index is byte-identical."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    mmi = str(tmp_path / "hpc.mmi")
+    subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-x", "map-pb",
+         "-d", mmi, os.path.join(REF_TEST_DIR, "MT-human.fa")],
+        capture_output=True, check=True, cwd="/root/repo", env=env)
+    a = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-ax", "map-pb",
+         "--device", "host", mmi, os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    b = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-ax", "map-pb",
+         "--device", "host", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+         os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    strip = lambda t: [l for l in t.rstrip("\n").split("\n")
+                       if not l.startswith("@PG")]
+    assert strip(a.stdout) == strip(b.stdout)
+    from minimap2_chaindp_tpu.index.serialize import load_mmi_parts
+    mi, = load_mmi_parts(mmi)
+    assert mi.flag & 0x1  # MM_I_HPC preserved
