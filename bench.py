@@ -137,12 +137,11 @@ def main_device():
             reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
                               avg_qspan=np.float32(span.sum() / len(a))))
         packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, MAX_DIST)
-        use_exc = bool((exc[:, 0:2 * CP.N_EXC:2] >= 0).any())
         args = [jax.device_put(packed[k])
                 for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")]
         args += [jax.device_put(nn), jax.device_put(w1), jax.device_put(exc)]
         jax.block_until_ready(args)  # materialize host->HBM before timing
-        return anchors, args, use_exc
+        return anchors, args, CP.infer_use_exc(exc)
 
     def run(args, use_exc):
         f, p, flag = CP.chain_scores_batch(
@@ -155,10 +154,13 @@ def main_device():
 
     n_iter = 1 if interpret else 4
     batches = [pack(s) for s in range(n_iter + 1)]
-    f, flagged = run(batches[0][1], batches[0][2])  # warmup/compile
+    # ONE kernel variant across warmup and all timed batches — a per-batch
+    # use_exc would let a timed call recompile mid-measurement
+    use_exc = any(b[2] for b in batches)
+    f, flagged = run(batches[0][1], use_exc)  # warmup/compile
     t0 = time.perf_counter()
     for it in range(n_iter):  # every timed call sees a never-executed batch
-        f, flagged = run(batches[it + 1][1], batches[it + 1][2])
+        f, flagged = run(batches[it + 1][1], use_exc)
     t1 = time.perf_counter()
     total_anchors = N_READS * ANCHORS_PER_READ * n_iter
     value = total_anchors / (t1 - t0)

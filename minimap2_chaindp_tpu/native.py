@@ -17,9 +17,10 @@ _SRC = os.path.join(_ROOT, "native", "chain_epilogue.cc")
 _SO = os.path.join(_ROOT, "native", "libmm2tpu_epilogue.so")
 _lib = None
 _tried = False
-# one lock for all three loaders: map_stream calls them from two pipeline
-# threads at once, and an unguarded tried-flag makes the losing thread see
-# "tried, no lib" and silently take the slow fallback for its whole batch
+# one lock shared by all four loaders (_load, load_align, load_ksw,
+# _load_sketch): map_stream calls them from two pipeline threads at once,
+# and an unguarded tried-flag makes the losing thread see "tried, no lib"
+# and silently take the slow fallback for its whole batch
 import threading as _threading
 _load_lock = _threading.Lock()
 

@@ -36,17 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
 LANES = 128
-def pick_subl(max_n: int) -> int:
+def pick_subl(max_n: int, n_blocks: int = 6) -> int:
     """Reads per grid program: as large as VMEM comfortably allows (more
-    sublanes per vector op = better VPU latency hiding)."""
+    sublanes per vector op = better VPU latency hiding). n_blocks: live
+    (subl, max_n) i32 blocks — 6 on the single-seg path (xhi/rpos/qpos/meta
+    in, f/p out), 7 with the full-width sid block (multi-seg / cdna)."""
     import os
     if "MM2TPU_SUBL" in os.environ:
         return int(os.environ["MM2TPU_SUBL"])
-    # 6 (subl, max_n) i32 blocks live at once (xhi/rpos/qpos/meta in, f/p
-    # out), DOUBLE-BUFFERED by the pipeline — budget well under the 16 MiB
-    # scoped-vmem limit
-    budget = 7 * 1024 * 1024
-    subl = budget // (max_n * 4 * 6)
+    # blocks are DOUBLE-BUFFERED by the pipeline; budget the single-buffered
+    # total so 2x it plus LANES-wide blocks and carried registers stays
+    # under the 16 MiB scoped-vmem limit (6 MiB for the 7-block variant
+    # keeps the multi-seg path at its validated SUBL=128 @ max_n=1024)
+    budget = (7 if n_blocks <= 6 else 6) * 1024 * 1024
+    subl = budget // (max_n * 4 * n_blocks)
     # power of two only: the caller halves SUBL until it divides the padded
     # read count (a multiple of 8), and Mosaic requires block dim -2 >= 8 —
     # a non-pow2 start (e.g. 72) can halve through 9 -> 4 and fail lowering
@@ -56,6 +59,11 @@ def pick_subl(max_n: int) -> int:
     return pow2
 TBL = 2048    # c_lin exactness domain; requires bw < TBL
 N_EXC = 2     # c_lin exception slots per read (slope search removes most)
+
+
+def infer_use_exc(exc: np.ndarray) -> bool:
+    """Whether any read in a host-side exc array uses an exception slot."""
+    return bool((exc[:, 0:2 * N_EXC:2] >= 0).any())
 
 
 def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
@@ -246,8 +254,7 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     search usually finds a mismatch-free f32 slope); inferred from `exc`
     when it is still a host array, conservative True otherwise."""
     if use_exc is None:
-        use_exc = not isinstance(exc, np.ndarray) \
-            or bool((exc[:, 0:2 * N_EXC:2] >= 0).any())
+        use_exc = not isinstance(exc, np.ndarray) or infer_use_exc(exc)
     return _chain_scores_jit(
         xhi, rpos, qpos, span, sid, stw, nn, w1, exc, max_n=max_n,
         max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
@@ -267,15 +274,15 @@ def _chain_scores_jit(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     assert (max_dist_y if is_cdna else bw) < TBL, \
         "same-seg gap-cost domain >= TBL uses the host/XLA path"
     R = xhi.shape[0]
-    SUBL = pick_subl(max_n)
-    while R % SUBL:
-        SUBL //= 2
-    grid = (R // SUBL,)
     assert max_n // LANES <= 0x7FFF, "nold overflows the meta packing"
     # one segment, genomic scoring: sid==0 everywhere, so the kernel's
     # seg-aware masks and pen_other branch compile away and the sid block
     # is never read (shrunk to one chunk to skip its DMA)
     single_seg = not is_cdna and not many_segs
+    SUBL = pick_subl(max_n, 6 if single_seg else 7)
+    while R % SUBL:
+        SUBL //= 2
+    grid = (R // SUBL,)
     if single_seg:
         sid = jax.lax.slice(sid, (0, 0), (R, LANES))
     # XLA prelude: meta = nold<<16 | q_span, where nold[i] = i//128 -

@@ -156,19 +156,31 @@ def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
 def shard_index_tables(mi, n_shards: int):
     """Split the CSR index into `n_shards` equal-padded key-range shards for
     an index-sharded mesh axis (>chip-HBM genomes). Every key's occurrence
-    list lives entirely on one shard. Returns stacked arrays shaped
-    (n_shards*Kp,) keys / (n_shards*(Kp+1),) starts / (n_shards*Vp,) values,
-    ready to device_put with PartitionSpec("index")."""
+    list lives entirely on one shard (the psum-combine disjointness
+    invariant); shard cuts balance cumulative VALUE volume, so the per-shard
+    padding Vp is ~V/n_shards plus at most one key's list (shard_map needs
+    equal block shapes — a single key hotter than V/n_shards sets the
+    floor). Returns stacked arrays shaped (n_shards*Kp,) keys /
+    (n_shards*(Kp+1),) starts / (n_shards*Vp,) values, ready to device_put
+    with PartitionSpec("index")."""
     K = len(mi.keys)
-    Kp = max((K + n_shards - 1) // n_shards, 1)
     khi_g, klo_g = split_u64(mi.keys)
     vhi_g = (mi.values >> np.uint64(32)).astype(np.int64).astype(np.int32)
     vlo_g = (mi.values & np.uint64(0xFFFFFFFF)).astype(np.int64) \
         .astype(np.int32)
+    # cut by cumulative VALUE volume, not key count: occurrence-skewed
+    # genomes would otherwise pad every shard's value table to the hottest
+    # shard's size (the structure exists because values exceed one HBM)
+    V = len(mi.values)
+    targets = [(s * V) // n_shards for s in range(n_shards + 1)]
+    cuts = [int(np.searchsorted(mi.starts, t, side="left"))
+            for t in targets]
+    cuts[0], cuts[-1] = 0, K
+    for s in range(1, n_shards):  # keep cuts monotone on tiny indexes
+        cuts[s] = min(max(cuts[s], cuts[s - 1]), K)
+    Kp = max(max(cuts[s + 1] - cuts[s] for s in range(n_shards)), 1)
     khi = np.full((n_shards, Kp), 0x7FFFFFFF, np.int32)
     klo = np.full((n_shards, Kp), 0x7FFFFFFF, np.int32)
-    Vp = 1
-    cuts = [min(s * Kp, K) for s in range(n_shards + 1)]
     Vp = max(max(int(mi.starts[cuts[s + 1]] - mi.starts[cuts[s]])
                  for s in range(n_shards)), 1)
     starts = np.zeros((n_shards, Kp + 1), np.int32)

@@ -128,3 +128,21 @@ def test_seeds_sharded_index_collect():
             t = int(total[r])
             assert np.array_equal(w[r, :t], g[r, :t]), (nm, r)
     assert int(total[0]) > 0  # real anchors flowed through
+
+
+def test_shard_index_volume_balancing():
+    """Shard cuts balance value volume: a hot key range doesn't multiply
+    the padded per-shard value table (Vp ~ V/n + one key's list)."""
+    from minimap2_chaindp_tpu.index.build import MinimizerIndex
+    from minimap2_chaindp_tpu.ops.seeds_device import shard_index_tables
+    rng = np.random.default_rng(0)
+    mi = MinimizerIndex(k=15, w=10, flag=0)
+    K = 4000
+    mi.keys = np.sort(rng.choice(1 << 40, K, replace=False).astype(np.uint64))
+    cnt = np.ones(K, np.int64)
+    cnt[100:200] = 50  # hot key range
+    mi.starts = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+    mi.values = np.arange(mi.starts[-1], dtype=np.uint64)
+    *_, Vp = shard_index_tables(mi, 4)
+    V = int(mi.starts[-1])
+    assert Vp <= V // 4 + int(cnt.max()) + 64
