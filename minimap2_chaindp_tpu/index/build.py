@@ -113,25 +113,29 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         off += len(codes)
         if len(s) > 0:
             mvs.append(sketch(s, w, k, rid, bool(flag & 1)))
-    mv = np.concatenate(mvs, axis=0) if mvs else np.empty((0, 2), dtype=np.uint64)
     from ..utils.mlog import mlog
     mlog("mm_idx_gen", "collected minimizers")
-    if len(mv):
-        key = np.ascontiguousarray(mv[:, 0] >> np.uint64(8))
-        val = np.ascontiguousarray(mv[:, 1])
-        # sort by key, then by value (index.c:349, 394)
-        from ..native import sort_kv_native
-        if not sort_kv_native(key, val):
+    from ..native import build_csr_native
+    csr = build_csr_native(mvs)
+    if csr is not None:
+        # one native pass: split key/val + pair sort + run-start unique
+        # (index.c:349, 394) without the numpy concat/shift/nonzero copies
+        mi.keys, mi.starts, mi.values = csr
+    else:
+        mv = np.concatenate(mvs, axis=0) if mvs \
+            else np.empty((0, 2), dtype=np.uint64)
+        if len(mv):
+            key = np.ascontiguousarray(mv[:, 0] >> np.uint64(8))
+            val = np.ascontiguousarray(mv[:, 1])
             order = np.lexsort((val, key))
             key, val = key[order], val[order]
-        # run starts on the sorted keys (np.unique would re-sort)
-        neq = np.empty(len(key), dtype=bool)
-        neq[0] = True
-        np.not_equal(key[1:], key[:-1], out=neq[1:])
-        starts = np.flatnonzero(neq)
-        mi.keys = key[starts]
-        mi.starts = np.concatenate([starts, [len(val)]]).astype(np.int64)
-        mi.values = val
+            neq = np.empty(len(key), dtype=bool)
+            neq[0] = True
+            np.not_equal(key[1:], key[:-1], out=neq[1:])
+            starts = np.flatnonzero(neq)
+            mi.keys = key[starts]
+            mi.starts = np.concatenate([starts, [len(val)]]).astype(np.int64)
+            mi.values = val
     mlog("mm_idx_gen", "sorted minimizers")
     # lexicographic name ranks (ava-mode ordering, index.c:560-592)
     from .serialize import set_name_tables

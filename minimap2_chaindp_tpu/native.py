@@ -1082,6 +1082,10 @@ def _load_sketch_locked():
         lib.mm2tpu_sort_kv.restype = None
         lib.mm2tpu_sort_kv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int64]
+        lib.mm2tpu_build_csr.restype = ctypes.c_int64
+        lib.mm2tpu_build_csr.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _sk_lib = lib
     except Exception:
         _sk_lib = None
@@ -1145,6 +1149,31 @@ def sort_kv_native(keys: np.ndarray, vals: np.ndarray) -> bool:
         return False
     lib.mm2tpu_sort_kv(_np_ptr(keys), _np_ptr(vals), len(keys))
     return True
+
+
+def build_csr_native(mvs: list):
+    """One-call CSR build from per-contig minimizer arrays: split key/val,
+    sort by (key, val) and emit unique keys + run starts without the
+    concat/shift/nonzero numpy passes.  Returns (keys, starts, values) or
+    None (no lib)."""
+    lib = _load_sketch()
+    if lib is None:
+        return None
+    mvs = [m for m in mvs if len(m)]
+    N = sum(len(m) for m in mvs)
+    if N == 0:
+        return (np.empty(0, np.uint64), np.zeros(1, np.int64),
+                np.empty(0, np.uint64))
+    arrs = [np.ascontiguousarray(m, dtype=np.uint64) for m in mvs]
+    ptrs = np.array([_np_ptr(a) for a in arrs], dtype=np.uint64)
+    ns = np.array([len(a) for a in arrs], dtype=np.int64)
+    ukey = np.empty(N, np.uint64)
+    val = np.empty(N, np.uint64)
+    starts = np.empty(N + 1, np.int64)
+    nk = lib.mm2tpu_build_csr(_np_ptr(ptrs), _np_ptr(ns), len(arrs),
+                              _np_ptr(ukey), _np_ptr(val), _np_ptr(starts))
+    # trim the over-allocated unique buffers (copies release the slack)
+    return ukey[:nk].copy(), starts[:nk + 1].copy(), val
 
 
 def chain_dp_native(max_dist_x, max_dist_y, bw, max_skip, min_cnt, min_sc,

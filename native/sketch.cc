@@ -177,3 +177,34 @@ extern "C" void mm2tpu_sort_kv(uint64_t* keys, uint64_t* vals, int64_t n)
         vals[i] = kv[i].second;
     }
 }
+
+// ---- whole CSR build in one call: split per-contig minimizer arrays into
+// (key = x>>8, val = y) pairs, sort by (key, val) (index.c:349/394), and
+// emit unique keys + run starts.  mvs: n_arr pointers to (ns[a] x 2) u64
+// row-major arrays.  ukey/starts capacity N(+1), val capacity N, where
+// N = sum(ns).  Returns the unique-key count.
+extern "C" int64_t mm2tpu_build_csr(
+    const uint64_t* const* mvs, const int64_t* ns, int64_t n_arr,
+    uint64_t* ukey, uint64_t* val, int64_t* starts)
+{
+    int64_t N = 0;
+    for (int64_t a = 0; a < n_arr; ++a) N += ns[a];
+    std::vector<std::pair<uint64_t, uint64_t>> kv;
+    kv.reserve(N);
+    for (int64_t a = 0; a < n_arr; ++a) {
+        const uint64_t* m = mvs[a];
+        for (int64_t i = 0; i < ns[a]; ++i)
+            kv.emplace_back(m[2 * i] >> 8, m[2 * i + 1]);
+    }
+    std::sort(kv.begin(), kv.end());
+    int64_t nk = 0;
+    for (int64_t i = 0; i < N; ++i) {
+        val[i] = kv[i].second;
+        if (i == 0 || kv[i].first != kv[i - 1].first) {
+            ukey[nk] = kv[i].first;
+            starts[nk++] = i;
+        }
+    }
+    starts[nk] = N;
+    return nk;
+}
