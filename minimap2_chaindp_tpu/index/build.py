@@ -99,20 +99,28 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
     mi = MinimizerIndex(k=k, w=w, flag=flag, b=bucket_bits)
     no_seq = bool(flag & 2)  # MM_I_NO_SEQ: skip the 4-bit reference pack
     total = sum(len(s) for s in seq_strs)
-    mi.S = np.empty(0 if no_seq else total, dtype=np.uint8)
-    mvs = []
+    cat = np.empty(total, dtype=np.uint8)
+    offs = np.zeros(len(seq_strs) + 1, dtype=np.int64)
     off = 0
     for rid, (name, s) in enumerate(zip(names, seq_strs)):
-        codes = SEQ_NT4_TABLE[np.frombuffer(s.encode(), dtype=np.uint8)].copy()
+        codes = SEQ_NT4_TABLE[np.frombuffer(s.encode(), dtype=np.uint8)]
         # the reference packs ambiguous bases as a pseudo-random 0-3 code
         # (index.c:497 uses lrand48 when c>=4); we keep 4 host-side and mask at
         # alignment time instead, which matches ksw2 behavior for N bases.
-        if not no_seq:
-            mi.S[off:off + len(codes)] = codes
+        cat[off:off + len(codes)] = codes
         mi.seqs.append(RefSeq(name=name, offset=off, length=len(codes)))
         off += len(codes)
-        if len(s) > 0:
-            mvs.append(sketch(s, w, k, rid, bool(flag & 1)))
+        offs[rid + 1] = off
+    mi.S = cat if not no_seq else np.empty(0, dtype=np.uint8)
+    # one native call sketches every contig from the already-encoded buffer
+    from ..native import sketch_batch_cat_native
+    mvs = sketch_batch_cat_native(cat, offs, np.arange(len(seq_strs)),
+                                  w, k, bool(flag & 1))
+    if mvs is None:  # no native lib: per-contig golden-model sketch
+        mvs = [sketch(s, w, k, rid, bool(flag & 1))
+               for rid, s in enumerate(seq_strs) if len(s) > 0]
+    else:
+        mvs = [m for m in mvs if len(m)]
     from ..utils.mlog import mlog
     mlog("mm_idx_gen", "collected minimizers")
     from ..native import build_csr_native

@@ -1092,20 +1092,17 @@ def _load_sketch_locked():
     return _sk_lib
 
 
-def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
-                        rids: list[int], is_hpc: bool):
-    """Sketch a batch of nt4-encoded sequences natively.
-    Returns a list of (n_i, 2) uint64 arrays, or None if unavailable."""
+def sketch_batch_cat_native(cat: np.ndarray, offs: np.ndarray,
+                            rids, w: int, k: int, is_hpc: bool):
+    """Sketch sequence segments of an already-concatenated nt4 buffer
+    (segment s = cat[offs[s]:offs[s+1]]). Returns a list of (n_i, 2)
+    uint64 arrays, or None if unavailable."""
     lib = _load_sketch()
     if lib is None:
         return None
-    n = len(nt4_seqs)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    for i, s in enumerate(nt4_seqs):
-        offs[i + 1] = offs[i] + len(s)
-    cat = (np.concatenate(nt4_seqs) if offs[-1]
-           else np.empty(0, np.uint8)).astype(np.uint8, copy=False)
-    cat = np.ascontiguousarray(cat)
+    n = len(offs) - 1
+    cat = _as_u8(cat)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
     rid_arr = np.asarray(rids, dtype=np.uint32)
     counts = np.zeros(n, dtype=np.int64)
     ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
@@ -1123,6 +1120,21 @@ def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
         out.append(rows[pos:pos + int(c)])
         pos += int(c)
     return out
+
+
+def sketch_batch_native(nt4_seqs: list[np.ndarray], w: int, k: int,
+                        rids: list[int], is_hpc: bool):
+    """Sketch a batch of nt4-encoded sequences natively.
+    Returns a list of (n_i, 2) uint64 arrays, or None if unavailable."""
+    if _load_sketch() is None:
+        return None
+    n = len(nt4_seqs)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(nt4_seqs):
+        offs[i + 1] = offs[i] + len(s)
+    cat = (np.concatenate(nt4_seqs) if offs[-1]
+           else np.empty(0, np.uint8)).astype(np.uint8, copy=False)
+    return sketch_batch_cat_native(cat, offs, rids, w, k, is_hpc)
 
 
 def sdust_native(b4: np.ndarray, T: int, W: int):
