@@ -8,8 +8,14 @@ Semantics match reference sketch.c:77-143 exactly, including:
     emitted oldest-first so output stays position-sorted, sketch.c:117-137
   * output encoding x = hash64(kmer)<<8 | kmer_span, y = rid<<32 | last_pos<<1 | strand
 
-This loop version is the golden model the vectorized device op (ops/sketch_jax.py)
-is validated against.
+This loop version is the golden model the native C++ sketcher
+(native/sketch.cc, dispatched below) is fuzz-validated against
+(tests/test_native_sketch.py). Sketching stays on the host by design: the
+reference's FPGA offload also keeps it host-side (collect_minimizers runs
+on the CPU before the task packet is built, map.c:352), the emission
+automaton's w-deep tie buffer is sequential, and sketching is a few
+percent of end-to-end time — the device budget goes to seed collection,
+chaining, and extension instead.
 """
 from __future__ import annotations
 
