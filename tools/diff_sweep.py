@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Randomized differential sweep vs the reference binary.
+
+Generates fresh-seed workloads (simulated reads in several shapes) and
+byte-compares this framework's output with `.golden/minimap2_ref` across
+presets and output modes. Exit code 0 = every case byte-identical
+(modulo the @PG header line, which embeds the command line).
+
+  python tools/diff_sweep.py [--seed N] [--quick]
+
+The reference binary must exist (bash golden/build_reference.sh).
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_BIN = os.path.join(ROOT, ".golden", "minimap2_ref")
+REF_FA = "/root/reference/test/MT-human.fa"
+BASES = "ACGT"
+
+
+def simulate(ref_seq, n, read_len, err, rng):
+    reads = []
+    for i in range(n):
+        st = int(rng.integers(0, len(ref_seq) - read_len))
+        out = []
+        for c in ref_seq[st:st + read_len]:
+            r = rng.random()
+            if r < err * 0.6:
+                out.append(BASES[int(rng.integers(0, 4))])
+            elif r < err * 0.8:
+                pass
+            elif r < err:
+                out.append(c)
+                out.append(BASES[int(rng.integers(0, 4))])
+            else:
+                out.append(c)
+        s = "".join(out)
+        if rng.random() < 0.5:
+            s = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        reads.append((f"r{i}", s))
+    return reads
+
+
+def write_fa(path, reads, lcr_every=0):
+    with open(path, "w") as f:
+        for i, (n, s) in enumerate(reads):
+            if lcr_every and i % lcr_every == 0:
+                k = len(s) // 2
+                s = s[:k] + "AT" * 25 + s[k:]
+            f.write(f">{n}\n{s}\n")
+
+
+def run_case(label, args):
+    ours = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--device",
+         "host", *args], capture_output=True, text=True, cwd=ROOT)
+    ref = subprocess.run([REF_BIN, "-t", "12", *args],
+                         capture_output=True, text=True)
+    strip = lambda t: [l for l in t.split("\n") if not l.startswith("@PG")]
+    ok = ours.returncode == 0 and ref.returncode == 0 \
+        and strip(ours.stdout) == strip(ref.stdout)
+    n_rec = sum(1 for l in ours.stdout.split("\n")
+                if l and not l.startswith("@"))
+    print(f"{'OK  ' if ok else 'DIFF'} [{label}] ({n_rec} records)")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--quick", action="store_true")
+    ns = ap.parse_args()
+    seed = ns.seed if ns.seed is not None else int.from_bytes(
+        os.urandom(4), "little")
+    print(f"seed={seed}")
+    rng = np.random.default_rng(seed)
+    if not os.path.exists(REF_BIN):
+        print("reference binary missing: bash golden/build_reference.sh",
+              file=sys.stderr)
+        return 2
+
+    from minimap2_chaindp_tpu.io.fastx import read_fastx
+    ref_seq = next(read_fastx(REF_FA)).seq
+    scale = 1 if ns.quick else 4
+    d = "/tmp/diff_sweep"
+    os.makedirs(d, exist_ok=True)
+    write_fa(f"{d}/ont.fa", simulate(ref_seq, 50 * scale, 1000, 0.10, rng))
+    write_fa(f"{d}/pb.fa", simulate(ref_seq, 12 * scale, 5000, 0.12, rng))
+    write_fa(f"{d}/lcr.fa", simulate(ref_seq, 50 * scale, 1000, 0.08, rng),
+             lcr_every=3)
+    write_fa(f"{d}/ava.fa", simulate(ref_seq, 15 * scale, 3000, 0.10, rng))
+
+    cases = [
+        ("map-ont SAM", ["-a", REF_FA, f"{d}/ont.fa"]),
+        ("map-ont PAF+cs+MD", ["-c", "--cs=long", "--MD", REF_FA,
+                               f"{d}/ont.fa"]),
+        ("map-pb HPC", ["-ax", "map-pb", REF_FA, f"{d}/pb.fa"]),
+        ("-T20 masking", ["-a", "-T20", REF_FA, f"{d}/lcr.fa"]),
+        ("ava-ont", ["-cx", "ava-ont", f"{d}/ava.fa", f"{d}/ava.fa"]),
+        ("splice", ["-ax", "splice", "/root/reference/test/t-inv.fa",
+                    "/root/reference/test/q-inv.fa"]),
+        ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
+    ]
+    fails = sum(not run_case(lbl, a) for lbl, a in cases)
+    print(f"{len(cases) - fails}/{len(cases)} cases byte-identical")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
