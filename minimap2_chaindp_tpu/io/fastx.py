@@ -23,6 +23,17 @@ class SeqRecord:
 
 
 def _open_maybe_gzip(path: str):
+    if path == "-":
+        # stdin ("-", like the reference's gzdopen(0) path, bseq.c:38):
+        # buffer it so the gzip sniff can peek (stdin is not seekable)
+        import sys
+        f = _io.BufferedReader(sys.stdin.buffer.raw
+                               if hasattr(sys.stdin.buffer, "raw")
+                               else sys.stdin.buffer)
+        magic = f.peek(2)[:2]
+        if magic == b"\x1f\x8b":
+            return _io.TextIOWrapper(gzip.GzipFile(fileobj=f))
+        return _io.TextIOWrapper(f)
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
@@ -35,7 +46,7 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
     """Parse FASTA or FASTQ (auto-detected), converting U/u to T/t like
     bseq.c:70-72. Uses the native (C++) reader when available."""
     from . import native_fastx
-    if native_fastx.available():
+    if path != "-" and native_fastx.available():
         for name, seq, qual, comment in native_fastx.read_fastx_native(path):
             yield SeqRecord(name, seq, qual, comment)
         return

@@ -282,3 +282,26 @@ def test_cli_mmi_hpc_roundtrip(tmp_path):
     from minimap2_chaindp_tpu.index.serialize import load_mmi_parts
     mi, = load_mmi_parts(mmi)
     assert mi.flag & 0x1  # MM_I_HPC preserved
+
+
+def test_cli_stdin_query():
+    """Queries from stdin via '-' (reference gzdopen(0) path, bseq.c:38),
+    plain and gzipped, match the file-path output."""
+    import gzip as _gz
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    base = subprocess.run(
+        [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a",
+         "--device", "host", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+         os.path.join(REF_TEST_DIR, "MT-orang.fa")],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env)
+    raw = open(os.path.join(REF_TEST_DIR, "MT-orang.fa"), "rb").read()
+    for payload in (raw, _gz.compress(raw)):
+        out = subprocess.run(
+            [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a",
+             "--device", "host", os.path.join(REF_TEST_DIR, "MT-human.fa"),
+             "-"],
+            input=payload, capture_output=True, check=True,
+            cwd="/root/repo", env=env)
+        strip = lambda t: [l for l in t.split("\n")
+                           if not l.startswith("@PG")]
+        assert strip(out.stdout.decode()) == strip(base.stdout)
