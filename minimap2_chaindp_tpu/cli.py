@@ -314,7 +314,12 @@ def main(argv=None) -> int:
     mlog.set_verbose(3 if ns.verbose is None else ns.verbose)
     io, mo = set_opt(None)
     if ns.preset:
-        set_opt(ns.preset, io, mo)
+        try:
+            set_opt(ns.preset, io, mo)
+        except ValueError:
+            # reference main.c:312: clean error + exit, no traceback
+            print(f"[ERROR] unknown preset '{ns.preset}'", file=sys.stderr)
+            return 1
     apply_args(ns, io, mo)
     check_opt(io, mo)
     if (mo.flag & C.MM_F_CIGAR) and (io.flag & C.MM_I_NO_SEQ):
