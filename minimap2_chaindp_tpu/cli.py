@@ -298,6 +298,20 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except BrokenPipeError:
+        # downstream consumer closed the pipe (e.g. `| head`): exit quietly
+        # like the reference's EOF/write checks (misc.c:124-132)
+        import os
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 1
+
+
+def _main(argv=None) -> int:
     from .utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     from .utils import mlog
