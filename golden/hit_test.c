@@ -1,0 +1,95 @@
+// Oracle shim over the reference's hit.c/pe.c epilogue functions: builds
+// mm_reg1_t arrays from flat int64 rows and runs mm_set_mapq /
+// mm_select_sub / mm_select_sub_multi / mm_split_reg so the Python/native
+// ports can be fuzz-compared against the real reference semantics
+// (including its in-place compaction aliasing and float32 arithmetic).
+//
+// Row layout (14 int64 per region):
+//   0 id, 1 cnt, 2 rid, 3 score, 4 qs, 5 qe, 6 rs, 7 re, 8 parent,
+//   9 subsc, 10 mlen, 11 blen, 12 n_sub, 13 score0
+// plus per-region (4 int64): dp_max, dp_max2, has_p, rev
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include "minimap.h"
+
+void mm_set_mapq(void *km, int n_regs, mm_reg1_t *regs, int min_chain_sc,
+                 int match_sc, int rep_len, int is_sr);
+void mm_select_sub(void *km, float pri_ratio, int min_diff, int best_n,
+                   int *n_, mm_reg1_t *r);
+void mm_select_sub_multi(void *km, float pri_ratio, float pri1, float pri2,
+                         int max_gap_ref, int min_diff, int best_n,
+                         int n_segs, const int *qlens, int *n_, mm_reg1_t *r);
+
+static void fill(mm_reg1_t *r, const int64_t *row, const int64_t *aux)
+{
+    memset(r, 0, sizeof(*r));
+    r->id = row[0]; r->cnt = row[1]; r->rid = row[2]; r->score = row[3];
+    r->qs = row[4]; r->qe = row[5]; r->rs = row[6]; r->re = row[7];
+    r->parent = row[8]; r->subsc = row[9]; r->mlen = row[10];
+    r->blen = row[11]; r->n_sub = row[12]; r->score0 = row[13];
+    r->rev = aux[3] ? 1 : 0;
+    if (aux[2]) {
+        r->p = (mm_extra_t*)calloc(1, sizeof(mm_extra_t));
+        r->p->dp_max = (int32_t)aux[0];
+        r->p->dp_max2 = (int32_t)aux[1];
+    }
+}
+
+// returns mapq per input region into out_mapq
+void hit_oracle_set_mapq(const int64_t *rows, const int64_t *auxs,
+                         int64_t n, int64_t min_chain_sc, int64_t match_sc,
+                         int64_t rep_len, int64_t is_sr, int64_t *out_mapq)
+{
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n; ++i)
+        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+    mm_set_mapq(0, (int)n, regs, (int)min_chain_sc, (int)match_sc,
+                (int)rep_len, (int)is_sr);
+    for (int64_t i = 0; i < n; ++i) {
+        out_mapq[i] = regs[i].mapq;
+        free(regs[i].p);
+    }
+    free(regs);
+}
+
+// runs select_sub; writes surviving region ids; returns survivor count
+int64_t hit_oracle_select_sub(const int64_t *rows, const int64_t *auxs,
+                              int64_t n, double pri_ratio, int64_t min_diff,
+                              int64_t best_n, int64_t *out_ids)
+{
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n; ++i)
+        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+    int nn = (int)n;
+    mm_select_sub(0, (float)pri_ratio, (int)min_diff, (int)best_n,
+                  &nn, regs);
+    for (int i = 0; i < nn; ++i) {
+        out_ids[i] = regs[i].id;
+        free(regs[i].p);
+    }
+    free(regs);
+    return nn;
+}
+
+int64_t hit_oracle_select_sub_multi(
+    const int64_t *rows, const int64_t *auxs, int64_t n, double pri_ratio,
+    double pri1, double pri2, int64_t max_gap_ref, int64_t min_diff,
+    int64_t best_n, int64_t n_segs, const int64_t *qlens64,
+    int64_t *out_ids)
+{
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    int qlens[2] = {(int)qlens64[0], (int)qlens64[1]};
+    for (int64_t i = 0; i < n; ++i)
+        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+    int nn = (int)n;
+    mm_select_sub_multi(0, (float)pri_ratio, (float)pri1, (float)pri2,
+                        (int)max_gap_ref, (int)min_diff, (int)best_n,
+                        (int)n_segs, qlens, &nn, regs);
+    for (int i = 0; i < nn; ++i) {
+        out_ids[i] = regs[i].id;
+        free(regs[i].p);
+    }
+    free(regs);
+    return nn;
+}

@@ -150,7 +150,10 @@ def split_reg(r: Region, n: int, qlen: int, a: np.ndarray) -> Region | None:
     r2.p = None
     r2.split_inv = 0
     r2.cnt = r.cnt - n
-    r2.score = int(r.score * (r2.cnt / r.cnt) + .499)
+    # f32 ratio and f32 product, then the DOUBLE .499 literal (hit.c:99:
+    # `r->score * ((float)r2->cnt / r->cnt) + .499`)
+    ratio = np.float32(np.float32(r2.cnt) / np.float32(r.cnt))
+    r2.score = int(float(np.float32(np.float32(r.score) * ratio)) + .499)
     r2.as_ = r.as_ + n
     if r.parent == r.id:
         r2.parent = C.MM_PARENT_TMP_PRI
@@ -260,22 +263,35 @@ def sync_regs(regs: list[Region]) -> None:
 
 def select_sub(regs: list[Region], pri_ratio: float, min_diff: int,
                best_n: int) -> list[Region]:
-    """Filter weak secondary hits (reference hit.c:230-247)."""
+    """Filter weak secondary hits (reference hit.c:230-247).
+
+    The reference compacts IN PLACE with `r[k++] = r[i]` and reads the
+    parent via `r[p]` from the same array, so after any drop the parent
+    slot may hold a different (already-compacted) region — replicated
+    with a working copy mutated the same way. The score-ratio test is a
+    float32 multiply-compare (`pri_ratio` is a C float)."""
     if pri_ratio <= 0.0 or not regs:
         return regs
-    out = []
+    work = list(regs)
+    ratio32 = np.float32(pri_ratio)
+    k = 0
     n_2nd = 0
-    for i, r in enumerate(regs):
+    for i in range(len(work)):
+        r = work[i]
         p = r.parent
+        pr = work[p]  # C aliasing: the CURRENT occupant of slot p
         if p == i or r.inv:
-            out.append(r)
-        elif ((r.score >= regs[p].score * pri_ratio
-               or r.score + min_diff >= regs[p].score) and n_2nd < best_n):
-            if not (r.qs == regs[p].qs and r.qe == regs[p].qe
-                    and r.rid == regs[p].rid and r.rs == regs[p].rs
-                    and r.re == regs[p].re):
-                out.append(r)
+            work[k] = r
+            k += 1
+        elif ((np.float32(r.score) >= np.float32(pr.score) * ratio32
+               or r.score + min_diff >= pr.score) and n_2nd < best_n):
+            if not (r.qs == pr.qs and r.qe == pr.qe
+                    and r.rid == pr.rid and r.rs == pr.rs
+                    and r.re == pr.re):
+                work[k] = r
+                k += 1
                 n_2nd += 1
+    out = work[:k]
     if len(out) != len(regs):
         sync_regs(out)
     return out
@@ -352,9 +368,11 @@ def join_long(regs: list[Region], opt, qlen: int, a: np.ndarray) -> list[Region]
         n_drop += 1
     if n_drop > 0:
         for r in regs:
+            # regs[r.parent] directly: ids equal indices here (assigned by
+            # set_parent/sync_regs; join_long does not reorder), hit.c:338
             if r.parent >= 0 and r.id != r.parent:
-                pr = next((x for x in regs if x.id == r.parent), None)
-                if pr is not None and pr.parent >= 0 and pr.parent != r.parent:
+                pr = regs[r.parent]
+                if pr.parent >= 0 and pr.parent != r.parent:
                     r.parent = pr.parent
         regs = filter_regs(regs, opt, qlen)
         sync_regs(regs)
@@ -372,37 +390,47 @@ def hit_sort_by_dp(regs: list[Region]) -> list[Region]:
 
 def set_mapq(regs: list[Region], min_chain_sc: int, match_sc: int,
              rep_len: int, is_sr: bool) -> None:
-    """MAPQ model (reference hit.c:437-481); float32 arithmetic matched via Python doubles
-    (C promotes everything to double inside the expressions except stored floats)."""
-    q_coef = 40.0
+    """MAPQ model (reference hit.c:437-481). The entire expression chain is
+    float32 in the reference (all operands are C floats, so every
+    intermediate multiply/subtract rounds to f32) — replicated stepwise
+    with np.float32."""
+    f = np.float32
+    q_coef = f(40.0)
     sum_sc = sum(r.score for r in regs if r.parent == r.id)
-    uniq_ratio = float(np.float32(sum_sc / (sum_sc + rep_len))) if (sum_sc + rep_len) else 0.0
+    uniq_ratio = f(f(sum_sc) / f(sum_sc + rep_len)) \
+        if (sum_sc + rep_len) else f(0.0)
     for r in regs:
         if r.inv:
             r.mapq = 0
         elif r.parent == r.id:
-            pen_s1 = float(np.float32((1.0 if r.score > 100 else float(np.float32(0.01 * r.score))) * uniq_ratio))
-            pen_cm = 1.0 if r.cnt > 10 else float(np.float32(0.1 * r.cnt))
+            pen_s1 = f((f(1.0) if r.score > 100 else f(f(0.01) * f(r.score)))
+                       * uniq_ratio)
+            pen_cm = f(1.0) if r.cnt > 10 else f(f(0.1) * f(r.cnt))
             pen_cm = pen_s1 if pen_s1 < pen_cm else pen_cm
             subsc = r.subsc if r.subsc > min_chain_sc else min_chain_sc
             if r.p is not None and r.p.dp_max2 > 0 and r.p.dp_max > 0:
-                identity = float(np.float32(r.mlen / r.blen))
-                x = float(np.float32(np.float32(r.p.dp_max2) * subsc / r.p.dp_max / r.score0))
-                mapq = int(identity * pen_cm * q_coef * (1.0 - x * x)
-                           * _logf(r.p.dp_max / match_sc))
+                identity = f(f(r.mlen) / f(r.blen))
+                x = f(f(f(f(r.p.dp_max2) * f(subsc)) / f(r.p.dp_max))
+                      / f(r.score0))
+                mapq = int(f(f(f(f(identity * pen_cm) * q_coef)
+                              * f(f(1.0) - f(x * x)))
+                            * f(_logf(f(f(r.p.dp_max) / f(match_sc))))))
                 if not is_sr:
-                    mapq_alt = int(6.02 * identity * identity
-                                   * (r.p.dp_max - r.p.dp_max2) / match_sc + .499)
+                    mapq_alt = int(f(f(f(f(f(f(6.02) * identity) * identity)
+                                        * f(r.p.dp_max - r.p.dp_max2))
+                                      / f(match_sc)) + f(.499)))
                     mapq = min(mapq, mapq_alt)
             else:
-                x = float(np.float32(subsc / r.score0)) if r.score0 else 0.0
+                x = f(f(subsc) / f(r.score0)) if r.score0 else f(0.0)
                 if r.p is not None:
-                    identity = float(np.float32(r.mlen / r.blen))
-                    mapq = int(identity * pen_cm * q_coef * (1.0 - x)
-                               * _logf(r.p.dp_max / match_sc))
+                    identity = f(f(r.mlen) / f(r.blen))
+                    mapq = int(f(f(f(f(identity * pen_cm) * q_coef)
+                                  * f(f(1.0) - x))
+                                * f(_logf(f(f(r.p.dp_max) / f(match_sc))))))
                 else:
-                    mapq = int(pen_cm * q_coef * (1.0 - x) * _logf(r.score))
-            mapq -= int(4.343 * _logf(r.n_sub + 1) + .499)
+                    mapq = int(f(f(f(pen_cm * q_coef) * f(f(1.0) - x))
+                                * f(_logf(f(r.score)))))
+            mapq -= int(f(f(f(4.343) * f(_logf(f(r.n_sub + 1)))) + f(.499)))
             mapq = max(mapq, 0)
             r.mapq = min(mapq, 60)
             if r.p is not None and r.p.dp_max > r.p.dp_max2 and r.mapq == 0:

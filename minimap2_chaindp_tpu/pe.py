@@ -16,36 +16,45 @@ def select_sub_multi(regs: list[Region], pri_ratio: float, pri1: float,
     """PE-aware secondary filtering (reference mm_select_sub_multi, pe.c:6-43)."""
     if pri_ratio <= 0.0 or not regs:
         return regs
+    f = np.float32
+    r_ratio, r1, r2 = f(pri_ratio), f(pri1), f(pri2)
     max_dist = qlens[0] + qlens[1] + max_gap_ref if n_segs == 2 else 0
-    out = []
+    # the reference compacts IN PLACE and reads r[r[i].parent] from the
+    # array being compacted (pe.c:11-39) — replicate with a working copy;
+    # the score-ratio tests are float32 multiply-compares
+    work = list(regs)
+    k = 0
     n_2nd = 0
-    for i, q in enumerate(regs):
+    for i in range(len(work)):
+        q = work[i]
         to_keep = 0
+        p = work[q.parent]  # C aliasing: current occupant of the slot
         if q.parent == i:
             to_keep = 1
-        elif q.score + min_diff >= regs[q.parent].score:
+        elif q.score + min_diff >= p.score:
             to_keep = 1
         else:
-            p = regs[q.parent]
             if p.rev == q.rev and p.rid == q.rid and q.re - p.rs < max_dist \
                     and p.re - q.rs < max_dist:
-                if q.score >= p.score * pri1:
+                if f(q.score) >= f(p.score) * r1:
                     to_keep = 1
             else:
                 is_par_both = int(n_segs == 2 and p.qs < qlens[0] and p.qe > qlens[0])
                 is_chi_both = int(n_segs == 2 and q.qs < qlens[0] and q.qe > qlens[0])
                 if is_chi_both or is_chi_both == is_par_both:
-                    if q.score >= p.score * pri_ratio:
+                    if f(q.score) >= f(p.score) * r_ratio:
                         to_keep = 1
                 else:
-                    if q.score >= p.score * pri2:
+                    if f(q.score) >= f(p.score) * r2:
                         to_keep = 1
         if to_keep and q.parent != i:
             n_2nd += 1
             if n_2nd > best_n:
                 to_keep = 0
         if to_keep:
-            out.append(q)
+            work[k] = q
+            k += 1
+    out = work[:k]
     if len(out) != len(regs):
         sync_regs(out)
     return out
@@ -111,7 +120,10 @@ def set_pe_thru(qlens: list[int], regss: list[list[Region]]) -> None:
 
 def pair(max_gap_ref: int, pe_bonus: int, sub_diff: int, match_sc: int,
          qlens: list[int], regss: list[list[Region]]) -> None:
-    """Proper-pair search + PE mapQ blending (reference mm_pair, pe.c:76-177)."""
+    """Proper-pair search + PE mapQ blending (reference mm_pair, pe.c:76-177).
+    Precondition: every region has p set (pair only runs with MM_F_CIGAR,
+    and the reference dereferences r->p unconditionally, pe.c:91)."""
+    f = np.float32
     entries = []  # (key, s, rev, reg)
     dp_thres = 0
     segs = 0
@@ -120,7 +132,7 @@ def pair(max_gap_ref: int, pe_bonus: int, sub_diff: int, match_sc: int,
         for r in regss[s]:
             key = (r.rid << 32) | (r.rs << 1) | (s ^ r.rev)
             entries.append([key, s, r.rev, r])
-            maxv = max(maxv, r.p.dp_max if r.p else 0)
+            maxv = max(maxv, r.p.dp_max)
             segs |= 1 << s
         dp_thres += maxv
     if segs != 3:
@@ -176,13 +188,19 @@ def pair(max_gap_ref: int, pe_bonus: int, sub_diff: int, match_sc: int,
         mapq_pe = max(r[0].mapq, r[1].mapq)
         n_sub = sum(1 for x in sc if (x >> 32) + sub_diff >= maxsc >> 32)
         if len(sc) > 1:
-            mapq_pe_alt = int(6.02 * ((maxsc >> 32) - (sc[-2] >> 32)) / match_sc
-                              - 4.343 * float(np.log(np.float32(n_sub))))
+            # all-float32 chain with glibc logf (pe.c:159)
+            from .hits import _logf
+            mapq_pe_alt = int(f(f(f(f(6.02)
+                                   * f((maxsc >> 32) - (sc[-2] >> 32)))
+                                 / f(match_sc))
+                               - f(f(4.343) * f(_logf(f(n_sub))))))
             mapq_pe = min(mapq_pe, mapq_pe_alt)
         if r[0].mapq < mapq_pe:
-            r[0].mapq = int(.2 * r[0].mapq + .8 * mapq_pe + .499)
+            r[0].mapq = int(f(f(f(f(.2) * f(r[0].mapq))
+                               + f(f(.8) * f(mapq_pe))) + f(.499)))
         if r[1].mapq < mapq_pe:
-            r[1].mapq = int(.2 * r[1].mapq + .8 * mapq_pe + .499)
+            r[1].mapq = int(f(f(f(f(.2) * f(r[1].mapq))
+                               + f(f(.8) * f(mapq_pe))) + f(.499)))
         if len(sc) == 1:
             r[0].mapq = max(r[0].mapq, 2)
             r[1].mapq = max(r[1].mapq, 2)

@@ -219,8 +219,9 @@ static bool split_reg(const Ctx& c, NatReg& r, int64_t n, NatReg& r2) {
     r2[R_HASP] = 0;
     r2[R_SPLITINV] = 0;
     r2[R_CNT] = r[R_CNT] - n;
-    r2[R_SCORE] = (int64_t)((double)r[R_SCORE]
-                            * ((double)r2[R_CNT] / (double)r[R_CNT]) + .499);
+    // f32 ratio and f32 product + the double .499 literal (hit.c:99)
+    r2[R_SCORE] = (int64_t)((double)((float)r[R_SCORE]
+                            * ((float)r2[R_CNT] / (float)r[R_CNT])) + .499);
     r2[R_AS] = r[R_AS] + n;
     if (r[R_PARENT] == r[R_ID]) r2[R_PARENT] = PARENT_TMP_PRI;
     reg_set_coor(c, r2);
@@ -1143,26 +1144,37 @@ static void sync_regs(std::vector<NatReg>& regs) {
 static void select_sub(std::vector<NatReg>& regs, double pri_ratio,
                        int64_t min_diff, int64_t best_n) {
     if (pri_ratio <= 0.0 || regs.empty()) return;
-    std::vector<NatReg> out;
+    // the reference compacts IN PLACE (r[k++] = r[i], hit.c:234-240) and
+    // reads r[p] from the same array, so after any drop slot p may hold an
+    // already-compacted later region; the ratio test is a float32
+    // multiply-compare (pri_ratio is a C float)
+    float ratio = (float)pri_ratio;
+    size_t n = regs.size(), k = 0;
     int64_t n_2nd = 0;
-    for (size_t i = 0; i < regs.size(); ++i) {
-        NatReg& r = regs[i];
+    for (size_t i = 0; i < n; ++i) {
+        const NatReg& r = regs[i];
         int64_t p = r[R_PARENT];
+        const NatReg& pr = regs[p];
+        bool keep = false;
         if (p == (int64_t)i || r[R_INV]) {
-            out.push_back(std::move(r));
-        } else if ((r[R_SCORE] >= regs[p][R_SCORE] * pri_ratio
-                    || r[R_SCORE] + min_diff >= regs[p][R_SCORE])
+            keep = true;
+        } else if (((float)r[R_SCORE] >= (float)pr[R_SCORE] * ratio
+                    || r[R_SCORE] + min_diff >= pr[R_SCORE])
                    && n_2nd < best_n) {
-            if (!(r[R_QS] == regs[p][R_QS] && r[R_QE] == regs[p][R_QE]
-                  && r[R_RID] == regs[p][R_RID] && r[R_RS] == regs[p][R_RS]
-                  && r[R_RE] == regs[p][R_RE])) {
-                out.push_back(std::move(r));
+            if (!(r[R_QS] == pr[R_QS] && r[R_QE] == pr[R_QE]
+                  && r[R_RID] == pr[R_RID] && r[R_RS] == pr[R_RS]
+                  && r[R_RE] == pr[R_RE])) {
+                keep = true;
                 ++n_2nd;
             }
         }
+        if (keep) {
+            if (k != i) regs[k] = std::move(regs[i]);
+            ++k;
+        }
     }
-    bool changed = out.size() != regs.size();
-    regs = std::move(out);
+    bool changed = k != n;
+    regs.resize(k);
     if (changed) sync_regs(regs);
 }
 
@@ -1256,13 +1268,11 @@ static void join_long(Ctx& c, std::vector<NatReg>& regs, int64_t max_join_long,
     }
     if (n_drop > 0) {
         for (auto& r : regs) {
+            // regs[parent] directly: ids equal indices here (hit.c:338)
             if (r[R_PARENT] >= 0 && r[R_ID] != r[R_PARENT]) {
-                const NatReg* pr = nullptr;
-                for (auto& x : regs)
-                    if (x[R_ID] == r[R_PARENT]) { pr = &x; break; }
-                if (pr && (*pr)[R_PARENT] >= 0
-                    && (*pr)[R_PARENT] != r[R_PARENT])
-                    r[R_PARENT] = (*pr)[R_PARENT];
+                const NatReg& pr = regs[r[R_PARENT]];
+                if (pr[R_PARENT] >= 0 && pr[R_PARENT] != r[R_PARENT])
+                    r[R_PARENT] = pr[R_PARENT];
             }
         }
         filter_regs_nat(regs, min_cnt, min_chain_score, min_dp_max,
@@ -1336,56 +1346,51 @@ static void est_err_nat(Ctx& c, std::vector<NatReg>& regs,
 // ---- mm_set_mapq (hit.c:437-481) incl. inversion mapq (hit.c:411-435)
 static void set_mapq_nat(std::vector<NatReg>& regs, int64_t min_chain_sc,
                          int64_t match_sc, int64_t rep_len, bool is_sr) {
-    const double q_coef = 40.0;
+    // the whole chain is float32 in the reference (hit.c:437-481: every
+    // operand is a C float, so each intermediate rounds to f32)
+    const float q_coef = 40.0f;
     int64_t sum_sc = 0;
     for (auto& r : regs)
         if (r[R_PARENT] == r[R_ID]) sum_sc += r[R_SCORE];
-    double uniq_ratio = (sum_sc + rep_len)
-        ? (double)(float)((double)sum_sc / (sum_sc + rep_len)) : 0.0;
+    float uniq_ratio = (sum_sc + rep_len)
+        ? (float)sum_sc / (sum_sc + rep_len) : 0.0f;
     for (size_t i = 0; i < regs.size(); ++i) {
         NatReg& r = regs[i];
         if (r[R_INV]) { r[R_MAPQ] = 0; continue; }
         if (r[R_PARENT] != r[R_ID]) { r[R_MAPQ] = 0; continue; }
-        double pen_s1 = (double)(float)(
-            (r[R_SCORE] > 100 ? 1.0 : (double)(float)(0.01 * r[R_SCORE]))
-            * uniq_ratio);
-        double pen_cm = r[R_CNT] > 10 ? 1.0 : (double)(float)(0.1 * r[R_CNT]);
+        float pen_s1 = (r[R_SCORE] > 100 ? 1.0f : 0.01f * r[R_SCORE])
+            * uniq_ratio;
+        float pen_cm = r[R_CNT] > 10 ? 1.0f : 0.1f * r[R_CNT];
         if (pen_s1 < pen_cm) pen_cm = pen_s1;
         int64_t subsc = r[R_SUBSC] > min_chain_sc ? r[R_SUBSC] : min_chain_sc;
         int64_t mapq;
         if (r[R_HASP] && r.dp_max2 > 0 && r.dp_max > 0) {
-            double identity = (double)(float)((double)r[R_MLEN] / r[R_BLEN]);
-            // float32 chain, as the model computes it (hit.c:456)
-            float xf = (float)r.dp_max2;
-            xf = xf * subsc;
-            xf = xf / r.dp_max;
-            xf = xf / r[R_SCORE0];
-            double x = (double)xf;
-            mapq = (int64_t)(identity * pen_cm * q_coef * (1.0 - x * x)
-                             * (double)logf((float)((double)r.dp_max
-                                                    / match_sc)));
+            float identity = (float)r[R_MLEN] / r[R_BLEN];
+            float x = (float)r.dp_max2 * subsc / r.dp_max / r[R_SCORE0];
+            mapq = (int64_t)(int)(identity * pen_cm * q_coef
+                                  * (1.0f - x * x)
+                                  * logf((float)r.dp_max / match_sc));
             if (!is_sr) {
-                int64_t mapq_alt = (int64_t)(6.02 * identity * identity
-                                             * (r.dp_max - r.dp_max2)
-                                             / match_sc + .499);
+                int64_t mapq_alt = (int64_t)(int)(
+                    6.02f * identity * identity * (r.dp_max - r.dp_max2)
+                    / match_sc + .499f);
                 if (mapq_alt < mapq) mapq = mapq_alt;
             }
         } else {
-            double x = r[R_SCORE0]
-                ? (double)(float)((double)subsc / r[R_SCORE0]) : 0.0;
+            float x = r[R_SCORE0]
+                ? (float)subsc / r[R_SCORE0] : 0.0f;
             if (r[R_HASP]) {
-                double identity = (double)(float)((double)r[R_MLEN]
-                                                  / r[R_BLEN]);
-                mapq = (int64_t)(identity * pen_cm * q_coef * (1.0 - x)
-                                 * (double)logf((float)((double)r.dp_max
-                                                        / match_sc)));
+                float identity = (float)r[R_MLEN] / r[R_BLEN];
+                mapq = (int64_t)(int)(identity * pen_cm * q_coef
+                                      * (1.0f - x)
+                                      * logf((float)r.dp_max / match_sc));
             } else {
-                mapq = (int64_t)(pen_cm * q_coef * (1.0 - x)
-                                 * (double)logf((float)r[R_SCORE]));
+                mapq = (int64_t)(int)(pen_cm * q_coef * (1.0f - x)
+                                      * logf((float)r[R_SCORE]));
             }
         }
-        mapq -= (int64_t)(4.343 * (double)logf((float)(r[R_NSUB] + 1))
-                          + .499);
+        mapq -= (int64_t)(int)(4.343f * logf((float)(r[R_NSUB] + 1))
+                               + .499f);
         if (mapq < 0) mapq = 0;
         r[R_MAPQ] = mapq < 60 ? mapq : 60;
         if (r[R_HASP] && r.dp_max > r.dp_max2 && r[R_MAPQ] == 0)
@@ -1871,29 +1876,35 @@ static void select_sub_multi(std::vector<NatReg>& regs, double pri_ratio,
     if (pri_ratio <= 0.0 || regs.empty()) return;
     int64_t max_dist = n_segs == 2
         ? qlens[0] + qlens[1] + max_gap_ref : 0;
-    std::vector<NatReg> out;
+    // in-place compaction with live r[r[i].parent] reads (pe.c:11-39) and
+    // float32 ratio compares, like the reference
+    float f_ratio = (float)pri_ratio, f1 = (float)pri1, f2 = (float)pri2;
+    size_t n = regs.size(), k = 0;
     int64_t n_2nd = 0;
-    for (size_t i = 0; i < regs.size(); ++i) {
-        NatReg& q = regs[i];
+    for (size_t i = 0; i < n; ++i) {
+        const NatReg& q = regs[i];
+        const NatReg& p = regs[q[R_PARENT]];
         int to_keep = 0;
         if (q[R_PARENT] == (int64_t)i) to_keep = 1;
-        else if (q[R_SCORE] + min_diff >= regs[q[R_PARENT]][R_SCORE])
+        else if (q[R_SCORE] + min_diff >= p[R_SCORE])
             to_keep = 1;
         else {
-            const NatReg& p = regs[q[R_PARENT]];
             if (p[R_REV] == q[R_REV] && p[R_RID] == q[R_RID]
                 && q[R_RE] - p[R_RS] < max_dist
                 && p[R_RE] - q[R_RS] < max_dist) {
-                if (q[R_SCORE] >= p[R_SCORE] * pri1) to_keep = 1;
+                if ((float)q[R_SCORE] >= (float)p[R_SCORE] * f1)
+                    to_keep = 1;
             } else {
                 int is_par_both = n_segs == 2 && p[R_QS] < qlens[0]
                                   && p[R_QE] > qlens[0];
                 int is_chi_both = n_segs == 2 && q[R_QS] < qlens[0]
                                   && q[R_QE] > qlens[0];
                 if (is_chi_both || is_chi_both == is_par_both) {
-                    if (q[R_SCORE] >= p[R_SCORE] * pri_ratio) to_keep = 1;
+                    if ((float)q[R_SCORE] >= (float)p[R_SCORE] * f_ratio)
+                        to_keep = 1;
                 } else {
-                    if (q[R_SCORE] >= p[R_SCORE] * pri2) to_keep = 1;
+                    if ((float)q[R_SCORE] >= (float)p[R_SCORE] * f2)
+                        to_keep = 1;
                 }
             }
         }
@@ -1901,10 +1912,13 @@ static void select_sub_multi(std::vector<NatReg>& regs, double pri_ratio,
             ++n_2nd;
             if (n_2nd > best_n) to_keep = 0;
         }
-        if (to_keep) out.push_back(std::move(q));
+        if (to_keep) {
+            if (k != i) regs[k] = std::move(regs[i]);
+            ++k;
+        }
     }
-    bool changed = out.size() != regs.size();
-    regs = std::move(out);
+    bool changed = k != n;
+    regs.resize(k);
     if (changed) sync_regs(regs);
 }
 
@@ -2067,15 +2081,16 @@ static void pair_pe(int64_t max_gap_ref, int64_t pe_bonus, int64_t sub_diff,
         for (int64_t x : sc)
             if ((x >> 32) + sub_diff >= (maxsc >> 32)) ++n_sub;
         if (sc.size() > 1) {
-            int64_t mapq_pe_alt = (int64_t)(
-                6.02 * ((maxsc >> 32) - (sc[sc.size() - 2] >> 32)) / match_sc
-                - 4.343 * (double)logf((float)n_sub));
+            // all-float32 chain (pe.c:159)
+            int64_t mapq_pe_alt = (int64_t)(int)(
+                6.02f * ((maxsc >> 32) - (sc[sc.size() - 2] >> 32)) / match_sc
+                - 4.343f * logf((float)n_sub));
             if (mapq_pe_alt < mapq_pe) mapq_pe = mapq_pe_alt;
         }
         for (int s = 0; s < 2; ++s)
             if ((*r[s])[R_MAPQ] < mapq_pe)
-                (*r[s])[R_MAPQ] = (int64_t)(.2 * (*r[s])[R_MAPQ]
-                                            + .8 * mapq_pe + .499);
+                (*r[s])[R_MAPQ] = (int64_t)(int)(.2f * (*r[s])[R_MAPQ]
+                                                 + .8f * mapq_pe + .499f);
         if (sc.size() == 1) {
             for (int s = 0; s < 2; ++s)
                 if ((*r[s])[R_MAPQ] < 2) (*r[s])[R_MAPQ] = 2;
