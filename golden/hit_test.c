@@ -93,3 +93,64 @@ int64_t hit_oracle_select_sub_multi(
     free(regs);
     return nn;
 }
+
+void mm_set_parent(void *km, float mask_level, int n, mm_reg1_t *r,
+                   int sub_diff);
+void mm_pair(void *km, int max_gap_ref, int pe_bonus, int sub_diff,
+             int match_sc, const int *qlens, int *n_regs, mm_reg1_t **regs);
+
+// set_parent: returns parent and subsc per region (input order preserved)
+void hit_oracle_set_parent(const int64_t *rows, const int64_t *auxs,
+                           int64_t n, double mask_level, int64_t sub_diff,
+                           int64_t *out_parent, int64_t *out_subsc)
+{
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n; ++i)
+        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+    mm_set_parent(0, (float)mask_level, (int)n, regs, (int)sub_diff);
+    for (int64_t i = 0; i < n; ++i) {
+        out_parent[i] = regs[i].parent;
+        out_subsc[i] = regs[i].subsc;
+        free(regs[i].p);
+    }
+    free(regs);
+}
+
+// mm_pair: two region sets; pair-aux stride 6:
+// {dp_max, dp_max2, has_p, rev, hash, mapq}. Returns final mapq and
+// proper_frag per region of each segment.
+void hit_oracle_pair(const int64_t *rows0, const int64_t *auxs0, int64_t n0,
+                     const int64_t *rows1, const int64_t *auxs1, int64_t n1,
+                     int64_t max_gap_ref, int64_t pe_bonus,
+                     int64_t sub_diff, int64_t match_sc,
+                     const int64_t *qlens64,
+                     int64_t *out_mapq0, int64_t *out_pf0,
+                     int64_t *out_mapq1, int64_t *out_pf1)
+{
+    mm_reg1_t *r0 = (mm_reg1_t*)calloc(n0, sizeof(mm_reg1_t));
+    mm_reg1_t *r1 = (mm_reg1_t*)calloc(n1, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n0; ++i) {
+        fill(&r0[i], rows0 + 14 * i, auxs0 + 6 * i);
+        r0[i].hash = (uint32_t)auxs0[6 * i + 4];
+        r0[i].mapq = (uint32_t)auxs0[6 * i + 5];
+    }
+    for (int64_t i = 0; i < n1; ++i) {
+        fill(&r1[i], rows1 + 14 * i, auxs1 + 6 * i);
+        r1[i].hash = (uint32_t)auxs1[6 * i + 4];
+        r1[i].mapq = (uint32_t)auxs1[6 * i + 5];
+    }
+    int qlens[2] = {(int)qlens64[0], (int)qlens64[1]};
+    int n_regs[2] = {(int)n0, (int)n1};
+    mm_reg1_t *regs[2] = {r0, r1};
+    mm_pair(0, (int)max_gap_ref, (int)pe_bonus, (int)sub_diff,
+            (int)match_sc, qlens, n_regs, regs);
+    for (int64_t i = 0; i < n0; ++i) {
+        out_mapq0[i] = r0[i].mapq; out_pf0[i] = r0[i].proper_frag;
+        free(r0[i].p);
+    }
+    for (int64_t i = 0; i < n1; ++i) {
+        out_mapq1[i] = r1[i].mapq; out_pf1[i] = r1[i].proper_frag;
+        free(r1[i].p);
+    }
+    free(r0); free(r1);
+}

@@ -136,3 +136,86 @@ def test_select_sub_multi_vs_oracle():
         kept = select_sub_multi(regs, pri_ratio, pri1, pri2, max_gap_ref,
                                 min_diff, best_n, 2, qlens)
         assert [r.id for r in kept] == out[:k].tolist(), it
+
+
+def test_set_parent_vs_oracle():
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_set_parent.restype = None
+    lib.hit_oracle_set_parent.argtypes = [vp, vp, ctypes.c_int64,
+                                          ctypes.c_double, ctypes.c_int64,
+                                          vp, vp]
+    from minimap2_chaindp_tpu.hits import set_parent
+    rng = np.random.default_rng(3)
+    for it in range(3000):
+        n = int(rng.integers(1, 10))
+        regs, rows, auxs = _mk_regs(rng, n)
+        # set_parent expects score-descending order (gen_regs output)
+        regs.sort(key=lambda r: -r.score)
+        for i, r in enumerate(regs):
+            r.parent = 0
+            r.subsc = 0
+            rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs, r.re,
+                       0, 0, r.mlen, r.blen, r.n_sub, r.score0]
+            auxs[i] = [r.p.dp_max if r.p else 0, r.p.dp_max2 if r.p else 0,
+                       1 if r.p else 0, r.rev]
+        mask_level = float(rng.choice([0.5, 0.3, 0.9]))
+        sub_diff = int(rng.integers(0, 20))
+        op = np.zeros(n, np.int64)
+        osub = np.zeros(n, np.int64)
+        lib.hit_oracle_set_parent(_ptr(rows), _ptr(auxs), n, mask_level,
+                                  sub_diff, _ptr(op), _ptr(osub))
+        set_parent(regs, mask_level, sub_diff)
+        assert [r.parent for r in regs] == op.tolist(), it
+        assert [r.subsc for r in regs] == osub.tolist(), it
+
+
+def test_pair_vs_oracle():
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_pair.restype = None
+    lib.hit_oracle_pair.argtypes = [vp, vp, ctypes.c_int64,
+                                    vp, vp, ctypes.c_int64] \
+        + [ctypes.c_int64] * 4 + [vp, vp, vp, vp, vp]
+    from minimap2_chaindp_tpu.pe import pair
+    rng = np.random.default_rng(4)
+    qlens = [151, 149]
+    for it in range(2000):
+        sides = []
+        for s in range(2):
+            n = int(rng.integers(1, 5))
+            regs, rows, _ = _mk_regs(rng, n)
+            auxs6 = np.zeros((n, 6), np.int64)
+            for i, r in enumerate(regs):
+                r.hash = int(rng.integers(0, 1 << 32))
+                r.mapq = int(rng.integers(0, 61))
+                r.rev = int(rng.integers(0, 2))
+                # keep coordinates tight so FR pairs actually form
+                r.rid = int(rng.integers(0, 2))
+                r.rs = int(rng.integers(0, 3000))
+                r.re = r.rs + int(rng.integers(50, 400))
+                rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe,
+                           r.rs, r.re, r.parent, r.subsc, r.mlen, r.blen,
+                           r.n_sub, r.score0]
+                auxs6[i] = [r.p.dp_max, r.p.dp_max2, 1, r.rev, r.hash,
+                            r.mapq]
+            sides.append((regs, rows, auxs6))
+        (regs0, rows0, a0), (regs1, rows1, a1) = sides
+        max_gap_ref = int(rng.integers(200, 2000))
+        pe_bonus = int(rng.integers(0, 50))
+        sub_diff = int(rng.integers(0, 20))
+        match_sc = int(rng.integers(1, 4))
+        n0, n1 = len(regs0), len(regs1)
+        om0, of0 = np.zeros(n0, np.int64), np.zeros(n0, np.int64)
+        om1, of1 = np.zeros(n1, np.int64), np.zeros(n1, np.int64)
+        ql64 = np.array(qlens, np.int64)
+        lib.hit_oracle_pair(_ptr(rows0), _ptr(a0), n0, _ptr(rows1),
+                            _ptr(a1), n1, max_gap_ref, pe_bonus, sub_diff,
+                            match_sc, _ptr(ql64), _ptr(om0), _ptr(of0),
+                            _ptr(om1), _ptr(of1))
+        pair(max_gap_ref, pe_bonus, sub_diff, match_sc, qlens,
+             [regs0, regs1])
+        assert [r.mapq for r in regs0] == om0.tolist(), it
+        assert [r.proper_frag for r in regs0] == of0.tolist(), it
+        assert [r.mapq for r in regs1] == om1.tolist(), it
+        assert [r.proper_frag for r in regs1] == of1.tolist(), it
