@@ -309,8 +309,11 @@ def filter_regs(regs: list[Region], opt, qlen: int) -> list[Region]:
                 flt = True
             elif r.p.dp_max < opt.min_dp_max:
                 flt = True
-            elif r.qs > qlen * opt.max_clip_ratio and qlen - r.qe > qlen * opt.max_clip_ratio:
-                flt = True
+            else:
+                # f32 product-compare: max_clip_ratio is a C float
+                clip = np.float32(qlen) * np.float32(opt.max_clip_ratio)
+                if np.float32(r.qs) > clip and np.float32(qlen - r.qe) > clip:
+                    flt = True
         if not flt:
             out.append(r)
     return out

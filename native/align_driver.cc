@@ -1189,9 +1189,13 @@ static void filter_regs_nat(std::vector<NatReg>& regs, int64_t min_cnt,
         if (r[R_HASP]) {
             if (r[R_MLEN] < min_chain_score) flt = true;
             else if (r.dp_max < min_dp_max) flt = true;
-            else if ((double)r[R_QS] > qlen * max_clip_ratio
-                     && (double)(qlen - r[R_QE]) > qlen * max_clip_ratio)
-                flt = true;
+            else {
+                // f32 product-compare: max_clip_ratio is a C float
+                float clip = (float)qlen * (float)max_clip_ratio;
+                if ((float)r[R_QS] > clip
+                    && (float)(qlen - r[R_QE]) > clip)
+                    flt = true;
+            }
         }
         if (!flt) out.push_back(std::move(r));
     }
