@@ -19,7 +19,7 @@ def est_err(mi, qlen: int, regs, a: np.ndarray, mini_pos: np.ndarray) -> None:
     if n == 0:
         return
     sum_k = int((mini_pos >> np.uint64(32) & np.uint64(0xFF)).sum())
-    avg_k = np.float32(sum_k / n)
+    avg_k = np.float32(sum_k) / np.float32(n)  # f32 division, esterr.c:39
     mp_lo = (mini_pos & np.uint64(0xFFFFFFFF)).astype(np.int64)
     from .native import est_err_merge
     ax = ay = None

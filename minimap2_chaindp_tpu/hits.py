@@ -208,7 +208,10 @@ def set_parent(regs: list[Region], mask_level: float, sub_diff: int) -> None:
                     ol = 0 if ei < sj else (ei - sj if ei < ej else ej - sj)
                 else:
                     ol = 0 if ej < si else (ej - si if ej < ei else ei - si)
-                if ol / min_l - uncov_len / max_l > mask_level:
+                if np.float32(np.float32(np.float32(ol) / np.float32(min_l))
+                              - np.float32(np.float32(uncov_len)
+                                           / np.float32(max_l))) \
+                        > np.float32(mask_level):  # f32, hit.c:147
                     cnt_sub = 0
                     ri.parent = rp.parent
                     rp.subsc = max(rp.subsc, ri.score)
@@ -355,7 +358,11 @@ def join_long(regs: list[Region], opt, qlen: int, a: np.ndarray) -> list[Region]
         max_gap, min_gap = max(gq, gr), min(gq, gr)
         if max_gap > opt.max_join_long or min_gap > opt.max_join_short:
             continue
-        sc_thres = int(opt.min_join_flank_sc / opt.max_join_long * max_gap + .499)
+        # f32 div and mul + the double .499 literal (hit.c:319)
+        sc_thres = int(float(np.float32(
+            np.float32(np.float32(opt.min_join_flank_sc)
+                       / np.float32(opt.max_join_long))
+            * np.float32(max_gap))) + .499)
         if r0.score < sc_thres or r1.score < sc_thres:
             continue
         if r0.re - r0.rs < max_gap >> 1 or r0.qe - r0.qs < max_gap >> 1:

@@ -1082,8 +1082,9 @@ static void set_parent(std::vector<NatReg>& regs, double mask_level,
                 int64_t ol;
                 if (si < sj) ol = ei < sj ? 0 : (ei < ej ? ei - sj : ej - sj);
                 else ol = ej < si ? 0 : (ej < ei ? ej - si : ei - si);
-                if ((double)ol / min_l - (double)uncov_len / max_l
-                    > mask_level) {
+                // f32 divisions/subtract vs the C float (hit.c:147)
+                if ((float)ol / min_l - (float)uncov_len / max_l
+                    > (float)mask_level) {
                     int cnt_sub = 0;
                     ri[R_PARENT] = rp[R_PARENT];
                     if (ri[R_SCORE] > rp[R_SUBSC]) rp[R_SUBSC] = ri[R_SCORE];
@@ -1255,8 +1256,9 @@ static void join_long(Ctx& c, std::vector<NatReg>& regs, int64_t max_join_long,
         int64_t gr = (int64_t)(a1sx - a0ex);
         int64_t max_gap = gq > gr ? gq : gr, min_gap = gq < gr ? gq : gr;
         if (max_gap > max_join_long || min_gap > max_join_short) continue;
-        int64_t sc_thres = (int64_t)((double)min_join_flank_sc
-                                     / max_join_long * max_gap + .499);
+        // f32 div and mul + the double .499 literal (hit.c:319)
+        int64_t sc_thres = (int64_t)((double)((float)min_join_flank_sc
+                                     / max_join_long * max_gap) + .499);
         if (r0[R_SCORE] < sc_thres || r1[R_SCORE] < sc_thres) continue;
         if (r0[R_RE] - r0[R_RS] < (max_gap >> 1)
             || r0[R_QE] - r0[R_QS] < (max_gap >> 1)) continue;
