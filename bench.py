@@ -135,7 +135,7 @@ def main_device():
         for a in anchors:
             xhi, rpos, qpos, span, sid = split_anchors(a)
             reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
-                              avg_qspan=np.float32(span.sum() / len(a))))
+                              avg_qspan=np.float32(span.sum()) / np.float32(len(a))))
         packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, MAX_DIST)
         args = [jax.device_put(packed[k])
                 for k in ("xhi", "rpos", "qpos", "span", "sid", "stw")]

@@ -227,7 +227,7 @@ class DeviceRuntime:
                 xhi, rpos, qpos, span, sid = split_anchors(a)
                 reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span,
                                   sid=sid,
-                                  avg_qspan=np.float32(span.sum() / len(a))))
+                                  avg_qspan=np.float32(span.sum()) / np.float32(len(a))))
             with self.timers.time("pack"):
                 packed, nn, w1, exc, host_flag = CP.pack_reads(reads, b, gr)
             with self.timers.time("kernel"):

@@ -41,7 +41,7 @@ def chain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     seg_of = [(y & C.MM_SEED_SEG_MASK) >> C.MM_SEED_SEG_SHIFT for y in ay]
     qpos = [y & 0xFFFFFFFF for y in ay]
     span = [(y >> 32) & 0xFF for y in ay]
-    avg_qspan = float(np.float32(sum(span) / n))
+    avg_qspan = float(np.float32(sum(span)) / np.float32(n))  # f32 division, chain.c:47
 
     # compact output (the offload contract)
     cseed_x: list[int] = []

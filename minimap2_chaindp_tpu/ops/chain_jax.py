@@ -197,7 +197,7 @@ def chain_dp_device(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     if n == 0:
         return Chains(np.empty((0, 2), dtype=np.uint64), np.empty(0, dtype=np.uint64))
     xhi, rpos, qpos, span, sid = split_anchors(anchors)
-    avg_qspan = np.float32(span.sum() / n)
+    avg_qspan = np.float32(span.sum()) / np.float32(n)  # f32 division, chain.c:47
     tbl = clin_table(float(avg_qspan), max(bw + 1, 1024))
     n_max = round_up(n, 256)
     pad = n_max - n

@@ -176,7 +176,7 @@ int64_t mm2tpu_chain_dp(
         seg[i] = (int64_t)((ay[i] >> 48) & 0xFF);
         sum_span += span[i];
     }
-    const float avg_qspan_f = (float)((double)sum_span / (double)n);
+    const float avg_qspan_f = (float)sum_span / n;  // f32 division, chain.c:47
     const double avg_qspan = (double)avg_qspan_f;
 
     int64_t st = 0;

@@ -36,7 +36,7 @@ def run_batch(anchor_list, mo, gq=None, gr=None, is_cdna=False,
     for a in anchor_list:
         xhi, rpos, qpos, span, sid = split_anchors(a)
         reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
-                          avg_qspan=np.float32(span.sum() / max(len(a), 1))))
+                          avg_qspan=np.float32(span.sum()) / np.float32(max(len(a), 1))))
     max_n = max(len(a) for a in anchor_list)
     max_n = (max_n + 127) // 128 * 128
     packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, gr)
@@ -157,7 +157,7 @@ def test_use_exc_variant_equivalence():
     for a in anchor_list:
         xhi, rpos, qpos, span, sid = split_anchors(a)
         reads.append(dict(xhi=xhi, rpos=rpos, qpos=qpos, span=span, sid=sid,
-                          avg_qspan=np.float32(span.sum() / max(len(a), 1))))
+                          avg_qspan=np.float32(span.sum()) / np.float32(max(len(a), 1))))
     max_n = (max(len(a) for a in anchor_list) + 127) // 128 * 128
     packed, nn, w1, exc, _ = CP.pack_reads(reads, max_n, mo.max_gap)
     kw = dict(max_n=max_n, max_dist_x=mo.max_gap, max_dist_y=mo.max_gap,
