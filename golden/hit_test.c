@@ -4,9 +4,9 @@
 // ports can be fuzz-compared against the real reference semantics
 // (including its in-place compaction aliasing and float32 arithmetic).
 //
-// Row layout (14 int64 per region):
+// Row layout (15 int64 per region):
 //   0 id, 1 cnt, 2 rid, 3 score, 4 qs, 5 qe, 6 rs, 7 re, 8 parent,
-//   9 subsc, 10 mlen, 11 blen, 12 n_sub, 13 score0
+//   9 subsc, 10 mlen, 11 blen, 12 n_sub, 13 score0, 14 as
 // plus per-region (4 int64): dp_max, dp_max2, has_p, rev
 #include <stdint.h>
 #include <stdlib.h>
@@ -28,6 +28,7 @@ static void fill(mm_reg1_t *r, const int64_t *row, const int64_t *aux)
     r->qs = row[4]; r->qe = row[5]; r->rs = row[6]; r->re = row[7];
     r->parent = row[8]; r->subsc = row[9]; r->mlen = row[10];
     r->blen = row[11]; r->n_sub = row[12]; r->score0 = row[13];
+    r->as = row[14];
     r->rev = aux[3] ? 1 : 0;
     if (aux[2]) {
         r->p = (mm_extra_t*)calloc(1, sizeof(mm_extra_t));
@@ -43,7 +44,7 @@ void hit_oracle_set_mapq(const int64_t *rows, const int64_t *auxs,
 {
     mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
     for (int64_t i = 0; i < n; ++i)
-        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
     mm_set_mapq(0, (int)n, regs, (int)min_chain_sc, (int)match_sc,
                 (int)rep_len, (int)is_sr);
     for (int64_t i = 0; i < n; ++i) {
@@ -60,7 +61,7 @@ int64_t hit_oracle_select_sub(const int64_t *rows, const int64_t *auxs,
 {
     mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
     for (int64_t i = 0; i < n; ++i)
-        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
     int nn = (int)n;
     mm_select_sub(0, (float)pri_ratio, (int)min_diff, (int)best_n,
                   &nn, regs);
@@ -81,7 +82,7 @@ int64_t hit_oracle_select_sub_multi(
     mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
     int qlens[2] = {(int)qlens64[0], (int)qlens64[1]};
     for (int64_t i = 0; i < n; ++i)
-        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
     int nn = (int)n;
     mm_select_sub_multi(0, (float)pri_ratio, (float)pri1, (float)pri2,
                         (int)max_gap_ref, (int)min_diff, (int)best_n,
@@ -106,7 +107,7 @@ void hit_oracle_set_parent(const int64_t *rows, const int64_t *auxs,
 {
     mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
     for (int64_t i = 0; i < n; ++i)
-        fill(&regs[i], rows + 14 * i, auxs + 4 * i);
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
     mm_set_parent(0, (float)mask_level, (int)n, regs, (int)sub_diff);
     for (int64_t i = 0; i < n; ++i) {
         out_parent[i] = regs[i].parent;
@@ -130,12 +131,12 @@ void hit_oracle_pair(const int64_t *rows0, const int64_t *auxs0, int64_t n0,
     mm_reg1_t *r0 = (mm_reg1_t*)calloc(n0, sizeof(mm_reg1_t));
     mm_reg1_t *r1 = (mm_reg1_t*)calloc(n1, sizeof(mm_reg1_t));
     for (int64_t i = 0; i < n0; ++i) {
-        fill(&r0[i], rows0 + 14 * i, auxs0 + 6 * i);
+        fill(&r0[i], rows0 + 15 * i, auxs0 + 6 * i);
         r0[i].hash = (uint32_t)auxs0[6 * i + 4];
         r0[i].mapq = (uint32_t)auxs0[6 * i + 5];
     }
     for (int64_t i = 0; i < n1; ++i) {
-        fill(&r1[i], rows1 + 14 * i, auxs1 + 6 * i);
+        fill(&r1[i], rows1 + 15 * i, auxs1 + 6 * i);
         r1[i].hash = (uint32_t)auxs1[6 * i + 4];
         r1[i].mapq = (uint32_t)auxs1[6 * i + 5];
     }
@@ -153,4 +154,75 @@ void hit_oracle_pair(const int64_t *rows0, const int64_t *auxs0, int64_t n0,
         free(r1[i].p);
     }
     free(r0); free(r1);
+}
+
+mm_reg1_t *mm_gen_regs(void *km, uint32_t hash, int qlen, int n_u,
+                       uint64_t *u, mm128_t *a);
+void mm_join_long(void *km, const mm_mapopt_t *opt, int qlen, int *n_regs_,
+                  mm_reg1_t *regs, mm128_t *a);
+
+// gen_regs: u (n_u u64 score<<32|cnt), anchors (2*n_a u64 x,y rows).
+// Writes per output region 10 int64: score, cnt, as, rid, rev, qs, qe,
+// rs, re, hash. Returns region count.
+int64_t hit_oracle_gen_regs(uint64_t hash, int64_t qlen, int64_t n_u,
+                            const uint64_t *u, const uint64_t *anch,
+                            int64_t n_a, int64_t *out)
+{
+    uint64_t *uu = (uint64_t*)malloc(n_u * 8);
+    memcpy(uu, u, n_u * 8);
+    mm128_t *a = (mm128_t*)malloc(n_a * sizeof(mm128_t));
+    for (int64_t i = 0; i < n_a; ++i) {
+        a[i].x = anch[2 * i];
+        a[i].y = anch[2 * i + 1];
+    }
+    mm_reg1_t *r = mm_gen_regs(0, (uint32_t)hash, (int)qlen, (int)n_u,
+                               uu, a);
+    for (int64_t i = 0; i < n_u; ++i) {
+        int64_t *o = out + 10 * i;
+        o[0] = r[i].score; o[1] = r[i].cnt; o[2] = r[i].as;
+        o[3] = r[i].rid; o[4] = r[i].rev; o[5] = r[i].qs; o[6] = r[i].qe;
+        o[7] = r[i].rs; o[8] = r[i].re; o[9] = r[i].hash;
+    }
+    free(r); free(a); free(uu);
+    return n_u;
+}
+
+// join_long: regions (14-row layout + stride-4 aux) + anchors; opt fields
+// passed explicitly. Writes surviving ids + per-survivor score/cnt/parent;
+// returns survivor count.
+int64_t hit_oracle_join_long(const int64_t *rows, const int64_t *auxs,
+                             int64_t n, const uint64_t *anch, int64_t n_a,
+                             int64_t qlen, int64_t max_join_long,
+                             int64_t max_join_short,
+                             int64_t min_join_flank_sc, int64_t min_cnt,
+                             int64_t min_chain_score, int64_t min_dp_max,
+                             double max_clip_ratio, int64_t *out)
+{
+    mm_mapopt_t opt;
+    memset(&opt, 0, sizeof(opt));
+    opt.max_join_long = (int)max_join_long;
+    opt.max_join_short = (int)max_join_short;
+    opt.min_join_flank_sc = (int)min_join_flank_sc;
+    opt.min_cnt = (int)min_cnt;
+    opt.min_chain_score = (int)min_chain_score;
+    opt.min_dp_max = (int)min_dp_max;
+    opt.max_clip_ratio = (float)max_clip_ratio;
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n; ++i)
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
+    mm128_t *a = (mm128_t*)malloc(n_a * sizeof(mm128_t));
+    for (int64_t i = 0; i < n_a; ++i) {
+        a[i].x = anch[2 * i];
+        a[i].y = anch[2 * i + 1];
+    }
+    int nn = (int)n;
+    mm_join_long(0, &opt, (int)qlen, &nn, regs, a);
+    for (int i = 0; i < nn; ++i) {
+        int64_t *o = out + 6 * i;
+        o[0] = regs[i].id; o[1] = regs[i].score; o[2] = regs[i].cnt;
+        o[3] = regs[i].parent; o[4] = regs[i].qs; o[5] = regs[i].qe;
+        free(regs[i].p);
+    }
+    free(regs); free(a);
+    return nn;
 }

@@ -40,7 +40,7 @@ def _ptr(a):
 
 def _mk_regs(rng, n, with_p=True, pe=False, qlens=(150, 150)):
     """Random region set with a consistent parent structure."""
-    regs, rows, auxs = [], np.zeros((n, 14), np.int64), \
+    regs, rows, auxs = [], np.zeros((n, 15), np.int64), \
         np.zeros((n, 4), np.int64)
     n_pri = 0
     for i in range(n):
@@ -72,7 +72,8 @@ def _mk_regs(rng, n, with_p=True, pe=False, qlens=(150, 150)):
             n_pri += 1
         regs.append(r)
         rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs, r.re,
-                   r.parent, r.subsc, r.mlen, r.blen, r.n_sub, r.score0]
+                   r.parent, r.subsc, r.mlen, r.blen, r.n_sub, r.score0,
+                   r.as_]
         auxs[i] = [r.p.dp_max if r.p else 0, r.p.dp_max2 if r.p else 0,
                    1 if r.p else 0, r.rev]
     return regs, rows, auxs
@@ -155,8 +156,9 @@ def test_set_parent_vs_oracle():
         for i, r in enumerate(regs):
             r.parent = 0
             r.subsc = 0
-            rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs, r.re,
-                       0, 0, r.mlen, r.blen, r.n_sub, r.score0]
+            rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs,
+                       r.re, 0, 0, r.mlen, r.blen, r.n_sub, r.score0,
+                       r.as_]
             auxs[i] = [r.p.dp_max if r.p else 0, r.p.dp_max2 if r.p else 0,
                        1 if r.p else 0, r.rev]
         mask_level = float(rng.choice([0.5, 0.3, 0.9]))
@@ -196,7 +198,7 @@ def test_pair_vs_oracle():
                 r.re = r.rs + int(rng.integers(50, 400))
                 rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe,
                            r.rs, r.re, r.parent, r.subsc, r.mlen, r.blen,
-                           r.n_sub, r.score0]
+                           r.n_sub, r.score0, r.as_]
                 auxs6[i] = [r.p.dp_max, r.p.dp_max2, 1, r.rev, r.hash,
                             r.mapq]
             sides.append((regs, rows, auxs6))
@@ -219,3 +221,121 @@ def test_pair_vs_oracle():
         assert [r.proper_frag for r in regs0] == of0.tolist(), it
         assert [r.mapq for r in regs1] == om1.tolist(), it
         assert [r.proper_frag for r in regs1] == of1.tolist(), it
+
+
+def _mk_chains(rng, n_chains, qlen=2000):
+    """Synthetic sorted anchors grouped into chains + the u array."""
+    anchors, u = [], []
+    rpos = int(rng.integers(100, 1000))
+    for _ in range(n_chains):
+        cnt = int(rng.integers(1, 12))
+        score = int(rng.integers(30, 2000))
+        rev = int(rng.integers(0, 2))
+        rid = int(rng.integers(0, 3))
+        qpos = int(rng.integers(14, qlen - 20))
+        for _ in range(cnt):
+            span = int(rng.integers(10, 20))
+            x = (rev << 63) | (rid << 32) | rpos
+            y = (span << 32) | qpos
+            anchors.append((x, y))
+            rpos += int(rng.integers(5, 60))
+            qpos = min(qpos + int(rng.integers(5, 60)), qlen - 1)
+        u.append((score << 32) | cnt)
+        rpos += int(rng.integers(100, 400))
+    a = np.array(anchors, dtype=np.uint64)
+    return np.array(u, dtype=np.uint64), a
+
+
+def test_gen_regs_vs_oracle():
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_gen_regs.restype = ctypes.c_int64
+    lib.hit_oracle_gen_regs.argtypes = [ctypes.c_uint64, ctypes.c_int64,
+                                        ctypes.c_int64, vp, vp,
+                                        ctypes.c_int64, vp]
+    from minimap2_chaindp_tpu.hits import gen_regs
+    rng = np.random.default_rng(5)
+    for it in range(1500):
+        n_chains = int(rng.integers(1, 8))
+        qlen = 2000
+        u, a = _mk_chains(rng, n_chains, qlen)
+        hash_ = int(rng.integers(0, 1 << 32))
+        out = np.zeros((len(u), 10), np.int64)
+        k = lib.hit_oracle_gen_regs(hash_, qlen, len(u), _ptr(u), _ptr(a),
+                                    len(a), _ptr(out))
+        regs = gen_regs(hash_, qlen, u, a)
+        assert len(regs) == k
+        got = [[r.score, r.cnt, r.as_, r.rid, r.rev, r.qs, r.qe, r.rs,
+                r.re, r.hash] for r in regs]
+        assert got == out[:k].tolist(), it
+
+
+def test_join_long_vs_oracle():
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_join_long.restype = ctypes.c_int64
+    lib.hit_oracle_join_long.argtypes = [vp, vp, ctypes.c_int64, vp,
+                                         ctypes.c_int64] \
+        + [ctypes.c_int64] * 7 + [ctypes.c_double, vp]
+    from minimap2_chaindp_tpu.hits import gen_regs, set_parent, join_long
+
+    class Opt:
+        pass
+
+    rng = np.random.default_rng(6)
+    n_join = 0
+    for it in range(1500):
+        qlen = 5000
+        if it % 2:
+            # join-friendly shape: same rid/strand colinear chains with
+            # moderate gaps so the join conditions actually fire
+            anchors, u = [], []
+            rpos = int(rng.integers(100, 500))
+            qpos = int(rng.integers(14, 400))
+            for _ in range(int(rng.integers(2, 5))):
+                cnt = int(rng.integers(2, 8))
+                score = int(rng.integers(200, 2000))
+                for _ in range(cnt):
+                    span = int(rng.integers(10, 20))
+                    anchors.append(((0 << 63) | rpos, (span << 32) | qpos))
+                    rpos += int(rng.integers(20, 120))
+                    qpos = min(qpos + int(rng.integers(20, 120)), qlen - 1)
+                u.append((score << 32) | cnt)
+                gap = int(rng.integers(50, 2500))
+                rpos += gap
+                qpos = min(qpos + gap + int(rng.integers(-40, 40)), qlen - 1)
+            u = np.array(u, dtype=np.uint64)
+            a = np.array(anchors, dtype=np.uint64)
+        else:
+            u, a = _mk_chains(rng, int(rng.integers(2, 6)), qlen)
+        hash_ = int(rng.integers(0, 1 << 32))
+        regs = gen_regs(hash_, qlen, u, a.copy())
+        set_parent(regs, 0.5, 6)
+        opt = Opt()
+        opt.max_join_long = int(rng.integers(500, 30000))
+        opt.max_join_short = int(rng.integers(100, 3000))
+        opt.min_join_flank_sc = int(rng.integers(10, 1500))
+        opt.min_cnt = int(rng.integers(1, 3))
+        opt.min_chain_score = int(rng.integers(10, 40))
+        opt.min_dp_max = int(rng.integers(10, 60))
+        opt.max_clip_ratio = 1.0
+        rows = np.zeros((len(regs), 15), np.int64)
+        auxs = np.zeros((len(regs), 4), np.int64)
+        for i, r in enumerate(regs):
+            rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs, r.re,
+                       r.parent, r.subsc, r.mlen, r.blen, r.n_sub, r.score0,
+                       r.as_]
+            auxs[i] = [0, 0, 0, r.rev]
+        out = np.zeros((len(regs), 6), np.int64)
+        k = lib.hit_oracle_join_long(
+            _ptr(rows), _ptr(auxs), len(regs), _ptr(a.copy()), len(a), qlen,
+            opt.max_join_long, opt.max_join_short, opt.min_join_flank_sc,
+            opt.min_cnt, opt.min_chain_score, opt.min_dp_max,
+            opt.max_clip_ratio, _ptr(out))
+        kept = join_long(regs, opt, qlen, a)
+        got = [[r.id, r.score, r.cnt, r.parent, r.qs, r.qe] for r in kept]
+        if len(got) != len(regs):
+            n_join += 1
+        assert len(got) == k, it
+        assert got == out[:k].tolist(), it
+    assert n_join > 20, f"joins rarely fired ({n_join}) - weak fuzz"
