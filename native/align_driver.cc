@@ -2161,6 +2161,66 @@ static int64_t skeleton_loop(Ctx& c, std::vector<NatReg>& regs,
 
 extern "C" {
 
+// ---- test-only entry points: run the native epilogue ports on flat
+// region rows (the same 15-int64 layout golden/hit_test.c uses, plus a
+// stride-4 aux {dp_max, dp_max2, has_p, rev}) so they can be fuzzed
+// directly against the reference oracle.
+static void rows_to_regs(const int64_t* rows, const int64_t* auxs,
+                         int64_t n, std::vector<NatReg>& regs)
+{
+    regs.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+        NatReg& r = regs[i];
+        const int64_t* w = rows + 15 * i;
+        const int64_t* x = auxs + 4 * i;
+        r[R_ID] = w[0]; r[R_CNT] = w[1]; r[R_RID] = w[2];
+        r[R_SCORE] = w[3]; r[R_QS] = w[4]; r[R_QE] = w[5];
+        r[R_RS] = w[6]; r[R_RE] = w[7]; r[R_PARENT] = w[8];
+        r[R_SUBSC] = w[9]; r[R_MLEN] = w[10]; r[R_BLEN] = w[11];
+        r[R_NSUB] = w[12]; r[R_SCORE0] = w[13]; r[R_AS] = w[14];
+        r[R_REV] = x[3];
+        r[R_HASP] = x[2];
+        r.dp_max = x[0];
+        r.dp_max2 = x[1];
+    }
+}
+
+extern "C" void mm2tpu_test_set_mapq(
+    const int64_t* rows, const int64_t* auxs, int64_t n,
+    int64_t min_chain_sc, int64_t match_sc, int64_t rep_len,
+    int64_t is_sr, int64_t* out_mapq)
+{
+    std::vector<NatReg> regs;
+    rows_to_regs(rows, auxs, n, regs);
+    set_mapq_nat(regs, min_chain_sc, match_sc, rep_len, is_sr != 0);
+    for (int64_t i = 0; i < n; ++i) out_mapq[i] = regs[i][R_MAPQ];
+}
+
+extern "C" int64_t mm2tpu_test_select_sub(
+    const int64_t* rows, const int64_t* auxs, int64_t n,
+    double pri_ratio, int64_t min_diff, int64_t best_n, int64_t* out_ids)
+{
+    std::vector<NatReg> regs;
+    rows_to_regs(rows, auxs, n, regs);
+    select_sub(regs, pri_ratio, min_diff, best_n);
+    for (size_t i = 0; i < regs.size(); ++i) out_ids[i] = regs[i][R_ID];
+    return (int64_t)regs.size();
+}
+
+extern "C" int64_t mm2tpu_test_select_sub_multi(
+    const int64_t* rows, const int64_t* auxs, int64_t n,
+    double pri_ratio, double pri1, double pri2, int64_t max_gap_ref,
+    int64_t min_diff, int64_t best_n, int64_t n_segs,
+    const int64_t* qlens, int64_t* out_ids)
+{
+    std::vector<NatReg> regs;
+    rows_to_regs(rows, auxs, n, regs);
+    select_sub_multi(regs, pri_ratio, pri1, pri2, max_gap_ref, min_diff,
+                     best_n, n_segs, qlens);
+    for (size_t i = 0; i < regs.size(); ++i) out_ids[i] = regs[i][R_ID];
+    return (int64_t)regs.size();
+}
+
 // Standalone symmetric-DUST entry (the sdust CLI): writes up to max_out
 // (start, end) pairs into out; returns the interval count.
 int64_t mm2tpu_sdust(const uint8_t* b4, int64_t n, int32_t T, int32_t W,

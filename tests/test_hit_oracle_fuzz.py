@@ -339,3 +339,75 @@ def test_join_long_vs_oracle():
         assert len(got) == k, it
         assert got == out[:k].tolist(), it
     assert n_join > 20, f"joins rarely fired ({n_join}) - weak fuzz"
+
+
+def _native_lib():
+    from minimap2_chaindp_tpu.native import load_ksw
+    lib = load_ksw()
+    if lib is None:
+        return None
+    vp = ctypes.c_void_p
+    lib.mm2tpu_test_set_mapq.restype = None
+    lib.mm2tpu_test_set_mapq.argtypes = [vp, vp, ctypes.c_int64] \
+        + [ctypes.c_int64] * 4 + [vp]
+    lib.mm2tpu_test_select_sub.restype = ctypes.c_int64
+    lib.mm2tpu_test_select_sub.argtypes = [vp, vp, ctypes.c_int64,
+                                           ctypes.c_double, ctypes.c_int64,
+                                           ctypes.c_int64, vp]
+    lib.mm2tpu_test_select_sub_multi.restype = ctypes.c_int64
+    lib.mm2tpu_test_select_sub_multi.argtypes = [
+        vp, vp, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, vp, vp]
+    return lib
+
+
+def test_native_epilogue_vs_oracle():
+    """Three-way: the NATIVE C ports (align_driver.cc) against the real
+    reference functions on the same fuzz inputs."""
+    nat = _native_lib()
+    if nat is None:
+        pytest.skip("native lib unavailable")
+    lib = _lib()
+    lib.hit_oracle_set_parent.restype = None
+    vp = ctypes.c_void_p
+    rng = np.random.default_rng(7)
+    for it in range(2500):
+        n = int(rng.integers(1, 10))
+        regs, rows, auxs = _mk_regs(rng, n)
+        # set_mapq
+        min_sc = int(rng.integers(10, 60))
+        match_sc = int(rng.integers(1, 4))
+        rep_len = int(rng.integers(0, 2000))
+        is_sr = int(rng.integers(0, 2))
+        want = np.zeros(n, np.int64)
+        got = np.zeros(n, np.int64)
+        lib.hit_oracle_set_mapq(_ptr(rows), _ptr(auxs), n, min_sc,
+                                match_sc, rep_len, is_sr, _ptr(want))
+        nat.mm2tpu_test_set_mapq(_ptr(rows), _ptr(auxs), n, min_sc,
+                                 match_sc, rep_len, is_sr, _ptr(got))
+        assert got.tolist() == want.tolist(), ("mapq", it)
+        # select_sub
+        pri_ratio = float(rng.choice([0.8, 0.6, 0.15, 0.5]))
+        min_diff = int(rng.integers(0, 50))
+        best_n = int(rng.integers(1, 6))
+        w2 = np.zeros(n, np.int64)
+        g2 = np.zeros(n, np.int64)
+        kw = lib.hit_oracle_select_sub(_ptr(rows), _ptr(auxs), n, pri_ratio,
+                                       min_diff, best_n, _ptr(w2))
+        kg = nat.mm2tpu_test_select_sub(_ptr(rows), _ptr(auxs), n,
+                                        pri_ratio, min_diff, best_n,
+                                        _ptr(g2))
+        assert g2[:kg].tolist() == w2[:kw].tolist(), ("sub", it)
+        # select_sub_multi
+        ql64 = np.array([151, 149], np.int64)
+        w3 = np.zeros(n, np.int64)
+        g3 = np.zeros(n, np.int64)
+        mgr = int(rng.integers(100, 5000))
+        kw3 = lib.hit_oracle_select_sub_multi(
+            _ptr(rows), _ptr(auxs), n, pri_ratio, 0.2, 0.7, mgr, min_diff,
+            best_n, 2, _ptr(ql64), _ptr(w3))
+        kg3 = nat.mm2tpu_test_select_sub_multi(
+            _ptr(rows), _ptr(auxs), n, pri_ratio, 0.2, 0.7, mgr, min_diff,
+            best_n, 2, _ptr(ql64), _ptr(g3))
+        assert g3[:kg3].tolist() == w3[:kw3].tolist(), ("multi", it)
