@@ -226,3 +226,39 @@ int64_t hit_oracle_join_long(const int64_t *rows, const int64_t *auxs,
     free(regs); free(a);
     return nn;
 }
+
+void mm_est_err(const mm_idx_t *mi, int qlen, int n_regs, mm_reg1_t *regs,
+                const mm128_t *a, int32_t n, const uint64_t *mini_pos);
+
+// est_err: regions (15-row + stride-4 aux), anchors, mini_pos, per-rid
+// reference lengths. Writes each region's div as its raw float bits.
+void hit_oracle_est_err(const int64_t *rows, const int64_t *auxs, int64_t nr,
+                        const uint64_t *anch, int64_t n_a,
+                        const uint64_t *mini_pos, int64_t n_mini,
+                        const int64_t *rid_lens, int64_t n_rid,
+                        int64_t qlen, int64_t *out_div_bits)
+{
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(nr, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < nr; ++i)
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
+    mm128_t *a = (mm128_t*)malloc(n_a * sizeof(mm128_t));
+    for (int64_t i = 0; i < n_a; ++i) {
+        a[i].x = anch[2 * i];
+        a[i].y = anch[2 * i + 1];
+    }
+    mm_idx_t idx;
+    memset(&idx, 0, sizeof(idx));
+    mm_idx_seq_t *seq = (mm_idx_seq_t*)calloc(n_rid, sizeof(mm_idx_seq_t));
+    for (int64_t i = 0; i < n_rid; ++i) seq[i].len = (uint32_t)rid_lens[i];
+    idx.seq = seq;
+    idx.n_seq = (uint32_t)n_rid;
+    mm_est_err(&idx, (int)qlen, (int)nr, regs, a, (int32_t)n_mini,
+               mini_pos);
+    for (int64_t i = 0; i < nr; ++i) {
+        union { float f; uint32_t u; } v;
+        v.f = regs[i].div;
+        out_div_bits[i] = v.u;
+        free(regs[i].p);
+    }
+    free(regs); free(a); free(seq);
+}

@@ -411,3 +411,73 @@ def test_native_epilogue_vs_oracle():
             _ptr(rows), _ptr(auxs), n, pri_ratio, 0.2, 0.7, mgr, min_diff,
             best_n, 2, _ptr(ql64), _ptr(g3))
         assert g3[:kg3].tolist() == w3[:kw3].tolist(), ("multi", it)
+
+
+def test_est_err_vs_oracle():
+    """div estimates on REAL pipeline data (simulated reads through
+    seed/chain/regions) bit-equal to the reference mm_est_err."""
+    import struct
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_est_err.restype = None
+    lib.hit_oracle_est_err.argtypes = [vp, vp, ctypes.c_int64, vp,
+                                       ctypes.c_int64, vp, ctypes.c_int64,
+                                       vp, ctypes.c_int64, ctypes.c_int64,
+                                       vp]
+    from test_mapeval_accuracy import simulate
+    from minimap2_chaindp_tpu.io.fastx import read_fastx, SeqRecord
+    from minimap2_chaindp_tpu.options import set_opt
+    from minimap2_chaindp_tpu import constants as C
+    from minimap2_chaindp_tpu.index.build import build_index
+    from minimap2_chaindp_tpu.models.pipeline import (chain_post, host_chain,
+                                                      seed_unit)
+    from minimap2_chaindp_tpu.hits import gen_regs
+    from minimap2_chaindp_tpu.esterr import est_err
+
+    refs = list(read_fastx(os.path.join("/root/reference/test",
+                                        "MT-human.fa")))
+    io_, mo = set_opt("map-ont")
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io_.w, io_.k, io_.flag, io_.bucket_bits)
+    mo.update(mi)
+    reads = simulate(refs[0].seq, 150, 1200, 0.12, seed=9)
+    rid_lens = np.array([s.length for s in mi.seqs], np.int64)
+    n_cmp = 0
+    for name, seq in reads:
+        info = seed_unit(mi, mo, [SeqRecord(name, seq, None)])
+        if info.sh is None or not len(info.sh.anchors):
+            continue
+        ch = host_chain(mo, info, 1)
+        if ch is None or not len(ch.u):
+            continue
+        a = ch.anchors.copy()
+        regs = gen_regs(info.hash_, info.qlen_sum, ch.u, a)
+        regs = chain_post(mo, info.gap_ref, mi, info.qlen_sum, 1,
+                          info.qlens, regs, a)
+        if not regs:
+            continue
+        mini_pos = np.ascontiguousarray(info.sh.mini_pos, np.uint64)
+        rows = np.zeros((len(regs), 15), np.int64)
+        auxs = np.zeros((len(regs), 4), np.int64)
+        for i, r in enumerate(regs):
+            rows[i] = [r.id, r.cnt, r.rid, r.score, r.qs, r.qe, r.rs, r.re,
+                       r.parent, r.subsc, r.mlen, r.blen, r.n_sub,
+                       r.score0, r.as_]
+            auxs[i] = [0, 0, 0, r.rev]
+        out = np.zeros(len(regs), np.int64)
+        lib.hit_oracle_est_err(_ptr(rows), _ptr(auxs), len(regs),
+                               _ptr(np.ascontiguousarray(a)), len(a),
+                               _ptr(mini_pos), len(mini_pos),
+                               _ptr(rid_lens), len(rid_lens),
+                               info.qlen_sum, _ptr(out))
+        est_err(mi, info.qlen_sum, regs, a, info.sh.mini_pos)
+        for i, r in enumerate(regs):
+            want = struct.unpack("<f", struct.pack("<I", out[i]
+                                                   & 0xFFFFFFFF))[0]
+            got = np.float32(r.div)
+            assert (np.isnan(want) and np.isnan(got)) or got == np.float32(
+                want), (name, i, got, want)
+            n_cmp += 1
+    assert n_cmp > 100
