@@ -25,5 +25,5 @@ gcc -O2 -std=gnu99 -D_SDUST_MAIN -DHAVE_KALLOC "$REF/sdust.c" "$REF/kalloc.c" \
   "$REF/getopt.c" -o "$OUT/sdust_ref" -lz -lm
 gcc -O2 -std=gnu99 -DHAVE_KALLOC -I"$REF" -shared -fPIC \
   /root/repo/golden/hit_test.c "$REF/hit.c" "$REF/pe.c" "$REF/esterr.c" \
-  "$REF/kalloc.c" "$REF/misc.c" -o "$OUT/libhit_oracle.so" -lm -lz -msse4.1
+  "$REF/sketch.c" "$REF/kalloc.c" "$REF/misc.c" -o "$OUT/libhit_oracle.so" -lm -lz -msse4.1
 echo "built $OUT/minimap2_ref + $OUT/ksw_test + $OUT/sdust_ref + $OUT/libhit_oracle.so"

@@ -262,3 +262,23 @@ void hit_oracle_est_err(const int64_t *rows, const int64_t *auxs, int64_t nr,
     }
     free(regs); free(a); free(seq);
 }
+
+#include "mmpriv.h"
+
+// mm_sketch oracle: emits (x, y) u64 pairs for one sequence.
+// Returns the minimizer count (caller provides a generous out buffer).
+int64_t hit_oracle_sketch(const char *seq, int64_t len, int64_t w,
+                          int64_t k, int64_t rid, int64_t is_hpc,
+                          uint64_t *out, int64_t cap)
+{
+    mm128_v v = {0, 0, 0};
+    mm_sketch(0, seq, (int)len, (int)w, (int)k, (uint32_t)rid,
+              (int)is_hpc, &v);
+    int64_t n = (int64_t)v.n < cap / 2 ? (int64_t)v.n : cap / 2;
+    for (int64_t i = 0; i < n; ++i) {
+        out[2 * i] = v.a[i].x;
+        out[2 * i + 1] = v.a[i].y;
+    }
+    free(v.a);
+    return (int64_t)v.n;
+}

@@ -481,3 +481,32 @@ def test_est_err_vs_oracle():
                 want), (name, i, got, want)
             n_cmp += 1
     assert n_cmp > 100
+
+
+def test_sketch_vs_oracle():
+    """The sketcher (native fast path + Python golden) against the real
+    mm_sketch across random sequences, k/w/HPC combos, and N runs."""
+    lib = _lib()
+    vp = ctypes.c_void_p
+    lib.hit_oracle_sketch.restype = ctypes.c_int64
+    lib.hit_oracle_sketch.argtypes = [ctypes.c_char_p] \
+        + [ctypes.c_int64] * 5 + [vp, ctypes.c_int64]
+    from minimap2_chaindp_tpu.index.sketch import sketch
+    rng = np.random.default_rng(8)
+    bases = np.array(list("ACGTN"))
+    for it in range(400):
+        L = int(rng.integers(20, 800))
+        probs = [0.24, 0.24, 0.24, 0.24, 0.04] if it % 3 else \
+            [0.45, 0.45, 0.04, 0.03, 0.03]  # low-complexity mode
+        seq = "".join(rng.choice(bases, L, p=probs))
+        k = int(rng.integers(4, 29))
+        w = int(rng.integers(1, 32))
+        is_hpc = int(rng.integers(0, 2))
+        rid = int(rng.integers(0, 1 << 20))
+        cap = 8 * L + 64
+        out = np.zeros(cap, np.uint64)
+        nw = lib.hit_oracle_sketch(seq.encode(), L, w, k, rid, is_hpc,
+                                   _ptr(out), cap)
+        want = out[:2 * nw].reshape(-1, 2)
+        got = sketch(seq, w, k, rid, bool(is_hpc))
+        assert np.array_equal(got, want), (it, k, w, is_hpc, L)
