@@ -24,6 +24,12 @@ gcc $CFLAGS -I"$REF" /root/repo/golden/ksw_test.c \
 gcc -O2 -std=gnu99 -D_SDUST_MAIN -DHAVE_KALLOC "$REF/sdust.c" "$REF/kalloc.c" \
   "$REF/getopt.c" -o "$OUT/sdust_ref" -lz -lm
 gcc -O2 -std=gnu99 -DHAVE_KALLOC -I"$REF" -shared -fPIC \
-  /root/repo/golden/hit_test.c "$REF/hit.c" "$REF/pe.c" "$REF/esterr.c" \
-  "$REF/sketch.c" "$REF/kalloc.c" "$REF/misc.c" -o "$OUT/libhit_oracle.so" -lm -lz -msse4.1
+  /root/repo/golden/hit_test.c /root/repo/golden/align_test.c \
+  "$REF/hit.c" "$REF/pe.c" "$REF/esterr.c" \
+  "$REF/sketch.c" "$REF/kalloc.c" "$REF/misc.c" "$REF/index.c" \
+  "$REF/options.c" \
+  "$REF/bseq.c" "$REF/kthread.c" /root/repo/golden/fpga_stub.c \
+  "$REF/ksw2_extz2_sse.c" "$REF/ksw2_extd2_sse.c" "$REF/ksw2_exts2_sse.c" \
+  "$REF/ksw2_ll_sse.c" \
+  -o "$OUT/libhit_oracle.so" -lm -lz -lpthread -msse4.1
 echo "built $OUT/minimap2_ref + $OUT/ksw_test + $OUT/sdust_ref + $OUT/libhit_oracle.so"

@@ -282,3 +282,114 @@ int64_t hit_oracle_sketch(const char *seq, int64_t len, int64_t w,
     free(v.a);
     return (int64_t)v.n;
 }
+
+// mm_filter_regs oracle: rows + stride-4 aux + per-region flag bits
+// {bit0 inv, bit1 seg_split}. Writes surviving ids; returns survivor count.
+int64_t hit_oracle_filter_regs(const int64_t *rows, const int64_t *auxs,
+                               const int64_t *flags, int64_t n, int64_t qlen,
+                               int64_t min_cnt, int64_t min_chain_score,
+                               int64_t min_dp_max, double max_clip_ratio,
+                               int64_t *out_ids)
+{
+    mm_mapopt_t opt;
+    memset(&opt, 0, sizeof(opt));
+    opt.min_cnt = (int)min_cnt;
+    opt.min_chain_score = (int)min_chain_score;
+    opt.min_dp_max = (int)min_dp_max;
+    opt.max_clip_ratio = (float)max_clip_ratio;
+    mm_reg1_t *regs = (mm_reg1_t*)calloc(n, sizeof(mm_reg1_t));
+    for (int64_t i = 0; i < n; ++i) {
+        fill(&regs[i], rows + 15 * i, auxs + 4 * i);
+        regs[i].inv = flags[i] & 1;
+        regs[i].seg_split = (flags[i] >> 1) & 1;
+    }
+    int nn = (int)n;
+    mm_filter_regs(0, &opt, (int)qlen, &nn, regs);
+    for (int i = 0; i < nn; ++i) {
+        out_ids[i] = regs[i].id;
+        free(regs[i].p);
+    }
+    free(regs);
+    return nn;
+}
+
+// mm_split_reg oracle: one region (15-row + stride-4 aux, plus its split
+// bits in `split_in`), global anchors, split point n, qlen. Writes 10
+// int64 each for r then r2: id, cnt, score, as, parent, qs, qe, rs, re,
+// split. Returns 1 if a split happened, 0 if the call was a no-op.
+int64_t hit_oracle_split_reg(const int64_t *row, const int64_t *aux,
+                             int64_t split_in, const uint64_t *anch,
+                             int64_t n_a, int64_t n, int64_t qlen,
+                             int64_t *out)
+{
+    mm_reg1_t r, r2;
+    memset(&r2, 0, sizeof(r2));
+    fill(&r, row, aux);
+    r.split = (uint32_t)split_in & 3;
+    mm128_t *a = (mm128_t*)malloc(n_a * sizeof(mm128_t));
+    for (int64_t i = 0; i < n_a; ++i) {
+        a[i].x = anch[2 * i];
+        a[i].y = anch[2 * i + 1];
+    }
+    int did = !(n <= 0 || n >= r.cnt);
+    mm_split_reg(&r, &r2, (int)n, (int)qlen, a);
+    const mm_reg1_t *both[2] = {&r, &r2};
+    for (int s = 0; s < 2; ++s) {
+        int64_t *o = out + 10 * s;
+        const mm_reg1_t *x = both[s];
+        o[0] = x->id; o[1] = x->cnt; o[2] = x->score; o[3] = x->as;
+        o[4] = x->parent; o[5] = x->qs; o[6] = x->qe; o[7] = x->rs;
+        o[8] = x->re; o[9] = x->split;
+    }
+    free(r.p); free(a);
+    return did;
+}
+
+// mm_seg_gen oracle: fragment regions (only score/cnt/as are read) +
+// global anchors with seg ids in y bits 48-55. Per segment s writes
+// out_counts[s] regions of the 10-int64 gen_regs layout (score, cnt, as,
+// rid, rev, qs, qe, rs, re, hash) into out_regs + s*n_regs0*10, and the
+// segment's adjusted anchors concatenated into out_anch (out_na[s] each).
+void hit_oracle_seg_gen(uint64_t hash, int64_t n_segs,
+                        const int64_t *qlens64, const int64_t *rows,
+                        const int64_t *auxs, int64_t n_regs0,
+                        const uint64_t *anch, int64_t n_a,
+                        int64_t *out_counts, int64_t *out_regs,
+                        int64_t *out_na, uint64_t *out_anch)
+{
+    mm_reg1_t *regs0 = (mm_reg1_t*)calloc(n_regs0, sizeof(mm_reg1_t));
+    int qlens[8];
+    for (int64_t s = 0; s < n_segs; ++s) qlens[s] = (int)qlens64[s];
+    for (int64_t i = 0; i < n_regs0; ++i)
+        fill(&regs0[i], rows + 15 * i, auxs + 4 * i);
+    mm128_t *a = (mm128_t*)malloc(n_a * sizeof(mm128_t));
+    for (int64_t i = 0; i < n_a; ++i) {
+        a[i].x = anch[2 * i];
+        a[i].y = anch[2 * i + 1];
+    }
+    int n_regs[8];
+    mm_reg1_t *regs[8];
+    mm_seg_t *seg = mm_seg_gen(0, (uint32_t)hash, (int)n_segs, qlens,
+                               (int)n_regs0, regs0, n_regs, regs, a);
+    uint64_t *oa = out_anch;
+    for (int64_t s = 0; s < n_segs; ++s) {
+        out_counts[s] = n_regs[s];
+        for (int i = 0; i < n_regs[s]; ++i) {
+            const mm_reg1_t *x = &regs[s][i];
+            int64_t *o = out_regs + (s * n_regs0 + i) * 10;
+            o[0] = x->score; o[1] = x->cnt; o[2] = x->as; o[3] = x->rid;
+            o[4] = x->rev; o[5] = x->qs; o[6] = x->qe; o[7] = x->rs;
+            o[8] = x->re; o[9] = x->hash;
+            free(x->p);
+        }
+        out_na[s] = seg[s].n_a;
+        for (int i = 0; i < seg[s].n_a; ++i) {
+            *oa++ = seg[s].a[i].x;
+            *oa++ = seg[s].a[i].y;
+        }
+        free(regs[s]);
+    }
+    mm_seg_free(0, (int)n_segs, seg);
+    for (int64_t i = 0; i < n_regs0; ++i) free(regs0[i].p);
+    free(regs0); free(a);
+}
