@@ -277,3 +277,184 @@ def test_fix_cigar_vs_oracle():
         got = [r.qs, r.qe, r.rs, r.re, qshift, tshift, len(r.p.cigar)]
         assert got == out.tolist(), it
         assert list(r.p.cigar) == out_cig[:out[6]].tolist(), it
+
+
+def _mk_chain_anchors(rng, cnt, gappy=False):
+    """One chain's ascending anchors (low-32 coords, span in y bits 32-39)."""
+    anchors = []
+    rpos, qpos = int(rng.integers(50, 500)), int(rng.integers(50, 500))
+    for _ in range(cnt):
+        span = int(rng.integers(10, 20))
+        anchors.append(((0 << 63) | rpos, (span << 32) | qpos))
+        if gappy and rng.random() < 0.5:
+            # unbalanced gap: one coordinate jumps much more than the other
+            rpos += int(rng.integers(5, 30))
+            qpos += int(rng.integers(40, 400))
+            if rng.random() < 0.5:
+                rpos, qpos = qpos, rpos
+        else:
+            step = int(rng.integers(5, 60))
+            rpos += step
+            qpos += step + int(rng.integers(-3, 4))
+    return np.array(anchors, dtype=np.uint64).reshape(-1, 2)
+
+
+def test_filter_bad_seeds_vs_oracle():
+    from minimap2_chaindp_tpu.align import filter_bad_seeds
+    lib = _lib()
+    lib.align_oracle_filter_bad_seeds.restype = None
+    lib.align_oracle_filter_bad_seeds.argtypes = \
+        [vp] + [ctypes.c_int64] * 5
+    rng = np.random.default_rng(16)
+    n_marked = 0
+    for it in range(3000):
+        cnt = int(rng.integers(2, 40))
+        a = _mk_chain_anchors(rng, cnt, gappy=True)
+        min_gap = int(rng.choice([10, 20, 50]))
+        diff_thres = int(rng.choice([40, 80, 10]))
+        max_ext_len = int(rng.choice([2500, 500, 100000]))
+        max_ext_cnt = int(rng.choice([10, 3, 50]))
+        want = a.copy()
+        lib.align_oracle_filter_bad_seeds(_ptr(want), cnt, min_gap,
+                                          diff_thres, max_ext_len,
+                                          max_ext_cnt)
+        got = a.copy()
+        filter_bad_seeds(0, cnt, got, min_gap, diff_thres, max_ext_len,
+                         max_ext_cnt)
+        if (want[:, 1] != a[:, 1]).any():
+            n_marked += 1
+        assert got.tolist() == want.tolist(), it
+    assert n_marked > 300, f"IGNORE marks rarely fired ({n_marked})"
+
+
+def test_fix_bad_ends_vs_oracle():
+    from minimap2_chaindp_tpu.align import fix_bad_ends
+    import minimap2_chaindp_tpu.native as native
+    lib = _lib()
+    lib.align_oracle_fix_bad_ends.restype = None
+    lib.align_oracle_fix_bad_ends.argtypes = \
+        [ctypes.c_int64] * 3 + [vp] + [ctypes.c_int64] * 3 + [vp]
+    use_native = native.load_align() is not None
+    rng = np.random.default_rng(17)
+    n_trim = 0
+    for it in range(3000):
+        cnt = int(rng.integers(1, 30))
+        a = _mk_chain_anchors(rng, cnt, gappy=it % 2 == 0)
+        if rng.random() < 0.15 and cnt > 2:   # LONG_JOIN break path
+            k = int(rng.integers(1, cnt))
+            a[k, 1] |= np.uint64(C.MM_SEED_LONG_JOIN)
+        r = Region(as_=0, cnt=cnt, mlen=int(rng.integers(10, 600)))
+        bw = int(rng.choice([500, 100, 50]))
+        min_match = int(rng.choice([40, 10, 200]))
+        out = np.zeros(2, np.int64)
+        lib.align_oracle_fix_bad_ends(r.as_, r.cnt, r.mlen, _ptr(a),
+                                      len(a), bw, min_match, _ptr(out))
+        pure = it % 2 == 1 or not use_native
+        if pure:
+            saved = native.fix_bad_ends_native
+            native.fix_bad_ends_native = lambda *a_, **k_: None
+        try:
+            as1, cnt1 = fix_bad_ends(r, a, bw, min_match)
+        finally:
+            if pure:
+                native.fix_bad_ends_native = saved
+        if (as1, cnt1) != (0, cnt):
+            n_trim += 1
+        assert [as1, cnt1] == out.tolist(), (it, pure)
+    assert n_trim > 300, f"end trims rarely fired ({n_trim})"
+
+
+def test_adjust_minier_vs_oracle():
+    from types import SimpleNamespace
+    from minimap2_chaindp_tpu.align import adjust_minier
+    lib = _lib()
+    lib.align_oracle_adjust_minier.restype = None
+    lib.align_oracle_adjust_minier.argtypes = \
+        [vp, ctypes.c_int64, vp, vp, ctypes.c_uint64, ctypes.c_uint64,
+         ctypes.c_int64, ctypes.c_int64, vp]
+    rng = np.random.default_rng(18)
+    for it in range(4000):
+        tlen = int(rng.integers(10, 120))
+        qlen = int(rng.integers(10, 120))
+        # small alphabet -> real homopolymer runs
+        tb = rng.integers(0, 2, tlen).astype(np.uint8)
+        qf = rng.integers(0, 2, qlen).astype(np.uint8)
+        qr = qf[::-1].copy()    # content is arbitrary for this function
+        is_hpc = it % 2
+        k = int(rng.integers(5, 28))
+        rev = int(rng.integers(0, 2))
+        rpos = int(rng.integers(1, tlen))
+        qpos = int(rng.integers(1, qlen))
+        span = int(rng.integers(10, 20))
+        ax = (rev << 63) | rpos
+        ay = (span << 32) | qpos
+        out = np.zeros(2, np.int64)
+        lib.align_oracle_adjust_minier(_ptr(tb), tlen, _ptr(qf), _ptr(qr),
+                                       ax, ay, k, is_hpc, _ptr(out))
+        mi = SimpleNamespace(flag=C.MM_I_HPC if is_hpc else 0, k=k,
+                             seqs=[SimpleNamespace(offset=0)], S=tb)
+        r_, q_ = adjust_minier(mi, [qf, qr], ax, ay)
+        assert [r_, q_] == out.tolist(), it
+
+
+def test_test_zdrop_vs_oracle():
+    from types import SimpleNamespace
+    from minimap2_chaindp_tpu.align import test_zdrop
+    import minimap2_chaindp_tpu.native as native
+    lib = _lib()
+    lib.align_oracle_test_zdrop.restype = ctypes.c_int64
+    lib.align_oracle_test_zdrop.argtypes = \
+        [vp, vp, vp, ctypes.c_int64, vp] + [ctypes.c_int64] * 9
+    use_native = native.load_align() is not None
+    rng = np.random.default_rng(19)
+    hits = [0, 0, 0]
+    for it in range(2000):
+        if it % 3 == 2:
+            # engineered inversion: M-run whose middle is the revcomp of
+            # the target, so the probe's ksw_ll score clears the gates
+            la, lb, lc = (int(rng.integers(20, 40)) for _ in range(3))
+            tseq = rng.integers(0, 4, la + lb + lc).astype(np.uint8)
+            qseq = tseq.copy()
+            qseq[la:la + lb] = 3 - tseq[la:la + lb][::-1]
+            cigar = [((la + lb + lc) << 4) | 0]
+        else:
+            cigar, qseq, tseq, _, _, _, _, _ = _mk_cigar_case(rng)
+            if rng.random() < 0.5:   # force big mismatch stretches
+                qseq[:] = rng.integers(0, 4, len(qseq))
+                tseq[:] = rng.integers(0, 4, len(tseq))
+        mat = _rand_mat(rng)
+        opt = SimpleNamespace(
+            q=int(rng.integers(2, 10)), e=int(rng.integers(1, 4)),
+            zdrop=int(rng.choice([400, 50, 15])),
+            zdrop_inv=int(rng.choice([200, 25, 8])),
+            max_gap=5000,
+            min_chain_score=int(rng.integers(5, 30)),
+            min_dp_max=int(rng.integers(5, 40)),
+            a=int(rng.integers(1, 3)),
+            flag=int(rng.choice([0, 0, 0, C.MM_F_SR])))
+        cig = np.array(cigar, np.uint32)
+        # Reference quirk: when the max-drop window ends at a trailing
+        # I/D/N, pos[.][1] = i+1 overshoots the window by ONE base and the
+        # inversion probe reads it (align.c:70-84). In the real pipeline
+        # that byte is stale content of the reused tseq buffer
+        # (align.c:541/573), i.e. unpredictable. Pad both sides with the
+        # same extra base so the comparison is well-defined.
+        qseq = np.append(qseq, np.uint8(rng.integers(0, 4)))
+        tseq = np.append(tseq, np.uint8(rng.integers(0, 4)))
+        want = lib.align_oracle_test_zdrop(
+            _ptr(qseq), _ptr(tseq), _ptr(cig), len(cig), _ptr(mat),
+            opt.q, opt.e, opt.zdrop, opt.zdrop_inv, opt.max_gap,
+            opt.min_chain_score, opt.min_dp_max, opt.a, opt.flag)
+        pure = it % 2 == 1 or not use_native
+        if pure:
+            saved = native.zdrop_scan
+            native.zdrop_scan = lambda *a_, **k_: None
+        try:
+            got = test_zdrop(opt, qseq, tseq, list(cigar), mat)
+        finally:
+            if pure:
+                native.zdrop_scan = saved
+        hits[want] += 1
+        assert got == want, (it, pure)
+    assert hits[1] > 100 and hits[2] > 100, \
+        f"zdrop/inversion outcomes rarely fired ({hits})"
