@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import chain_pallas as CP
 
@@ -47,7 +50,7 @@ def make_sharded_collect_step(mesh: Mesh, *, cap: int):
                   dspec, dspec, dspec, dspec, dspec, dspec, dspec,
                   P(), dspec),
         out_specs=(dspec,) * 7,
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -87,5 +90,5 @@ def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
         step, mesh=mesh,
         in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, ispec),
         out_specs=(dspec, dspec, dspec, dspec, P()),
-        check_rep=False,
+        check_vma=False,
     ))
