@@ -22,6 +22,9 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BIN = os.path.join(ROOT, ".golden", "minimap2_ref")
+# paired-end cases need the PE-bug-fixed reference build (the fork's own PE
+# path segfaults; see golden/README.md and golden/build_reference_fix.sh)
+REF_FIX_BIN = os.path.join(ROOT, ".golden", "minimap2_fix")
 REF_FA = "/root/reference/test/MT-human.fa"
 BASES = "ACGT"
 
@@ -49,6 +52,37 @@ def simulate(ref_seq, n, read_len, err, rng):
     return reads
 
 
+def mutate(seq, err, rng):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < err * 0.6:
+            out.append(BASES[int(rng.integers(0, 4))])
+        elif r < err * 0.8:
+            pass
+        elif r < err:
+            out.append(c)
+            out.append(BASES[int(rng.integers(0, 4))])
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def simulate_pairs(ref_seq, n, read_len, frag_len, err, rng):
+    """FR-oriented read pairs (same name in both files, pe.c pairing)."""
+    r1, r2 = [], []
+    comp = str.maketrans("ACGT", "TGCA")
+    for i in range(n):
+        fl = int(rng.integers(frag_len - 100, frag_len + 100))
+        st = int(rng.integers(0, len(ref_seq) - fl))
+        frag = ref_seq[st:st + fl]
+        a = mutate(frag[:read_len], err, rng)
+        b = mutate(frag[-read_len:], err, rng)[::-1].translate(comp)
+        r1.append((f"p{i}", a))
+        r2.append((f"p{i}", b))
+    return r1, r2
+
+
 def write_fa(path, reads, lcr_every=0):
     with open(path, "w") as f:
         for i, (n, s) in enumerate(reads):
@@ -58,11 +92,11 @@ def write_fa(path, reads, lcr_every=0):
             f.write(f">{n}\n{s}\n")
 
 
-def run_case(label, args):
+def run_case(label, args, ref_bin=REF_BIN):
     ours = subprocess.run(
         [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--device",
          "host", *args], capture_output=True, text=True, cwd=ROOT)
-    ref = subprocess.run([REF_BIN, "-t", "12", *args],
+    ref = subprocess.run([ref_bin, "-t", "12", *args],
                          capture_output=True, text=True)
     strip = lambda t: [l for l in t.split("\n") if not l.startswith("@PG")]
     ok = ours.returncode == 0 and ref.returncode == 0 \
@@ -97,8 +131,18 @@ def main():
     write_fa(f"{d}/lcr.fa", simulate(ref_seq, 50 * scale, 1000, 0.08, rng),
              lcr_every=3)
     write_fa(f"{d}/ava.fa", simulate(ref_seq, 15 * scale, 3000, 0.10, rng))
+    p1, p2 = simulate_pairs(ref_seq, 40 * scale, 100, 400, 0.01, rng)
+    write_fa(f"{d}/pe1.fa", p1)
+    write_fa(f"{d}/pe2.fa", p2)
 
+    if not os.path.exists(REF_FIX_BIN):
+        subprocess.run(["bash", os.path.join(ROOT, "golden",
+                                             "build_reference_fix.sh")],
+                       check=True, capture_output=True)
     cases = [
+        ("sr PE SAM", ["-ax", "sr", REF_FA, f"{d}/pe1.fa", f"{d}/pe2.fa"],
+         REF_FIX_BIN),
+        ("sr SE PAF", ["-cx", "sr", REF_FA, f"{d}/pe1.fa"]),
         ("map-ont SAM", ["-a", REF_FA, f"{d}/ont.fa"]),
         ("map-ont PAF+cs+MD", ["-c", "--cs=long", "--MD", REF_FA,
                                f"{d}/ont.fa"]),
@@ -109,7 +153,7 @@ def main():
                     "/root/reference/test/q-inv.fa"]),
         ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
     ]
-    fails = sum(not run_case(lbl, a) for lbl, a in cases)
+    fails = sum(not run_case(*c) for c in cases)
     print(f"{len(cases) - fails}/{len(cases)} cases byte-identical")
     return 1 if fails else 0
 
