@@ -83,6 +83,25 @@ def simulate_pairs(ref_seq, n, read_len, frag_len, err, rng):
     return r1, r2
 
 
+def simulate_spliced(ref_seq, n, n_exons, exon_len, intron_len, err, rng):
+    """cDNA-like reads: exons spliced out of the reference with GT..AG
+    introns skipped (exercises exts2 + two-round strand selection)."""
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    for i in range(n):
+        span = n_exons * exon_len + (n_exons - 1) * intron_len + 200
+        st = int(rng.integers(0, max(1, len(ref_seq) - span)))
+        parts, pos = [], st
+        for e in range(n_exons):
+            parts.append(ref_seq[pos:pos + exon_len])
+            pos += exon_len + intron_len
+        s = mutate("".join(parts), err, rng)
+        if rng.random() < 0.5:
+            s = s[::-1].translate(comp)
+        reads.append((f"sp{i}", s))
+    return reads
+
+
 def write_fa(path, reads, lcr_every=0):
     with open(path, "w") as f:
         for i, (n, s) in enumerate(reads):
@@ -134,6 +153,8 @@ def main():
     p1, p2 = simulate_pairs(ref_seq, 40 * scale, 100, 400, 0.01, rng)
     write_fa(f"{d}/pe1.fa", p1)
     write_fa(f"{d}/pe2.fa", p2)
+    write_fa(f"{d}/cdna.fa",
+             simulate_spliced(ref_seq, 6 * scale, 3, 300, 800, 0.03, rng))
 
     if not os.path.exists(REF_FIX_BIN):
         subprocess.run(["bash", os.path.join(ROOT, "golden",
@@ -151,6 +172,7 @@ def main():
         ("ava-ont", ["-cx", "ava-ont", f"{d}/ava.fa", f"{d}/ava.fa"]),
         ("splice", ["-ax", "splice", "/root/reference/test/t-inv.fa",
                     "/root/reference/test/q-inv.fa"]),
+        ("splice cDNA SAM", ["-ax", "splice", REF_FA, f"{d}/cdna.fa"]),
         ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
     ]
     fails = sum(not run_case(*c) for c in cases)
