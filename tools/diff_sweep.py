@@ -111,10 +111,13 @@ def write_fa(path, reads, lcr_every=0):
             f.write(f">{n}\n{s}\n")
 
 
-def run_case(label, args, ref_bin=REF_BIN):
+def run_case(label, args, ref_bin=REF_BIN, device="host"):
+    env = dict(os.environ)
+    if device != "host":
+        env.pop("JAX_PLATFORMS", None)  # module default pins cpu for host runs
     ours = subprocess.run(
         [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--device",
-         "host", *args], capture_output=True, text=True, cwd=ROOT)
+         device, *args], capture_output=True, text=True, cwd=ROOT, env=env)
     ref = subprocess.run([ref_bin, "-t", "12", *args],
                          capture_output=True, text=True)
     strip = lambda t: [l for l in t.split("\n") if not l.startswith("@PG")]
@@ -130,6 +133,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="also run a case through the full TPU device "
+                         "runtime (needs an attached chip)")
     ns = ap.parse_args()
     seed = ns.seed if ns.seed is not None else int.from_bytes(
         os.urandom(4), "little")
@@ -175,6 +181,9 @@ def main():
         ("splice cDNA SAM", ["-ax", "splice", REF_FA, f"{d}/cdna.fa"]),
         ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
     ]
+    if ns.tpu:
+        cases.append(("map-ont SAM (TPU device runtime)",
+                      ["-a", REF_FA, f"{d}/ont.fa"], REF_BIN, "tpu"))
     fails = sum(not run_case(*c) for c in cases)
     print(f"{len(cases) - fails}/{len(cases)} cases byte-identical")
     return 1 if fails else 0
