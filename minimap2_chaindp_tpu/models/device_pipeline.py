@@ -19,8 +19,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.8 promotes shard_map out of experimental
     from jax import shard_map
+    _SM_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover - older jax
+    # the experimental shard_map only knows check_rep; branch the kwarg with
+    # the import so the fallback path actually runs on older jax
     from jax.experimental.shard_map import shard_map
+    _SM_KW = {"check_rep": False}
 
 from ..ops import chain_pallas as CP
 
@@ -50,7 +54,7 @@ def make_sharded_collect_step(mesh: Mesh, *, cap: int):
                   dspec, dspec, dspec, dspec, dspec, dspec, dspec,
                   P(), dspec),
         out_specs=(dspec,) * 7,
-        check_vma=False,
+        **_SM_KW,
     ))
 
 
@@ -90,5 +94,5 @@ def make_sharded_map_step(mesh: Mesh, *, max_n: int, max_dist: int, bw: int,
         step, mesh=mesh,
         in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, dspec, ispec),
         out_specs=(dspec, dspec, dspec, dspec, P()),
-        check_vma=False,
+        **_SM_KW,
     ))

@@ -2,11 +2,13 @@
 // in C++ (reference align.c:423-761), exact port of the golden Python models
 // in minimap2_chaindp_tpu/align.py + hits.py (split_reg/reg_set_coor).
 //
-// Covers the non-splice presets (dual-affine extd2 path, sr ungapped fill,
+// Covers EVERY preset/mode: the dual-affine extd2 path, sr ungapped fill,
 // HPC anchor adjustment, Z-drop retest + inversion probe via ksw_ll,
-// chain splitting and inversion rescue).  Splice and the single-affine
-// extz path stay on the Python generator (align.align_skeleton_gen), which
-// remains the golden model this port is tested against byte-for-byte.
+// chain splitting, inversion rescue, AND the splice route (exts2
+// donor/acceptor signal kernel with two-round strand selection,
+// align.c:725-741) — see exts2_one/fix_bad_ends_splice below.  The Python
+// generator (align.align_skeleton_gen) remains the golden model this port
+// is differential-tested against byte-for-byte.
 //
 // Built as one translation unit with the extd2 kernel (textual include) so
 // the row kernels inline; mm2tpu_fix_update_extra comes from

@@ -84,22 +84,40 @@ def simulate_pairs(ref_seq, n, read_len, frag_len, err, rng):
 
 
 def simulate_spliced(ref_seq, n, n_exons, exon_len, intron_len, err, rng):
-    """cDNA-like reads: exons spliced out of the reference with GT..AG
-    introns skipped (exercises exts2 + two-round strand selection)."""
+    """cDNA-like reads spliced out of a patched copy of the reference:
+    a few fixed gene loci are chosen, and every skipped intron's donor /
+    acceptor dinucleotides are set to canonical GT..AG in the returned
+    reference copy, so the exts2 splice-signal scoring path (donor/acceptor
+    arrays + two-round strand selection) is genuinely exercised. Both
+    binaries map against the same patched reference, so the differential
+    stays valid. Returns (patched_ref, reads)."""
     comp = str.maketrans("ACGT", "TGCA")
+    seq = list(ref_seq)
+    span = n_exons * exon_len + (n_exons - 1) * intron_len
+    n_loci = max(1, min(4, len(ref_seq) // (span + 200)))
+    starts = []
+    for li in range(n_loci):
+        st = li * (span + 200) + int(rng.integers(0, 100))
+        starts.append(st)
+        pos = st
+        for _ in range(n_exons - 1):
+            pos += exon_len
+            seq[pos:pos + 2] = "GT"                            # donor
+            seq[pos + intron_len - 2:pos + intron_len] = "AG"  # acceptor
+            pos += intron_len
+    patched = "".join(seq)
     reads = []
     for i in range(n):
-        span = n_exons * exon_len + (n_exons - 1) * intron_len + 200
-        st = int(rng.integers(0, max(1, len(ref_seq) - span)))
+        st = starts[int(rng.integers(0, n_loci))]
         parts, pos = [], st
-        for e in range(n_exons):
-            parts.append(ref_seq[pos:pos + exon_len])
+        for _ in range(n_exons):
+            parts.append(patched[pos:pos + exon_len])
             pos += exon_len + intron_len
         s = mutate("".join(parts), err, rng)
         if rng.random() < 0.5:
             s = s[::-1].translate(comp)
         reads.append((f"sp{i}", s))
-    return reads
+    return patched, reads
 
 
 def write_fa(path, reads, lcr_every=0):
@@ -159,8 +177,10 @@ def main():
     p1, p2 = simulate_pairs(ref_seq, 40 * scale, 100, 400, 0.01, rng)
     write_fa(f"{d}/pe1.fa", p1)
     write_fa(f"{d}/pe2.fa", p2)
-    write_fa(f"{d}/cdna.fa",
-             simulate_spliced(ref_seq, 6 * scale, 3, 300, 800, 0.03, rng))
+    splice_ref, cdna = simulate_spliced(ref_seq, 6 * scale, 3, 300, 800,
+                                        0.03, rng)
+    write_fa(f"{d}/splice_ref.fa", [("MT_splice", splice_ref)])
+    write_fa(f"{d}/cdna.fa", cdna)
 
     if not os.path.exists(REF_FIX_BIN):
         subprocess.run(["bash", os.path.join(ROOT, "golden",
@@ -178,7 +198,8 @@ def main():
         ("ava-ont", ["-cx", "ava-ont", f"{d}/ava.fa", f"{d}/ava.fa"]),
         ("splice", ["-ax", "splice", "/root/reference/test/t-inv.fa",
                     "/root/reference/test/q-inv.fa"]),
-        ("splice cDNA SAM", ["-ax", "splice", REF_FA, f"{d}/cdna.fa"]),
+        ("splice cDNA SAM", ["-ax", "splice", f"{d}/splice_ref.fa",
+                             f"{d}/cdna.fa"]),
         ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
     ]
     if ns.tpu:
