@@ -39,7 +39,7 @@ LANES = 128
 def pick_subl(max_n: int, n_blocks: int = 6) -> int:
     """Reads per grid program: as large as VMEM comfortably allows (more
     sublanes per vector op = better VPU latency hiding). n_blocks: live
-    (subl, max_n) i32 blocks — 6 on the single-seg path (xhi/rpos/qpos/meta
+    (subl, max_n) i32 blocks — 6 on the single-seg path (xhi/rpos/qpos/span
     in, f/p out), 7 with the full-width sid block (multi-seg / cdna)."""
     import os
     if "MM2TPU_SUBL" in os.environ:
@@ -66,13 +66,18 @@ def infer_use_exc(exc: np.ndarray) -> bool:
     return bool((exc[:, 0:2 * N_EXC:2] >= 0).any())
 
 
-def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
+def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
                   nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
-                  is_cdna, many_segs, single_seg=False, use_exc=True):
-    # meta packs nold<<16 | q_span: nold = number of older window chunks
-    # for anchor i (host-precomputed per grid row from the stw window
-    # starts), q_span <= 255 (sketch encoding) — one roll extracts both
+                  is_cdna, many_segs, single_seg=False, use_exc=True,
+                  packed_ep=False):
+    # xst: anchor-x high words (multi-seg/cdna) OR the fused window starts
+    # (single-seg, where [stw, i) guarantees xh == xi and dr <= max_dist_x
+    # by construction, so the per-candidate x tests vanish)
+    # nold (SMEM, per grid row): number of older window chunks for anchor i
+    # (host-precomputed from the stw window starts; identical for all the
+    # row's reads by construction). A scalar SMEM read replaces the
+    # cross-sublane max-reduce per anchor that the packed-meta design paid.
     SUBL = subl
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBL, LANES), 1)
     n_vec = nn_ref[:, 0:1]          # (8,1) per-read anchor counts
@@ -86,28 +91,62 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
     p_ref[:, :] = jnp.full((SUBL, max_n), -1, jnp.int32)
     max_i = jnp.max(n_vec)
     zero8 = jnp.zeros((SUBL, 1), jnp.int32)
+    # strict upper-triangular (suffix-count) matrix: one bf16 matmul per
+    # chunk computes, for every lane l, the number of valid candidates at
+    # lanes > l (= scanned BEFORE l on the descending within-chunk scan).
+    # bf16 is exact for integer counts <= 256, and the dot rides the MXU —
+    # which is otherwise idle — so the max_skip bookkeeping costs no VPU
+    # reduction (the two per-chunk cross-lane reductions of the previous
+    # design are gone; argmax is resolved once per anchor instead)
+    _rr = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    _cc = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    suf_mat = (_rr > _cc).astype(jnp.bfloat16)
+    mdy_x = min(max_dist_y, max_dist_x)
+    lane2 = lane * 2
+    max_skip_f = jnp.float32(max_skip)
 
     def score_block(xh, rp, qp, sd, fj, base, i, act_read,
-                    xi, ri, qi, qs, si, state, newest=False):
+                    xi, ri, qi, qs, si, state, newest=False, cf=None):
         """Score one 128-candidate chunk for anchor i (chain.c:52-90).
         `newest`: the chunk containing i itself, where j < i must be
-        enforced (older chunks satisfy it by construction)."""
-        cur_pmax, best_j, cnt_best, val_tot = state
-        j = base + lane
+        enforced (older chunks satisfy it by construction).
+
+        State is PER-LANE: bsc/bj are each lane's running best score and
+        its anchor index across chunks (strict > keeps the first-scanned =
+        largest j, matching chain.c:62's descending scan), snap is the
+        count of valid candidates scanned before that best, and tot the
+        running valid count. The cross-lane argmax happens once per anchor
+        in the caller, not once per chunk.
+
+        packed_ep (static): per-lane state is ONE packed running max
+          sc<<16 | cf<<8 | lane<<1 | skip_flag
+        whose lexicographic order IS the reference's tie order (score,
+        then first-scanned chunk = larger recency field cf, then
+        first-scanned lane = larger lane), so the caller resolves argmax,
+        best_j and the max_skip flag with a SINGLE cross-lane reduction.
+        Requires |score| < 2^15 (host guarantees via the qlen bound) and
+        cf in [0, 255] (max_n <= 255*128)."""
+        if packed_ep:
+            bscp, tot = state
+        else:
+            bsc, bj, snap, tot = state
+            j = base + lane
         dr = ri - rp
         dq = qi - qp
         dd = jnp.abs(dr - dq)
         if single_seg:
             # one segment => sid==0 everywhere => `same` is identically
             # true: the whole pen_other branch and the seg-aware masks
-            # fold away (~25% fewer VPU ops on the common path).  act_read
-            # is also implied: a padded anchor i has xi=-1 which no real
-            # candidate matches, and padded candidates have rpos=qpos=0 so
-            # dr==0/dq<=0 mask them (pack_reads padding invariants)
-            valid = (xh == xi) & (dr <= max_dist_x)
-            valid &= ~((dr == 0) | (dq <= 0))
-            valid &= ~(dq > min(max_dist_y, max_dist_x))
-            valid &= ~(dd > bw)
+            # fold away (~25% fewer VPU ops on the common path).  xi here
+            # is the anchor's FUSED window start (see kernel docstring):
+            # j >= stw implies xh == xi, dr in [0, max_dist_x], and that j
+            # is a real (non-padded) anchor, so only dr != 0 and the dq/dd
+            # bounds remain ((d-1) u< max <=> 1 <= d <= max). act_read is
+            # enforced at the f/p/flag writes (padded i scans garbage
+            # safely: its thr <= 0 candidates are all real j < i).
+            valid = (lane >= (xi - base)) & (dr != 0) \
+                & ((dq - 1).astype(jnp.uint32) < jnp.uint32(mdy_x)) \
+                & (dd <= bw)
         else:
             same = sd == si
             valid = act_read & (xh == xi) & (dr <= max_dist_x)
@@ -117,17 +156,18 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
             if many_segs and not is_cdna:
                 valid &= ~(same & (dr > max_dist_y))
         if newest:
-            valid &= j < i
+            valid &= lane < (i - base)   # j < i on the newest chunk
 
         min_d = jnp.minimum(dq, dr)
         sc = jnp.minimum(min_d, qs)
-        c_lin = (dd.astype(jnp.float32) * w1).astype(jnp.int32)
+        ddf = dd.astype(jnp.float32)
+        c_lin = (ddf * w1).astype(jnp.int32)
         for dd_k, cl_k in exc:
             c_lin = jnp.where(dd == dd_k, cl_k, c_lin)
-        # ilog2 via the f32 exponent; max(dd,1) makes dd==0 land on
+        # ilog2 via the f32 exponent; max(ddf,1) makes dd==0 land on
         # exponent 0, so no dd>0 select is needed (chain.c ilog2 LUT)
         log_dd = (jax.lax.bitcast_convert_type(
-            jnp.maximum(dd, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+            jnp.maximum(ddf, 1.0), jnp.int32) >> 23) - 127
         pen_same = c_lin + (log_dd >> 1)  # same-seg dd <= bw < TBL
         if single_seg:
             sc = sc - pen_same
@@ -144,25 +184,26 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
                 sc = jnp.where(same, sc - pen_same,
                                jnp.where(dr == 0, sc + 1, sc - pen_other))
         sc = sc + fj
-        # pack (score, lane) so max+argmax is ONE reduction; ties pick the
-        # larger lane = first-scanned j on a descending scan (chain.c:62)
-        pmax = jnp.max(jnp.where(valid, sc * 256 + lane, NEG_INF),
-                       axis=1, keepdims=True)
-        new_best = (pmax >> 8) > (cur_pmax >> 8)
-        best_lane = pmax & 255
-        # one fused count: valid candidates (low bits) and valid candidates
-        # scanned before this chunk's best (high bits)
-        cnt2 = jnp.sum(jnp.where(valid, 1, 0)
-                       + jnp.where(valid & (lane > best_lane), 4096, 0),
-                       axis=1, keepdims=True)
-        # conservative skip-divergence bound: ALL valid candidates scanned
-        # before the argmax (a superset of the reference's stamped
-        # non-improving count, so flagging stays sound)
-        cnt_best = jnp.where(new_best, val_tot + (cnt2 >> 12), cnt_best)
-        best_j = jnp.where(new_best, base + best_lane, best_j)
-        val_tot = val_tot + (cnt2 & 0xFFF)
-        cur_pmax = jnp.maximum(cur_pmax, pmax)
-        return (cur_pmax, best_j, cnt_best, val_tot)
+        # skip-divergence bookkeeping (conservative superset of the
+        # reference's stamped non-improving count, see module docstring):
+        # the count of valid candidates scanned strictly before lane l =
+        # valid total of earlier chunks + within-chunk suffix count (MXU)
+        vb = valid.astype(jnp.bfloat16)
+        suf = jax.lax.dot_general(vb, suf_mat, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if packed_ep:
+            fl = ((tot + suf) > max_skip_f).astype(jnp.int32)
+            scp = sc * 65536 + (lane2 + (cf * 256 + fl))
+            bscp = jnp.maximum(bscp, jnp.where(valid, scp, NEG_INF))
+            tot = tot + (suf[:, 0:1] + vb[:, 0:1].astype(jnp.float32))
+            return (bscp, tot)
+        scv = jnp.where(valid, sc, NEG_INF)
+        imp = scv > bsc
+        snap = jnp.where(imp, tot + suf, snap)
+        tot = tot + (suf[:, 0:1] + vb[:, 0:1].astype(jnp.float32))
+        bsc = jnp.maximum(bsc, scv)
+        bj = jnp.where(imp, j, bj)
+        return (bsc, bj, snap, tot)
 
     def ic_body(ic, flags):
         # process anchors one i-chunk at a time: the chunk's fields and its
@@ -171,10 +212,10 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
         # register operations, stored once per 128 anchors)
         base_i = ic * LANES
         isl = pl.ds(base_i, LANES)
-        xb = xhi_ref[:, isl]
+        xb = xst_ref[:, isl]
         rb = rpos_ref[:, isl]
         qb = qpos_ref[:, isl]
-        mb = meta_ref[:, isl]
+        mb = span_ref[:, isl]
         sib = None if single_seg else sid_ref[:, isl]
 
         def inner(off, carry):
@@ -186,40 +227,72 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
             xi = xr[:, 0:1]
             ri = rr[:, 0:1]
             qi = qr[:, 0:1]
-            mi = mr[:, 0:1]
-            qs = mi & 0xFFFF
+            qs = mr[:, 0:1]
             si = None if single_seg else sr[:, 0:1]
             act_read = (i < n_vec)
 
             # host-precomputed older-window-chunk count (from the sliding
-            # st of chain.c:58, reduced over the grid row's reads): all
-            # rows carry the same value, so max extracts the scalar
-            n_old = jnp.max(mi) >> 16
+            # st of chain.c:58, reduced over the grid row's reads): one
+            # scalar SMEM read per anchor
+            n_old = nold_ref[0, 0, i]
 
-            state0 = (qs * 256 + 255, zero8 - 1, zero8, zero8)
+            if packed_ep:
+                state0 = (jnp.full((SUBL, LANES), NEG_INF, jnp.int32),
+                          jnp.zeros((SUBL, 1), jnp.float32))
+            else:
+                state0 = (jnp.full((SUBL, LANES), NEG_INF, jnp.int32),
+                          jnp.full((SUBL, LANES), -1, jnp.int32),
+                          jnp.zeros((SUBL, LANES), jnp.float32),
+                          jnp.zeros((SUBL, 1), jnp.float32))
             state1 = score_block(xb, rb, qb, sib, fb, base_i, i, act_read,
-                                 xi, ri, qi, qs, si, state0, newest=True)
+                                 xi, ri, qi, qs, si, state0, newest=True,
+                                 cf=255)
 
             def old_chunk(c, state):
                 base = (ic - 1 - c) * LANES
                 sl = pl.ds(base, LANES)
-                return score_block(xhi_ref[:, sl], rpos_ref[:, sl],
+                return score_block(None if single_seg else xst_ref[:, sl],
+                                   rpos_ref[:, sl],
                                    qpos_ref[:, sl],
                                    None if single_seg else sid_ref[:, sl],
                                    f_ref[:, sl], base, i, act_read,
-                                   xi, ri, qi, qs, si, state)
+                                   xi, ri, qi, qs, si, state, cf=254 - c)
 
-            cur_pmax, best_j, cnt_best, _ = \
-                jax.lax.fori_loop(0, n_old, old_chunk, state1)
-
-            cur_max = cur_pmax >> 8
+            if packed_ep:
+                # ONE cross-lane reduction resolves max score, argmax j and
+                # the skip flag together (packed tie order == chain.c:62's
+                # descending-scan first-wins rule; see score_block)
+                (bscp, _) = jax.lax.fori_loop(0, n_old, old_chunk, state1)
+                m2 = jnp.max(bscp, axis=1, keepdims=True)
+                cur_max = m2 >> 16
+                cfw = (m2 >> 8) & 255
+                best_j = (cfw + (ic - 255)) * LANES + ((m2 >> 1) & 127)
+                skip_fl = (m2 & 1) == 1
+            else:
+                bsc, bj, snap, _ = jax.lax.fori_loop(0, n_old, old_chunk,
+                                                     state1)
+                # cross-lane argmax, once per anchor: the max score, then
+                # among lanes tied at the max the LARGEST bj (= first
+                # scanned on the global descending j order, chain.c:62).
+                # bj and the clamped skip count pack into one key (bj <
+                # 2^16 asserted host-side, snap clamped to 2^15-1 — the
+                # clamp preserves the flag test since max_skip << 32767),
+                # so the tie-break and the count extraction share the
+                # second reduction.
+                cur_max = jnp.max(bsc, axis=1, keepdims=True)
+                snap_i = jnp.minimum(snap, 32767.0).astype(jnp.int32)
+                r = jnp.max(jnp.where(bsc == cur_max,
+                                      bj * 32768 + snap_i, -1),
+                            axis=1, keepdims=True)
+                best_j = r >> 15
+                skip_fl = (r & 32767) > max_skip
             max_f = jnp.maximum(cur_max, qs)
             have = cur_max > qs
             p_new = jnp.where(have & act_read, best_j, -1)
             f_new = jnp.where(act_read, max_f, 0)
             fb = jnp.where(lane == off, f_new, fb)
             pb = jnp.where(lane == off, p_new, pb)
-            skip_bad = have & (cnt_best > max_skip) & act_read
+            skip_bad = have & skip_fl & act_read
             rot1 = lambda t: pltpu.roll(t, LANES - 1, 1)
             return (fb, pb, rot1(xr), rot1(rr), rot1(qr), rot1(mr),
                     sr if single_seg else rot1(sr),
@@ -242,7 +315,8 @@ def _chain_kernel(xhi_ref, rpos_ref, qpos_ref, meta_ref, sid_ref,
 
 def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
                        max_n, max_dist_x, max_dist_y, bw, max_skip, is_cdna,
-                       many_segs, interpret=False, use_exc=None):
+                       many_segs, interpret=False, use_exc=None,
+                       score_bound=None):
     """Batched chaining score pass. Inputs (R, max_n) int32 with R % 8 == 0;
     stw: (R, max_n) precomputed max_dist_x window starts (chain.c:58);
     nn: (R, 128) counts in col 0; w1: (R, 128) f32 gap-cost slope in col 0;
@@ -255,26 +329,32 @@ def chain_scores_batch(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     when it is still a host array, conservative True otherwise."""
     if use_exc is None:
         use_exc = not isinstance(exc, np.ndarray) or infer_use_exc(exc)
+    # packed single-reduction epilogue: eligible when every read's chain
+    # scores provably fit 15 bits (score telescopes over query coverage, so
+    # qlen_sum bounds it; callers pass qlen_sum [*2 for cdna's +1 bonus] +
+    # margin) and the chunk recency field fits 8 bits
+    packed_ep = (score_bound is not None and score_bound < 32512
+                 and max_n <= 255 * LANES)
     return _chain_scores_jit(
         xhi, rpos, qpos, span, sid, stw, nn, w1, exc, max_n=max_n,
         max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
         max_skip=max_skip, is_cdna=is_cdna, many_segs=many_segs,
-        interpret=interpret, use_exc=bool(use_exc))
+        interpret=interpret, use_exc=bool(use_exc), packed_ep=packed_ep)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "max_n", "max_dist_x", "max_dist_y", "bw", "max_skip", "is_cdna",
-    "many_segs", "interpret", "use_exc"))
+    "many_segs", "interpret", "use_exc", "packed_ep"))
 def _chain_scores_jit(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
                       max_n, max_dist_x, max_dist_y, bw, max_skip, is_cdna,
-                      many_segs, interpret, use_exc):
+                      many_segs, interpret, use_exc, packed_ep):
     # exact-c_lin domain: pen_same's dd is bounded by the same-seg band
     # (dd <= bw) in genomic mode, and by dq <= max_dist_y in cdna mode
     # (chain.c:65-78); beyond TBL only the log penalty survives the min
     assert (max_dist_y if is_cdna else bw) < TBL, \
         "same-seg gap-cost domain >= TBL uses the host/XLA path"
     R = xhi.shape[0]
-    assert max_n // LANES <= 0x7FFF, "nold overflows the meta packing"
+    assert max_n <= 1 << 16, "bj/snap epilogue packing needs max_n <= 65536"
     # one segment, genomic scoring: sid==0 everywhere, so the kernel's
     # seg-aware masks and pen_other branch compile away and the sid block
     # is never read (shrunk to one chunk to skip its DMA)
@@ -285,33 +365,39 @@ def _chain_scores_jit(xhi, rpos, qpos, span, sid, stw, nn, w1, exc, *,
     grid = (R // SUBL,)
     if single_seg:
         sid = jax.lax.slice(sid, (0, 0), (R, LANES))
-    # XLA prelude: meta = nold<<16 | q_span, where nold[i] = i//128 -
-    # min_r(st[r,i]//128) is the per-grid-row count of older window
-    # chunks (padded reads contribute their own chunk, i.e. nothing)
+    # XLA prelude: nold[g, i] = i//128 - min_r(st[r,i]//128) is the
+    # per-grid-row count of older window chunks (padded reads contribute
+    # their own chunk, i.e. nothing); shipped to the kernel through SMEM
     ici = jnp.arange(max_n, dtype=jnp.int32) // LANES
     fc = jnp.where(jnp.arange(max_n, dtype=jnp.int32) < nn[:, 0:1],
                    stw // LANES, ici)
     nold = ici - fc.reshape(R // SUBL, SUBL, max_n).min(axis=1)
-    meta = span | jnp.broadcast_to(
-        nold[:, None, :] << 16, (R // SUBL, SUBL, max_n)).reshape(R, max_n)
     kern = functools.partial(
         _chain_kernel, subl=SUBL, max_n=max_n, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, max_skip=max_skip, is_cdna=is_cdna,
-        many_segs=many_segs, single_seg=single_seg, use_exc=use_exc)
+        many_segs=many_segs, single_seg=single_seg, use_exc=use_exc,
+        packed_ep=packed_ep)
     blk = lambda w: pl.BlockSpec((SUBL, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
     sid_blk = blk(LANES) if single_seg else blk(max_n)
+    nold = nold[:, None, :]   # (G, 1, max_n): unit axis satisfies the
+    # TPU block rule (last two block dims must equal the array dims)
+    nold_blk = pl.BlockSpec((1, 1, max_n), lambda g: (g, 0, 0),
+                            memory_space=pltpu.SMEM)
+    # single-seg: the kernel needs the fused per-anchor window starts, not
+    # the x high words (the stw semantics subsume the x tests; see kernel)
+    xst = stw if single_seg else xhi
     f, p, flag = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[blk(max_n)] * 4 + [sid_blk]
+        in_specs=[nold_blk] + [blk(max_n)] * 4 + [sid_blk]
                  + [blk(LANES), blk(LANES), blk(LANES)],
         out_specs=(blk(max_n), blk(max_n), blk(LANES)),
         out_shape=(jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, max_n), jnp.int32),
                    jax.ShapeDtypeStruct((R, LANES), jnp.int32)),
         interpret=interpret,
-    )(xhi, rpos, qpos, meta, sid, nn, w1, exc)
+    )(nold, xst, rpos, qpos, span, sid, nn, w1, exc)
     return f, p, flag
 
 
@@ -346,13 +432,18 @@ def pack_reads(reads, max_n: int, max_dist_x: int):
         if n == 0:
             continue
         # window start: first j with x[j] >= x[i] - max_dist_x on the
-        # reconstructed unsigned 64-bit a[].x sort key (chain.c:58)
+        # reconstructed unsigned 64-bit a[].x sort key (chain.c:58), FUSED
+        # with the first same-xhi index: within [stw, i) every candidate
+        # then has xh == xi AND dr <= max_dist_x by construction, so the
+        # single-seg kernel tests only j >= stw (and windows stop at
+        # strand/rid boundaries instead of scanning cross-strand chunks)
         key = ((rd["xhi"].astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
                << np.uint64(32)) | rd["rpos"].astype(np.uint64)
         dd = np.uint64(max_dist_x)
         target = np.where(key >= dd, key - dd, np.uint64(0))
-        out["stw"][r, :n] = np.searchsorted(
-            key, target, side="left").astype(np.int32)
+        sx = np.searchsorted(key, key & ~np.uint64(0xFFFFFFFF), side="left")
+        out["stw"][r, :n] = np.maximum(
+            np.searchsorted(key, target, side="left"), sx).astype(np.int32)
         avg = np.float64(np.float32(rd["avg_qspan"]))
         assert avg >= 1.6, "tiny avg_qspan breaks the c_log shortcut"
         exact = (d * 0.01 * avg).astype(np.int64)  # C double semantics

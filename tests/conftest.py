@@ -20,3 +20,26 @@ os.environ.setdefault("MM2TPU_NATIVE_CHAIN_MAX", "0")
 
 REF_TEST_DIR = "/root/reference/test"
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode device kernel suites (~15 min total); the "
+        "default smoke tier skips them — run with MM2TPU_FULL=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (SURVEY §4 test strategy): the default smoke tier
+    (<2 min) runs every byte-identity-critical suite; the slow tier adds
+    the interpret-mode Pallas extension/backtrack suites. Select the full
+    run with MM2TPU_FULL=1 or an explicit -m expression."""
+    if os.environ.get("MM2TPU_FULL") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (MM2TPU_FULL=1 or -m slow to run)")
+    for it in items:
+        if "slow" in it.keywords:
+            it.add_marker(skip)

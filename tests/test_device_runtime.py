@@ -34,6 +34,7 @@ def test_device_runtime_matches_host(ref_fa, q_fa, flags):
     assert dev_lines == host_lines
 
 
+@pytest.mark.slow
 def test_device_align_executor_used():
     """The batched alignment scheduler must actually route jobs through the
     device extd2 path (not silently fall back to host for everything)."""
@@ -93,6 +94,7 @@ def test_device_runtime_paired_end():
     assert rt.timers.counters.get("device_reads", 0) > 0
 
 
+@pytest.mark.slow
 def test_device_align_executor_splice():
     """Splice extension (exts2) jobs run on the device kernel path too."""
     io, mo = set_opt("splice")

@@ -21,6 +21,7 @@ def _cmp(jobs, scoring=(4, 2, 24, 1, 2, 4)):
                                     f"host={h.cigar}\ndev ={d.cigar}")
 
 
+@pytest.mark.slow
 def test_backtrack_device_extd2():
     import sys
     sys.path.insert(0, "/root/repo/tests")
@@ -28,6 +29,7 @@ def test_backtrack_device_extd2():
     _cmp(gen_jobs(0, 16))
 
 
+@pytest.mark.slow
 def test_backtrack_device_extd2_small_and_zdrop():
     import sys
     sys.path.insert(0, "/root/repo/tests")
@@ -41,6 +43,7 @@ def test_backtrack_device_extd2_small_and_zdrop():
     _cmp(jobs)
 
 
+@pytest.mark.slow
 def test_backtrack_device_exts2():
     import sys
     sys.path.insert(0, "/root/repo/tests")

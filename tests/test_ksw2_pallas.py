@@ -67,18 +67,22 @@ def check(jobs, scoring=(4, 2, 24, 1, 2, 4)):
                           f"\ngot ={gt}\nwant={wt}")
 
 
+@pytest.mark.slow
 def test_extd2_pallas_default_scoring():
     check(gen_jobs(0, 16))
 
 
+@pytest.mark.slow
 def test_extd2_pallas_sr_scoring():
     check(gen_jobs(1, 8), scoring=(12, 2, 24, 1, 2, 8))
 
 
+@pytest.mark.slow
 def test_extd2_pallas_asm_scoring():
     check(gen_jobs(2, 8), scoring=(16, 2, 41, 1, 1, 9))
 
 
+@pytest.mark.slow
 def test_extd2_pallas_mixed_sizes():
     # jobs with very different shapes in one batch exercise the common-base
     # chunk layout and per-job done masking
@@ -86,6 +90,7 @@ def test_extd2_pallas_mixed_sizes():
     check(jobs)
 
 
+@pytest.mark.slow
 def test_extd2_pallas_tiny_and_divergent():
     rng = np.random.default_rng(5)
     jobs = []

@@ -57,10 +57,12 @@ def check(jobs, scoring=(2, 1, 32, 9, 1, 2)):
                           f"\ngot ={gt}\nwant={wt}")
 
 
+@pytest.mark.slow
 def test_exts2_pallas_splice_scoring():
     check(gen_jobs(0, 8))
 
 
+@pytest.mark.slow
 def test_exts2_pallas_mixed_sizes():
     jobs = gen_jobs(1, 4)
     rng = np.random.default_rng(2)
