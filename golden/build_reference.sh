@@ -17,7 +17,16 @@ for k in extz2 extd2 exts2; do
   gcc -c $CFLAGS -msse4.1 "$REF/ksw2_${k}_sse.c" -o "$OUT/ksw2_${k}_sse.o"
 done
 gcc -c $CFLAGS /root/repo/golden/fpga_stub.c -o "$OUT/fpga_stub.o"
-gcc $CFLAGS -o "$OUT/minimap2_ref" "$OUT"/*.o -lm -lz -lpthread
+# link an EXPLICIT object list: a *.o glob would also pick up the
+# *_fixed.o objects of the PE-fixed oracle build (build_reference_fix.sh)
+# when both builds share .golden, fail on duplicate symbols, and destroy
+# the existing minimap2_ref
+OBJS=""
+for s in $SRCS ksw2_ll_sse ksw2_extz2_sse ksw2_extd2_sse ksw2_exts2_sse \
+         fpga_stub; do
+  OBJS="$OBJS $OUT/$s.o"
+done
+gcc $CFLAGS -o "$OUT/minimap2_ref" $OBJS -lm -lz -lpthread
 gcc $CFLAGS -I"$REF" /root/repo/golden/ksw_test.c \
   "$OUT"/ksw2_extd2_sse.o "$OUT"/ksw2_extz2_sse.o "$OUT"/ksw2_exts2_sse.o \
   "$OUT"/ksw2_ll_sse.o "$OUT"/kalloc.o -o "$OUT/ksw_test" -lm -lz -lpthread

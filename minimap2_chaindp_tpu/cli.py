@@ -536,7 +536,13 @@ def _main(argv=None) -> int:
             mlog.mlog("worker_pipeline",
                       f"mapped {sum(len(f.segs) for f in b)} sequences")
         # per-stage telemetry at exit, like the reference's perf
-        # counters (main.c:629-663)
+        # counters (main.c:629-663); the calibration line records the
+        # startup link probe and the routing it chose
+        if getattr(runtime, "link_mbps", None) is not None:
+            import sys as _sys
+            print(f"[calibrate] d2h={runtime.link_mbps}MB/s "
+                  f"device_flow={'on' if runtime.device_flow else 'off'}",
+                  file=_sys.stderr)
         runtime.timers.report()
     if dump_mmi_fp is not None:
         dump_mmi_fp.close()

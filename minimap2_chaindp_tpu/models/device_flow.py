@@ -1,0 +1,323 @@
+"""Fused device-resident mapping flow: seed collect -> window precompute ->
+chaining DP in ONE jitted device step per read bucket.
+
+This is the TPU shape of the reference's always-offload design: the fork
+ships EVERY read's seed collection + chaining to the accelerator as one task
+packet (map.c:423-445, fpga_chaindp.c:83-170) and the host keeps sketching,
+backtrack, alignment and text.  Here the anchors stay resident in HBM between
+the collect and chain stages — one H2D (padded query minimizers) and one D2H
+(anchors + f/p + flag) per bucket, instead of the two extra anchor round
+trips the staged path pays.
+
+Host-side pre-dispatch statistics make the flow synchronization-free: a
+vectorized searchsorted over the HOST copy of the CSR index gives every
+read's exact anchor count, span sum (avg_qspan needs C-double slope math for
+the gap-cost exactness contract), rep_len and mini_pos WITHOUT expanding
+anchors, so bucket routing, overflow fallback and the w1/exc kernel inputs
+are all known before dispatch and nothing waits on the device mid-flow.
+
+Fallbacks (the reference's err_flag pattern, map.c:933-944): anchor-count
+overflow, gap-cost exception overflow, kernel skip-flag, or a stalled device
+all route the read to the exact host path.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .. import constants as C
+from ..ops import chain_pallas as CP
+from ..ops.chain import Chains, chain_backtrack
+from ..ops.chain_jax import compact_from_fpv
+from ..ops.seeds import SeedHits
+
+# (minimizer-count, anchor-capacity) buckets: pow2 so the compiled-shape
+# set stays bounded; a read takes the smallest bucket that fits both counts.
+# Buckets are deliberately fine-grained — the tunnel-attached link's D2H
+# throughput (measured 1-35 MB/s, hour-dependent) makes padded bytes the
+# scarce resource, not compiled shapes.
+M_BUCKETS = (256, 1024, 2048, 4096)
+CAP_BUCKETS = (512, 1024, 2048, 4096, 8192)
+SIGN = np.int32(-0x80000000)
+
+
+def host_seed_stats(mi, mv: np.ndarray, max_occ: int):
+    """Exact per-read anchor count, anchor span sum and over-occurrence mask
+    from the host CSR tables, without expanding anchors (mirrors
+    _collect_dev's masking, map.c:119-141)."""
+    key = mv[:, 0] >> np.uint64(8)
+    nk = len(mi.keys)
+    if nk == 0:
+        return 0, 0, np.zeros(len(mv), bool)
+    pos = np.searchsorted(mi.keys, key)
+    pos_c = np.minimum(pos, nk - 1)
+    found = mi.keys[pos_c] == key
+    cnt = np.where(found,
+                   (mi.starts[pos_c + 1] - mi.starts[pos_c]).astype(np.int64),
+                   0)
+    over = found & (cnt >= max_occ)
+    occ = np.where(found & ~over, cnt, 0)
+    span = (mv[:, 0] & np.uint64(0xFF)).astype(np.int64)
+    return int(occ.sum()), int((span * occ).sum()), over
+
+
+def _jit_flow(interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.seeds_device import _collect_dev
+
+    @functools.partial(
+        jax.jit, static_argnames=("cap", "max_dist_x", "max_dist_y", "bw",
+                                  "max_skip", "use_exc", "score_bound"))
+    def flow(khi, klo, starts, vhi, vlo, qhi, qlo, qpos, qspan8, nmv,
+             max_occ, qls, nn, w1, exc, *, cap, max_dist_x,
+             max_dist_y, bw, max_skip, use_exc, score_bound):
+        # H2D slimming: qvalid/qseg/qtnd are DERIVED here instead of
+        # shipped (valid = slot < count; tandem = neighbor key equality,
+        # matching the host packer's same-key marking; seg = 0 for the
+        # single-segment flow), and spans ride as int8
+        Rq, M = qhi.shape
+        mslot = jnp.arange(M, dtype=jnp.int32)[None, :]
+        qvalid = mslot < nmv
+        qspan = qspan8.astype(jnp.int32)
+        same_r = qvalid[:, 1:] & (qhi[:, 1:] == qhi[:, :-1]) \
+            & (qlo[:, 1:] == qlo[:, :-1])
+        z1 = jnp.zeros((Rq, 1), bool)
+        qtnd = (jnp.concatenate([same_r, z1], axis=1)
+                | jnp.concatenate([z1, same_r], axis=1)).astype(jnp.int32)
+        qseg = jnp.zeros((Rq, M), jnp.int32)
+        xhi, xlo, yhi, ylo, total, _cnt, _over = _collect_dev(
+            khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
+            qseg, qtnd, max_occ, qls, cap=cap)
+        R = xhi.shape[0]
+        slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        live = slot < total[:, None]
+        # kernel padding invariants: rpos = qpos = 0 at padded slots
+        rpos = jnp.where(live, xlo, 0)
+        qpos_a = jnp.where(live, ylo, 0)
+        span_a = jnp.where(live, yhi & 0xFF, 0)
+        # fused window starts on device (pack_reads' stw semantics): first
+        # j with key >= max(key_i - max_dist_x, first same-xhi key) on the
+        # (biased xhi, rpos) sort order; padded queries land past `total`
+        skh = jnp.where(live, xhi ^ SIGN, jnp.int32(0x7FFFFFFF))
+        skl = jnp.where(live, xlo, jnp.int32(0x7FFFFFFF))
+        # same-x start dominates whenever rpos_i - max_dist_x borrows, so
+        # the fused target is simply (skh_i, max(rpos_i - max_dist_x, 0))
+        t_lo = jnp.maximum(skl - max_dist_x, 0)
+        lo = jnp.zeros((R, cap), jnp.int32)
+        hi = jnp.full((R, cap), cap, jnp.int32)
+        for _ in range(int(np.ceil(np.log2(cap))) + 1):
+            mid = (lo + hi) >> 1
+            mh = jnp.take_along_axis(skh, mid, axis=1)
+            ml = jnp.take_along_axis(skl, mid, axis=1)
+            less = (mh < skh) | ((mh == skh) & (ml < t_lo))
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        stw = lo
+        sid = jnp.zeros((R, CP.LANES), jnp.int32)
+        f, p, flag = CP.chain_scores_batch(
+            xhi, rpos, qpos_a, span_a, sid, stw, nn, w1, exc, max_n=cap,
+            max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+            max_skip=max_skip, is_cdna=False, many_segs=False,
+            interpret=interpret, use_exc=use_exc, score_bound=score_bound)
+        # D2H slimming: f fits 15 bits whenever the packed epilogue does
+        # (score_bound), p < cap <= 32768, and single-seg yhi is
+        # span|tandem <= 1279 — ship them as int16 (bytes == seconds on
+        # the measured link); xhi/xlo/ylo keep full width
+        narrow = score_bound < 32512 and cap <= 32768
+        if narrow:
+            f = f.astype(jnp.int16)
+            p = p.astype(jnp.int16)
+            yhi = yhi.astype(jnp.int16)
+        return xhi, xlo, yhi, ylo, f, p, flag[:, 0:1]
+
+    return flow
+
+
+class DeviceFlow:
+    """Per-runtime dispatcher for the fused collect+chain device step."""
+
+    def __init__(self, mi, opt, interpret: bool = False):
+        from ..ops.seeds_device import DeviceIndex
+        self.mi = mi
+        self.opt = opt
+        self.interpret = interpret
+        self.dx = DeviceIndex(mi)
+        self._flow = _jit_flow(interpret)
+
+    def mode_ok(self) -> bool:
+        """Whole-run eligibility: single-segment genomic chaining with the
+        gap-cost table domain (the staged/host paths cover the rest)."""
+        o = self.opt
+        bad = (C.MM_F_NO_DIAG | C.MM_F_FOR_ONLY | C.MM_F_REV_ONLY
+               | C.MM_F_SPLICE)
+        return not (o.flag & bad) and o.bw < CP.TBL
+
+    def run(self, units, timers) -> dict[int, Chains]:
+        """Run eligible units through the fused device step.
+
+        `units` is the runtime's list of (segs, UnitInfo); eligible units get
+        info.sh filled (anchors from the device, host-computed rep_len /
+        mini_pos) and an entry in the returned {unit_index: Chains} dict.
+        Ineligible or fallback units are left untouched for the staged path.
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..utils.device_guard import DeviceStall, device_call
+        from .pipeline import host_chain
+
+        opt, mi = self.opt, self.mi
+        results: dict[int, Chains] = {}
+        stats: dict[int, tuple] = {}
+        by_bucket: dict[tuple, list[int]] = {}
+        for k, (segs, info) in enumerate(units):
+            if len(info.segs) != 1 or info.mv is None or len(info.mv) == 0:
+                continue
+            mb = next((m for m in M_BUCKETS if len(info.mv) <= m), None)
+            if mb is None:
+                continue
+            n, span_sum, over = host_seed_stats(mi, info.mv, opt.mid_occ)
+            cb = next((c for c in CAP_BUCKETS if n <= c), None)
+            stats[k] = (n, span_sum, over)
+            if n == 0:
+                # assemble the empty SeedHits host-side; no device work
+                info.sh = self._seedhits(info.mv, over,
+                                         np.empty((0, 2), np.uint64))
+                results[k] = Chains(np.empty((0, 2), np.uint64),
+                                    np.empty(0, np.uint64))
+                continue
+            if cb is None:
+                continue  # anchor overflow -> staged/host path
+            avg = np.float32(span_sum) / np.float32(n)
+            if avg < 1.6:  # c_log shortcut domain (chain_pallas)
+                continue
+            w1, excl = CP.clin_slope_exc(avg)
+            if excl is None:
+                continue  # exception overflow -> host path
+            key = (mb, cb, info.gap_qry, info.gap_ref)
+            by_bucket.setdefault(key, []).append((k, w1, excl))
+
+        staged = []
+        for (mb, cb, gq, gr), entries in sorted(by_bucket.items()):
+            idxs = [k for k, _, _ in entries]
+            R = 8
+            while R < len(idxs):
+                R *= 2
+            qhi = np.full((R, mb), 0x7FFFFFFF, np.int32)
+            qlo = np.zeros((R, mb), np.int32)
+            qpos = np.zeros((R, mb), np.int32)
+            qspan8 = np.zeros((R, mb), np.int8)
+            nmva = np.zeros((R, 1), np.int32)
+            qls = np.zeros((R, 1), np.int32)
+            nn = np.zeros((R, CP.LANES), np.int32)
+            w1a = np.zeros((R, CP.LANES), np.float32)
+            exca = np.full((R, CP.LANES), -1, np.int32)
+            max_qlen = 0
+            from ..ops.seeds_device import split_u64
+            for r, (k, w1, excl) in enumerate(entries):
+                info = units[k][1]
+                mv = info.mv
+                nmv = len(mv)
+                key64 = mv[:, 0] >> np.uint64(8)
+                hi_, lo_ = split_u64(key64)
+                qhi[r, :nmv] = hi_
+                qlo[r, :nmv] = lo_
+                qpos[r, :nmv] = (mv[:, 1]
+                                 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                qspan8[r, :nmv] = (mv[:, 0]
+                                   & np.uint64(0xFF)).astype(np.int64)
+                nmva[r, 0] = nmv
+                qls[r, 0] = info.qlen_sum
+                nn[r, 0] = stats[k][0]
+                w1a[r, 0] = w1
+                for j, (dd, val) in enumerate(excl):
+                    exca[r, 2 * j] = dd
+                    exca[r, 2 * j + 1] = val
+                max_qlen = max(max_qlen, info.qlen_sum)
+            use_exc = CP.infer_use_exc(exca)
+            score_bound = max_qlen + 512
+            dev = self.dx
+
+            def _dispatch(qhi=qhi, qlo=qlo, qpos=qpos, qspan8=qspan8,
+                          nmva=nmva, qls=qls, nn=nn,
+                          w1a=w1a, exca=exca, cb=cb, gq=gq, gr=gr,
+                          use_exc=use_exc, score_bound=score_bound):
+                return self._flow(
+                    dev.khi, dev.klo, dev.starts, dev.vhi, dev.vlo,
+                    jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(qpos),
+                    jnp.asarray(qspan8), jnp.asarray(nmva),
+                    jnp.int32(opt.mid_occ), jnp.asarray(qls),
+                    jnp.asarray(nn), jnp.asarray(w1a), jnp.asarray(exca),
+                    cap=cb, max_dist_x=gr, max_dist_y=gq, bw=opt.bw,
+                    max_skip=opt.max_chain_skip, use_exc=use_exc,
+                    score_bound=score_bound)
+
+            tmo = None if self.interpret else self._timeout()
+            with timers.time("kernel"):
+                try:
+                    out = device_call(_dispatch, tmo)
+                except DeviceStall:
+                    timers.count("stall_fallback", len(idxs))
+                    continue
+            staged.append((entries, out))
+
+        from ..native import chain_bottom_native
+        for entries, out in staged:
+            tmo = None if self.interpret else self._timeout()
+            with timers.time("kernel"):
+                try:
+                    arrs = device_call(
+                        lambda out=out: [np.asarray(v) for v in out], tmo)
+                except DeviceStall:
+                    timers.count("stall_fallback", len(entries))
+                    continue
+            xhi, xlo, yhi, ylo, f, p, flag = arrs
+            f = f.astype(np.int32, copy=False)   # undo int16 D2H slimming
+            p = p.astype(np.int32, copy=False)
+            with timers.time("bottom"):
+                # u64 anchor assembly, one vectorized pass per bucket
+                ax = ((xhi.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+                      << np.uint64(32)) | xlo.astype(np.uint64)
+                ay = ((yhi.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+                      << np.uint64(32)) | ylo.astype(np.uint64)
+                for r, (k, _, _) in enumerate(entries):
+                    info = units[k][1]
+                    n, _span_sum, over = stats[k]
+                    if flag[r, 0]:
+                        timers.count("fallback")
+                        continue  # skip-divergence -> exact host recompute
+                    anchors = np.stack([ax[r, :n], ay[r, :n]], axis=1)
+                    info.sh = self._seedhits(info.mv, over, anchors)
+                    ch = chain_bottom_native(anchors, f[r, :n], p[r, :n],
+                                             opt.min_cnt,
+                                             opt.min_chain_score)
+                    if ch is None:  # no native lib: exact Python bottom
+                        v = _v_from_fp(f[r, :n], p[r, :n])
+                        cx, cy, cf, cp = compact_from_fpv(
+                            anchors, f[r, :n], p[r, :n], v,
+                            opt.min_chain_score)
+                        ch = chain_backtrack(cx, cy, cf, cp, opt.min_cnt,
+                                             opt.min_chain_score)
+                    results[k] = ch
+                    timers.count("device_reads")
+        return results
+
+    def _seedhits(self, mv, over, anchors) -> SeedHits:
+        from ..ops.seeds_device import _rep_len
+        keep = ~over
+        mini_pos = (mv[keep, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
+            | (mv[keep, 0] & np.uint64(0xFF)) << np.uint64(32)
+        return SeedHits(anchors, _rep_len(mv, over), mini_pos)
+
+    def _timeout(self):
+        from ..utils.device_guard import DEFAULT_TIMEOUT_S
+        return DEFAULT_TIMEOUT_S
+
+
+def _v_from_fp(f: np.ndarray, p: np.ndarray) -> np.ndarray:
+    v = np.zeros(len(f), dtype=np.int64)
+    for i in range(len(f)):
+        pi = p[i]
+        v[i] = v[pi] if pi >= 0 and v[pi] > f[i] else f[i]
+    return v

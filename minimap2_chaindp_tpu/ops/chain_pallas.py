@@ -66,6 +66,44 @@ def infer_use_exc(exc: np.ndarray) -> bool:
     return bool((exc[:, 0:2 * N_EXC:2] >= 0).any())
 
 
+_D64 = None
+
+
+@functools.lru_cache(maxsize=8192)
+def _slope_exc_cached(avg_bits: bytes):
+    global _D64
+    if _D64 is None:
+        _D64 = (np.arange(TBL, dtype=np.float64),
+                np.arange(TBL, dtype=np.float32))
+    d, df32 = _D64
+    avg = np.float64(np.frombuffer(avg_bits, np.float32)[0])
+    exact = (d * 0.01 * avg).astype(np.int64)  # C double semantics
+    # search the f32 slope whose kernel-side trunc(f32(dd)*w) matches the
+    # C double result on the most dd values; neighbors of the nearest f32
+    # usually reach zero mismatches
+    w0 = np.float32(np.float64(0.01) * avg)
+    best_w, bad = w0, None
+    for w in (w0, np.nextafter(w0, np.float32(0), dtype=np.float32),
+              np.nextafter(w0, np.float32(1e9), dtype=np.float32)):
+        b = np.nonzero((df32 * w).astype(np.int64) != exact)[0]
+        if bad is None or len(b) < len(bad):
+            best_w, bad = w, b
+        if len(b) == 0:
+            break
+    if len(bad) > N_EXC:
+        return best_w, None
+    return best_w, tuple((int(dd), int(exact[dd])) for dd in bad)
+
+
+def clin_slope_exc(avg_qspan_f32):
+    """f32 gap-cost slope + exception pairs making the kernel's
+    trunc(f32(dd) * w1) equal the C-double trunc(dd * 0.01 * avg) for every
+    dd < TBL (the exactness contract in the module docstring). Returns
+    (w1, ((dd, exact), ...)) or (w1, None) when more than N_EXC mismatches
+    remain — such reads take the host path."""
+    return _slope_exc_cached(np.float32(avg_qspan_f32).tobytes())
+
+
 def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
                   nn_ref, w1_ref, exc_ref, f_ref, p_ref, flag_ref,
                   *, subl, max_n, max_dist_x, max_dist_y, bw, max_skip,
@@ -422,8 +460,6 @@ def pack_reads(reads, max_n: int, max_dist_x: int):
     w1 = np.zeros((R, LANES), dtype=np.float32)
     exc = np.full((R, LANES), -1, dtype=np.int32)
     host_flag = np.zeros(R, dtype=bool)
-    d = np.arange(TBL, dtype=np.float64)
-    df32 = d.astype(np.float32)
     for r, rd in enumerate(reads):
         n = len(rd["rpos"])
         for k in ("xhi", "rpos", "qpos", "span", "sid"):
@@ -444,26 +480,14 @@ def pack_reads(reads, max_n: int, max_dist_x: int):
         sx = np.searchsorted(key, key & ~np.uint64(0xFFFFFFFF), side="left")
         out["stw"][r, :n] = np.maximum(
             np.searchsorted(key, target, side="left"), sx).astype(np.int32)
-        avg = np.float64(np.float32(rd["avg_qspan"]))
+        avg = np.float32(rd["avg_qspan"])
         assert avg >= 1.6, "tiny avg_qspan breaks the c_log shortcut"
-        exact = (d * 0.01 * avg).astype(np.int64)  # C double semantics
-        # search the f32 slope whose kernel-side trunc(f32(dd)*w) matches
-        # the C double result on the most dd values; neighbors of the
-        # nearest f32 usually reach zero mismatches
-        w0 = np.float32(np.float64(0.01) * avg)
-        best_w, bad = w0, None
-        for w in (w0, np.nextafter(w0, np.float32(0), dtype=np.float32),
-                  np.nextafter(w0, np.float32(1e9), dtype=np.float32)):
-            b = np.nonzero((df32 * w).astype(np.int64) != exact)[0]
-            if bad is None or len(b) < len(bad):
-                best_w, bad = w, b
-            if len(b) == 0:
-                break
-        if len(bad) > N_EXC:
+        best_w, excl = clin_slope_exc(avg)
+        if excl is None:
             host_flag[r] = True
             continue
         w1[r, 0] = best_w
-        for k, dd in enumerate(bad):
+        for k, (dd, val) in enumerate(excl):
             exc[r, 2 * k] = dd
-            exc[r, 2 * k + 1] = exact[dd]
+            exc[r, 2 * k + 1] = val
     return out, nn, w1, exc, host_flag
