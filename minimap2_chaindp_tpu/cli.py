@@ -376,11 +376,13 @@ def _main(argv=None) -> int:
             if plen >= io.batch_size:
                 yield build_index([x.name for x in part],
                                   [x.seq for x in part],
-                                  io.w, io.k, io.flag, io.bucket_bits)
+                                  io.w, io.k, io.flag, io.bucket_bits,
+                                  n_threads=ns.threads)
                 part, plen = [], 0
         if part:
             yield build_index([x.name for x in part], [x.seq for x in part],
-                              io.w, io.k, io.flag, io.bucket_bits)
+                              io.w, io.k, io.flag, io.bucket_bits,
+                              n_threads=ns.threads)
 
     from .utils.prefetch import prefetch
 
@@ -492,10 +494,10 @@ def _main(argv=None) -> int:
                       file=sys.stderr)
         if use_device:
             from .models.runtime import DeviceRuntime
-            runtime = DeviceRuntime(mi, mo)
+            runtime = DeviceRuntime(mi, mo, n_threads=ns.threads)
         else:
             from .models.host_runtime import HostRuntime
-            runtime = HostRuntime(mi, mo)
+            runtime = HostRuntime(mi, mo, n_threads=ns.threads)
 
         if (mo.flag & C.MM_F_OUT_SAM) and part_no == 1:
             cmdline = "mm2tpu " + " ".join(argv_disp)

@@ -94,8 +94,14 @@ class MinimizerIndex:
 
 
 def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
-                flag: int = 0, bucket_bits: int = 14) -> MinimizerIndex:
-    """Build the CSR minimizer index from reference sequences."""
+                flag: int = 0, bucket_bits: int = 14,
+                n_threads: int = 1) -> MinimizerIndex:
+    """Build the CSR minimizer index from reference sequences.
+
+    n_threads > 1 fans the per-contig native sketching across a worker
+    pool (the reference's kt_pipeline step-1 parallelism, index.c:506-517;
+    the native call releases the GIL). Output is order-stable: chunks are
+    contiguous rid ranges reassembled in rid order."""
     mi = MinimizerIndex(k=k, w=w, flag=flag, b=bucket_bits)
     no_seq = bool(flag & 2)  # MM_I_NO_SEQ: skip the 4-bit reference pack
     total = sum(len(s) for s in seq_strs)
@@ -114,8 +120,23 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
     mi.S = cat if not no_seq else np.empty(0, dtype=np.uint8)
     # one native call sketches every contig from the already-encoded buffer
     from ..native import sketch_batch_cat_native
-    mvs = sketch_batch_cat_native(cat, offs, np.arange(len(seq_strs)),
-                                  w, k, bool(flag & 1))
+    n_seqs = len(seq_strs)
+    if n_threads > 1 and n_seqs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        nch = min(n_threads, n_seqs)
+        cuts = [round(i * n_seqs / nch) for i in range(nch + 1)]
+
+        def _chunk(i):
+            a, b = cuts[i], cuts[i + 1]
+            return sketch_batch_cat_native(
+                cat, offs[a:b + 1], np.arange(a, b), w, k, bool(flag & 1))
+        with ThreadPoolExecutor(max_workers=nch) as ex:
+            parts = list(ex.map(_chunk, range(nch)))
+        mvs = None if any(p is None for p in parts) \
+            else [m for p in parts for m in p]
+    else:
+        mvs = sketch_batch_cat_native(cat, offs, np.arange(n_seqs),
+                                      w, k, bool(flag & 1))
     if mvs is None:  # no native lib: per-contig golden-model sketch
         mvs = [sketch(s, w, k, rid, bool(flag & 1))
                for rid, s in enumerate(seq_strs) if len(s) > 0]

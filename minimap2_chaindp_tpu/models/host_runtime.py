@@ -24,12 +24,25 @@ class HostRuntime:
     Same surface as DeviceRuntime (map_batch / map_stream) so the CLI
     drives either through the identical streaming loop."""
 
-    def __init__(self, mi, opt):
+    def __init__(self, mi, opt, n_threads: int = 1):
         self.mi = mi
         self.opt = opt
         self.timers = Timers()
         from .batch_align import DeviceAlignExecutor
         self._align_exec = DeviceAlignExecutor(opt, use_device=False)
+        # -t worker pool (the reference's kt_for over fragments,
+        # kthread.c:125/145): the one-call native fast path releases the
+        # GIL for its whole C call, so fragments fan out across real cores;
+        # results are collected in submission order (step-2 ordered output,
+        # like kt_pipeline). Pool size -1: map_stream's 2-deep batch
+        # pipeline already keeps one extra thread busy.
+        self.n_threads = max(1, int(n_threads))
+        self._pool = None
+        if self.n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(1, self.n_threads - 1),
+                thread_name_prefix="mm2tpu-worker")
 
     def map_stream(self, batches, rg_id: str = ""):
         """2-deep threaded pipeline over read batches (kt_pipeline step
@@ -56,20 +69,33 @@ class HostRuntime:
         from ..native import (map_frag_pe_native, map_unit_ok,
                               map_unit_text_native)
         fast_ok = map_unit_ok(opt, mi)
+
+        def _fast_one(frag):
+            # whole-fragment native fast path: one C call in, finished
+            # SAM/PAF lines out (the GIL is released for the whole call)
+            if len(frag.segs) == 1:
+                return map_unit_text_native(mi, opt, frag.segs[0], rg_id)
+            return map_frag_pe_native(mi, opt, frag.segs, rg_id)
+
+        pre_fast: list = [None] * len(frags)
+        if fast_ok and self._pool is not None:
+            # kt_for over fragments: fan the native calls across the -t
+            # worker pool; list(map(...)) preserves input order
+            with self.timers.time("seed"):
+                eligible = [f for f in frags if len(f.segs) <= 2]
+                got = list(self._pool.map(_fast_one, eligible))
+                it = iter(got)
+                pre_fast = [next(it) if len(f.segs) <= 2 else None
+                            for f in frags]
+
         frag_meta = []
         units = []           # (unit, info) for the staged path
         fast_lines: list = []  # per-FRAG finished text, or None
         with self.timers.time("seed"):
-            for frag in frags:
+            for fi, frag in enumerate(frags):
                 if fast_ok and len(frag.segs) <= 2:
-                    # whole-fragment native fast path: one C call in,
-                    # finished SAM/PAF lines out
-                    if len(frag.segs) == 1:
-                        lines_f = map_unit_text_native(mi, opt,
-                                                       frag.segs[0], rg_id)
-                    else:
-                        lines_f = map_frag_pe_native(mi, opt, frag.segs,
-                                                     rg_id)
+                    lines_f = pre_fast[fi] if self._pool is not None \
+                        else _fast_one(frag)
                     if lines_f is not None:
                         self.timers.count("fast_native")
                         fast_lines.append(lines_f)

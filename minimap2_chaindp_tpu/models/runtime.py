@@ -25,7 +25,7 @@ class DeviceRuntime:
     """Maps fragments in device-sized batches; output order == input order."""
 
     def __init__(self, mi, opt, min_batch: int = 64,
-                 device_seeds: bool | None = None):
+                 device_seeds: bool | None = None, n_threads: int = 1):
         self.mi = mi
         self.opt = opt
         self.min_batch = min_batch
@@ -72,6 +72,16 @@ class DeviceRuntime:
             self.device_flow, self.link_mbps = self._calibrate()
         self._flow = None
         self._flow_lock = threading.Lock()
+        # -t worker pool for the host-side fast path (kt_for over
+        # fragments, kthread.c:125): used when the calibrated routing
+        # sends reads to the one-call native driver
+        self.n_threads = max(1, int(n_threads))
+        self._pool = None
+        if self.n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(1, self.n_threads - 1),
+                thread_name_prefix="mm2tpu-worker")
 
     def map_stream(self, batches, rg_id: str = ""):
         """Map a stream of read batches through a 2-deep threaded pipeline
@@ -113,20 +123,34 @@ class DeviceRuntime:
         fast_ok = map_unit_ok(opt, mi) and not self.device_seeds \
             and flow is None
         fast_qlen_max = self.native_chain_max * 5
+        def _fast_eligible(frag):
+            return (fast_ok and len(frag.segs) <= 2
+                    and sum(len(s.seq) for s in frag.segs) <= fast_qlen_max)
+
+        def _fast_one(frag):
+            if len(frag.segs) == 1:
+                return map_unit_text_native(mi, opt, frag.segs[0], rg_id)
+            return map_frag_pe_native(mi, opt, frag.segs, rg_id)
+
+        pre_fast: list = [None] * len(frags)
+        if fast_ok and self._pool is not None:
+            # kt_for over fragments (kthread.c:125): the native one-call
+            # driver releases the GIL, so -t workers scale across cores
+            with self.timers.time("seed"):
+                eligible = [f for f in frags if _fast_eligible(f)]
+                got = list(self._pool.map(_fast_one, eligible))
+                it = iter(got)
+                pre_fast = [next(it) if _fast_eligible(f) else None
+                            for f in frags]
+
         frag_meta = []
         units = []
         fast_lines: list = []
         with self.timers.time("seed"):
-            for frag in frags:
-                if fast_ok and len(frag.segs) <= 2 \
-                        and sum(len(s.seq) for s in frag.segs) \
-                        <= fast_qlen_max:
-                    if len(frag.segs) == 1:
-                        lines_f = map_unit_text_native(mi, opt,
-                                                       frag.segs[0], rg_id)
-                    else:
-                        lines_f = map_frag_pe_native(mi, opt, frag.segs,
-                                                     rg_id)
+            for fi, frag in enumerate(frags):
+                if _fast_eligible(frag):
+                    lines_f = pre_fast[fi] if self._pool is not None \
+                        else _fast_one(frag)
                     if lines_f is not None:
                         self.timers.count("fast_native")
                         fast_lines.append(lines_f)

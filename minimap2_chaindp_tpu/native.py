@@ -812,7 +812,17 @@ class _MapPECtx:
                     "ascii", "surrogateescape") for i in range(n_lines)]
 
 
-_pe_helper = _MapPECtx()
+_pe_local = _threading.local()
+
+
+def _pe_ctx():
+    """Per-thread PE helper (its scratch buffers are not shareable across
+    the -t worker pool)."""
+    ctx = getattr(_pe_local, "ctx", None)
+    if ctx is None:
+        ctx = _MapPECtx()
+        _pe_local.ctx = ctx
+    return ctx
 
 
 def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
@@ -824,17 +834,13 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
         return None
     if opt.flag & CC.MM_F_INDEPEND_SEG:
         return None
-    return _pe_helper.map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
+    return _pe_ctx().map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 
 
-_map_ctx_local = None
+_map_ctx_local = _threading.local()
 
 
 def _map_ctx(mi, opt):
-    global _map_ctx_local
-    import threading
-    if _map_ctx_local is None:
-        _map_ctx_local = threading.local()
     ctx = getattr(_map_ctx_local, "ctx", None)
     if ctx is None or ctx.mi is not mi or ctx.opt is not opt:
         ctx = _MapUnitCtx(mi, opt)

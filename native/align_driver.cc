@@ -1455,19 +1455,22 @@ static const char NT_UPPER[] = "ACGTN";
 static const char NT_LOWER[] = "acgtn";
 
 static const char* comp_table() {
-    static char tbl[256];
-    static bool init = false;
-    if (!init) {
-        const char* A = "ACGTURYSWKMBDHVN";
-        const char* B = "TGCAAYRSWMKVHDBN";
-        for (int i = 0; i < 256; ++i) tbl[i] = (char)i;
-        for (int i = 0; A[i]; ++i) {
-            tbl[(uint8_t)A[i]] = B[i];
-            tbl[(uint8_t)tolower(A[i])] = (char)tolower(B[i]);
+    // C++11 magic static: thread-safe one-time init (the kt_for-style
+    // worker pool calls the driver from several threads concurrently)
+    struct Tbl {
+        char t[256];
+        Tbl() {
+            const char* A = "ACGTURYSWKMBDHVN";
+            const char* B = "TGCAAYRSWMKVHDBN";
+            for (int i = 0; i < 256; ++i) t[i] = (char)i;
+            for (int i = 0; A[i]; ++i) {
+                t[(uint8_t)A[i]] = B[i];
+                t[(uint8_t)tolower(A[i])] = (char)tolower(B[i]);
+            }
         }
-        init = true;
-    }
-    return tbl;
+    };
+    static const Tbl tbl;
+    return tbl.t;
 }
 
 struct EmitCtx {
