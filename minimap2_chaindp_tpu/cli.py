@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--soft-clipped", dest="softclip", action="store_true")
     a("--device", default="auto", choices=["auto", "host", "tpu"],
       help="compute path: host golden model or TPU kernels")
+    a("--mesh", default=None, metavar="DATAxINDEX",
+      help="multi-chip mesh, e.g. 4x2: reads data-parallel over DATA "
+           "chips, index key-range-sharded over INDEX chips (>HBM "
+           "genomes); output stays byte-identical")
     a("--version", action="version", version=VERSION)
     a("target")
     a("query", nargs="*")
@@ -324,6 +328,23 @@ def _main(argv=None) -> int:
     # would swallow the reference FASTA otherwise
     argv = ["--cs=short" if a == "--cs" else a for a in argv]
     ns = build_parser().parse_args(argv)
+
+    # honor JAX_PLATFORMS even though the environment pre-imports jax
+    # (which latches env vars), and provision enough virtual CPU devices
+    # for an explicit --mesh — both must happen before first backend use
+    import os as _os
+    _plat = _os.environ.get("JAX_PLATFORMS")
+    if _plat or ns.mesh:
+        try:
+            import jax as _jax
+            if _plat:
+                _jax.config.update("jax_platforms", _plat)
+            if ns.mesh and (_plat or "").startswith("cpu"):
+                d_, i_ = ns.mesh.lower().split("x")
+                _jax.config.update("jax_num_cpu_devices",
+                                   max(int(d_) * int(i_), 1))
+        except Exception:
+            pass
     # the reference CLI runs at mm_verbose=3 unless -v overrides (main.c:304)
     mlog.set_verbose(3 if ns.verbose is None else ns.verbose)
     io, mo = set_opt(None)
@@ -494,7 +515,12 @@ def _main(argv=None) -> int:
                       file=sys.stderr)
         if use_device:
             from .models.runtime import DeviceRuntime
-            runtime = DeviceRuntime(mi, mo, n_threads=ns.threads)
+            mesh_shape = None
+            if ns.mesh:
+                d_, i_ = ns.mesh.lower().split("x")
+                mesh_shape = (int(d_), int(i_))
+            runtime = DeviceRuntime(mi, mo, n_threads=ns.threads,
+                                    mesh_shape=mesh_shape)
         else:
             from .models.host_runtime import HostRuntime
             runtime = HostRuntime(mi, mo, n_threads=ns.threads)

@@ -43,13 +43,15 @@ SIGN = np.int32(-0x80000000)
 
 
 def host_seed_stats(mi, mv: np.ndarray, max_occ: int):
-    """Exact per-read anchor count, anchor span sum and over-occurrence mask
-    from the host CSR tables, without expanding anchors (mirrors
-    _collect_dev's masking, map.c:119-141)."""
+    """Exact per-read anchor count, anchor span sum, over-occurrence mask,
+    and per-minimizer (key position, kept occurrence) arrays from the host
+    CSR tables, without expanding anchors (mirrors _collect_dev's masking,
+    map.c:119-141). pos/occ feed the mesh dispatcher's per-shard counts."""
     key = mv[:, 0] >> np.uint64(8)
     nk = len(mi.keys)
     if nk == 0:
-        return 0, 0, np.zeros(len(mv), bool)
+        z = np.zeros(len(mv), np.int64)
+        return 0, 0, np.zeros(len(mv), bool), z, z
     pos = np.searchsorted(mi.keys, key)
     pos_c = np.minimum(pos, nk - 1)
     found = mi.keys[pos_c] == key
@@ -59,12 +61,80 @@ def host_seed_stats(mi, mv: np.ndarray, max_occ: int):
     over = found & (cnt >= max_occ)
     occ = np.where(found & ~over, cnt, 0)
     span = (mv[:, 0] & np.uint64(0xFF)).astype(np.int64)
-    return int(occ.sum()), int((span * occ).sum()), over
+    return int(occ.sum()), int((span * occ).sum()), over, pos_c, occ
+
+
+def derive_queries(qhi, qlo, qspan8, nmv):
+    """H2D slimming: qvalid/qseg/qtnd are DERIVED on device instead of
+    shipped (valid = slot < count; tandem = neighbor key equality, matching
+    the host packer's same-key marking; seg = 0 for the single-segment
+    flow), and spans ride as int8. Traced helper shared by the single-chip
+    flow and the sharded mesh step."""
+    import jax.numpy as jnp
+    Rq, M = qhi.shape
+    mslot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    qvalid = mslot < nmv
+    qspan = qspan8.astype(jnp.int32)
+    same_r = qvalid[:, 1:] & (qhi[:, 1:] == qhi[:, :-1]) \
+        & (qlo[:, 1:] == qlo[:, :-1])
+    z1 = jnp.zeros((Rq, 1), bool)
+    qtnd = (jnp.concatenate([same_r, z1], axis=1)
+            | jnp.concatenate([z1, same_r], axis=1)).astype(jnp.int32)
+    qseg = jnp.zeros((Rq, M), jnp.int32)
+    return qvalid, qspan, qtnd, qseg
+
+
+def flow_tail(xhi, xlo, yhi, ylo, total, nn, w1, exc, *, cap, max_dist_x,
+              max_dist_y, bw, max_skip, use_exc, score_bound, interpret):
+    """Post-collect device stages (traced helper shared with the mesh
+    step): pad masking, fused window starts, the chaining kernel, and the
+    D2H dtype slimming."""
+    import jax.numpy as jnp
+    R = xhi.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = slot < total[:, None]
+    # kernel padding invariants: rpos = qpos = 0 at padded slots
+    rpos = jnp.where(live, xlo, 0)
+    qpos_a = jnp.where(live, ylo, 0)
+    span_a = jnp.where(live, yhi & 0xFF, 0)
+    # fused window starts on device (pack_reads' stw semantics): first
+    # j with key >= max(key_i - max_dist_x, first same-xhi key) on the
+    # (biased xhi, rpos) sort order; padded queries land past `total`
+    skh = jnp.where(live, xhi ^ SIGN, jnp.int32(0x7FFFFFFF))
+    skl = jnp.where(live, xlo, jnp.int32(0x7FFFFFFF))
+    # same-x start dominates whenever rpos_i - max_dist_x borrows, so
+    # the fused target is simply (skh_i, max(rpos_i - max_dist_x, 0))
+    t_lo = jnp.maximum(skl - max_dist_x, 0)
+    lo = jnp.zeros((R, cap), jnp.int32)
+    hi = jnp.full((R, cap), cap, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(cap))) + 1):
+        mid = (lo + hi) >> 1
+        mh = jnp.take_along_axis(skh, mid, axis=1)
+        ml = jnp.take_along_axis(skl, mid, axis=1)
+        less = (mh < skh) | ((mh == skh) & (ml < t_lo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    stw = lo
+    sid = jnp.zeros((R, CP.LANES), jnp.int32)
+    f, p, flag = CP.chain_scores_batch(
+        xhi, rpos, qpos_a, span_a, sid, stw, nn, w1, exc, max_n=cap,
+        max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+        max_skip=max_skip, is_cdna=False, many_segs=False,
+        interpret=interpret, use_exc=use_exc, score_bound=score_bound)
+    # D2H slimming: f fits 15 bits whenever the packed epilogue does
+    # (score_bound), p < cap <= 32768, and single-seg yhi is
+    # span|tandem <= 1279 — ship them as int16 (bytes == seconds on
+    # the measured link); xhi/xlo/ylo keep full width
+    narrow = score_bound < 32512 and cap <= 32768
+    if narrow:
+        f = f.astype(jnp.int16)
+        p = p.astype(jnp.int16)
+        yhi = yhi.astype(jnp.int16)
+    return xhi, xlo, yhi, ylo, f, p, flag[:, 0:1]
 
 
 def _jit_flow(interpret: bool):
     import jax
-    import jax.numpy as jnp
     from ..ops.seeds_device import _collect_dev
 
     @functools.partial(
@@ -73,78 +143,63 @@ def _jit_flow(interpret: bool):
     def flow(khi, klo, starts, vhi, vlo, qhi, qlo, qpos, qspan8, nmv,
              max_occ, qls, nn, w1, exc, *, cap, max_dist_x,
              max_dist_y, bw, max_skip, use_exc, score_bound):
-        # H2D slimming: qvalid/qseg/qtnd are DERIVED here instead of
-        # shipped (valid = slot < count; tandem = neighbor key equality,
-        # matching the host packer's same-key marking; seg = 0 for the
-        # single-segment flow), and spans ride as int8
-        Rq, M = qhi.shape
-        mslot = jnp.arange(M, dtype=jnp.int32)[None, :]
-        qvalid = mslot < nmv
-        qspan = qspan8.astype(jnp.int32)
-        same_r = qvalid[:, 1:] & (qhi[:, 1:] == qhi[:, :-1]) \
-            & (qlo[:, 1:] == qlo[:, :-1])
-        z1 = jnp.zeros((Rq, 1), bool)
-        qtnd = (jnp.concatenate([same_r, z1], axis=1)
-                | jnp.concatenate([z1, same_r], axis=1)).astype(jnp.int32)
-        qseg = jnp.zeros((Rq, M), jnp.int32)
+        qvalid, qspan, qtnd, qseg = derive_queries(qhi, qlo, qspan8, nmv)
         xhi, xlo, yhi, ylo, total, _cnt, _over = _collect_dev(
             khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
             qseg, qtnd, max_occ, qls, cap=cap)
-        R = xhi.shape[0]
-        slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        live = slot < total[:, None]
-        # kernel padding invariants: rpos = qpos = 0 at padded slots
-        rpos = jnp.where(live, xlo, 0)
-        qpos_a = jnp.where(live, ylo, 0)
-        span_a = jnp.where(live, yhi & 0xFF, 0)
-        # fused window starts on device (pack_reads' stw semantics): first
-        # j with key >= max(key_i - max_dist_x, first same-xhi key) on the
-        # (biased xhi, rpos) sort order; padded queries land past `total`
-        skh = jnp.where(live, xhi ^ SIGN, jnp.int32(0x7FFFFFFF))
-        skl = jnp.where(live, xlo, jnp.int32(0x7FFFFFFF))
-        # same-x start dominates whenever rpos_i - max_dist_x borrows, so
-        # the fused target is simply (skh_i, max(rpos_i - max_dist_x, 0))
-        t_lo = jnp.maximum(skl - max_dist_x, 0)
-        lo = jnp.zeros((R, cap), jnp.int32)
-        hi = jnp.full((R, cap), cap, jnp.int32)
-        for _ in range(int(np.ceil(np.log2(cap))) + 1):
-            mid = (lo + hi) >> 1
-            mh = jnp.take_along_axis(skh, mid, axis=1)
-            ml = jnp.take_along_axis(skl, mid, axis=1)
-            less = (mh < skh) | ((mh == skh) & (ml < t_lo))
-            lo = jnp.where(less, mid + 1, lo)
-            hi = jnp.where(less, hi, mid)
-        stw = lo
-        sid = jnp.zeros((R, CP.LANES), jnp.int32)
-        f, p, flag = CP.chain_scores_batch(
-            xhi, rpos, qpos_a, span_a, sid, stw, nn, w1, exc, max_n=cap,
+        return flow_tail(
+            xhi, xlo, yhi, ylo, total, nn, w1, exc, cap=cap,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
-            max_skip=max_skip, is_cdna=False, many_segs=False,
-            interpret=interpret, use_exc=use_exc, score_bound=score_bound)
-        # D2H slimming: f fits 15 bits whenever the packed epilogue does
-        # (score_bound), p < cap <= 32768, and single-seg yhi is
-        # span|tandem <= 1279 — ship them as int16 (bytes == seconds on
-        # the measured link); xhi/xlo/ylo keep full width
-        narrow = score_bound < 32512 and cap <= 32768
-        if narrow:
-            f = f.astype(jnp.int16)
-            p = p.astype(jnp.int16)
-            yhi = yhi.astype(jnp.int16)
-        return xhi, xlo, yhi, ylo, f, p, flag[:, 0:1]
+            max_skip=max_skip, use_exc=use_exc, score_bound=score_bound,
+            interpret=interpret)
 
     return flow
 
 
 class DeviceFlow:
-    """Per-runtime dispatcher for the fused collect+chain device step."""
+    """Per-runtime dispatcher for the fused collect+chain device step.
 
-    def __init__(self, mi, opt, interpret: bool = False):
-        from ..ops.seeds_device import DeviceIndex
+    With `mesh` set (a jax Mesh with "data" and "index" axes), the flow
+    runs the sharded multi-chip step instead (device_pipeline.
+    make_sharded_flow_step): the CSR index is key-range-sharded across the
+    "index" axis — for genomes larger than one chip's HBM — read batches
+    are data-parallel, and outputs stay byte-identical to single-chip."""
+
+    def __init__(self, mi, opt, interpret: bool = False, mesh=None):
         self.mi = mi
         self.opt = opt
         self.interpret = interpret
-        self.dx = DeviceIndex(mi)
-        self._flow = _jit_flow(interpret)
+        self.mesh = mesh
+        if mesh is None:
+            from ..ops.seeds_device import DeviceIndex
+            self.dx = DeviceIndex(mi)
+            self._flow = _jit_flow(interpret)
+        else:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..ops.seeds_device import shard_index_tables
+            self.n_index = int(mesh.shape["index"])
+            self.n_data = int(mesh.shape["data"])
+            (khi, klo, starts, vhi, vlo, _kp, _vp,
+             cuts) = shard_index_tables(mi, self.n_index)
+            isp = NamedSharding(mesh, P("index"))
+            self._tables = tuple(jax.device_put(a, isp)
+                                 for a in (khi, klo, starts, vhi, vlo))
+            self._cuts = np.asarray(cuts, dtype=np.int64)  # key-pos ranges
+            self._steps = {}
+
+    def _mesh_step(self, cap, gq, gr, use_exc, score_bound):
+        key = (cap, gq, gr, use_exc, score_bound)
+        fn = self._steps.get(key)
+        if fn is None:
+            from .device_pipeline import make_sharded_flow_step
+            fn = make_sharded_flow_step(
+                self.mesh, cap=cap, max_dist_x=gr, max_dist_y=gq,
+                bw=self.opt.bw, max_skip=self.opt.max_chain_skip,
+                use_exc=use_exc, score_bound=score_bound,
+                interpret=self.interpret)
+            self._steps[key] = fn
+        return fn
 
     def mode_ok(self) -> bool:
         """Whole-run eligibility: single-segment genomic chaining with the
@@ -171,13 +226,15 @@ class DeviceFlow:
         results: dict[int, Chains] = {}
         stats: dict[int, tuple] = {}
         by_bucket: dict[tuple, list[int]] = {}
+        mesh = self.mesh
         for k, (segs, info) in enumerate(units):
             if len(info.segs) != 1 or info.mv is None or len(info.mv) == 0:
                 continue
             mb = next((m for m in M_BUCKETS if len(info.mv) <= m), None)
             if mb is None:
                 continue
-            n, span_sum, over = host_seed_stats(mi, info.mv, opt.mid_occ)
+            n, span_sum, over, pos, occ = host_seed_stats(mi, info.mv,
+                                                          opt.mid_occ)
             cb = next((c for c in CAP_BUCKETS if n <= c), None)
             stats[k] = (n, span_sum, over)
             if n == 0:
@@ -189,6 +246,19 @@ class DeviceFlow:
                 continue
             if cb is None:
                 continue  # anchor overflow -> staged/host path
+            if mesh is not None:
+                # capacity-bounded routing: every shard's compact hit
+                # buffer (cap/n_index slots) must fit this read's actual
+                # per-shard hit count — bump the bucket or fall back
+                sh_id = np.searchsorted(self._cuts[1:-1], pos,
+                                        side="right")
+                per_shard = np.bincount(sh_id, weights=occ,
+                                        minlength=self.n_index)
+                need = int(per_shard.max()) * self.n_index
+                cb = next((c for c in CAP_BUCKETS
+                           if n <= c and need <= c), None)
+                if cb is None:
+                    continue  # shard-skewed read -> host path
             avg = np.float32(span_sum) / np.float32(n)
             if avg < 1.6:  # c_log shortcut domain (chain_pallas)
                 continue
@@ -201,7 +271,7 @@ class DeviceFlow:
         staged = []
         for (mb, cb, gq, gr), entries in sorted(by_bucket.items()):
             idxs = [k for k, _, _ in entries]
-            R = 8
+            R = 8 if mesh is None else max(8, 8 * self.n_data)
             while R < len(idxs):
                 R *= 2
             qhi = np.full((R, mb), 0x7FFFFFFF, np.int32)
@@ -236,13 +306,21 @@ class DeviceFlow:
                     exca[r, 2 * j + 1] = val
                 max_qlen = max(max_qlen, info.qlen_sum)
             use_exc = CP.infer_use_exc(exca)
-            score_bound = max_qlen + 512
-            dev = self.dx
+            # score_bound is a STATIC kernel-variant selector (packed
+            # single-reduction epilogue + int16 D2H) — quantize it to two
+            # values so compiled shapes stay bounded
+            score_bound = 32511 if max_qlen + 512 <= 32511 else (1 << 30)
 
             def _dispatch(qhi=qhi, qlo=qlo, qpos=qpos, qspan8=qspan8,
                           nmva=nmva, qls=qls, nn=nn,
                           w1a=w1a, exca=exca, cb=cb, gq=gq, gr=gr,
                           use_exc=use_exc, score_bound=score_bound):
+                if mesh is not None:
+                    fn = self._mesh_step(cb, gq, gr, use_exc, score_bound)
+                    return fn(*self._tables,
+                              qhi, qlo, qpos, qspan8, nmva,
+                              jnp.int32(opt.mid_occ), qls, nn, w1a, exca)
+                dev = self.dx
                 return self._flow(
                     dev.khi, dev.klo, dev.starts, dev.vhi, dev.vlo,
                     jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(qpos),

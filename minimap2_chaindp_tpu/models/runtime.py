@@ -25,7 +25,12 @@ class DeviceRuntime:
     """Maps fragments in device-sized batches; output order == input order."""
 
     def __init__(self, mi, opt, min_batch: int = 64,
-                 device_seeds: bool | None = None, n_threads: int = 1):
+                 device_seeds: bool | None = None, n_threads: int = 1,
+                 mesh_shape: tuple[int, int] | None = None):
+        # mesh_shape = (data, index): run the fused flow as the sharded
+        # multi-chip step over a jax Mesh (index key-range-sharded for
+        # >HBM genomes, reads data-parallel); byte-identical output
+        self.mesh_shape = mesh_shape
         self.mi = mi
         self.opt = opt
         self.min_batch = min_batch
@@ -65,7 +70,10 @@ class DeviceRuntime:
         # actual link at startup and degrades to the host-favoring staged
         # routing instead of regressing end-to-end throughput.
         flow_env = _os.environ.get("MM2TPU_DEVICE_FLOW", "")
-        if flow_env in ("0", "1"):
+        if mesh_shape is not None:
+            self.device_flow = True   # explicit --mesh overrides the probe
+            self.link_mbps = None
+        elif flow_env in ("0", "1"):
             self.device_flow = flow_env == "1"
             self.link_mbps = None
         else:
@@ -229,8 +237,16 @@ class DeviceRuntime:
             with self._flow_lock:
                 if self._flow is None:
                     from .device_flow import DeviceFlow
+                    mesh = None
+                    if self.mesh_shape is not None:
+                        from jax.sharding import Mesh
+                        nd, ni = self.mesh_shape
+                        devs = np.asarray(
+                            self._jax.devices()[:nd * ni]).reshape(nd, ni)
+                        mesh = Mesh(devs, ("data", "index"))
                     self._flow = DeviceFlow(self.mi, self.opt,
-                                            interpret=self._interpret)
+                                            interpret=self._interpret,
+                                            mesh=mesh)
         return self._flow if self._flow.mode_ok() else None
 
     def _seed_hits(self, units) -> None:

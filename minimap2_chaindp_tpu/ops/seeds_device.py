@@ -199,7 +199,7 @@ def shard_index_tables(mi, n_shards: int):
         vhi[s, :v1 - v0] = vhi_g[v0:v1]
         vlo[s, :v1 - v0] = vlo_g[v0:v1]
     return (khi.reshape(-1), klo.reshape(-1), starts.reshape(-1),
-            vhi.reshape(-1), vlo.reshape(-1), Kp, Vp)
+            vhi.reshape(-1), vlo.reshape(-1), Kp, Vp, cuts)
 
 
 class DeviceSeedCollector:

@@ -108,7 +108,7 @@ def test_seeds_sharded_index_collect():
     n_index = 4
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
                 ("data", "index"))
-    khi, klo, starts, vhi, vlo, kp, vp = shard_index_tables(mi, n_index)
+    khi, klo, starts, vhi, vlo, kp, vp, _cuts = shard_index_tables(mi, n_index)
     step = make_sharded_collect_step(mesh, cap=CAP)
     got = [np.asarray(v) for v in step(
         jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(starts),
@@ -143,6 +143,6 @@ def test_shard_index_volume_balancing():
     cnt[100:200] = 50  # hot key range
     mi.starts = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
     mi.values = np.arange(mi.starts[-1], dtype=np.uint64)
-    *_, Vp = shard_index_tables(mi, 4)
+    *_, Vp, _cuts = shard_index_tables(mi, 4)
     V = int(mi.starts[-1])
     assert Vp <= V // 4 + int(cnt.max()) + 64
