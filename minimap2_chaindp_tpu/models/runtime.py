@@ -90,6 +90,24 @@ class DeviceRuntime:
             self._pool = ThreadPoolExecutor(
                 max_workers=max(1, self.n_threads - 1),
                 thread_name_prefix="mm2tpu-worker")
+        # hybrid extension lane: a feedback-tuned fraction of fragments'
+        # extension waves runs on the device kernel CONCURRENTLY with the
+        # host lane (device waits release the GIL), so the otherwise-idle
+        # chip adds mapping capacity on a host-bound box. Extension waves
+        # are many small dispatches, so the lane is gated on the SAME link
+        # probe as the fused flow (measured: at ~2.5 MB/s D2H each wave
+        # round costs ~0.3-1 s of RTT and the lane loses 30x; at healthy
+        # link speeds the waves amortize). MM2TPU_EXT_LANE forces the
+        # fraction (0 disables); unset starts at 0.15 when the calibrated
+        # link cleared the bar, and the controller rebalances per batch so
+        # both lanes finish together.
+        lane_env = _os.environ.get("MM2TPU_EXT_LANE", "")
+        self._lane_fixed = lane_env != ""
+        self._alpha = float(lane_env) if lane_env \
+            else (0.15 if self.device_flow else 0.0)
+        self._opt_dev = None
+        self._dev_align_exec = None
+        self._lane_lock = threading.Lock()
 
     def map_stream(self, batches, rg_id: str = ""):
         """Map a stream of read batches through a 2-deep threaded pipeline
@@ -131,8 +149,18 @@ class DeviceRuntime:
         fast_ok = map_unit_ok(opt, mi) and not self.device_seeds \
             and flow is None
         fast_qlen_max = self.native_chain_max * 5
-        def _fast_eligible(frag):
-            return (fast_ok and len(frag.segs) <= 2
+        # hybrid extension lane: route fraction alpha of fragments through
+        # the staged pipeline with DEVICE extension waves, concurrent with
+        # the host lane (the reference's "device-resident extend" analog;
+        # the controller below rebalances so both lanes finish together)
+        lane_exec = self._get_ext_lane()
+        a = self._alpha if lane_exec else 0.0
+        lane_fids = {i for i in range(len(frags))
+                     if int((i + 1) * a) > int(i * a)}
+
+        def _fast_eligible(fi, frag):
+            return (fast_ok and fi not in lane_fids
+                    and len(frag.segs) <= 2
                     and sum(len(s.seq) for s in frag.segs) <= fast_qlen_max)
 
         def _fast_one(frag):
@@ -145,18 +173,20 @@ class DeviceRuntime:
             # kt_for over fragments (kthread.c:125): the native one-call
             # driver releases the GIL, so -t workers scale across cores
             with self.timers.time("seed"):
-                eligible = [f for f in frags if _fast_eligible(f)]
+                eligible = [f for i, f in enumerate(frags)
+                            if _fast_eligible(i, f)]
                 got = list(self._pool.map(_fast_one, eligible))
                 it = iter(got)
-                pre_fast = [next(it) if _fast_eligible(f) else None
-                            for f in frags]
+                pre_fast = [next(it) if _fast_eligible(i, f) else None
+                            for i, f in enumerate(frags)]
 
         frag_meta = []
         units = []
+        lane_units: set = set()
         fast_lines: list = []
         with self.timers.time("seed"):
             for fi, frag in enumerate(frags):
-                if _fast_eligible(frag):
+                if _fast_eligible(fi, frag):
                     lines_f = pre_fast[fi] if self._pool is not None \
                         else _fast_one(frag)
                     if lines_f is not None:
@@ -170,6 +200,8 @@ class DeviceRuntime:
                 for u in us:
                     units.append((u, seed_unit(mi, opt, u,
                                                collect_hits=False)))
+                if fi in lane_fids:
+                    lane_units.update(range(start, len(units)))
                 frag_meta.append((frag.segs, work, flipped,
                                   slice(start, len(units))))
 
@@ -185,9 +217,39 @@ class DeviceRuntime:
         chains = self._chain_batch(units, flow_chains)
 
         with self.timers.time("align"):
-            gens = [finish_unit_gen(mi, opt, info, ch)
-                    for (u, info), ch in zip(units, chains)]
-            regss_per_unit = run_scheduler(gens, self._align_exec)
+            use_lane = lane_exec is not None and lane_units
+            gens = [finish_unit_gen(
+                        mi, self._opt_dev if use_lane and k in lane_units
+                        else opt, info, ch)
+                    for k, ((u, info), ch) in enumerate(zip(units, chains))]
+            if use_lane:
+                import time as _time
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+                d_idx = sorted(lane_units)
+                h_idx = [k for k in range(len(gens)) if k not in lane_units]
+                regss_per_unit = [None] * len(gens)
+                t0 = _time.perf_counter()
+                with _TPE(max_workers=1) as _ex:
+                    fut = _ex.submit(run_scheduler,
+                                     [gens[k] for k in d_idx], lane_exec)
+                    th0 = _time.perf_counter()
+                    h_out = run_scheduler([gens[k] for k in h_idx],
+                                          self._align_exec)
+                    t_host = _time.perf_counter() - th0
+                    d_out = fut.result()
+                t_dev = _time.perf_counter() - t0
+                for k, v in zip(d_idx, d_out):
+                    regss_per_unit[k] = v
+                for k, v in zip(h_idx, h_out):
+                    regss_per_unit[k] = v
+                self.timers.count("ext_lane_reads", len(d_idx))
+                if not self._lane_fixed and h_idx and d_idx:
+                    # rebalance toward both lanes finishing together
+                    r = max(t_dev, 1e-6) / max(t_host, 1e-6)
+                    self._alpha = min(0.75, max(
+                        0.02, self._alpha * min(1.4, max(0.6, r ** -0.5))))
+            else:
+                regss_per_unit = run_scheduler(gens, self._align_exec)
 
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):
@@ -201,6 +263,33 @@ class DeviceRuntime:
                 lines.append(format_frag(mi, opt, segs, work, flipped,
                                          regss, rg_id))
         return lines
+
+    def _get_ext_lane(self):
+        """Lazily build the device-extension lane executor: a shallow opt
+        copy with the native one-call skeleton disabled (so the staged
+        wave pipeline runs and yields extension jobs) and an executor that
+        routes every extd2 job to the Pallas kernel."""
+        if self._alpha <= 0:
+            return None
+        if self._interpret and not self._lane_fixed:
+            return None   # CPU tests: only when explicitly forced
+        from ..utils.device_guard import device_bad
+        if device_bad():
+            return None
+        if self._dev_align_exec is None:
+            with self._lane_lock:
+                if self._dev_align_exec is None:
+                    import copy
+                    from .batch_align import DeviceAlignExecutor
+                    opt_dev = copy.copy(self.opt)
+                    ex = DeviceAlignExecutor(opt_dev,
+                                             interpret=self._interpret)
+                    ex.native_max = 0      # all extd2 jobs -> device
+                    self._opt_dev = opt_dev
+                    self._dev_align_exec = ex
+        if not self._dev_align_exec.enabled:
+            return None
+        return self._dev_align_exec
 
     def _calibrate(self):
         """Startup micro-probe (<1 s): measure device D2H bandwidth and pick
