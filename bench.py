@@ -93,12 +93,45 @@ def host_native_fallback():
     }
 
 
+def _e2e_fields():
+    """BASELINE.md scaling row: same-session end-to-end reads/s at 1 chip /
+    1 host (200 x 10 kb map-ont SAM) for the host fast path, the calibrated
+    --device tpu route, and the reference binary — each bounded so a hang
+    can never block the JSON line. In-process (--profile) timing excludes
+    interpreter startup, like the PERF.md tables."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    fields = {}
+
+    def one(tag, args, pat, tmo):
+        try:
+            out = subprocess.run(
+                [sys.executable, bench, "--reads", "200", "--len", "10000",
+                 *args], capture_output=True, text=True, timeout=tmo,
+                cwd=root)
+            for line in out.stdout.splitlines():
+                if pat in line:
+                    fields[tag] = float(line.split(pat)[1].split()[0])
+                    return
+        except Exception:
+            pass
+        fields[tag] = None
+
+    one("e2e_reads_per_s_host", ["--device", "host", "--profile"],
+        "profiled:", 300)
+    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--profile"],
+        "profiled:", 420)
+    one("e2e_reads_per_s_reference_binary", ["--ref"], "reference:", 300)
+    return fields
+
+
 def main():
     """Driver entry: run the device measurement in a child process with a
     timeout (the tunnel-attached TPU can stall indefinitely), retry, and
     fall back to the native host path so ONE JSON line always prints."""
     attempts = int(os.environ.get("MM2TPU_BENCH_ATTEMPTS", "3"))
     per_try_s = float(os.environ.get("MM2TPU_BENCH_TIMEOUT_S", "600"))
+    rec = None
     for k in range(attempts):
         try:
             out = subprocess.run(
@@ -106,17 +139,22 @@ def main():
                 capture_output=True, text=True, timeout=per_try_s)
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
-                    print(line)
-                    return
+                    rec = json.loads(line)
+                    break
         except subprocess.TimeoutExpired:
             pass
+        if rec is not None:
+            break
         if k + 1 < attempts:
             time.sleep(60)
-    rec = host_native_fallback()
+    if rec is None:
+        rec = host_native_fallback()
     if rec is None:
         rec = {"metric": "chaindp_anchors_per_s", "value": 0,
                "unit": "anchors/s", "vs_baseline": None,
                "device": "unreachable"}
+    if os.environ.get("MM2TPU_BENCH_E2E", "1") == "1":
+        rec.update(_e2e_fields())
     print(json.dumps(rec))
 
 
