@@ -16,12 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# 4096 reads per dispatch: the kernel's per-call cost on this
+# 8192 reads per dispatch: the kernel's per-call cost on this
 # tunnel-attached device includes a ~24 ms host<->device round trip that a
 # co-located host would not pay; a larger batch amortizes it so the metric
 # tracks the chip, not the link (measured: 1024-read calls ~37 ms, 4096-read
-# calls ~76 ms => ~80M anchors/s on-chip + ~24 ms fixed per dispatch)
-N_READS = 4096
+# ~76 ms, 8192-read ~123 ms => ~80M anchors/s on-chip + ~24 ms fixed)
+N_READS = 8192
 ANCHORS_PER_READ = 1024
 MAX_DIST = 5000
 BW = 500
