@@ -40,11 +40,18 @@ def run_batch(anchor_list, mo, gq=None, gr=None, is_cdna=False,
     max_n = max(len(a) for a in anchor_list)
     max_n = (max_n + 127) // 128 * 128
     packed, nn, w1, exc, host_flag = CP.pack_reads(reads, max_n, gr)
-    f, p, flag = CP.chain_scores_batch(
-        packed["xhi"], packed["rpos"], packed["qpos"], packed["span"],
-        packed["sid"], packed["stw"], nn, w1, exc, max_n=max_n, max_dist_x=gr,
-        max_dist_y=gq, bw=mo.bw, max_skip=mo.max_chain_skip,
-        is_cdna=is_cdna, many_segs=many_segs, interpret=True)
+    args = (packed["xhi"], packed["rpos"], packed["qpos"], packed["span"],
+            packed["sid"], packed["stw"], nn, w1, exc)
+    kw = dict(max_n=max_n, max_dist_x=gr, max_dist_y=gq, bw=mo.bw,
+              max_skip=mo.max_chain_skip, is_cdna=is_cdna,
+              many_segs=many_segs, interpret=True)
+    f, p, flag = CP.chain_scores_batch(*args, **kw)
+    # the packed single-reduction epilogue (+ pair-unrolled scan on the
+    # single-seg path) must agree bit for bit with the classic variant
+    f2, p2, flag2 = CP.chain_scores_batch(*args, score_bound=20000, **kw)
+    assert np.array_equal(np.asarray(f), np.asarray(f2))
+    assert np.array_equal(np.asarray(p), np.asarray(p2))
+    assert np.array_equal(np.asarray(flag), np.asarray(flag2))
     return np.asarray(f), np.asarray(p), np.asarray(flag)
 
 
