@@ -340,8 +340,14 @@ class DeviceRuntime:
                     if self.mesh_shape is not None:
                         from jax.sharding import Mesh
                         nd, ni = self.mesh_shape
-                        devs = np.asarray(
-                            self._jax.devices()[:nd * ni]).reshape(nd, ni)
+                        avail = self._jax.devices()
+                        if len(avail) < nd * ni:
+                            raise SystemExit(
+                                f"--mesh {nd}x{ni} needs {nd * ni} devices; "
+                                f"found {len(avail)} on platform "
+                                f"'{avail[0].platform}' (for a virtual CPU "
+                                f"mesh run with JAX_PLATFORMS=cpu)")
+                        devs = np.asarray(avail[:nd * ni]).reshape(nd, ni)
                         mesh = Mesh(devs, ("data", "index"))
                     self._flow = DeviceFlow(self.mi, self.opt,
                                             interpret=self._interpret,

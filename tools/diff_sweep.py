@@ -129,13 +129,18 @@ def write_fa(path, reads, lcr_every=0):
             f.write(f">{n}\n{s}\n")
 
 
-def run_case(label, args, ref_bin=REF_BIN, device="host"):
+def run_case(label, args, ref_bin=REF_BIN, device="host", extra=()):
     env = dict(os.environ)
-    if device != "host":
+    if "--mesh" in extra:
+        # the virtual mesh needs the CPU platform regardless of what the
+        # caller's environment selects (the CLI provisions the devices)
+        env["JAX_PLATFORMS"] = "cpu"
+    elif device != "host":
         env.pop("JAX_PLATFORMS", None)  # module default pins cpu for host runs
     ours = subprocess.run(
         [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--device",
-         device, *args], capture_output=True, text=True, cwd=ROOT, env=env)
+         device, *extra, *args], capture_output=True, text=True, cwd=ROOT,
+        env=env)
     ref = subprocess.run([ref_bin, "-t", "12", *args],
                          capture_output=True, text=True)
     strip = lambda t: [l for l in t.split("\n") if not l.startswith("@PG")]
@@ -202,6 +207,11 @@ def main():
                              f"{d}/cdna.fa"]),
         ("asm5 -Y", ["-ax", "asm5", "-Y", REF_FA, f"{d}/pb.fa"]),
     ]
+    # multi-chip mesh mapping on the virtual CPU mesh (sharded index +
+    # capacity-bounded seed routing) vs the reference binary
+    cases.append(("map-ont SAM (4x2 mesh)",
+                  ["-a", REF_FA, f"{d}/ont.fa"], REF_BIN, "tpu",
+                  ("--mesh", "4x2")))
     if ns.tpu:
         cases.append(("map-ont SAM (TPU device runtime)",
                       ["-a", REF_FA, f"{d}/ont.fa"], REF_BIN, "tpu"))
