@@ -97,8 +97,10 @@ def _e2e_fields():
     """BASELINE.md scaling row: same-session end-to-end reads/s at 1 chip /
     1 host (200 x 10 kb map-ont SAM) for the host fast path, the calibrated
     --device tpu route, and the reference binary — each bounded so a hang
-    can never block the JSON line. In-process (--profile) timing excludes
-    interpreter startup, like the PERF.md tables."""
+    can never block the JSON line. In-process steady-state timing (one
+    warmup run paying index build / XLA compiles / link calibration, then
+    two timed repeats, best taken) like the PERF.md tables — symmetric
+    across devices."""
     root = os.path.dirname(os.path.abspath(__file__))
     bench = os.path.join(root, "tools", "e2e_bench.py")
     fields = {}
@@ -117,10 +119,10 @@ def _e2e_fields():
             pass
         fields[tag] = None
 
-    one("e2e_reads_per_s_host", ["--device", "host", "--profile"],
-        "profiled:", 300)
-    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--profile"],
-        "profiled:", 420)
+    one("e2e_reads_per_s_host", ["--device", "host", "--steady", "2"],
+        "steady:", 300)
+    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--steady", "2"],
+        "steady:", 540)
     one("e2e_reads_per_s_reference_binary", ["--ref"], "reference:", 300)
     return fields
 

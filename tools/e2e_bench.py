@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--ref", action="store_true", help="reference binary only")
     ap.add_argument("--both", action="store_true")
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--steady", type=int, default=0, metavar="N",
+                    help="in-process steady-state timing: 1 warmup + N "
+                         "timed repeats, best reported")
     ap.add_argument("--batch", type=int, default=400)
     ap.add_argument("--repeat", type=int, default=2,
                     help="timed repeats (first run includes warmup)")
@@ -91,6 +94,31 @@ def main():
     env_cmd = [sys.executable, "-m", "minimap2_chaindp_tpu.cli",
                "-ax", "map-ont", "-K", str(args.batch * args.read_len),
                "--device", args.device, REF_FA, qpath]
+
+    if args.steady:
+        # steady-state in-process timing: one warmup run (pays index build,
+        # native-lib load, XLA compiles, device-link calibration) then
+        # `--steady` timed repeats, best taken — the PERF.md methodology,
+        # symmetric across --device host/tpu.
+        sys.argv = ["mm2tpu", "-ax", "map-ont",
+                    "-K", str(args.batch * args.read_len),
+                    "--device", args.device, REF_FA, qpath]
+        from minimap2_chaindp_tpu import cli
+        best = None
+        for it in range(args.steady + 1):
+            with open("/tmp/e2e_bench.sam", "w") as out:
+                old = sys.stdout
+                sys.stdout = out
+                t0 = time.perf_counter()
+                cli.main()
+                dt = time.perf_counter() - t0
+                sys.stdout = old
+            if it > 0:  # run 0 is warmup
+                best = dt if best is None else min(best, dt)
+            print(f"run{it}: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)",
+                  file=sys.stderr)
+        print(f"steady: {args.reads / best:8.1f} reads/s  ({best:.2f}s)")
+        return
 
     if args.profile:
         import cProfile
