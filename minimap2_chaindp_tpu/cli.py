@@ -8,6 +8,7 @@ option loop) so reference users can switch without changing invocations:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -578,5 +579,26 @@ def _main(argv=None) -> int:
     return 0
 
 
+def _exit(code: int):
+    """Exit that tolerates a wedged device link.
+
+    If the device-owner thread is stuck inside a stalled jax/PJRT call
+    (utils/device_guard marked the device bad and mapping finished on the
+    host path), normal interpreter teardown unwinds the wedged C++ frame
+    and glibc aborts ("FATAL: exception not rethrown", SIGABRT) AFTER all
+    output was written.  Flush and hard-exit instead — same observable
+    behavior, correct exit status."""
+    from .utils import device_guard
+    if device_guard.device_bad():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)
+    sys.exit(code)
+
+
+def console_main():  # console_scripts entry point
+    _exit(main())
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    console_main()
