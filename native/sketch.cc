@@ -1,10 +1,35 @@
 // Native (w,k)-minimizer sketch — host hot path of the seed stage.
 //
-// Exact semantics of the reference's mm_sketch (sketch.c:77-143), matching
-// the Python golden model in index/sketch.py byte for byte: canonical strand
-// via min(fwd, rev) k-mer with symmetric k-mers skipped, homopolymer
-// compression via a run-length queue, all-ties emission position-sorted,
-// x = hash64(kmer)<<8|span, y = rid<<32|pos<<1|strand.
+// Produces exactly the minimizer set/order of the reference's mm_sketch
+// (sketch.c:77-143) and of the Python golden model (index/sketch.py), which
+// this file is fuzz-validated against bit for bit (tests/test_native_sketch.py,
+// plus the compiled-oracle fuzz in tests/test_hit_oracle_fuzz.py). Encoding:
+// x = hash64(canonical kmer)<<8 | kmer_span, y = rid<<32 | last_pos<<1 | strand.
+//
+// Structure is two cooperating pieces rather than one automaton loop:
+//
+//   KmerSlotStream  — turns raw nt4 bases into "window slots": one slot per
+//                     strand-resolvable k-mer position (symmetric k-mers are
+//                     consumed without producing a slot; ambiguous bases
+//                     produce an invalid slot and reset the streak).  Handles
+//                     homopolymer compression with a fixed ring of the last
+//                     k run lengths, and marks slots invalid when the
+//                     compressed span no longer fits the 8-bit x field.
+//
+//   MinimizerWindow — a w-slot ring tracking the current minimum, emitting
+//                     on three events: the first full window after a reset
+//                     (flush every tie of the minimum except the tracked
+//                     slot itself), displacement by a new <=-minimum (emit
+//                     the outgoing minimum, but only once a full window has
+//                     moved past it), and the minimum's slot aging out of
+//                     the ring (emit it, rescan for the newest minimal slot,
+//                     flush that one's ties).  These event rules — including
+//                     the quirk that a minimum displaced by an equal key AT
+//                     the first-full-window boundary is dropped silently —
+//                     are the emission semantics every consumer (seed
+//                     collection, index build, est_err mini_pos) depends on,
+//                     so they are matched exactly; output stays
+//                     position-sorted.
 //
 // Batched handle API (C ABI, loaded via ctypes): one call sketches every
 // sequence in a read batch, a second call copies the packed results out and
@@ -12,120 +37,173 @@
 // results live in std::vector inside the handle instead of a caller guess.
 #include <cstdint>
 #include <cstring>
-#include <deque>
 #include <vector>
 #include <algorithm>
 #include <utility>
 
 namespace {
 
-struct Mini { uint64_t x, y; };
+constexpr uint64_t NONE = ~0ULL;
+
+struct Slot {
+    uint64_t key;      // x: hash<<8|span; NONE when not emittable
+    uint64_t pos;      // y: rid<<32|pos<<1|strand
+    int64_t streak;    // slots since the last ambiguity reset (this one incl.)
+};
+
+static inline uint64_t hash64(uint64_t v, uint64_t mask)
+{
+    v = (~v + (v << 21)) & mask;
+    v ^= v >> 24;
+    v = (v + (v << 3) + (v << 8)) & mask;
+    v ^= v >> 14;
+    v = (v + (v << 2) + (v << 4)) & mask;
+    v ^= v >> 28;
+    v = (v + (v << 31)) & mask;
+    return v;
+}
+
+// nt4 bases -> window slots.  One next() call consumes bases until it can
+// produce a slot (an ambiguous base, or a k-mer whose two strands differ);
+// homopolymer runs collapse to their final base in HPC mode, the compressed
+// span tracked as a rolling sum of the last k run lengths.
+struct KmerSlotStream {
+    const uint8_t* nt4;
+    int64_t len, at = 0;
+    int k;
+    bool hpc;
+    uint32_t rid;
+    uint64_t mask, fwd = 0, rev = 0;
+    int rev_shift;
+    int64_t streak = 0, span = 0;
+    std::vector<int32_t> runs;     // ring of the last <=k homopolymer runs
+    int run_head = 0, run_cnt = 0;
+
+    KmerSlotStream(const uint8_t* s, int64_t n, int k_, bool hpc_, uint32_t rid_)
+        : nt4(s), len(n), k(k_), hpc(hpc_), rid(rid_),
+          mask(k_ < 32 ? (1ULL << (2 * k_)) - 1 : NONE),
+          rev_shift(2 * (k_ - 1)), runs(hpc_ ? (size_t)k_ : 0) {}
+
+    void push_run(int64_t rl) {
+        span += rl;
+        if (run_cnt == k) {            // ring full: oldest run leaves the k-mer
+            span -= runs[run_head];
+            if (++run_head == k) run_head = 0;
+        } else {
+            ++run_cnt;
+        }
+        int tail = run_head + run_cnt - 1;
+        if (tail >= k) tail -= k;
+        runs[tail] = (int32_t)rl;
+    }
+
+    bool next(Slot& s) {
+        while (at < len) {
+            const int c = nt4[at];
+            if (c >= 4) {                      // ambiguity: reset everything
+                ++at;
+                streak = span = 0;
+                run_head = run_cnt = 0;
+                s = Slot{NONE, NONE, 0};
+                return true;
+            }
+            if (hpc) {
+                int64_t rl = 1;
+                while (at + rl < len && nt4[at + rl] == c) ++rl;
+                at += rl;                      // slot sits on the run's last base
+                push_run(rl);
+            } else {
+                ++at;
+                span = streak + 1 < k ? streak + 1 : k;
+            }
+            fwd = ((fwd << 2) | (uint64_t)c) & mask;
+            rev = (rev >> 2) | ((uint64_t)(3 ^ c) << rev_shift);
+            if (fwd == rev) continue;          // strand-ambiguous: no slot
+            ++streak;
+            s = Slot{NONE, NONE, streak};
+            if (streak >= k && span < 256) {
+                const bool flip = fwd >= rev;
+                s.key = hash64(flip ? rev : fwd, mask) << 8 | (uint64_t)span;
+                s.pos = ((uint64_t)rid << 32) | ((uint64_t)(at - 1) << 1)
+                        | (uint64_t)flip;
+            }
+            return true;
+        }
+        return false;
+    }
+};
+
+// w-slot ring with tracked minimum and the three emission events.
+// full_streak = w + k - 1: the streak at which a window first covers w slots.
+struct MinimizerWindow {
+    int w;
+    int64_t full_streak;
+    std::vector<Slot> ring;
+    Slot low{NONE, NONE, 0};       // tracked minimum of the ring
+    int low_at = 0, head = 0;      // ring indices of `low` / the next write
+    std::vector<Slot>& out;
+
+    MinimizerWindow(int w_, int k_, std::vector<Slot>& out_)
+        : w(w_), full_streak((int64_t)w_ + k_ - 1),
+          ring((size_t)w_, Slot{NONE, NONE, 0}), out(out_) {}
+
+    // emit every duplicate of `low` except the tracked slot itself, oldest
+    // ring position first (positions after `head` predate positions before
+    // it); the just-written head slot joins the scan only when with_head.
+    void flush_ties(bool with_head) {
+        for (int j = head + 1; j < w; ++j)
+            if (ring[j].key == low.key && ring[j].pos != low.pos)
+                out.push_back(ring[j]);
+        for (int j = 0; j < head + (with_head ? 1 : 0); ++j)
+            if (ring[j].key == low.key && ring[j].pos != low.pos)
+                out.push_back(ring[j]);
+    }
+
+    void push(const Slot& s) {
+        ring[head] = s;
+        // event: first full window since the last reset — ties flush now;
+        // the tracked minimum itself is emitted later (on displacement,
+        // age-out, or at end of sequence)
+        if (s.streak == full_streak && low.key != NONE)
+            flush_ties(false);
+        if (s.key <= low.key) {
+            // event: displaced by a new <= minimum.  Emit the outgoing one
+            // only if a full window has already moved PAST it (streak >
+            // full_streak) — displacement at the boundary drops it.
+            if (s.streak > full_streak && low.key != NONE)
+                out.push_back(low);
+            low = s;
+            low_at = head;
+        } else if (low_at == head) {
+            // event: the minimum's slot just aged out of the ring
+            const bool windowed = s.streak >= full_streak;
+            if (windowed && low.key != NONE) out.push_back(low);
+            low = Slot{NONE, NONE, 0};
+            for (int j = head + 1; j < w; ++j)     // newest duplicate wins:
+                if (ring[j].key <= low.key) { low = ring[j]; low_at = j; }
+            for (int j = 0; j <= head; ++j)        // <= scans oldest->newest
+                if (ring[j].key <= low.key) { low = ring[j]; low_at = j; }
+            if (windowed && low.key != NONE) flush_ties(true);
+        }
+        if (++head == w) head = 0;
+    }
+
+    void finish() { if (low.key != NONE) out.push_back(low); }
+};
 
 struct SketchOut {
-    std::vector<Mini> rows;
+    std::vector<Slot> rows;        // streak field unused on output
     std::vector<int64_t> counts;
 };
 
-static inline uint64_t hash64(uint64_t key, uint64_t mask)
-{
-    key = (~key + (key << 21)) & mask;
-    key = key ^ (key >> 24);
-    key = ((key + (key << 3)) + (key << 8)) & mask;
-    key = key ^ (key >> 14);
-    key = ((key + (key << 2)) + (key << 4)) & mask;
-    key = key ^ (key >> 28);
-    key = (key + (key << 31)) & mask;
-    return key;
-}
-
-static const uint64_t U64MAX = ~0ULL;
-
-// one sequence; nt4: 0..3 bases, >=4 ambiguous. Appends to out.
 static void sketch1(const uint8_t* nt4, int64_t len, int w, int k,
-                    uint32_t rid, bool is_hpc, std::vector<Mini>& out)
+                    uint32_t rid, bool is_hpc, std::vector<Slot>& out)
 {
-    const int shift1 = 2 * (k - 1);
-    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : U64MAX;
-    uint64_t kmer0 = 0, kmer1 = 0;
-    int64_t kmer_span = 0;
-    std::deque<int32_t> tq;          // homopolymer run lengths
-    std::vector<Mini> buf(w, Mini{U64MAX, U64MAX});
-    Mini minv{U64MAX, U64MAX};
-    int min_pos = 0;
-    int64_t i = 0, l = 0;
-    int buf_pos = 0;
-
-    for (i = 0; i < len; ++i) {
-        int c = nt4[i];
-        Mini info{U64MAX, U64MAX};
-        if (c < 4) {
-            if (is_hpc) {
-                int64_t skip_len = 1;
-                if (i + 1 < len && nt4[i + 1] == c) {
-                    skip_len = 2;
-                    while (i + skip_len < len && nt4[i + skip_len] == c)
-                        ++skip_len;
-                    i += skip_len - 1;   // land on run end
-                }
-                tq.push_back((int32_t)skip_len);
-                kmer_span += skip_len;
-                if ((int)tq.size() > k) {
-                    kmer_span -= tq.front();
-                    tq.pop_front();
-                }
-            } else {
-                kmer_span = l + 1 < k ? l + 1 : k;
-            }
-            kmer0 = ((kmer0 << 2) | (uint64_t)c) & mask;
-            kmer1 = (kmer1 >> 2) | ((uint64_t)(3 ^ c) << shift1);
-            if (kmer0 == kmer1) continue;   // symmetric: strand unknown
-            int z = kmer0 < kmer1 ? 0 : 1;
-            ++l;
-            if (l >= k && kmer_span < 256) {
-                info.x = hash64(z ? kmer1 : kmer0, mask) << 8
-                         | (uint64_t)kmer_span;
-                info.y = ((uint64_t)rid << 32) | ((uint64_t)i << 1)
-                         | (uint64_t)z;
-            }
-        } else {
-            l = 0;
-            tq.clear();
-            kmer_span = 0;
-        }
-        buf[buf_pos] = info;
-        if (l == w + k - 1 && minv.x != U64MAX) {
-            // first full window: emit ties, oldest first
-            for (int j = buf_pos + 1; j < w; ++j)
-                if (minv.x == buf[j].x && buf[j].y != minv.y)
-                    out.push_back(buf[j]);
-            for (int j = 0; j < buf_pos; ++j)
-                if (minv.x == buf[j].x && buf[j].y != minv.y)
-                    out.push_back(buf[j]);
-        }
-        if (info.x <= minv.x) {
-            if (l >= w + k && minv.x != U64MAX) out.push_back(minv);
-            minv = info;
-            min_pos = buf_pos;
-        } else if (buf_pos == min_pos) {
-            if (l >= w + k - 1 && minv.x != U64MAX) out.push_back(minv);
-            minv = Mini{U64MAX, U64MAX};
-            // >= keeps the newest equal k-mer as the new min
-            for (int j = buf_pos + 1; j < w; ++j)
-                if (minv.x >= buf[j].x) { minv = buf[j]; min_pos = j; }
-            for (int j = 0; j <= buf_pos; ++j)
-                if (minv.x >= buf[j].x) { minv = buf[j]; min_pos = j; }
-            if (l >= w + k - 1 && minv.x != U64MAX) {
-                for (int j = buf_pos + 1; j < w; ++j)
-                    if (minv.x == buf[j].x && minv.y != buf[j].y)
-                        out.push_back(buf[j]);
-                for (int j = 0; j <= buf_pos; ++j)
-                    if (minv.x == buf[j].x && minv.y != buf[j].y)
-                        out.push_back(buf[j]);
-            }
-        }
-        if (++buf_pos == w) buf_pos = 0;
-    }
-    if (minv.x != U64MAX) out.push_back(minv);
+    KmerSlotStream stream(nt4, len, k, is_hpc, rid);
+    MinimizerWindow win(w, k, out);
+    Slot s;
+    while (stream.next(s)) win.push(s);
+    win.finish();
 }
 
 }  // namespace
@@ -158,8 +236,11 @@ void* mm2tpu_sketch_batch(const uint8_t* nt4, const int64_t* offs,
 void mm2tpu_sketch_take(void* handle, uint64_t* out)
 {
     auto* h = (SketchOut*)handle;
-    if (!h->rows.empty())
-        std::memcpy(out, h->rows.data(), h->rows.size() * sizeof(Mini));
+    uint64_t* o = out;
+    for (const Slot& r : h->rows) {
+        *o++ = r.key;
+        *o++ = r.pos;
+    }
     delete h;
 }
 

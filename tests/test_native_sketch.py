@@ -49,3 +49,36 @@ def test_native_sketch_batch_offsets():
     for s, nt4, rid, g in zip(seqs, nt4s, rids, got):
         ref = _sketch_py(nt4, len(s), 10, 15, rid, False)
         assert np.array_equal(ref, g)
+
+def test_native_sketch_extreme_params():
+    """Boundary w/k, tie-storm alphabets, N-heavy input and long homopolymer
+    runs (span >= 256 with big k under HPC) — the emission-event edge cases
+    of the slot-stream/window decomposition in native/sketch.cc."""
+    rng = np.random.default_rng(123)
+    if sketch_batch_native([_nt4("ACGTACGTACGTACGTACGT")],
+                           5, 4, [0], False) is None:
+        pytest.skip("native toolchain unavailable")
+    for trial in range(60):
+        n = int(rng.integers(5, 3000))
+        mode = trial % 5
+        if mode == 0:
+            seq = rng.choice(list("ACGTN"), size=n, p=[.24, .24, .24, .24, .04])
+        elif mode == 1:
+            seq = rng.choice(list("AC"), size=n)      # tie storms
+        elif mode == 2:
+            seq = rng.choice(list("AT"), size=n)      # symmetric-kmer rich
+        elif mode == 3:
+            seq = rng.choice(list("ACGT"), size=n)
+            for _ in range(6):
+                p = int(rng.integers(0, max(1, n - 40)))
+                seq[p:p + int(rng.integers(5, 40))] = seq[p]
+        else:
+            seq = rng.choice(list("ACGTN"), size=n, p=[.2, .2, .2, .2, .2])
+        nt4 = _nt4("".join(seq))
+        for hpc in (False, True):
+            w = int(rng.choice([1, 2, 3, 5, 10, 19, 50, 128, 255]))
+            k = int(rng.choice([1, 2, 3, 4, 7, 15, 19, 28]))
+            ref = _sketch_py(nt4, n, w, k, 7, hpc)
+            got = sketch_batch_native([nt4], w, k, [7], hpc)[0]
+            assert ref.shape == got.shape and np.array_equal(ref, got), \
+                (trial, w, k, hpc)
