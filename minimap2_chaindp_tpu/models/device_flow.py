@@ -84,11 +84,34 @@ def derive_queries(qhi, qlo, qspan8, nmv):
     return qvalid, qspan, qtnd, qseg
 
 
+def derive_queries_pos(qposidx):
+    """Tandem marking for the H2D-slim flow: adjacent minimizers share a key
+    iff they share a CSR position (both present; -1 marks absent/pad slots,
+    which produce no anchors so their own flags are never read)."""
+    import jax.numpy as jnp
+    Rq, M = qposidx.shape
+    same_r = (qposidx[:, 1:] >= 0) & (qposidx[:, 1:] == qposidx[:, :-1])
+    z1 = jnp.zeros((Rq, 1), bool)
+    qtnd = (jnp.concatenate([same_r, z1], axis=1)
+            | jnp.concatenate([z1, same_r], axis=1)).astype(jnp.int32)
+    qseg = jnp.zeros((Rq, M), jnp.int32)
+    return qtnd, qseg
+
+
 def flow_tail(xhi, xlo, yhi, ylo, total, nn, w1, exc, *, cap, max_dist_x,
-              max_dist_y, bw, max_skip, use_exc, score_bound, interpret):
+              max_dist_y, bw, max_skip, use_exc, score_bound, interpret,
+              ship_anchors=True):
     """Post-collect device stages (traced helper shared with the mesh
     step): pad masking, fused window starts, the chaining kernel, and the
-    D2H dtype slimming."""
+    D2H dtype slimming.
+
+    ship_anchors=False drops the anchor arrays from the output — the host
+    re-derives them from its own CSR copy (the same native collect the
+    staged path uses; device order is asserted identical), so the reply
+    shrinks to f/p/flag: 4 bytes per anchor instead of 18. On the measured
+    tunnel link bytes are seconds, and host re-collection (~6% of per-read
+    cost) is far cheaper than shipping 14 extra bytes/anchor below
+    ~100 MB/s D2H; a co-located deployment can flip it back on."""
     import jax.numpy as jnp
     R = xhi.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -130,28 +153,33 @@ def flow_tail(xhi, xlo, yhi, ylo, total, nn, w1, exc, *, cap, max_dist_x,
         f = f.astype(jnp.int16)
         p = p.astype(jnp.int16)
         yhi = yhi.astype(jnp.int16)
+    if not ship_anchors:
+        return f, p, flag[:, 0:1]
     return xhi, xlo, yhi, ylo, f, p, flag[:, 0:1]
 
 
 def _jit_flow(interpret: bool):
     import jax
-    from ..ops.seeds_device import _collect_dev
+    import jax.numpy as jnp
+    from ..ops.seeds_device import _collect_dev_pos
 
     @functools.partial(
         jax.jit, static_argnames=("cap", "max_dist_x", "max_dist_y", "bw",
-                                  "max_skip", "use_exc", "score_bound"))
-    def flow(khi, klo, starts, vhi, vlo, qhi, qlo, qpos, qspan8, nmv,
+                                  "max_skip", "use_exc", "score_bound",
+                                  "ship_anchors"))
+    def flow(starts, vhi, vlo, qposidx, qpos, qspan8,
              max_occ, qls, nn, w1, exc, *, cap, max_dist_x,
-             max_dist_y, bw, max_skip, use_exc, score_bound):
-        qvalid, qspan, qtnd, qseg = derive_queries(qhi, qlo, qspan8, nmv)
-        xhi, xlo, yhi, ylo, total, _cnt, _over = _collect_dev(
-            khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
+             max_dist_y, bw, max_skip, use_exc, score_bound,
+             ship_anchors):
+        qtnd, qseg = derive_queries_pos(qposidx)
+        xhi, xlo, yhi, ylo, total, _cnt, _over = _collect_dev_pos(
+            starts, vhi, vlo, qposidx, qpos, qspan8.astype(jnp.int32),
             qseg, qtnd, max_occ, qls, cap=cap)
         return flow_tail(
             xhi, xlo, yhi, ylo, total, nn, w1, exc, cap=cap,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             max_skip=max_skip, use_exc=use_exc, score_bound=score_bound,
-            interpret=interpret)
+            interpret=interpret, ship_anchors=ship_anchors)
 
     return flow
 
@@ -166,10 +194,20 @@ class DeviceFlow:
     are data-parallel, and outputs stay byte-identical to single-chip."""
 
     def __init__(self, mi, opt, interpret: bool = False, mesh=None):
+        import os
         self.mi = mi
         self.opt = opt
         self.interpret = interpret
         self.mesh = mesh
+        # D2H slimming: by default the host re-derives anchors from its own
+        # CSR (see flow_tail) and the reply carries only f/p/flag.
+        # MM2TPU_FLOW_SHIP_ANCHORS=1 ships them instead (co-located links).
+        # The mesh step always ships: its capacity-routed hit order can
+        # differ from host expansion order at cross-shard x-ties, so the
+        # device's own anchors are the ones f/p index into — and a real
+        # multi-chip deployment is co-located, not tunnel-bound.
+        self.ship_anchors = mesh is not None or os.environ.get(
+            "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
         if mesh is None:
             from ..ops.seeds_device import DeviceIndex
             self.dx = DeviceIndex(mi)
@@ -197,7 +235,7 @@ class DeviceFlow:
                 self.mesh, cap=cap, max_dist_x=gr, max_dist_y=gq,
                 bw=self.opt.bw, max_skip=self.opt.max_chain_skip,
                 use_exc=use_exc, score_bound=score_bound,
-                interpret=self.interpret)
+                interpret=self.interpret, ship_anchors=self.ship_anchors)
             self._steps[key] = fn
         return fn
 
@@ -236,7 +274,7 @@ class DeviceFlow:
             n, span_sum, over, pos, occ = host_seed_stats(mi, info.mv,
                                                           opt.mid_occ)
             cb = next((c for c in CAP_BUCKETS if n <= c), None)
-            stats[k] = (n, span_sum, over)
+            stats[k] = (n, span_sum, over, pos, occ)
             if n == 0:
                 # assemble the empty SeedHits host-side; no device work
                 info.sh = self._seedhits(info.mv, over,
@@ -274,25 +312,39 @@ class DeviceFlow:
             R = 8 if mesh is None else max(8, 8 * self.n_data)
             while R < len(idxs):
                 R *= 2
-            qhi = np.full((R, mb), 0x7FFFFFFF, np.int32)
-            qlo = np.zeros((R, mb), np.int32)
-            qpos = np.zeros((R, mb), np.int32)
+            max_qlen = max(units[k][1].qlen_sum for k, _, _ in entries)
+            # H2D slimming (single-chip): ship each minimizer's CSR key
+            # position (int32, -1 = absent/pad) instead of the 8-byte split
+            # key — the host computed them in host_seed_stats anyway — and
+            # qpos as int16 when every read's positions fit (jit
+            # specializes on dtype, so no extra static arg)
+            slim = mesh is None
+            qposidx = np.full((R, mb), -1, np.int32)
+            qhi = None if slim else np.full((R, mb), 0x7FFFFFFF, np.int32)
+            qlo = None if slim else np.zeros((R, mb), np.int32)
+            qp_dt = np.int16 if slim and 2 * max_qlen + 1 <= 32767 \
+                else np.int32
+            qpos = np.zeros((R, mb), qp_dt)
             qspan8 = np.zeros((R, mb), np.int8)
             nmva = np.zeros((R, 1), np.int32)
             qls = np.zeros((R, 1), np.int32)
             nn = np.zeros((R, CP.LANES), np.int32)
             w1a = np.zeros((R, CP.LANES), np.float32)
             exca = np.full((R, CP.LANES), -1, np.int32)
-            max_qlen = 0
             from ..ops.seeds_device import split_u64
             for r, (k, w1, excl) in enumerate(entries):
                 info = units[k][1]
                 mv = info.mv
                 nmv = len(mv)
-                key64 = mv[:, 0] >> np.uint64(8)
-                hi_, lo_ = split_u64(key64)
-                qhi[r, :nmv] = hi_
-                qlo[r, :nmv] = lo_
+                if slim:
+                    _n, _ss, over_k, pos_k, occ_k = stats[k]
+                    found_k = (occ_k > 0) | over_k
+                    qposidx[r, :nmv] = np.where(found_k, pos_k, -1)
+                else:
+                    key64 = mv[:, 0] >> np.uint64(8)
+                    hi_, lo_ = split_u64(key64)
+                    qhi[r, :nmv] = hi_
+                    qlo[r, :nmv] = lo_
                 qpos[r, :nmv] = (mv[:, 1]
                                  & np.uint64(0xFFFFFFFF)).astype(np.int64)
                 qspan8[r, :nmv] = (mv[:, 0]
@@ -304,15 +356,14 @@ class DeviceFlow:
                 for j, (dd, val) in enumerate(excl):
                     exca[r, 2 * j] = dd
                     exca[r, 2 * j + 1] = val
-                max_qlen = max(max_qlen, info.qlen_sum)
             use_exc = CP.infer_use_exc(exca)
             # score_bound is a STATIC kernel-variant selector (packed
             # single-reduction epilogue + int16 D2H) — quantize it to two
             # values so compiled shapes stay bounded
             score_bound = 32511 if max_qlen + 512 <= 32511 else (1 << 30)
 
-            def _dispatch(qhi=qhi, qlo=qlo, qpos=qpos, qspan8=qspan8,
-                          nmva=nmva, qls=qls, nn=nn,
+            def _dispatch(qhi=qhi, qlo=qlo, qposidx=qposidx, qpos=qpos,
+                          qspan8=qspan8, nmva=nmva, qls=qls, nn=nn,
                           w1a=w1a, exca=exca, cb=cb, gq=gq, gr=gr,
                           use_exc=use_exc, score_bound=score_bound):
                 if mesh is not None:
@@ -322,14 +373,15 @@ class DeviceFlow:
                               jnp.int32(opt.mid_occ), qls, nn, w1a, exca)
                 dev = self.dx
                 return self._flow(
-                    dev.khi, dev.klo, dev.starts, dev.vhi, dev.vlo,
-                    jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(qpos),
-                    jnp.asarray(qspan8), jnp.asarray(nmva),
+                    dev.starts, dev.vhi, dev.vlo,
+                    jnp.asarray(qposidx), jnp.asarray(qpos),
+                    jnp.asarray(qspan8),
                     jnp.int32(opt.mid_occ), jnp.asarray(qls),
                     jnp.asarray(nn), jnp.asarray(w1a), jnp.asarray(exca),
                     cap=cb, max_dist_x=gr, max_dist_y=gq, bw=opt.bw,
                     max_skip=opt.max_chain_skip, use_exc=use_exc,
-                    score_bound=score_bound)
+                    score_bound=score_bound,
+                    ship_anchors=self.ship_anchors)
 
             tmo = None if self.interpret else self._timeout()
             with timers.time("kernel"):
@@ -341,6 +393,18 @@ class DeviceFlow:
             staged.append((entries, out))
 
         from ..native import chain_bottom_native
+        from ..ops.seeds import collect_seed_hits
+        # host-side anchor re-derivation overlaps the device execution of
+        # the staged dispatches (nothing below has blocked on the device yet)
+        host_sh: dict[int, SeedHits] = {}
+        if not self.ship_anchors:
+            with timers.time("seed"):
+                for entries, _out in staged:
+                    for k, _, _ in entries:
+                        info = units[k][1]
+                        host_sh[k] = collect_seed_hits(
+                            mi, opt.flag, opt.mid_occ, info.mv, None,
+                            info.qlen_sum)
         for entries, out in staged:
             tmo = None if self.interpret else self._timeout()
             with timers.time("kernel"):
@@ -350,23 +414,37 @@ class DeviceFlow:
                 except DeviceStall:
                     timers.count("stall_fallback", len(entries))
                     continue
-            xhi, xlo, yhi, ylo, f, p, flag = arrs
+            if self.ship_anchors:
+                xhi, xlo, yhi, ylo, f, p, flag = arrs
+            else:
+                f, p, flag = arrs
             f = f.astype(np.int32, copy=False)   # undo int16 D2H slimming
             p = p.astype(np.int32, copy=False)
             with timers.time("bottom"):
-                # u64 anchor assembly, one vectorized pass per bucket
-                ax = ((xhi.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
-                      << np.uint64(32)) | xlo.astype(np.uint64)
-                ay = ((yhi.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
-                      << np.uint64(32)) | ylo.astype(np.uint64)
+                if self.ship_anchors:
+                    # u64 anchor assembly, one vectorized pass per bucket
+                    ax = ((xhi.astype(np.int64) & 0xFFFFFFFF)
+                          .astype(np.uint64)
+                          << np.uint64(32)) | xlo.astype(np.uint64)
+                    ay = ((yhi.astype(np.int64) & 0xFFFFFFFF)
+                          .astype(np.uint64)
+                          << np.uint64(32)) | ylo.astype(np.uint64)
                 for r, (k, _, _) in enumerate(entries):
                     info = units[k][1]
-                    n, _span_sum, over = stats[k]
+                    n, _span_sum, over = stats[k][:3]
                     if flag[r, 0]:
                         timers.count("fallback")
                         continue  # skip-divergence -> exact host recompute
-                    anchors = np.stack([ax[r, :n], ay[r, :n]], axis=1)
-                    info.sh = self._seedhits(info.mv, over, anchors)
+                    if self.ship_anchors:
+                        anchors = np.stack([ax[r, :n], ay[r, :n]], axis=1)
+                        info.sh = self._seedhits(info.mv, over, anchors)
+                    else:
+                        sh = host_sh[k]
+                        anchors = sh.anchors
+                        if len(anchors) != n:  # should be impossible —
+                            timers.count("fallback")     # err_flag pattern
+                            continue
+                        info.sh = sh
                     ch = chain_bottom_native(anchors, f[r, :n], p[r, :n],
                                              opt.min_cnt,
                                              opt.min_chain_score)

@@ -61,7 +61,8 @@ def make_sharded_collect_step(mesh: Mesh, *, cap: int):
 def make_sharded_flow_step(mesh: Mesh, *, cap: int, max_dist_x: int,
                            max_dist_y: int, bw: int, max_skip: int,
                            use_exc: bool, score_bound: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           ship_anchors: bool = True):
     """Multi-chip fused mapping step: sharded-index seed collection with
     CAPACITY-BOUNDED hit routing, then the data-parallel window + chaining
     stages of the single-chip flow (models/device_flow.flow_tail).
@@ -175,14 +176,14 @@ def make_sharded_flow_step(mesh: Mesh, *, cap: int, max_dist_x: int,
             xh2, xl2, yh2, yl2, total, nn, w1, exc, cap=cap,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             max_skip=max_skip, use_exc=use_exc, score_bound=score_bound,
-            interpret=interpret)
+            interpret=interpret, ship_anchors=ship_anchors)
 
     return jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(ispec, ispec, ispec, ispec, ispec,
                   dspec, dspec, dspec, dspec, dspec, P(), dspec,
                   dspec, dspec, dspec),
-        out_specs=(dspec,) * 7,
+        out_specs=(dspec,) * (7 if ship_anchors else 3),
         **_SM_KW,
     ))
 

@@ -153,6 +153,68 @@ def _collect_dev(khi, klo, starts, vhi, vlo, qhi, qlo, qvalid, qpos, qspan,
     return xhi, xlo, yhi, ylo, total, cnt_out, over_out
 
 
+def _collect_dev_pos(starts, vhi, vlo, qposidx, qpos, qspan,
+                     qseg, qtandem, max_occ, qlen_sum, *, cap):
+    """H2D-slim single-chip collect: the HOST ships each query minimizer's
+    CSR key position (searchsorted result, -1 when absent — it computes
+    them anyway for the pre-dispatch stats, device_flow.host_seed_stats)
+    instead of the 8-byte split key, so the device skips the lexicographic
+    binary search and the key tables' H2D role entirely. Expansion, anchor
+    encoding and the stable x-sort are identical to _collect_dev; the host
+    and device CSR copies are the same table, so positions agree by
+    construction. Single-chip only — the mesh step keeps key shipping (its
+    per-shard tables make positions shard-relative)."""
+    R, M = qposidx.shape
+    found = qposidx >= 0
+    pos_c = jnp.maximum(qposidx, 0)
+    cnt = jnp.where(found, jnp.take(starts, pos_c + 1)
+                    - jnp.take(starts, pos_c), 0)
+    over = found & (cnt >= max_occ)
+    keep = found & ~over
+    occ = jnp.where(keep, cnt, 0)
+
+    cum = jnp.cumsum(occ, axis=1)
+    total = cum[:, -1]
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    midx = jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="right"))(
+        cum, jnp.broadcast_to(slot, (R, cap)))
+    midx_c = jnp.minimum(midx, M - 1)
+    cum_prev = jnp.where(midx_c > 0,
+                         jnp.take_along_axis(cum, jnp.maximum(midx_c - 1, 0),
+                                             axis=1), 0)
+    within = slot - cum_prev
+    live = slot < total[:, None]
+    vidx = jnp.take_along_axis(jnp.take(starts, pos_c), midx_c, axis=1) \
+        + within
+    vidx = jnp.clip(vidx, 0, vhi.shape[0] - 1)
+    sign = jnp.int32(-0x80000000)
+    rid = jnp.take(vhi, vidx)
+    rlo = jnp.take(vlo, vidx)
+    rpos = (rlo >> 1) & 0x7FFFFFFF
+    rstrand = rlo & 1
+
+    qp = jnp.take_along_axis(qpos, midx_c, axis=1).astype(jnp.int32)
+    qsp = jnp.take_along_axis(qspan, midx_c, axis=1)
+    sid = jnp.take_along_axis(qseg, midx_c, axis=1)
+    tnd = jnp.take_along_axis(qtandem, midx_c, axis=1)
+    fwd = rstrand == (qp & 1)
+
+    xhi = jnp.where(fwd, rid, rid ^ sign)
+    xlo = rpos
+    qpos_out = jnp.where(fwd, qp >> 1, qlen_sum - ((qp >> 1) + 1 - qsp) - 1)
+    yhi = qsp | jnp.where(tnd != 0, C.MM_SEED_TANDEM >> 32, 0) \
+        | (sid << (C.MM_SEED_SEG_SHIFT - 32))
+    ylo = qpos_out
+
+    pad = ~live
+    sk_hi = jnp.where(pad, jnp.int32(0x7FFFFFFF), xhi ^ sign)
+    sk_lo = xlo
+    sk_hi, sk_lo, xhi, xlo, yhi, ylo = jax.lax.sort(
+        (sk_hi, sk_lo, xhi, xlo, yhi, ylo), dimension=1, num_keys=2,
+        is_stable=True)
+    return xhi, xlo, yhi, ylo, total, cnt, over
+
+
 def shard_index_tables(mi, n_shards: int):
     """Split the CSR index into `n_shards` equal-padded key-range shards for
     an index-sharded mesh axis (>chip-HBM genomes). Every key's occurrence

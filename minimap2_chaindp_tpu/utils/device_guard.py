@@ -44,6 +44,32 @@ def device_bad() -> bool:
     return _bad
 
 
+_exit_hook_armed = False
+
+
+def _arm_exit_hook():
+    """Once the worker thread is wedged inside a stalled PJRT call, normal
+    interpreter teardown (jax's atexit backend destruction, daemon-thread
+    finalization) unwinds the wedged C++ frame and glibc aborts with
+    SIGABRT — AFTER all output was produced.  Arm an atexit hook that
+    flushes and hard-exits first.  atexit runs LIFO, so this hook
+    (registered at stall time, i.e. late) preempts jax's own teardown.
+    Callers that need a nonzero status must exit through their own path
+    before atexit (the CLI does: cli._exit)."""
+    global _exit_hook_armed
+    if _exit_hook_armed:
+        return
+    _exit_hook_armed = True
+    import atexit
+
+    def _hard_exit():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    atexit.register(_hard_exit)
+
+
 def _worker():
     while True:
         fn, box, ev = _q.get()
@@ -77,6 +103,7 @@ def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
     _q.put((fn, box, ev))
     if not ev.wait(timeout):
         _bad = True
+        _arm_exit_hook()
         print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
               "mapping continues on the exact host path", file=sys.stderr)
         raise DeviceStall(f"device call exceeded {timeout:.0f}s")

@@ -55,3 +55,12 @@ def test_shipped_routing_ext_lane():
     got = _cli(["-a", "--device", "tpu", *MT],
                {"MM2TPU_DEVICE_FLOW": "0", "MM2TPU_EXT_LANE": "1.0"})
     assert got == _golden()
+
+
+def test_shipped_routing_flow_ship_anchors():
+    """Fused flow with the full-width reply (MM2TPU_FLOW_SHIP_ANCHORS=1,
+    the co-located-link configuration); default is the slim f/p/flag reply
+    with host-side anchor re-derivation."""
+    got = _cli(["-a", "--device", "tpu", *MT],
+               {"MM2TPU_DEVICE_FLOW": "1", "MM2TPU_FLOW_SHIP_ANCHORS": "1"})
+    assert got == _golden()
