@@ -208,6 +208,7 @@ class DeviceFlow:
         # multi-chip deployment is co-located, not tunnel-bound.
         self.ship_anchors = mesh is not None or os.environ.get(
             "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
+        self._warm: set = set()  # static keys already compiled this process
         if mesh is None:
             from ..ops.seeds_device import DeviceIndex
             self.dx = DeviceIndex(mi)
@@ -383,13 +384,20 @@ class DeviceFlow:
                     score_bound=score_bound,
                     ship_anchors=self.ship_anchors)
 
-            tmo = None if self.interpret else self._timeout()
+            # cold static keys get the compile budget: a fresh fused-flow
+            # shape takes minutes of remote compilation on the tunnel link
+            # (the persistent XLA cache makes every later process hot)
+            warm_key = (R, mb, cb, gq, gr, use_exc, score_bound,
+                        qpos.dtype.str)
+            tmo = None if self.interpret else self._timeout(
+                warm_key in self._warm)
             with timers.time("kernel"):
                 try:
                     out = device_call(_dispatch, tmo)
                 except DeviceStall:
                     timers.count("stall_fallback", len(idxs))
                     continue
+            self._warm.add(warm_key)
             staged.append((entries, out))
 
         from ..native import chain_bottom_native
@@ -466,9 +474,10 @@ class DeviceFlow:
             | (mv[keep, 0] & np.uint64(0xFF)) << np.uint64(32)
         return SeedHits(anchors, _rep_len(mv, over), mini_pos)
 
-    def _timeout(self):
-        from ..utils.device_guard import DEFAULT_TIMEOUT_S
-        return DEFAULT_TIMEOUT_S
+    def _timeout(self, warm: bool = True):
+        from ..utils.device_guard import COMPILE_TIMEOUT_S, DEFAULT_TIMEOUT_S
+        return DEFAULT_TIMEOUT_S if warm else max(COMPILE_TIMEOUT_S,
+                                                  DEFAULT_TIMEOUT_S)
 
 
 def _v_from_fp(f: np.ndarray, p: np.ndarray) -> np.ndarray:

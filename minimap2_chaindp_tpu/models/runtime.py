@@ -300,12 +300,14 @@ class DeviceRuntime:
             return True, None
         import os
         import time
-        # the flow ships ~30-40 KB/read D2H while the host fast path does
-        # ~2 ms/read: break-even is ~20 MB/s sustained, so the flow only
-        # turns on when it actually WINS (default 40). The probe fetches
-        # twice and keeps the slower number — the first D2H after an
-        # upload often rides a burst that over-states the sustained rate.
-        min_mbps = float(os.environ.get("MM2TPU_FLOW_MIN_MBPS", "40"))
+        # the slim flow ships ~2 KB/read H2D (int32 CSR positions + int16
+        # qpos) and ~2 KB/read D2H (int16 f/p) — anchors are re-derived on
+        # the host (device_flow.flow_tail) — while the host fast path does
+        # ~2 ms/read: break-even is ~2 MB/s sustained; default 4 keeps the
+        # flow on only when it actually WINS. The probe fetches twice and
+        # keeps the slower number — the first D2H after an upload often
+        # rides a burst that over-states the sustained rate.
+        min_mbps = float(os.environ.get("MM2TPU_FLOW_MIN_MBPS", "4"))
         try:
             from ..utils.device_guard import DeviceStall, device_call
 

@@ -33,6 +33,10 @@ class DeviceStall(RuntimeError):
 
 
 DEFAULT_TIMEOUT_S = float(os.environ.get("MM2TPU_DEVICE_TIMEOUT_S", "180"))
+# budget for a dispatch whose static key is COLD (first compile in this
+# process with a cold persistent cache: a fused-flow shape takes minutes
+# of remote compilation on the tunnel link)
+COMPILE_TIMEOUT_S = float(os.environ.get("MM2TPU_COMPILE_TIMEOUT_S", "600"))
 
 _q: queue.SimpleQueue | None = None
 _started = False
@@ -63,6 +67,8 @@ def _arm_exit_hook():
     import atexit
 
     def _hard_exit():
+        if not _bad:
+            return  # worker recovered — normal teardown is safe
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)
@@ -70,14 +76,35 @@ def _arm_exit_hook():
     atexit.register(_hard_exit)
 
 
+class _Call:
+    __slots__ = ("fn", "status", "value", "ev", "abandoned")
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.status = None
+        self.value = None
+        self.ev = threading.Event()
+        self.abandoned = False  # waiter timed out before completion
+
+
 def _worker():
+    global _bad
     while True:
-        fn, box, ev = _q.get()
+        call = _q.get()
         try:
-            box.append(("ok", fn()))
+            call.value = call.fn()
+            call.status = "ok"
         except BaseException as e:  # noqa: BLE001 — relayed to the waiter
-            box.append(("err", e))
-        ev.set()
+            call.value = e
+            call.status = "err"
+        if call.abandoned and call.status == "ok" and _bad:
+            # the waiter gave up on THIS call but the device came back
+            # (a long first compile, not a wedge) — un-ban it so the next
+            # batch routes to the device again
+            _bad = False
+            print("[mm2tpu] device recovered (slow call completed); "
+                  "device routing re-enabled", file=sys.stderr)
+        call.ev.set()
 
 
 def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
@@ -85,8 +112,9 @@ def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
 
     timeout=None runs fn() directly on the calling thread (interpret mode).
     Raises DeviceStall if the device was already marked bad or the wait
-    times out (the worker may stay wedged in the stalled jax call; it is a
-    daemon thread and no further work is submitted to it)."""
+    times out.  A timed-out call may still complete later on the worker
+    thread — if it does, the ban is lifted (see _worker); a genuinely
+    wedged call keeps the device bad and no further work is submitted."""
     global _bad, _started, _q
     if timeout is None:
         return fn()
@@ -98,16 +126,19 @@ def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
             threading.Thread(target=_worker, daemon=True,
                              name="mm2tpu-device").start()
             _started = True
-    box: list = []
-    ev = threading.Event()
-    _q.put((fn, box, ev))
-    if not ev.wait(timeout):
-        _bad = True
-        _arm_exit_hook()
-        print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
-              "mapping continues on the exact host path", file=sys.stderr)
-        raise DeviceStall(f"device call exceeded {timeout:.0f}s")
-    status, val = box[0]
-    if status == "err":
-        raise val
-    return val
+    call = _Call(fn)
+    _q.put(call)
+    if not call.ev.wait(timeout):
+        call.abandoned = True
+        # re-check: the worker may have finished between the wait timing
+        # out and the flag being set
+        if not call.ev.is_set():
+            _bad = True
+            _arm_exit_hook()
+            print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
+                  "mapping continues on the exact host path",
+                  file=sys.stderr)
+            raise DeviceStall(f"device call exceeded {timeout:.0f}s")
+    if call.status == "err":
+        raise call.value
+    return call.value

@@ -23,6 +23,18 @@ def test_exception_relay():
     assert not dg.device_bad()
 
 
+def test_slow_call_recovery_lifts_ban():
+    """A timed-out call that eventually COMPLETES on the worker (a long
+    first compile, not a wedge) lifts the ban so later batches route to
+    the device again; an erroring abandoned call does not."""
+    with pytest.raises(dg.DeviceStall):
+        dg.device_call(lambda: time.sleep(1.0) or "late-ok", 0.2)
+    assert dg.device_bad()
+    time.sleep(1.3)  # let the abandoned call finish on the worker
+    assert not dg.device_bad()
+    assert dg.device_call(lambda: 5, 5.0) == 5
+
+
 def test_stall_marks_bad_and_fails_fast():
     with pytest.raises(dg.DeviceStall):
         dg.device_call(lambda: time.sleep(3), 0.2)
