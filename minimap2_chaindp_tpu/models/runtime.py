@@ -21,6 +21,13 @@ from ..utils.timers import Timers
 BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 
 
+def _done_gen():
+    """Placeholder wave generator for units the native chains-finish path
+    already emitted text for (their region result is never read)."""
+    return []
+    yield  # unreachable — marks this function as a generator
+
+
 class DeviceRuntime:
     """Maps fragments in device-sized batches; output order == input order."""
 
@@ -211,6 +218,36 @@ class DeviceRuntime:
             # (utils/device_guard), so two map_stream batches interleave
             # safely: this batch's device waits overlap the other's host work
             flow_chains = flow.run(units, self.timers)
+
+        # native finish from device chains: flow-handled single-segment
+        # fragments run the post-chain half (regions -> align -> mapq ->
+        # text) in ONE native call — the fork's FPGA->result_thread handoff
+        # (fpga_chaindp.c:228, map.c:933-1015) — bypassing the staged
+        # Python align stage entirely
+        done_units: set[int] = set()
+        if flow_chains and map_unit_ok(opt, mi):
+            from ..native import map_unit_text_chains_native
+            with self.timers.time("align"):
+                for fi, meta in enumerate(frag_meta):
+                    if meta is None:
+                        continue
+                    segs, work, flipped, sl = meta
+                    k = sl.start
+                    if (len(segs) != 1 or sl.stop - sl.start != 1
+                            or k not in flow_chains or k in lane_units):
+                        continue
+                    info = units[k][1]
+                    if info.sh is None:
+                        continue
+                    lines_f = map_unit_text_chains_native(
+                        mi, opt, segs[0], rg_id, flow_chains[k],
+                        info.sh.rep_len, info.sh.mini_pos)
+                    if lines_f is not None:
+                        fast_lines[fi] = lines_f
+                        frag_meta[fi] = None
+                        done_units.add(k)
+                        self.timers.count("native_finish")
+
         with self.timers.time("seed"):
             self._seed_hits(units)
 
@@ -218,7 +255,7 @@ class DeviceRuntime:
 
         with self.timers.time("align"):
             use_lane = lane_exec is not None and lane_units
-            gens = [finish_unit_gen(
+            gens = [_done_gen() if k in done_units else finish_unit_gen(
                         mi, self._opt_dev if use_lane and k in lane_units
                         else opt, info, ch)
                     for k, ((u, info), ch) in enumerate(zip(units, chains))]

@@ -437,6 +437,20 @@ def _load_ksw_locked():
             _vp, _vp, _c.c_int32,
             _vp, _c.c_int64, _vp, _c.c_int64, _vp,
             _vp, _c.c_int64, _c.c_int64]
+        lib.mm2tpu_map_unit_text_chains.restype = _c.c_int64
+        lib.mm2tpu_map_unit_text_chains.argtypes = [
+            _vp, _c.c_int64, _c.c_uint64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _c.c_int64,
+            _vp, _c.c_int64, _c.c_int64,
+            _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_char_p,
+            _c.c_char_p, _c.c_int64,
+            _c.c_char_p, _c.c_int64,
+            _vp, _vp, _c.c_int32,
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         _ksw_lib = lib
     except Exception:
         _ksw_lib = None
@@ -739,6 +753,63 @@ class _MapUnitCtx:
                                                          "surrogateescape")
                 for i in range(n_lines)]
 
+    def map_text_chains(self, lib, rec, rg_id: str, chains, rep_len: int,
+                        mini_pos):
+        """Finish one read FROM PRECOMPUTED CHAINS (the device flow's
+        output) and return its SAM/PAF lines: the native post-chain half
+        (regions -> align -> mapq -> text), the fork's result_thread side
+        (map.c:933-1015).  None = fall back to the staged pipeline."""
+        from . import constants as CC
+        seq = rec.seq
+        qlen = len(seq)
+        if qlen == 0:
+            return None
+        opt = self.opt
+        qa = CC.seq_to_nt4(seq)
+        hash_ = CC.qname_hash(rec.name, qlen, self.seed)
+        qname_b = rec.name.encode()
+        seq_b = seq.encode()
+        qual_b = rec.qual.encode() if rec.qual else None
+        com_b = (rec.comment.encode()
+                 if (opt.flag & CC.MM_F_COPY_COMMENT) and rec.comment
+                 else None)
+        rg_b = rg_id.encode() if rg_id else None
+        blob, roffs = _mi_rname_blob(self.mi)
+        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+        want_text = 4 * qlen + 65536
+        if want_text > self.text_cap:
+            self.text_cap = want_text
+            self._alloc_text()
+        a = np.ascontiguousarray(chains.anchors, dtype=np.uint64)
+        u = np.ascontiguousarray(chains.u, dtype=np.uint64)
+        mini = np.ascontiguousarray(mini_pos, dtype=np.uint64)
+        p = self.ptrs
+        while True:
+            n_lines = lib.mm2tpu_map_unit_text_chains(
+                _np_ptr(qa), qlen, hash_,
+                p[0], p[1], p[2], self.n_seq,
+                _np_ptr(a), len(a), _np_ptr(u), len(u),
+                _np_ptr(mini), len(mini), int(rep_len),
+                self.k, self.hpc, p[8], p[6], p[7],
+                qname_b, len(qname_b), seq_b, qual_b,
+                com_b, len(com_b) if com_b else 0,
+                rg_b, len(rg_b) if rg_b else 0,
+                _np_ptr(blob), _np_ptr(roffs), sam_mode,
+                _np_ptr(self.text_buf), self.text_cap,
+                _np_ptr(self.line_off), len(self.line_off),
+                self.out_ptrs[3])
+            if n_lines != -2:
+                break
+            self.text_cap *= 4
+            self._alloc_text()
+        if n_lines < 0:
+            return None
+        offs = self.line_off[:n_lines + 1].tolist()
+        tb = self.text_buf
+        return [tb[offs[i]:offs[i + 1]].tobytes().decode("ascii",
+                                                         "surrogateescape")
+                for i in range(n_lines)]
+
 
 def _pe_flips(opt, n_segs):
     pe_ori = opt.pe_ori
@@ -864,6 +935,17 @@ def map_unit_text_native(mi, opt, rec, rg_id: str = ""):
     if lib is None:
         return None
     return _map_ctx(mi, opt).map_text(lib, rec, rg_id)
+
+
+def map_unit_text_chains_native(mi, opt, rec, rg_id, chains, rep_len,
+                                mini_pos):
+    """Finish one single-segment read from precomputed chains (device
+    flow output) and return its output lines, or None to fall back."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    return _map_ctx(mi, opt).map_text_chains(lib, rec, rg_id, chains,
+                                             rep_len, mini_pos)
 
 
 def _map_gap_bounds(opt, qlen_sum):

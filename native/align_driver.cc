@@ -2330,6 +2330,73 @@ int64_t mm2tpu_align_skeleton(
 // optf (double): 0 mask_level, 1 pri_ratio, 2 max_clip_ratio.
 // out_misc (int64): 0 rep_len.
 // Returns region count, -1 contract fallback, -2 capacity.
+
+// Post-chain half of the per-read map (the reference result_thread side,
+// map.c:933-1015): Ctx setup from PRECOMPUTED chains, region generation,
+// chain_post selection, est_err, base-level alignment waves and mapq.
+// Shared by the all-native path (chains from mm2tpu_chain_dp) and the
+// device-offload flow (chains computed on the TPU, models/device_flow.py,
+// the fork's FPGA->result_thread handoff, fpga_chaindp.c:228).
+// out_a: interleaved (x,y) compact chain anchors, mutated in place (seed
+// flags, squeeze); u: score<<32|count per chain.
+static int64_t finish_unit_core(
+    const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq, int32_t k, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    int64_t rep_len, const uint64_t* mini, int64_t n_mini,
+    std::vector<uint64_t>& out_a, int64_t n_v,
+    const uint64_t* u, int64_t n_u,
+    Ctx& c, std::vector<NatReg>& regs, std::vector<uint8_t>& qrev)
+{
+    c.S = S; c.seq_off = seq_off; c.seq_len = seq_len; c.n_seq = n_seq;
+    c.k = k; c.hpc = hpc != 0;
+    c.mat = mat;
+    c.flag = opt[0]; c.oa = opt[1]; c.ob = opt[2]; c.q = opt[3];
+    c.e = opt[4]; c.q2 = opt[5]; c.e2 = opt[6]; c.zdrop = opt[7];
+    c.zdrop_inv = opt[8]; c.end_bonus = opt[9]; c.min_cnt = opt[10];
+    c.min_chain_score = opt[11]; c.min_dp_max = opt[12];
+    c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
+    c.noncan = opt[30]; c.anchor_ext_len = opt[31];
+    c.anchor_ext_shift = opt[32];
+    c.A = out_a.data(); c.n_a = n_v;
+    c.qlen = qlen;
+    qrev.resize(qlen);
+    for (int64_t i = 0; i < qlen; ++i) {
+        uint8_t b = qseq_fwd[qlen - 1 - i];
+        qrev[i] = b < 4 ? (uint8_t)(3 - b) : 4;
+    }
+    c.qstr[0] = qseq_fwd;
+    c.qstr[1] = qrev.data();
+
+    bool is_sr = c.flag & F_SR;
+    double mask_level = optf[0], pri_ratio = optf[1], max_clip = optf[2];
+    int64_t sub_diff = 2 * c.oa + c.ob;
+
+    regs = gen_regs(c, qhash, u, n_u);
+    if (!opt[27]) {  // chain_post unless MM_F_ALL_CHAINS
+        set_parent(regs, mask_level, sub_diff);
+        select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
+        if (!opt[26])
+            join_long(c, regs, opt[21], opt[22], opt[23], c.min_cnt,
+                      c.min_chain_score, c.min_dp_max, max_clip);
+    }
+    if (!is_sr) est_err_nat(c, regs, mini, n_mini);
+    if (opt[25] && !regs.empty()) {  // base-level alignment
+        c.n_a = squeeze_a_nat(c, regs);
+        if (skeleton_loop(c, regs, c.min_cnt, c.min_chain_score,
+                          c.min_dp_max, max_clip) < 0)
+            return -1;
+        if (!opt[27]) {  // post-align select, skipped by MM_F_ALL_CHAINS
+            set_parent(regs, mask_level, sub_diff);
+            select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
+            set_sam_pri(regs);
+        }
+    }
+    set_mapq_nat(regs, c.min_chain_score, c.oa, rep_len, is_sr);
+    return (int64_t)regs.size();
+}
+
 static int64_t map_unit_core(
     const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
     const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
@@ -2386,53 +2453,10 @@ static int64_t map_unit_core(
         (opt[0] & F_SPLICE) ? 1 : 0, 1,
         out_a.data(), out_u.data(), &n_v);
     if (n_u <= 0) return 0;
-
-    c.S = S; c.seq_off = seq_off; c.seq_len = seq_len; c.n_seq = n_seq;
-    c.k = k; c.hpc = hpc != 0;
-    c.mat = mat;
-    c.flag = opt[0]; c.oa = opt[1]; c.ob = opt[2]; c.q = opt[3];
-    c.e = opt[4]; c.q2 = opt[5]; c.e2 = opt[6]; c.zdrop = opt[7];
-    c.zdrop_inv = opt[8]; c.end_bonus = opt[9]; c.min_cnt = opt[10];
-    c.min_chain_score = opt[11]; c.min_dp_max = opt[12];
-    c.max_gap = opt[13]; c.bw = opt[14]; c.min_ksw_len = opt[15];
-    c.noncan = opt[30]; c.anchor_ext_len = opt[31];
-    c.anchor_ext_shift = opt[32];
-    c.A = out_a.data(); c.n_a = n_v;
-    c.qlen = qlen;
-    qrev.resize(qlen);
-    for (int64_t i = 0; i < qlen; ++i) {
-        uint8_t b = qseq_fwd[qlen - 1 - i];
-        qrev[i] = b < 4 ? (uint8_t)(3 - b) : 4;
-    }
-    c.qstr[0] = qseq_fwd;
-    c.qstr[1] = qrev.data();
-
-    bool is_sr = c.flag & F_SR;
-    double mask_level = optf[0], pri_ratio = optf[1], max_clip = optf[2];
-    int64_t sub_diff = 2 * c.oa + c.ob;
-
-    regs = gen_regs(c, qhash, out_u.data(), n_u);
-    if (!opt[27]) {  // chain_post unless MM_F_ALL_CHAINS
-        set_parent(regs, mask_level, sub_diff);
-        select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
-        if (!opt[26])
-            join_long(c, regs, opt[21], opt[22], opt[23], c.min_cnt,
-                      c.min_chain_score, c.min_dp_max, max_clip);
-    }
-    if (!is_sr) est_err_nat(c, regs, mini.data(), n_mini);
-    if (opt[25] && !regs.empty()) {  // base-level alignment
-        c.n_a = squeeze_a_nat(c, regs);
-        if (skeleton_loop(c, regs, c.min_cnt, c.min_chain_score,
-                          c.min_dp_max, max_clip) < 0)
-            return -1;
-        if (!opt[27]) {  // post-align select, skipped by MM_F_ALL_CHAINS
-            set_parent(regs, mask_level, sub_diff);
-            select_sub(regs, pri_ratio, 2 * (int64_t)k, opt[20]);
-            set_sam_pri(regs);
-        }
-    }
-    set_mapq_nat(regs, c.min_chain_score, c.oa, rep_len, is_sr);
-    return (int64_t)regs.size();
+    return finish_unit_core(qseq_fwd, qlen, qhash, S, seq_off, seq_len,
+                            n_seq, k, hpc, mat, opt, optf, rep_len,
+                            mini.data(), n_mini, out_a, n_v,
+                            out_u.data(), n_u, c, regs, qrev);
 }
 
 int64_t mm2tpu_map_unit(
@@ -2472,6 +2496,50 @@ int64_t mm2tpu_map_unit(
     return n_out;
 }
 
+// Shared single-segment text emission: SAM records (incl. the unmapped
+// record on zero regions) or PAF rows from a finished region list.
+// Returns the line count or -2 on text/line capacity overflow.
+static int64_t emit_unit_text(
+    Ctx& c, std::vector<NatReg>& regs, const uint8_t* qseq_fwd,
+    const char* qname, int64_t qname_len,
+    const char* seq_ascii, const char* qual,
+    const char* comment, int64_t comment_len,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap)
+{
+    EmitCtx e;
+    e.c = &c;
+    e.qname = qname; e.qname_len = qname_len;
+    e.seq = seq_ascii; e.qual = qual;
+    e.comment = comment; e.comment_len = comment_len;
+    e.rg_id = rg_id; e.rg_len = rg_len;
+    e.rnames = rnames; e.rname_off = rname_off;
+    e.qa = qseq_fwd;
+    constexpr int64_t F_NO_PRINT_2ND = 0x4000;
+    TextOut o{out_text, text_cap};
+    int64_t n_lines = 0;
+    auto start_line = [&]() {
+        if (n_lines + 1 >= line_cap) { o.of = true; return; }
+        line_off[n_lines++] = o.pos;
+    };
+    for (int64_t j = 0; j < (int64_t)regs.size(); ++j) {
+        const NatReg& r = regs[j];
+        if ((c.flag & F_NO_PRINT_2ND) && r[R_ID] != r[R_PARENT]) continue;
+        start_line();
+        if (sam_mode) emit_sam(o, e, regs, j, c.flag);
+        else emit_paf(o, e, r, c.flag);
+    }
+    if (regs.empty() && sam_mode) {
+        start_line();
+        emit_sam(o, e, regs, -1, c.flag);
+    }
+    line_off[n_lines] = o.pos;
+    if (o.of) return -2;
+    return n_lines;
+}
+
 // Map one read and emit its SAM/PAF lines directly (single-segment fast
 // path): text into out_text (cap text_cap) with per-line offsets in
 // line_off (line k spans [line_off[k], line_off[k+1])); returns the line
@@ -2507,41 +2575,73 @@ int64_t mm2tpu_map_unit_text(
                                    name_rank, q_exact, q_ins,
                                    out_misc, c, regs, out_a, qrev);
     if (n_regs < 0) return n_regs;
-    EmitCtx e;
-    e.c = &c;
     // core early-outs (no minimizers/anchors/chains) skip Ctx setup
     if (n_regs == 0) {
         c.qlen = qlen;
         c.seq_len = seq_len;
         c.S = S; c.seq_off = seq_off;
+        c.flag = opt[0];
     }
-    e.qname = qname; e.qname_len = qname_len;
-    e.seq = seq_ascii; e.qual = qual;
-    e.comment = comment; e.comment_len = comment_len;
-    e.rg_id = rg_id; e.rg_len = rg_len;
-    e.rnames = rnames; e.rname_off = rname_off;
-    e.qa = qseq_fwd;
-    constexpr int64_t F_NO_PRINT_2ND = 0x4000;
-    TextOut o{out_text, text_cap};
-    int64_t n_lines = 0;
-    auto start_line = [&]() {
-        if (n_lines + 1 >= line_cap) { o.of = true; return; }
-        line_off[n_lines++] = o.pos;
-    };
-    for (int64_t j = 0; j < (int64_t)regs.size(); ++j) {
-        const NatReg& r = regs[j];
-        if ((c.flag & F_NO_PRINT_2ND) && r[R_ID] != r[R_PARENT]) continue;
-        start_line();
-        if (sam_mode) emit_sam(o, e, regs, j, c.flag);
-        else emit_paf(o, e, r, c.flag);
+    return emit_unit_text(c, regs, qseq_fwd, qname, qname_len, seq_ascii,
+                          qual, comment, comment_len, rg_id, rg_len,
+                          rnames, rname_off, sam_mode, out_text, text_cap,
+                          line_off, line_cap);
+}
+
+// Map one read FROM PRECOMPUTED CHAINS and emit its SAM/PAF lines: the
+// device-offload text path (sketch/collect/chain already done — chains
+// from the TPU flow, models/device_flow.py).  a = interleaved (x,y)
+// compact chain anchors (n_v pairs), u = score<<32|count per chain (n_u),
+// mini/n_mini = mini_pos entries, rep_len from seed collection.  Other
+// params/returns as mm2tpu_map_unit_text.
+int64_t mm2tpu_map_unit_text_chains(
+    const uint8_t* qseq_fwd, int64_t qlen, uint64_t qhash,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* a, int64_t n_v, const uint64_t* u, int64_t n_u,
+    const uint64_t* mini, int64_t n_mini, int64_t rep_len,
+    int32_t k, int32_t hpc,
+    const int8_t* mat, const int64_t* opt, const double* optf,
+    const char* qname, int64_t qname_len,
+    const char* seq_ascii, const char* qual,
+    const char* comment, int64_t comment_len,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
+    int64_t* out_misc)
+{
+    Ctx c;
+    std::vector<NatReg> regs;
+    std::vector<uint8_t> qrev;
+    out_misc[0] = rep_len;
+    int64_t n_regs = 0;
+    if (qlen > 0 && n_u > 0 && n_v > 0) {
+        std::vector<uint64_t> out_a(a, a + 2 * n_v);
+        n_regs = finish_unit_core(qseq_fwd, qlen, qhash, S, seq_off,
+                                  seq_len, n_seq, k, hpc, mat, opt, optf,
+                                  rep_len, mini, n_mini, out_a, n_v, u,
+                                  n_u, c, regs, qrev);
+        if (n_regs < 0) return n_regs;
+        // emit below reads c.A (CIGAR-less PAF fuzzy lengths, SA tags):
+        // keep the buffer alive through emission
+        if (n_regs == 0) {
+            c.qlen = qlen; c.seq_len = seq_len;
+            c.S = S; c.seq_off = seq_off; c.flag = opt[0];
+        }
+        return emit_unit_text(c, regs, qseq_fwd, qname, qname_len,
+                              seq_ascii, qual, comment, comment_len,
+                              rg_id, rg_len, rnames, rname_off, sam_mode,
+                              out_text, text_cap, line_off, line_cap);
     }
-    if (regs.empty() && sam_mode) {
-        start_line();
-        emit_sam(o, e, regs, -1, c.flag);
-    }
-    line_off[n_lines] = o.pos;
-    if (o.of) return -2;
-    return n_lines;
+    c.qlen = qlen;
+    c.seq_len = seq_len;
+    c.S = S; c.seq_off = seq_off;
+    c.flag = opt[0];
+    return emit_unit_text(c, regs, qseq_fwd, qname, qname_len, seq_ascii,
+                          qual, comment, comment_len, rg_id, rg_len,
+                          rnames, rname_off, sam_mode, out_text, text_cap,
+                          line_off, line_cap);
 }
 
 
