@@ -87,6 +87,16 @@ class DeviceRuntime:
             self.device_flow, self.link_mbps = self._calibrate()
         self._flow = None
         self._flow_lock = threading.Lock()
+        # device/host whole-read split (map_batch's two concurrent lanes):
+        # MM2TPU_FLOW_SHARE fixes the device fraction; forced flow or
+        # --mesh pins it to 1.0 (pure device); calibrated mode starts at
+        # 0.5 and the controller rebalances per batch
+        self._flow_forced = flow_env == "1" or mesh_shape is not None
+        share_env = _os.environ.get("MM2TPU_FLOW_SHARE", "")
+        self._share_fixed = share_env != "" or self._flow_forced
+        self._flow_share = (float(share_env) if share_env
+                            else 1.0 if self._flow_forced else 0.5)
+        self._lane_ex = None
         # -t worker pool for the host-side fast path (kt_for over
         # fragments, kthread.c:125): used when the calibrated routing
         # sends reads to the one-call native driver
@@ -108,10 +118,13 @@ class DeviceRuntime:
         # fraction (0 disables); unset starts at 0.15 when the calibrated
         # link cleared the bar, and the controller rebalances per batch so
         # both lanes finish together.
+        # opt-in only since the native chains-finish path landed: routing
+        # a read through the lane sends it to the staged Python align
+        # stage (~30x the per-read cost of the native finish), so the
+        # lane now only pays off for flow-ineligible work
         lane_env = _os.environ.get("MM2TPU_EXT_LANE", "")
         self._lane_fixed = lane_env != ""
-        self._alpha = float(lane_env) if lane_env \
-            else (0.15 if self.device_flow else 0.0)
+        self._alpha = float(lane_env) if lane_env else 0.0
         self._opt_dev = None
         self._dev_align_exec = None
         self._lane_lock = threading.Lock()
@@ -144,18 +157,35 @@ class DeviceRuntime:
 
         from ..native import (map_frag_pe_native, map_unit_ok,
                               map_unit_text_native)
+        import time as _time
+        from ..utils.device_guard import device_bad
         # short single-segment reads take the one-call native path (below
         # the measured chain crossover they would route to host native
         # chaining + extension anyway); long reads keep the device kernels.
         # ~5.3 bp per minimizer (w=10 average spacing) maps the anchor
         # crossover to a query-length bound.
-        # the fused device flow takes over seed-collect + chaining for every
-        # eligible read, so the one-call host fast path is bypassed — under
-        # --device tpu the device, not the host, is the default executor
         flow = self._get_flow()
-        fast_ok = map_unit_ok(opt, mi) and not self.device_seeds \
-            and flow is None
+        fast_ok = map_unit_ok(opt, mi) and not self.device_seeds
         fast_qlen_max = self.native_chain_max * 5
+        # two concurrent whole-read lanes (the fork's send-task thread +
+        # 56 host worker threads shape, fpga_chaindp.c:83 + run.sh:3): the
+        # HOST lane maps its fragments through the one-call native driver
+        # on an executor thread WHILE the DEVICE lane's fused-flow
+        # dispatches wait on the link — both sides release the GIL, so on
+        # a 1-core host the CPU works through the host lane during device
+        # waits and the combined rate beats either lane alone at any link
+        # speed. The share controller rebalances per batch so both lanes
+        # finish together. MM2TPU_DEVICE_FLOW=1 forces share=1 (pure
+        # device: tests and kernel-perf isolation); a stalled device
+        # routes everything back to the host lane.
+        if flow is None or device_bad():
+            dev_fids: set = set()
+        elif not fast_ok or self._flow_share >= 1.0:
+            dev_fids = set(range(len(frags)))
+        else:
+            share = self._flow_share
+            dev_fids = {i for i in range(len(frags))
+                        if int((i + 1) * share) > int(i * share)}
         # hybrid extension lane: route fraction alpha of fragments through
         # the staged pipeline with DEVICE extension waves, concurrent with
         # the host lane (the reference's "device-resident extend" analog;
@@ -166,7 +196,7 @@ class DeviceRuntime:
                      if int((i + 1) * a) > int(i * a)}
 
         def _fast_eligible(fi, frag):
-            return (fast_ok and fi not in lane_fids
+            return (fast_ok and fi not in lane_fids and fi not in dev_fids
                     and len(frag.segs) <= 2
                     and sum(len(s.seq) for s in frag.segs) <= fast_qlen_max)
 
@@ -175,17 +205,23 @@ class DeviceRuntime:
                 return map_unit_text_native(mi, opt, frag.segs[0], rg_id)
             return map_frag_pe_native(mi, opt, frag.segs, rg_id)
 
-        pre_fast: list = [None] * len(frags)
-        if fast_ok and self._pool is not None:
+        t_batch0 = _time.perf_counter()
+        host_futs: dict[int, object] = {}
+        host_last_t = [t_batch0]
+
+        def _fast_timed(frag):
+            r = _fast_one(frag)
+            host_last_t[0] = _time.perf_counter()
+            return r
+
+        if fast_ok:
             # kt_for over fragments (kthread.c:125): the native one-call
-            # driver releases the GIL, so -t workers scale across cores
-            with self.timers.time("seed"):
-                eligible = [f for i, f in enumerate(frags)
-                            if _fast_eligible(i, f)]
-                got = list(self._pool.map(_fast_one, eligible))
-                it = iter(got)
-                pre_fast = [next(it) if _fast_eligible(i, f) else None
-                            for i, f in enumerate(frags)]
+            # driver releases the GIL, so workers scale across cores and
+            # overlap the device lane's link waits on a 1-core host
+            ex = self._pool or self._get_lane_ex()
+            for fi, frag in enumerate(frags):
+                if _fast_eligible(fi, frag):
+                    host_futs[fi] = ex.submit(_fast_timed, frag)
 
         frag_meta = []
         units = []
@@ -193,14 +229,10 @@ class DeviceRuntime:
         fast_lines: list = []
         with self.timers.time("seed"):
             for fi, frag in enumerate(frags):
-                if _fast_eligible(fi, frag):
-                    lines_f = pre_fast[fi] if self._pool is not None \
-                        else _fast_one(frag)
-                    if lines_f is not None:
-                        self.timers.count("fast_native")
-                        fast_lines.append(lines_f)
-                        frag_meta.append(None)
-                        continue
+                if fi in host_futs:
+                    fast_lines.append(None)  # resolved in the epilogue
+                    frag_meta.append(None)
+                    continue
                 fast_lines.append(None)
                 work, flipped, us = prepare_frag(opt, frag.segs)
                 start = len(units)
@@ -287,10 +319,23 @@ class DeviceRuntime:
                         0.02, self._alpha * min(1.4, max(0.6, r ** -0.5))))
             else:
                 regss_per_unit = run_scheduler(gens, self._align_exec)
+        t_dev_done = _time.perf_counter()
 
         lines: list[list[str]] = []
         with self.timers.time("epilogue"):
+            from .pipeline import map_fragment_output
             for fi in range(len(frags)):
+                if fi in host_futs:
+                    res = host_futs[fi].result()
+                    if res is None:
+                        # rare contract fallback: exact synchronous host map
+                        res = map_fragment_output(mi, opt, frags[fi].segs,
+                                                  rg_id)
+                        self.timers.count("host_fallback_frag")
+                    else:
+                        self.timers.count("fast_native")
+                    lines.append(res)
+                    continue
                 if fast_lines[fi] is not None:
                     lines.append(fast_lines[fi])
                     continue
@@ -299,7 +344,29 @@ class DeviceRuntime:
                          for r in unit_regs]
                 lines.append(format_frag(mi, opt, segs, work, flipped,
                                          regss, rg_id))
+
+        # share controller: rebalance the device/host whole-read split so
+        # both lanes finish together (measured from batch start; device
+        # lane time includes its link waits, which is the point)
+        if host_futs and dev_fids and not self._share_fixed:
+            t_dev = max(t_dev_done - t_batch0, 1e-6)
+            t_host = max(host_last_t[0] - t_batch0, 1e-6)
+            r = (t_host / t_dev) ** 0.5
+            self._flow_share = min(0.95, max(
+                0.05, self._flow_share * min(1.5, max(0.6, r))))
         return lines
+
+    def _get_lane_ex(self):
+        """Single-worker executor for the host whole-read lane when no -t
+        pool exists (the native driver releases the GIL, so the lane
+        overlaps the device lane's link waits even on one core)."""
+        if self._lane_ex is None:
+            with self._lane_lock:
+                if self._lane_ex is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._lane_ex = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="mm2tpu-hostlane")
+        return self._lane_ex
 
     def _get_ext_lane(self):
         """Lazily build the device-extension lane executor: a shallow opt

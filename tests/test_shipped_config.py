@@ -57,6 +57,16 @@ def test_shipped_routing_ext_lane():
     assert got == _golden()
 
 
+def test_shipped_routing_two_lane_split():
+    """Concurrent device/host whole-read split (the calibrated production
+    routing): half the fragments ride the fused device flow + native
+    chains-finish, half the one-call host driver, concurrently — output
+    must stay byte-identical to the pinned golden."""
+    got = _cli(["-a", "--device", "tpu", *MT],
+               {"MM2TPU_DEVICE_FLOW": "1", "MM2TPU_FLOW_SHARE": "0.5"})
+    assert got == _golden()
+
+
 def test_shipped_routing_flow_ship_anchors():
     """Fused flow with the full-width reply (MM2TPU_FLOW_SHIP_ANCHORS=1,
     the co-located-link configuration); default is the slim f/p/flag reply
