@@ -398,7 +398,10 @@ class DeviceFlow:
                     timers.count("stall_fallback", len(idxs))
                     continue
             self._warm.add(warm_key)
-            staged.append((entries, out))
+            # the fetch inherits the dispatch budget: on async backends a
+            # cold dispatch returns before compile+exec complete, so the
+            # compile cost lands on the blocking fetch
+            staged.append((entries, out, tmo))
 
         from ..native import chain_bottom_native
         from ..ops.seeds import collect_seed_hits
@@ -407,14 +410,13 @@ class DeviceFlow:
         host_sh: dict[int, SeedHits] = {}
         if not self.ship_anchors:
             with timers.time("seed"):
-                for entries, _out in staged:
+                for entries, _out, _tmo in staged:
                     for k, _, _ in entries:
                         info = units[k][1]
                         host_sh[k] = collect_seed_hits(
                             mi, opt.flag, opt.mid_occ, info.mv, None,
                             info.qlen_sum)
-        for entries, out in staged:
-            tmo = None if self.interpret else self._timeout()
+        for entries, out, tmo in staged:
             with timers.time("kernel"):
                 try:
                     arrs = device_call(
