@@ -569,8 +569,12 @@ def _main(argv=None) -> int:
         # startup link probe and the routing it chose
         if getattr(runtime, "link_mbps", None) is not None:
             import sys as _sys
+            share = getattr(runtime, "_flow_share", None)
+            share_s = (f" flow_share={share:.2f}"
+                       if runtime.device_flow and share is not None else "")
             print(f"[calibrate] d2h={runtime.link_mbps}MB/s "
-                  f"device_flow={'on' if runtime.device_flow else 'off'}",
+                  f"device_flow={'on' if runtime.device_flow else 'off'}"
+                  f"{share_s}",
                   file=_sys.stderr)
         runtime.timers.report()
     if dump_mmi_fp is not None:

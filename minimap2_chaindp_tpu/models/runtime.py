@@ -94,8 +94,18 @@ class DeviceRuntime:
         self._flow_forced = flow_env == "1" or mesh_shape is not None
         share_env = _os.environ.get("MM2TPU_FLOW_SHARE", "")
         self._share_fixed = share_env != "" or self._flow_forced
-        self._flow_share = (float(share_env) if share_env
-                            else 1.0 if self._flow_forced else 0.5)
+        if share_env:
+            self._flow_share = float(share_env)
+        elif self._flow_forced:
+            self._flow_share = 1.0
+        else:
+            # seed the split from the measured link: device-lane cost/read
+            # ~ 20 KB over the link + ~0.5 ms dispatch share; host-lane
+            # ~2.5 ms/read native map. The controller refines per batch,
+            # but a single -K batch never gets a second chance.
+            mbps = self.link_mbps or 8.0
+            dev_ms = 0.02 / max(mbps, 0.1) * 1000.0 + 0.5
+            self._flow_share = min(0.9, max(0.1, 2.5 / (2.5 + dev_ms)))
         self._lane_ex = None
         # -t worker pool for the host-side fast path (kt_for over
         # fragments, kthread.c:125): used when the calibrated routing
