@@ -211,7 +211,7 @@ class DeviceFlow:
         self._warm: set = set()  # static keys already compiled this process
         if mesh is None:
             from ..ops.seeds_device import DeviceIndex
-            self.dx = DeviceIndex(mi)
+            self.dx = DeviceIndex(mi, with_keys=False)
             self._flow = _jit_flow(interpret)
         else:
             import jax

@@ -42,10 +42,17 @@ class DeviceIndex:
     """Device-resident flat index tables (the analog of the fork's B/H/V/P
     FPGA images, index.c:603-720)."""
 
-    def __init__(self, mi):
-        khi, klo = split_u64(mi.keys)
-        self.khi = jnp.asarray(khi)
-        self.klo = jnp.asarray(klo)
+    def __init__(self, mi, with_keys: bool = True):
+        # with_keys=False skips the split-key tables: the H2D-slim flow
+        # (_collect_dev_pos) ships host-computed CSR positions instead of
+        # keys, so only starts/vhi/vlo need to live in HBM (~40% less
+        # upload for a real genome)
+        if with_keys:
+            khi, klo = split_u64(mi.keys)
+            self.khi = jnp.asarray(khi)
+            self.klo = jnp.asarray(klo)
+        else:
+            self.khi = self.klo = None
         self.starts = jnp.asarray(mi.starts.astype(np.int32))
         vhi = (mi.values >> np.uint64(32)).astype(np.int64).astype(np.int32)
         vlo = (mi.values & np.uint64(0xFFFFFFFF)).astype(np.int64) \

@@ -58,6 +58,7 @@ def write_reads(path, reads):
 
 
 def main():
+    global REF_FA
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=400)
     ap.add_argument("--len", dest="read_len", type=int, default=1000)
@@ -71,13 +72,31 @@ def main():
     ap.add_argument("--batch", type=int, default=400)
     ap.add_argument("--repeat", type=int, default=2,
                     help="timed repeats (first run includes warmup)")
+    ap.add_argument("--ref-fa", default=REF_FA,
+                    help="reference FASTA (e.g. the genome_scale 50 Mb "
+                         "genome); reads are simulated from ALL contigs")
+    ap.add_argument("--index", default=None,
+                    help="map against this prebuilt index (.mm2i) instead "
+                         "of re-building from --ref-fa every run")
     args = ap.parse_args()
 
     from minimap2_chaindp_tpu.io.fastx import read_fastx
-    refs = list(read_fastx(REF_FA))
-    reads = simulate(refs[0].seq, args.reads, args.read_len, 0.10, seed=7)
+    refs = list(read_fastx(args.ref_fa))
+    rng = np.random.default_rng(11)
+    if len(refs) == 1:
+        reads = simulate(refs[0].seq, args.reads, args.read_len, 0.10,
+                         seed=7)
+    else:
+        reads = []
+        per = [int(rng.integers(0, len(refs))) for _ in range(args.reads)]
+        for ci in sorted(set(per)):
+            n_c = per.count(ci)
+            sub = simulate(refs[ci].seq, n_c, args.read_len, 0.10,
+                           seed=7 + ci)
+            reads.extend((f"{nm}!{refs[ci].name}", sq) for nm, sq in sub)
     qpath = "/tmp/e2e_bench_reads.fa"
     write_reads(qpath, reads)
+    REF_FA = args.index or args.ref_fa
 
     if args.ref or args.both:
         # warm once, then time
