@@ -268,3 +268,36 @@ def test_fast_path_paired_end_splice(monkeypatch):
     slow = HostRuntime(mi, mo).map_batch(frags)
     assert fast == slow
     assert any("ts:A:" in line for batch in fast for line in batch)
+
+
+@pytest.mark.parametrize("out_flags", [
+    C.MM_F_CIGAR | C.MM_F_OUT_SAM,
+    C.MM_F_CIGAR,                                    # PAF + cg
+    C.MM_F_CIGAR | C.MM_F_OUT_SAM | C.MM_F_OUT_CS,
+])
+def test_finish_from_chains_matches_full_map(mt_index, out_flags):
+    """The device-offload text path (mm2tpu_map_unit_text_chains: native
+    post-chain half fed PRECOMPUTED chains, the fork's FPGA->result_thread
+    handoff) must byte-match the full one-call native map on the same
+    reads — including reads with zero chains (unmapped records)."""
+    if native.load_ksw() is None:
+        pytest.skip("native lib unavailable")
+    from minimap2_chaindp_tpu.io.fastx import SeqRecord
+    from minimap2_chaindp_tpu.models.pipeline import host_chain, seed_unit
+    refs, mi = mt_index
+    _, mo = set_opt("map-ont")
+    mo.flag |= out_flags
+    mo.update(mi)
+    reads = _simulate(refs[0].seq, 20, 900, 0.12, seed=17)
+    reads.append(("empty_chain", "ACGT" * 30))      # no anchors -> unmapped
+    n_checked = 0
+    for name, seq in reads:
+        rec = SeqRecord(name, seq, None, None)
+        full = native.map_unit_text_native(mi, mo, rec)
+        info = seed_unit(mi, mo, [rec], collect_hits=True)
+        ch = host_chain(mo, info, 1)
+        fin = native.map_unit_text_chains_native(
+            mi, mo, rec, "", ch, info.sh.rep_len, info.sh.mini_pos)
+        assert fin == full, name
+        n_checked += 1
+    assert n_checked == len(reads)
