@@ -95,13 +95,18 @@ class MinimizerIndex:
 
 def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
                 flag: int = 0, bucket_bits: int = 14,
-                n_threads: int = 1) -> MinimizerIndex:
+                n_threads: int = 1,
+                device: bool | None = None) -> MinimizerIndex:
     """Build the CSR minimizer index from reference sequences.
 
     n_threads > 1 fans the per-contig native sketching across a worker
     pool (the reference's kt_pipeline step-1 parallelism, index.c:506-517;
     the native call releases the GIL). Output is order-stable: chunks are
-    contiguous rid ranges reassembled in rid order."""
+    contiguous rid ranges reassembled in rid order.
+
+    device=True (or MM2TPU_DEVICE_INDEX=1) runs the minimizer pair sort —
+    the O(n log n) heart of the build — on the accelerator
+    (index/build_device.py); bit-identical CSR, for co-located chips."""
     mi = MinimizerIndex(k=k, w=w, flag=flag, b=bucket_bits)
     no_seq = bool(flag & 2)  # MM_I_NO_SEQ: skip the 4-bit reference pack
     total = sum(len(s) for s in seq_strs)
@@ -144,8 +149,16 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
         mvs = [m for m in mvs if len(m)]
     from ..utils.mlog import mlog
     mlog("mm_idx_gen", "collected minimizers")
-    from ..native import build_csr_native
-    csr = build_csr_native(mvs)
+    import os as _os
+    if device is None:
+        device = _os.environ.get("MM2TPU_DEVICE_INDEX", "0") == "1"
+    csr = None
+    if device:
+        from .build_device import build_csr_device
+        csr = build_csr_device(mvs)
+    if csr is None:
+        from ..native import build_csr_native
+        csr = build_csr_native(mvs)
     if csr is not None:
         # one native pass: split key/val + pair sort + run-start unique
         # (index.c:349, 394) without the numpy concat/shift/nonzero copies

@@ -305,3 +305,26 @@ def test_cli_stdin_query():
         strip = lambda t: [l for l in t.split("\n")
                            if not l.startswith("@PG")]
         assert strip(out.stdout.decode()) == strip(base.stdout)
+
+
+def test_device_index_build_bit_identical():
+    """index/build_device.py: the accelerator pair-sort CSR build must
+    produce bit-identical keys/starts/values to the native host build
+    (multi-contig, shared minimizers across contigs)."""
+    from minimap2_chaindp_tpu.index.build import build_index
+    from minimap2_chaindp_tpu.io.fastx import read_fastx
+    import numpy as np
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    refs += list(read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa")))
+    names = [r.name for r in refs]
+    seqs = [r.seq for r in refs]
+    host = build_index(names, seqs, 10, 15, 0, 14, device=False)
+    dev = build_index(names, seqs, 10, 15, 0, 14, device=True)
+    assert np.array_equal(host.keys, dev.keys)
+    assert np.array_equal(host.starts, dev.starts)
+    assert np.array_equal(host.values, dev.values)
+    # HPC sketch variant too
+    host_h = build_index(names, seqs, 5, 19, 1, 14, device=False)
+    dev_h = build_index(names, seqs, 5, 19, 1, 14, device=True)
+    assert np.array_equal(host_h.values, dev_h.values)
+    assert np.array_equal(host_h.keys, dev_h.keys)
