@@ -21,7 +21,7 @@ import numpy as np
 # co-located host would not pay; a larger batch amortizes it so the metric
 # tracks the chip, not the link (measured: 1024-read calls ~37 ms, 4096-read
 # ~76 ms, 8192-read ~123 ms => ~80M anchors/s on-chip + ~24 ms fixed)
-N_READS = 8192
+N_READS = int(os.environ.get("MM2TPU_BENCH_READS", "8192"))
 ANCHORS_PER_READ = 1024
 MAX_DIST = 5000
 BW = 500
