@@ -18,6 +18,39 @@
 #include <cmath>
 #include <cstdio>
 #include <cctype>
+#include <atomic>
+#include <cstdlib>
+#include <ctime>
+
+// Opt-in per-stage wall-time counters (MM2TPU_PROF=1), the analog of the
+// reference's per-thread phase accumulators (main.c:110-116, map.c:938):
+// 0 sketch, 1 collect, 2 chain, 3 finish (regions/chain_post/est_err/mapq),
+// 4 align skeleton (extension DP, inside 3), 5 text emit.
+static std::atomic<int64_t> g_prof_ns[8];
+static int g_prof_enabled = -1;
+static inline bool prof_on() {
+    if (g_prof_enabled < 0) {
+        const char* e = getenv("MM2TPU_PROF");
+        g_prof_enabled = (e && *e == '1') ? 1 : 0;
+    }
+    return g_prof_enabled == 1;
+}
+struct ProfScope {
+    int idx; bool on; int64_t t0;
+    static int64_t now() {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+    }
+    explicit ProfScope(int i) : idx(i), on(prof_on()) { if (on) t0 = now(); }
+    ~ProfScope() { if (on) g_prof_ns[idx] += now() - t0; }
+};
+extern "C" void mm2tpu_prof_read(int64_t* out8) {
+    for (int i = 0; i < 8; ++i) out8[i] = g_prof_ns[i].load();
+}
+extern "C" void mm2tpu_prof_reset() {
+    for (int i = 0; i < 8; ++i) g_prof_ns[i] = 0;
+}
 
 extern "C" void mm2tpu_fix_update_extra(
     const uint8_t* qseq, const uint8_t* tseq, uint32_t* cigar,
@@ -2384,6 +2417,7 @@ static int64_t finish_unit_core(
     if (!is_sr) est_err_nat(c, regs, mini, n_mini);
     if (opt[25] && !regs.empty()) {  // base-level alignment
         c.n_a = squeeze_a_nat(c, regs);
+        ProfScope ps(4);
         if (skeleton_loop(c, regs, c.min_cnt, c.min_chain_score,
                           c.min_dp_max, max_clip) < 0)
             return -1;
@@ -2415,8 +2449,12 @@ static int64_t map_unit_core(
     int64_t offs2[2] = {0, qlen};
     uint32_t rid0 = 0;
     int64_t n_mv = 0;
-    void* sh = mm2tpu_sketch_batch(qseq_fwd, offs2, 1, w, k, &rid0, hpc,
-                                   &n_mv);
+    void* sh;
+    {
+        ProfScope ps(0);
+        sh = mm2tpu_sketch_batch(qseq_fwd, offs2, 1, w, k, &rid0, hpc,
+                                 &n_mv);
+    }
     std::vector<uint64_t> mv(2 * (n_mv > 0 ? n_mv : 1));
     mm2tpu_sketch_take(sh, mv.data());
     if (n_mv == 0) return 0;
@@ -2427,9 +2465,13 @@ static int64_t map_unit_core(
     // seed-hit collection
     int64_t sizes[3] = {0, 0, 0};
     int32_t diag_flags = (int32_t)(opt[0] & 0x3);  // NO_DIAG | NO_DUAL
-    void* ch = mm2tpu_collect_seeds_ava(
-        mv.data(), n_mv, keys, n_keys, starts, values, opt[19], qlen,
-        (int32_t)opt[24], name_rank, q_exact, q_ins, diag_flags, sizes);
+    void* ch;
+    {
+        ProfScope ps(1);
+        ch = mm2tpu_collect_seeds_ava(
+            mv.data(), n_mv, keys, n_keys, starts, values, opt[19], qlen,
+            (int32_t)opt[24], name_rank, q_exact, q_ins, diag_flags, sizes);
+    }
     int64_t n_anch = sizes[0], n_mini = sizes[1];
     std::vector<uint64_t> anch(2 * (n_anch > 0 ? n_anch : 1));
     std::vector<uint64_t> mini(n_mini > 0 ? n_mini : 1);
@@ -2446,13 +2488,18 @@ static int64_t map_unit_core(
     out_a.resize(4 * n_anch);
     std::vector<uint64_t> out_u(2 * n_anch);
     int64_t n_v = 0;
-    int64_t n_u = mm2tpu_chain_dp(
-        n_anch, ax.data(), ay.data(), opt[17] /*gap_ref = max_dist_x*/,
-        opt[16] /*gap_qry = max_dist_y*/, opt[14], opt[18],
-        (int32_t)opt[10], (int32_t)opt[11],
-        (opt[0] & F_SPLICE) ? 1 : 0, 1,
-        out_a.data(), out_u.data(), &n_v);
+    int64_t n_u;
+    {
+        ProfScope ps(2);
+        n_u = mm2tpu_chain_dp(
+            n_anch, ax.data(), ay.data(), opt[17] /*gap_ref = max_dist_x*/,
+            opt[16] /*gap_qry = max_dist_y*/, opt[14], opt[18],
+            (int32_t)opt[10], (int32_t)opt[11],
+            (opt[0] & F_SPLICE) ? 1 : 0, 1,
+            out_a.data(), out_u.data(), &n_v);
+    }
     if (n_u <= 0) return 0;
+    ProfScope ps(3);
     return finish_unit_core(qseq_fwd, qlen, qhash, S, seq_off, seq_len,
                             n_seq, k, hpc, mat, opt, optf, rep_len,
                             mini.data(), n_mini, out_a, n_v,
@@ -2582,6 +2629,7 @@ int64_t mm2tpu_map_unit_text(
         c.S = S; c.seq_off = seq_off;
         c.flag = opt[0];
     }
+    ProfScope ps(5);
     return emit_unit_text(c, regs, qseq_fwd, qname, qname_len, seq_ascii,
                           qual, comment, comment_len, rg_id, rg_len,
                           rnames, rname_off, sam_mode, out_text, text_cap,

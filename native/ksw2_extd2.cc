@@ -23,6 +23,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <atomic>
 
 namespace {
 
@@ -46,6 +47,19 @@ struct Work {  // reused across jobs
     std::vector<int64_t> H;
     std::vector<int32_t> off, off_end;
 };
+
+// Extension-DP call statistics (always cheap: a handful of relaxed atomic
+// adds per JOB, not per row). 0 calls, 1 rows, 2 band cells, 3 exact-H
+// calls, 4 approx-max calls, 5 sum qlen, 6 sum tlen.
+static std::atomic<int64_t> g_ext_stat[8];
+extern "C" void mm2tpu_ext_stat_read(int64_t* out8) {
+    for (int i = 0; i < 8; ++i)
+        out8[i] = g_ext_stat[i].load(std::memory_order_relaxed);
+}
+extern "C" void mm2tpu_ext_stat_reset() {
+    for (int i = 0; i < 8; ++i)
+        g_ext_stat[i].store(0, std::memory_order_relaxed);
+}
 
 
 // vectorized exact-H band pass: adds v to H over [st0,en1) and folds the
@@ -292,6 +306,72 @@ static inline void row_left_v(int64_t len, const int8_t* RST s_,
             _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
         _mm256_storeu_si256((__m256i*)(prow + i), d);
     }
+    if (i + 16 <= len) {  // 16-lane SSE tail (len is a multiple of 16)
+        const __m128i wmat0 = _mm256_castsi256_si128(vmat0),
+                      wq = _mm256_castsi256_si128(vq),
+                      wq2 = _mm256_castsi256_si128(vq2),
+                      wqe = _mm256_castsi256_si128(vqe),
+                      wqe2 = _mm256_castsi256_si128(vqe2),
+                      wz = _mm_setzero_si128(),
+                      w1 = _mm256_castsi256_si128(c1),
+                      w2 = _mm256_castsi256_si128(c2),
+                      w3 = _mm256_castsi256_si128(c3),
+                      w4 = _mm256_castsi256_si128(c4),
+                      w8 = _mm256_castsi256_si128(c8),
+                      w16 = _mm256_castsi256_si128(c16),
+                      w32 = _mm256_castsi256_si128(c32),
+                      w64 = _mm256_castsi256_si128(c64);
+        __m128i z = _mm_loadu_si128((const __m128i*)(s_ + i));
+        __m128i vt = _mm_loadu_si128((const __m128i*)(vt1 + i));
+        __m128i u0 = _mm_loadu_si128((const __m128i*)(ut + i));
+        __m128i a = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(xt1 + i)), vt);
+        __m128i b = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y_ + i)), u0);
+        __m128i a2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(x2t1 + i)), vt);
+        __m128i b2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y2_ + i)), u0);
+        __m128i m = _mm_cmpgt_epi8(a, z);
+        __m128i d = _mm_and_si128(m, w1);
+        z = _mm_max_epi8(z, a);
+        m = _mm_cmpgt_epi8(b, z);
+        d = _mm_blendv_epi8(d, w2, m);
+        z = _mm_max_epi8(z, b);
+        m = _mm_cmpgt_epi8(a2, z);
+        d = _mm_blendv_epi8(d, w3, m);
+        z = _mm_max_epi8(z, a2);
+        m = _mm_cmpgt_epi8(b2, z);
+        d = _mm_blendv_epi8(d, w4, m);
+        z = _mm_max_epi8(z, b2);
+        z = _mm_min_epi8(z, wmat0);
+        _mm_storeu_si128((__m128i*)(u_ + i), _mm_sub_epi8(z, vt));
+        _mm_storeu_si128((__m128i*)(v_ + i), _mm_sub_epi8(z, u0));
+        __m128i t1 = _mm_sub_epi8(z, wq);
+        a = _mm_sub_epi8(a, t1);
+        b = _mm_sub_epi8(b, t1);
+        __m128i t2 = _mm_sub_epi8(z, wq2);
+        a2 = _mm_sub_epi8(a2, t2);
+        b2 = _mm_sub_epi8(b2, t2);
+        m = _mm_cmpgt_epi8(a, wz);
+        d = _mm_or_si128(d, _mm_and_si128(m, w8));
+        _mm_storeu_si128((__m128i*)(x_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a, wz), wqe));
+        m = _mm_cmpgt_epi8(b, wz);
+        d = _mm_or_si128(d, _mm_and_si128(m, w16));
+        _mm_storeu_si128((__m128i*)(y_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b, wz), wqe));
+        m = _mm_cmpgt_epi8(a2, wz);
+        d = _mm_or_si128(d, _mm_and_si128(m, w32));
+        _mm_storeu_si128((__m128i*)(x2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a2, wz), wqe2));
+        m = _mm_cmpgt_epi8(b2, wz);
+        d = _mm_or_si128(d, _mm_and_si128(m, w64));
+        _mm_storeu_si128((__m128i*)(y2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b2, wz), wqe2));
+        _mm_storeu_si128((__m128i*)(prow + i), d);
+        i += 16;
+    }
 }
 
 static inline void row_right_v(int64_t len, const int8_t* RST s_,
@@ -362,6 +442,72 @@ static inline void row_right_v(int64_t len, const int8_t* RST s_,
             _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
         _mm256_storeu_si256((__m256i*)(prow + i), d);
     }
+    if (i + 16 <= len) {  // 16-lane SSE tail (len is a multiple of 16)
+        const __m128i wmat0 = _mm256_castsi256_si128(vmat0),
+                      wq = _mm256_castsi256_si128(vq),
+                      wq2 = _mm256_castsi256_si128(vq2),
+                      wqe = _mm256_castsi256_si128(vqe),
+                      wqe2 = _mm256_castsi256_si128(vqe2),
+                      wz = _mm_setzero_si128(),
+                      w1 = _mm256_castsi256_si128(c1),
+                      w2 = _mm256_castsi256_si128(c2),
+                      w3 = _mm256_castsi256_si128(c3),
+                      w4 = _mm256_castsi256_si128(c4),
+                      w8 = _mm256_castsi256_si128(c8),
+                      w16 = _mm256_castsi256_si128(c16),
+                      w32 = _mm256_castsi256_si128(c32),
+                      w64 = _mm256_castsi256_si128(c64);
+        __m128i z = _mm_loadu_si128((const __m128i*)(s_ + i));
+        __m128i vt = _mm_loadu_si128((const __m128i*)(vt1 + i));
+        __m128i u0 = _mm_loadu_si128((const __m128i*)(ut + i));
+        __m128i a = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(xt1 + i)), vt);
+        __m128i b = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y_ + i)), u0);
+        __m128i a2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(x2t1 + i)), vt);
+        __m128i b2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y2_ + i)), u0);
+        __m128i m = _mm_cmpgt_epi8(z, a);
+        __m128i d = _mm_andnot_si128(m, w1);
+        z = _mm_max_epi8(z, a);
+        m = _mm_cmpgt_epi8(z, b);
+        d = _mm_blendv_epi8(w2, d, m);
+        z = _mm_max_epi8(z, b);
+        m = _mm_cmpgt_epi8(z, a2);
+        d = _mm_blendv_epi8(w3, d, m);
+        z = _mm_max_epi8(z, a2);
+        m = _mm_cmpgt_epi8(z, b2);
+        d = _mm_blendv_epi8(w4, d, m);
+        z = _mm_max_epi8(z, b2);
+        z = _mm_min_epi8(z, wmat0);
+        _mm_storeu_si128((__m128i*)(u_ + i), _mm_sub_epi8(z, vt));
+        _mm_storeu_si128((__m128i*)(v_ + i), _mm_sub_epi8(z, u0));
+        __m128i t1 = _mm_sub_epi8(z, wq);
+        a = _mm_sub_epi8(a, t1);
+        b = _mm_sub_epi8(b, t1);
+        __m128i t2 = _mm_sub_epi8(z, wq2);
+        a2 = _mm_sub_epi8(a2, t2);
+        b2 = _mm_sub_epi8(b2, t2);
+        m = _mm_cmpgt_epi8(wz, a);
+        d = _mm_or_si128(d, _mm_andnot_si128(m, w8));
+        _mm_storeu_si128((__m128i*)(x_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a, wz), wqe));
+        m = _mm_cmpgt_epi8(wz, b);
+        d = _mm_or_si128(d, _mm_andnot_si128(m, w16));
+        _mm_storeu_si128((__m128i*)(y_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b, wz), wqe));
+        m = _mm_cmpgt_epi8(wz, a2);
+        d = _mm_or_si128(d, _mm_andnot_si128(m, w32));
+        _mm_storeu_si128((__m128i*)(x2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a2, wz), wqe2));
+        m = _mm_cmpgt_epi8(wz, b2);
+        d = _mm_or_si128(d, _mm_andnot_si128(m, w64));
+        _mm_storeu_si128((__m128i*)(y2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b2, wz), wqe2));
+        _mm_storeu_si128((__m128i*)(prow + i), d);
+        i += 16;
+    }
 }
 
 static inline void row_score_v(int64_t len, const int8_t* RST s_,
@@ -406,6 +552,45 @@ static inline void row_score_v(int64_t len, const int8_t* RST s_,
             _mm256_sub_epi8(_mm256_max_epi8(a2, zero), vqe2));
         _mm256_storeu_si256((__m256i*)(y2_ + i),
             _mm256_sub_epi8(_mm256_max_epi8(b2, zero), vqe2));
+    }
+    if (i + 16 <= len) {  // 16-lane SSE tail (len is a multiple of 16)
+        const __m128i wmat0 = _mm256_castsi256_si128(vmat0),
+                      wq = _mm256_castsi256_si128(vq),
+                      wq2 = _mm256_castsi256_si128(vq2),
+                      wqe = _mm256_castsi256_si128(vqe),
+                      wqe2 = _mm256_castsi256_si128(vqe2),
+                      wz = _mm_setzero_si128();
+        __m128i z = _mm_loadu_si128((const __m128i*)(s_ + i));
+        __m128i vt = _mm_loadu_si128((const __m128i*)(vt1 + i));
+        __m128i u0 = _mm_loadu_si128((const __m128i*)(ut + i));
+        __m128i a = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(xt1 + i)), vt);
+        __m128i b = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y_ + i)), u0);
+        __m128i a2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(x2t1 + i)), vt);
+        __m128i b2 = _mm_add_epi8(
+            _mm_loadu_si128((const __m128i*)(y2_ + i)), u0);
+        z = _mm_max_epi8(_mm_max_epi8(z, a), _mm_max_epi8(b, a2));
+        z = _mm_max_epi8(z, b2);
+        z = _mm_min_epi8(z, wmat0);
+        _mm_storeu_si128((__m128i*)(u_ + i), _mm_sub_epi8(z, vt));
+        _mm_storeu_si128((__m128i*)(v_ + i), _mm_sub_epi8(z, u0));
+        __m128i t1 = _mm_sub_epi8(z, wq);
+        a = _mm_sub_epi8(a, t1);
+        b = _mm_sub_epi8(b, t1);
+        __m128i t2 = _mm_sub_epi8(z, wq2);
+        a2 = _mm_sub_epi8(a2, t2);
+        b2 = _mm_sub_epi8(b2, t2);
+        _mm_storeu_si128((__m128i*)(x_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a, wz), wqe));
+        _mm_storeu_si128((__m128i*)(y_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b, wz), wqe));
+        _mm_storeu_si128((__m128i*)(x2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(a2, wz), wqe2));
+        _mm_storeu_si128((__m128i*)(y2_ + i),
+            _mm_sub_epi8(_mm_max_epi8(b2, wz), wqe2));
+        i += 16;
     }
 }
 #endif  // __AVX2__
@@ -578,6 +763,7 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
     int64_t last_st = -1, last_en = -1;
     int8_t qe_ = (int8_t)(q + e), qe2_ = (int8_t)(q2 + e2);
     int8_t q_ = (int8_t)q, q2_ = (int8_t)q2;
+    int64_t stat_rows = 0, stat_cells = 0;
 
     for (int64_t r = 0; r < qlen + tlen - 1; ++r) {
         int64_t st = 0, en = tlen - 1;
@@ -634,6 +820,7 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
                       y2 + st, (int8_t)mat0, q_, q2_, qe_, qe2_);
         }
         if (with_cigar) { off[r] = (int32_t)st; off_end[r] = (int32_t)en; }
+        ++stat_rows; stat_cells += len;
 
         if (!approx_max) {
             int64_t max_H, max_t;
@@ -685,6 +872,12 @@ void extd2_one(const uint8_t* qseq, int64_t qlen, const uint8_t* tseq,
         std::swap(up, uc); std::swap(vp, vc);
         std::swap(xp, xc); std::swap(x2p, x2c);
     }
+    g_ext_stat[0].fetch_add(1, std::memory_order_relaxed);
+    g_ext_stat[1].fetch_add(stat_rows, std::memory_order_relaxed);
+    g_ext_stat[2].fetch_add(stat_cells, std::memory_order_relaxed);
+    g_ext_stat[approx_max ? 4 : 3].fetch_add(1, std::memory_order_relaxed);
+    g_ext_stat[5].fetch_add(qlen, std::memory_order_relaxed);
+    g_ext_stat[6].fetch_add(tlen, std::memory_order_relaxed);
 
     if (with_cigar) {
         bool rev_cigar = flag & KSW_EZ_REV_CIGAR;
