@@ -149,10 +149,30 @@ static inline void build_score_profile(
     int8_t* RST s_, int64_t st0, int64_t en0,
     int8_t sc_mch, int8_t sc_mis, int8_t sc_N, int m) {
 #ifdef __SSE4_1__
+    int64_t t0 = st0;
+#ifdef __AVX2__
+    // 32-wide pairs of 16-byte blocks; coverage is IDENTICAL to the 16-wide
+    // loop (block at t0 is written iff t0 <= en0), so the load-bearing stale
+    // bytes outside the covered blocks are untouched.
+    const __m256i ymch = _mm256_set1_epi8(sc_mch),
+                  ymis = _mm256_set1_epi8(sc_mis),
+                  yN = _mm256_set1_epi8(sc_N),
+                  ym1 = _mm256_set1_epi8((char)(m - 1));
+    for (; t0 + 16 <= en0; t0 += 32) {
+        __m256i sq = _mm256_loadu_si256((const __m256i*)(sf + t0));
+        __m256i stq = _mm256_loadu_si256((const __m256i*)(qr + qrr + t0));
+        __m256i v = _mm256_blendv_epi8(ymis, ymch,
+                                       _mm256_cmpeq_epi8(sq, stq));
+        __m256i orv = _mm256_or_si256(sq, stq);
+        __m256i ge = _mm256_cmpeq_epi8(_mm256_max_epu8(orv, ym1), orv);
+        _mm256_storeu_si256((__m256i*)(s_ + t0),
+                            _mm256_blendv_epi8(v, yN, ge));
+    }
+#endif
     const __m128i vmch = _mm_set1_epi8(sc_mch), vmis = _mm_set1_epi8(sc_mis),
                   vN = _mm_set1_epi8(sc_N),
                   vm1 = _mm_set1_epi8((char)(m - 1));
-    for (int64_t t0 = st0; t0 <= en0; t0 += 16) {
+    for (; t0 <= en0; t0 += 16) {
         __m128i sq = _mm_loadu_si128((const __m128i*)(sf + t0));
         __m128i stq = _mm_loadu_si128((const __m128i*)(qr + qrr + t0));
         __m128i v = _mm_blendv_epi8(vmis, vmch, _mm_cmpeq_epi8(sq, stq));
