@@ -52,6 +52,45 @@ extern "C" void mm2tpu_prof_reset() {
     for (int i = 0; i < 8; ++i) g_prof_ns[i] = 0;
 }
 
+// ASCII -> nt4 (seq_nt4_table, sketch.c:9-26): A=0 C=1 G=2 T/U=3 else 4.
+static const uint8_t* nt4_table() {
+    static uint8_t tab[256];
+    static bool init = false;
+    if (!init) {
+        memset(tab, 4, sizeof(tab));
+        const char* up = "ACGT";
+        const char* lo = "acgt";
+        for (int i = 0; i < 4; ++i) {
+            tab[(uint8_t)up[i]] = (uint8_t)i;
+            tab[(uint8_t)lo[i]] = (uint8_t)i;
+        }
+        tab[(uint8_t)'U'] = 3;
+        tab[(uint8_t)'u'] = 3;
+        init = true;
+    }
+    return tab;
+}
+
+// Per-read tie-break hash (reference map.c:345-347): wang_hash32 of
+// X31(qname) ^ (wang(qlen_sum) + wang(seed)).
+static inline uint32_t wang_hash32_nat(uint32_t key) {
+    key += ~(key << 15);
+    key ^= key >> 10;
+    key += key << 3;
+    key ^= key >> 6;
+    key += ~(key << 11);
+    key ^= key >> 16;
+    return key;
+}
+static uint64_t qname_hash_nat(const char* qname, int64_t qname_len,
+                               int64_t qlen_sum, uint32_t seed) {
+    uint32_t h = 0;
+    for (int64_t i = 0; i < qname_len; ++i)
+        h = (h << 5) - h + (uint32_t)(uint8_t)qname[i];
+    h ^= wang_hash32_nat((uint32_t)qlen_sum) + wang_hash32_nat(seed);
+    return wang_hash32_nat(h);
+}
+
 extern "C" void mm2tpu_fix_update_extra(
     const uint8_t* qseq, const uint8_t* tseq, uint32_t* cigar,
     int64_t n_cigar, const int8_t* mat, int32_t q, int32_t e, int32_t rev,
