@@ -119,9 +119,9 @@ def _e2e_fields():
             pass
         fields[tag] = None
 
-    one("e2e_reads_per_s_host", ["--device", "host", "--steady", "2"],
+    one("e2e_reads_per_s_host", ["--device", "host", "--steady", "3"],
         "steady:", 300)
-    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--steady", "2"],
+    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--steady", "3"],
         "steady:", 540)
     one("e2e_reads_per_s_reference_binary", ["--ref"], "reference:", 300)
     return fields

@@ -20,6 +20,11 @@ from ..utils.timers import Timers
 
 BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 
+# device/host share learned by the sub-round controller, carried across
+# runtimes in this process (the link does not change between runs; a new
+# runtime re-probes bandwidth but starts from the converged split)
+_LEARNED_SHARE: list[float] = []
+
 
 def _done_gen():
     """Placeholder wave generator for units the native chains-finish path
@@ -101,12 +106,21 @@ class DeviceRuntime:
         else:
             # seed the split from the measured link: device-lane cost/read
             # ~ 20 KB over the link + ~0.5 ms dispatch share; host-lane
-            # ~2.5 ms/read native map. The controller refines per batch,
-            # but a single -K batch never gets a second chance.
-            mbps = self.link_mbps or 8.0
-            dev_ms = 0.02 / max(mbps, 0.1) * 1000.0 + 0.5
-            self._flow_share = min(0.9, max(0.1, 2.5 / (2.5 + dev_ms)))
+            # ~2.5 ms/read native map. The risk is asymmetric — a too-LOW
+            # share just leaves reads on the full-rate host lane (combined
+            # still ≥ host-only) while a too-HIGH share makes the device
+            # lane the batch straggler — so seed at half the estimate and
+            # let the sub-round controller grow it. A share learned by a
+            # previous runtime in this process (same link) seeds directly.
+            if _LEARNED_SHARE:
+                self._flow_share = _LEARNED_SHARE[-1]
+            else:
+                mbps = self.link_mbps or 8.0
+                dev_ms = 0.02 / max(mbps, 0.1) * 1000.0 + 0.5
+                self._flow_share = min(
+                    0.3, max(0.05, 2.5 / (2.5 + dev_ms) * 0.5))
         self._lane_ex = None
+        self._lowshare_strikes = 0
         # -t worker pool for the host-side fast path (kt_for over
         # fragments, kthread.c:125): used when the calibrated routing
         # sends reads to the one-call native driver
@@ -159,7 +173,25 @@ class DeviceRuntime:
     def map_batch(self, frags, rg_id: str = "") -> list[list[str]]:
         """Map a batch of fragments; returns per-fragment output lines.
         Handles every preset: chaining and extension run in batched device
-        kernels; ineligible units take exact host fallbacks."""
+        kernels; ineligible units take exact host fallbacks.
+
+        When the device/host share is adaptive (calibrated mode), a large
+        batch is processed in sub-rounds so the split controller converges
+        WITHIN a single -K batch: the calibration seed only estimates the
+        host lane's per-read cost, and a mis-seeded share on a one-batch
+        run would otherwise leave one lane idle at the tail (the combined
+        two-lane rate beats host-only exactly when both lanes finish
+        together)."""
+        chunk = 128
+        if (not self._share_fixed and self.device_flow
+                and len(frags) > 2 * chunk):
+            out: list[list[str]] = []
+            for st in range(0, len(frags), chunk):
+                out.extend(self._map_batch1(frags[st:st + chunk], rg_id))
+            return out
+        return self._map_batch1(frags, rg_id)
+
+    def _map_batch1(self, frags, rg_id: str = "") -> list[list[str]]:
         opt, mi = self.opt, self.mi
         from .batch_align import run_scheduler
         from .pipeline import (finish_unit_gen, format_frag, prepare_frag,
@@ -361,9 +393,23 @@ class DeviceRuntime:
         if host_futs and dev_fids and not self._share_fixed:
             t_dev = max(t_dev_done - t_batch0, 1e-6)
             t_host = max(host_last_t[0] - t_batch0, 1e-6)
-            r = (t_host / t_dev) ** 0.5
+            r = (t_host / t_dev) ** 0.7
             self._flow_share = min(0.95, max(
-                0.05, self._flow_share * min(1.5, max(0.6, r))))
+                0.05, self._flow_share * min(1.8, max(0.4, r))))
+            _LEARNED_SHARE[:] = [self._flow_share]
+            # the device lane's link polling is not free for the host lane
+            # (blocking fetches spin a core on this tunnel backend): when
+            # the share is pinned at the floor and the device lane STILL
+            # finishes far behind, the lane costs more than it maps —
+            # route everything to the host lane for the rest of the run
+            # (a later runtime re-probes the link and retries)
+            if self._flow_share <= 0.051 and t_dev > 2.0 * t_host:
+                self._lowshare_strikes += 1
+                if self._lowshare_strikes >= 2:
+                    self.device_flow = False
+                    self.timers.count("flow_lane_retired")
+            else:
+                self._lowshare_strikes = 0
         return lines
 
     def _get_lane_ex(self):
