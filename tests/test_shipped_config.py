@@ -74,3 +74,34 @@ def test_shipped_routing_flow_ship_anchors():
     got = _cli(["-a", "--device", "tpu", *MT],
                {"MM2TPU_DEVICE_FLOW": "1", "MM2TPU_FLOW_SHIP_ANCHORS": "1"})
     assert got == _golden()
+
+
+def test_adaptive_share_subrounds(tmp_path):
+    """Within-batch share adaptation (r2-continued): a >256-fragment batch
+    with the ADAPTIVE split (no MM2TPU_FLOW_SHARE pin) processes in
+    128-fragment sub-rounds, the controller rebalancing — and possibly
+    retiring — the device lane between rounds. Output must byte-match the
+    host-only run of the same inputs regardless of where the controller
+    lands."""
+    import numpy as np
+
+    from minimap2_chaindp_tpu.io.fastx import read_fastx
+    ref = next(iter(read_fastx(f"{REF_TEST_DIR}/MT-human.fa"))).seq
+    rng = np.random.default_rng(5)
+    comp = str.maketrans("ACGT", "TGCA")
+    qpath = tmp_path / "reads.fa"
+    with open(qpath, "w") as f:
+        for i in range(280):
+            st = int(rng.integers(0, len(ref) - 400))
+            s = list(ref[st:st + 400])
+            for _ in range(20):  # ~5% substitutions
+                s[int(rng.integers(0, len(s)))] = "ACGT"[
+                    int(rng.integers(0, 4))]
+            s = "".join(s)
+            if rng.random() < 0.5:
+                s = s[::-1].translate(comp)
+            f.write(f">r{i}\n{s}\n")
+    args = ["-a", f"{REF_TEST_DIR}/MT-human.fa", str(qpath)]
+    got = _cli(["--device", "tpu", *args], {})          # adaptive split
+    want = _cli(["--device", "host", *args], {})
+    assert got == want
