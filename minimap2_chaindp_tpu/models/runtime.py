@@ -20,10 +20,11 @@ from ..utils.timers import Timers
 
 BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 
-# device/host share learned by the sub-round controller, carried across
-# runtimes in this process (the link does not change between runs; a new
-# runtime re-probes bandwidth but starts from the converged split)
-_LEARNED_SHARE: list[float] = []
+# in-process link-probe cache: {"mbps": float, "t": epoch}. The probe costs
+# 2x 1 MB D2H (0.06-1 s, link-dependent) — re-running it per runtime was the
+# dominant per-run tax on short mapping runs. The persisted twin (with the
+# learned share and retirement verdicts) lives in utils/link_state.py.
+_PROBE_MEM: dict = {}
 
 
 def _done_gen():
@@ -110,17 +111,28 @@ class DeviceRuntime:
             # share just leaves reads on the full-rate host lane (combined
             # still ≥ host-only) while a too-HIGH share makes the device
             # lane the batch straggler — so seed at half the estimate and
-            # let the sub-round controller grow it. A share learned by a
-            # previous runtime in this process (same link) seeds directly.
-            if _LEARNED_SHARE:
-                self._flow_share = _LEARNED_SHARE[-1]
-            else:
-                mbps = self.link_mbps or 8.0
-                dev_ms = 0.02 / max(mbps, 0.1) * 1000.0 + 0.5
-                self._flow_share = min(
-                    0.3, max(0.05, 2.5 / (2.5 + dev_ms) * 0.5))
+            # let the sub-round controller converge it from measured
+            # per-lane rates. A share learned by a previous runtime (this
+            # process or a recent one — utils/link_state) overrides the
+            # seed per workload key in _adopt_state.
+            mbps = self.link_mbps or 8.0
+            dev_ms = 0.02 / max(mbps, 0.1) * 1000.0 + 0.5
+            self._flow_share = min(
+                0.3, max(0.05, 2.5 / (2.5 + dev_ms) * 0.5))
         self._lane_ex = None
         self._lowshare_strikes = 0
+        # sub-round share controller state (guarded by _ctrl_lock: two
+        # map_stream pipeline threads may finish batches concurrently)
+        self._ctrl_lock = threading.Lock()
+        self._ctrl_updates = 0
+        self._ctrl_stable = False
+        self._ctrl_last_persist = 0.0
+        self._wkey = None          # workload key the learned share is for
+        self._retired = False      # device lane retired by the controller
+        self._probe_chose_off = (mesh_shape is None and flow_env == ""
+                                 and not self.device_flow)
+        self._fast_ok_c = None
+        self._host = None
         # -t worker pool for the host-side fast path (kt_for over
         # fragments, kthread.c:125): used when the calibrated routing
         # sends reads to the one-call native driver
@@ -177,19 +189,106 @@ class DeviceRuntime:
 
         When the device/host share is adaptive (calibrated mode), a large
         batch is processed in sub-rounds so the split controller converges
-        WITHIN a single -K batch: the calibration seed only estimates the
-        host lane's per-read cost, and a mis-seeded share on a one-batch
-        run would otherwise leave one lane idle at the tail (the combined
-        two-lane rate beats host-only exactly when both lanes finish
-        together)."""
-        chunk = 128
+        WITHIN a single -K batch from each sub-round's measured per-lane
+        rates: the calibration seed only estimates the host lane's per-read
+        cost, and a mis-seeded share on a one-batch run would otherwise
+        leave one lane idle at the tail (the combined two-lane rate beats
+        host-only exactly when both lanes finish together). Sub-rounds
+        start small (64 fragments) so a mis-split exposes few reads, and
+        grow once the controller is stable so per-dispatch overhead
+        amortizes. When the link probe rejected the flow (or the lane was
+        retired, or the device stalled), the batch delegates to the
+        HostRuntime path outright — structurally identical to --device
+        host, so a dead link costs nothing beyond the cached probe."""
+        if self._host_delegate_ok():
+            return self._host_rt().map_batch(frags, rg_id)
+        chunk = 64
         if (not self._share_fixed and self.device_flow
-                and len(frags) > 2 * chunk):
+                and len(frags) >= 2 * chunk and self._fast_ok()):
+            self._adopt_state(frags)
             out: list[list[str]] = []
-            for st in range(0, len(frags), chunk):
+            st = 0
+            while st < len(frags):
+                if self._host_delegate_ok():  # retired/stalled mid-batch
+                    out.extend(self._host_rt().map_batch(frags[st:], rg_id))
+                    return out
                 out.extend(self._map_batch1(frags[st:st + chunk], rg_id))
+                st += chunk
+                if self._ctrl_stable:
+                    chunk = min(2 * chunk, 512)
             return out
         return self._map_batch1(frags, rg_id)
+
+    def _fast_ok(self) -> bool:
+        """Whether the host lane (one-call native driver) exists for this
+        run's mode — the sub-round controller needs both lanes (ADVICE r2:
+        chunking without a host lane pays join barriers for nothing)."""
+        if self._fast_ok_c is None:
+            from ..native import map_unit_ok
+            self._fast_ok_c = bool(map_unit_ok(self.opt, self.mi)) \
+                and not self.device_seeds
+        return self._fast_ok_c
+
+    def _host_delegate_ok(self) -> bool:
+        """Delegate whole batches to the HostRuntime path when no device
+        lane can pay: link probe said no (calibrated off), the controller
+        retired the lane, or the device stalled. Env-forced
+        MM2TPU_DEVICE_FLOW=0 keeps the staged device-chaining path (tests
+        and co-located deployments exercise it explicitly)."""
+        if self.mesh_shape is not None or self._alpha > 0 \
+                or self.device_seeds:
+            return False
+        from ..utils.device_guard import device_bad
+        if device_bad():
+            return True
+        return (self._retired or self._probe_chose_off) \
+            and not self.device_flow
+
+    def _host_rt(self):
+        """Lazily build the delegate HostRuntime sharing this runtime's
+        timers and -t pool (output identity between the two runtimes is
+        asserted by tests/test_host_runtime.py)."""
+        if self._host is None:
+            from .host_runtime import HostRuntime
+            h = HostRuntime(self.mi, self.opt, n_threads=1)
+            h.n_threads = self.n_threads
+            h._pool = self._pool
+            h.timers = self.timers
+            self._host = h
+        return self._host
+
+    def _adopt_state(self, frags) -> None:
+        """Adopt the persisted share/retirement for this workload key (a
+        read-length bucket — a 1 kb and a 10 kb workload have very
+        different device-lane costs, ADVICE r2). A retirement verdict is
+        honored within its TTL unless the current probed link is 2x
+        better than the link it was issued on (the parole path)."""
+        lens = [len(s.seq) for f in frags[:64] for s in f.segs]
+        if not lens:
+            return
+        wkey = f"rl{int(np.log2(max(float(np.mean(lens)), 64.0)))}"
+        if wkey == self._wkey:
+            return
+        with self._ctrl_lock:
+            if wkey == self._wkey:
+                return
+            self._wkey = wkey
+            if self._interpret:
+                return  # CPU tests: no link, no persisted verdicts
+            from ..utils import link_state
+            st = link_state.load()
+            ent = st.get(f"share:{wkey}")
+            if link_state.fresh(ent, link_state.PROBE_TTL_S):
+                self._flow_share = float(ent["share"])
+                self._ctrl_updates = 1  # a learned seed, not an estimate
+            rent = st.get(f"retired:{wkey}")
+            if link_state.fresh(rent, link_state.RETIRE_TTL_S):
+                parole = (self.link_mbps and rent.get("mbps")
+                          and self.link_mbps > 2.0 * float(rent["mbps"]))
+                if not parole:
+                    self.device_flow = False
+                    self._retired = True
+                    self.timers.count("flow_lane_retired_persisted")
 
     def _map_batch1(self, frags, rg_id: str = "") -> list[list[str]]:
         opt, mi = self.opt, self.mi
@@ -387,30 +486,60 @@ class DeviceRuntime:
                 lines.append(format_frag(mi, opt, segs, work, flipped,
                                          regss, rg_id))
 
-        # share controller: rebalance the device/host whole-read split so
-        # both lanes finish together (measured from batch start; device
-        # lane time includes its link waits, which is the point)
+        # share controller: set the device/host whole-read split from the
+        # two lanes' MEASURED throughputs this sub-round (reads/s measured
+        # from batch start; device lane time includes its link waits and
+        # any CPU it stole from the host lane, which is the point — the
+        # split that makes both lanes finish together is
+        # dev_rate/(dev_rate+host_rate)). Guarded by _ctrl_lock: two
+        # map_stream pipeline threads can finish batches concurrently.
         if host_futs and dev_fids and not self._share_fixed:
-            t_dev = max(t_dev_done - t_batch0, 1e-6)
-            t_host = max(host_last_t[0] - t_batch0, 1e-6)
-            r = (t_host / t_dev) ** 0.7
+            self._ctrl_update(len(dev_fids), max(t_dev_done - t_batch0, 1e-6),
+                              len(host_futs),
+                              max(host_last_t[0] - t_batch0, 1e-6))
+        return lines
+
+    def _ctrl_update(self, n_dev: int, t_dev: float,
+                     n_host: int, t_host: float) -> None:
+        """One controller step from a sub-round's measured per-lane work:
+        the split that makes both lanes finish together is
+        dev_rate/(dev_rate+host_rate)."""
+        target = (n_dev / t_dev) / (n_dev / t_dev + n_host / t_host)
+        with self._ctrl_lock:
+            # heavier first step: the seed is only an estimate, the
+            # first sub-round's measurement overrides it
+            w = 0.6 if self._ctrl_updates == 0 else 0.35
+            self._ctrl_stable = abs(target - self._flow_share) < 0.10
             self._flow_share = min(0.95, max(
-                0.05, self._flow_share * min(1.8, max(0.4, r))))
-            _LEARNED_SHARE[:] = [self._flow_share]
-            # the device lane's link polling is not free for the host lane
-            # (blocking fetches spin a core on this tunnel backend): when
-            # the share is pinned at the floor and the device lane STILL
-            # finishes far behind, the lane costs more than it maps —
-            # route everything to the host lane for the rest of the run
-            # (a later runtime re-probes the link and retries)
-            if self._flow_share <= 0.051 and t_dev > 2.0 * t_host:
+                0.02, (1.0 - w) * self._flow_share + w * target))
+            self._ctrl_updates += 1
+            # a lane whose measured split would be ~nothing costs more
+            # than it maps (per-dispatch overhead + link polling taxing
+            # the host lane): two consecutive strikes retire it for
+            # this runtime AND persist the verdict (TTL'd; a 2x-better
+            # probed link paroles it — see _adopt_state)
+            if target < 0.05:
                 self._lowshare_strikes += 1
-                if self._lowshare_strikes >= 2:
-                    self.device_flow = False
-                    self.timers.count("flow_lane_retired")
             else:
                 self._lowshare_strikes = 0
-        return lines
+            retire = self._lowshare_strikes >= 2
+            if retire:
+                self.device_flow = False
+                self._retired = True
+                self.timers.count("flow_lane_retired")
+            import time as _t
+            now = _t.time()
+            if self._wkey and not self._interpret \
+                    and (retire or now - self._ctrl_last_persist > 1.0):
+                self._ctrl_last_persist = now
+                from ..utils import link_state
+                upd = {f"share:{self._wkey}": {
+                    "share": round(self._flow_share, 4),
+                    "mbps": self.link_mbps, "t": now}}
+                if retire:
+                    upd[f"retired:{self._wkey}"] = {
+                        "mbps": self.link_mbps, "t": now}
+                link_state.save(upd)
 
     def _get_lane_ex(self):
         """Single-worker executor for the host whole-read lane when no -t
@@ -455,11 +584,18 @@ class DeviceRuntime:
         """Startup micro-probe (<1 s): measure device D2H bandwidth and pick
         the routing (VERDICT: replace hardcoded crossovers with a probe).
         Interpret mode (CPU tests) always enables the flow — there is no
-        link. The chosen values are reported in the [timers] line."""
+        link. The chosen values are reported in the [timers] line.
+
+        The probe result is cached in-process and persisted with a TTL
+        (utils/link_state): the link drifts on an hour scale, but a fresh
+        probe per runtime cost 0.06-1 s — more than a whole short mapping
+        run pays on the host path (round 2's driver-captured loss was
+        mostly this tax, re-paid by every steady repeat)."""
         if self._interpret:
             return True, None
         import os
         import time
+
         # the slim flow ships ~2 KB/read H2D (int32 CSR positions + int16
         # qpos) and ~2 KB/read D2H (int16 f/p) — anchors are re-derived on
         # the host (device_flow.flow_tail) — while the host fast path does
@@ -468,6 +604,15 @@ class DeviceRuntime:
         # keeps the slower number — the first D2H after an upload often
         # rides a burst that over-states the sustained rate.
         min_mbps = float(os.environ.get("MM2TPU_FLOW_MIN_MBPS", "4"))
+        from ..utils import link_state
+        if link_state.fresh(_PROBE_MEM, link_state.PROBE_TTL_S):
+            mbps = _PROBE_MEM["mbps"]
+            return mbps >= min_mbps, mbps
+        ent = link_state.load().get("probe")
+        if link_state.fresh(ent, link_state.PROBE_TTL_S):
+            _PROBE_MEM.update(ent)
+            mbps = float(ent["mbps"])
+            return mbps >= min_mbps, mbps
         try:
             from ..utils.device_guard import DeviceStall, device_call
 
@@ -486,8 +631,13 @@ class DeviceRuntime:
             # useful bar — do not let the probe itself eat the startup
             mbps = device_call(probe, 10.0)
         except Exception:
+            _PROBE_MEM.update({"mbps": 0.0, "t": time.time()})
+            link_state.save({"probe": dict(_PROBE_MEM)})
             return False, 0.0
-        return mbps >= min_mbps, round(mbps, 1)
+        mbps = round(mbps, 1)
+        _PROBE_MEM.update({"mbps": mbps, "t": time.time()})
+        link_state.save({"probe": dict(_PROBE_MEM)})
+        return mbps >= min_mbps, mbps
 
     def _get_flow(self):
         """Lazily build the fused collect+chain device flow (device_flow.py)

@@ -89,6 +89,18 @@ class _Call:
 
 def _worker():
     global _bad
+    # deprioritize the device-owner thread (Linux per-thread nice): a
+    # blocking PJRT call on a degraded tunnel link can busy-poll, and on a
+    # small host that steals CPU from the host mapping lane — the lane whose
+    # throughput is guaranteed. When the host lane is idle (pure-device
+    # phases) the worker still gets the whole core; under contention the
+    # host lane wins. MM2TPU_DEVICE_NICE=0 disables.
+    try:
+        nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
+        if nice:
+            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), nice)
+    except Exception:
+        pass
     while True:
         call = _q.get()
         try:

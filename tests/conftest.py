@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # dedicated native parity tests).
 os.environ.setdefault("MM2TPU_NATIVE_CHAIN_MAX", "0")
 
+# Hermetic tests: never read/write the persisted link/controller state a
+# real-TPU run may have left (utils/link_state) — a stale retirement
+# verdict must not steer interpret-mode routing.
+os.environ["MM2TPU_STATE_FILE"] = ""
+
 REF_TEST_DIR = "/root/reference/test"
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
