@@ -202,11 +202,16 @@ class DeviceFlow:
         # D2H slimming: by default the host re-derives anchors from its own
         # CSR (see flow_tail) and the reply carries only f/p/flag.
         # MM2TPU_FLOW_SHIP_ANCHORS=1 ships them instead (co-located links).
-        # The mesh step always ships: its capacity-routed hit order can
-        # differ from host expansion order at cross-shard x-ties, so the
-        # device's own anchors are the ones f/p index into — and a real
-        # multi-chip deployment is co-located, not tunnel-bound.
-        self.ship_anchors = mesh is not None or os.environ.get(
+        # The mesh step slims too (r3): its 3-key sort ((biased xhi, rpos,
+        # global slot id)) provably rebuilds the host expansion order — the
+        # global slot id IS the host expansion index (minimizer-slot-major,
+        # CSR-occurrence-minor, over-occurrence keys excluded from the
+        # count psum), and keys never split across shards
+        # (ops/seeds_device.shard_index_tables cuts at key boundaries), so
+        # equal-(x) anchors tie-break identically to the host's stable
+        # radix sort by x (map.c:233). Byte-identity of the slim mesh flow
+        # is asserted by tests/test_mesh_e2e.py.
+        self.ship_anchors = os.environ.get(
             "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
         self._warm: set = set()  # static keys already compiled this process
         if mesh is None:

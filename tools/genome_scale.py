@@ -135,6 +135,12 @@ def main():
     ap.add_argument("--read-len", type=int, default=10000)
     ap.add_argument("--skip-ref", action="store_true",
                     help="skip the reference-binary differential")
+    ap.add_argument("--mesh", default=None, metavar="DxI",
+                    help="also run the --mesh sharded-index flow over a "
+                         "virtual CPU mesh on a read subset and byte-diff "
+                         "it against the host run (e.g. 2x4: the index "
+                         "sharded 4 ways must hold this genome)")
+    ap.add_argument("--mesh-reads", type=int, default=100)
     ap.add_argument("--dir", default="/tmp/genome_scale")
     ns = ap.parse_args()
 
@@ -218,6 +224,32 @@ def main():
                 if t[2] != truth_name or abs(int(t[3]) - int(st)) > 20000:
                     wrong += 1
         print(f"[{label}] accuracy: {n_q60} primary Q60, {wrong} wrong")
+
+    # ---- sharded-index mesh flow at scale (virtual CPU mesh): the CSR
+    # index is key-range-sharded across the "index" axis (the >chip-HBM
+    # design) and output must stay byte-identical to the host run — the
+    # first mesh e2e holding a big index (VERDICT r2 #5; previously only
+    # the 16.5 kb MT pair had ever been through the mesh step)
+    if ns.mesh:
+        mq = os.path.join(ns.dir, "mesh_reads.fa")
+        if not os.path.exists(mq):
+            simulate(ref, mq, ns.mesh_reads, 1000, 0.10, seed=9)
+        env = {"JAX_PLATFORMS": "cpu"}
+        t0 = time.perf_counter()
+        dt_m, out_m = run_cli(["-ax", "map-ont", "--device", "tpu",
+                               "--mesh", ns.mesh, ref, mq], env)
+        _, out_h = run_cli(["-ax", "map-ont", "--device", "host", ref, mq])
+        ident = "BYTE-IDENTICAL" if out_m == out_h else "MISMATCH"
+        print(f"[mesh {ns.mesh}] {ns.mesh_reads} reads over the sharded "
+              f"{ns.mb} Mb index: {ident} ({dt_m:.1f}s on the virtual "
+              f"CPU mesh)")
+        if ident != "BYTE-IDENTICAL":
+            for a, b in zip(out_m, out_h):
+                if a != b:
+                    print("mesh:", a[:160])
+                    print("host:", b[:160])
+                    break
+            raise SystemExit(1)
 
     # ---- reference-binary differential (byte identity)
     if not ns.skip_ref and os.path.exists(REF_BIN):
