@@ -154,13 +154,26 @@ class DeviceRuntime:
         # fraction (0 disables); unset starts at 0.15 when the calibrated
         # link cleared the bar, and the controller rebalances per batch so
         # both lanes finish together.
-        # opt-in only since the native chains-finish path landed: routing
-        # a read through the lane sends it to the staged Python align
-        # stage (~30x the per-read cost of the native finish), so the
-        # lane now only pays off for flow-ineligible work
+        # r3: the lane joined the calibrated controller (VERDICT r2 #7) but
+        # RETARGETED — it only takes units the native chains-finish path
+        # did NOT absorb (multi-seg fragments, fallback units, oversized
+        # reads), which run the staged Python align either way; for those
+        # the lane only swaps native extd2 calls for concurrent device
+        # ones, so it can add capacity without the ~30x staged-path
+        # penalty that made stealing fast-path reads a guaranteed loss.
+        # MM2TPU_EXT_LANE forces the fraction (0 disables); unset, a
+        # healthy calibrated link (>= MM2TPU_EXT_MIN_MBPS, default 8)
+        # starts it at 0.15 and the per-batch controller rebalances.
         lane_env = _os.environ.get("MM2TPU_EXT_LANE", "")
         self._lane_fixed = lane_env != ""
-        self._alpha = float(lane_env) if lane_env else 0.0
+        if lane_env:
+            self._alpha = float(lane_env)
+        elif (not self._share_fixed and self.device_flow
+              and (self.link_mbps or 0.0) >= float(
+                  _os.environ.get("MM2TPU_EXT_MIN_MBPS", "8"))):
+            self._alpha = 0.15
+        else:
+            self._alpha = 0.0
         self._opt_dev = None
         self._dev_align_exec = None
         self._lane_lock = threading.Lock()
@@ -235,12 +248,13 @@ class DeviceRuntime:
         retired the lane, or the device stalled. Env-forced
         MM2TPU_DEVICE_FLOW=0 keeps the staged device-chaining path (tests
         and co-located deployments exercise it explicitly)."""
-        if self.mesh_shape is not None or self._alpha > 0 \
-                or self.device_seeds:
+        if self.mesh_shape is not None or self.device_seeds:
             return False
         from ..utils.device_guard import device_bad
         if device_bad():
             return True
+        if self._alpha > 0:
+            return False
         return (self._retired or self._probe_chose_off) \
             and not self.device_flow
 
@@ -327,17 +341,18 @@ class DeviceRuntime:
             share = self._flow_share
             dev_fids = {i for i in range(len(frags))
                         if int((i + 1) * share) > int(i * share)}
-        # hybrid extension lane: route fraction alpha of fragments through
-        # the staged pipeline with DEVICE extension waves, concurrent with
-        # the host lane (the reference's "device-resident extend" analog;
-        # the controller below rebalances so both lanes finish together)
+        # hybrid extension lane: a fraction alpha of the STAGED units (the
+        # ones the fast path and the native chains-finish do not absorb —
+        # multi-seg fragments, oversized reads, fallbacks) runs its
+        # extension waves on the device kernel concurrently with the host
+        # align scheduler (the reference's "device-resident extend"
+        # analog; the per-batch controller rebalances alpha so both sides
+        # finish together). Selection happens AFTER the native finish so
+        # the lane can only add capacity, never divert cheap-path reads.
         lane_exec = self._get_ext_lane()
-        a = self._alpha if lane_exec else 0.0
-        lane_fids = {i for i in range(len(frags))
-                     if int((i + 1) * a) > int(i * a)}
 
         def _fast_eligible(fi, frag):
-            return (fast_ok and fi not in lane_fids and fi not in dev_fids
+            return (fast_ok and fi not in dev_fids
                     and len(frag.segs) <= 2
                     and sum(len(s.seq) for s in frag.segs) <= fast_qlen_max)
 
@@ -366,7 +381,6 @@ class DeviceRuntime:
 
         frag_meta = []
         units = []
-        lane_units: set = set()
         fast_lines: list = []
         with self.timers.time("seed"):
             for fi, frag in enumerate(frags):
@@ -380,8 +394,6 @@ class DeviceRuntime:
                 for u in us:
                     units.append((u, seed_unit(mi, opt, u,
                                                collect_hits=False)))
-                if fi in lane_fids:
-                    lane_units.update(range(start, len(units)))
                 frag_meta.append((frag.segs, work, flipped,
                                   slice(start, len(units))))
 
@@ -406,8 +418,12 @@ class DeviceRuntime:
                         continue
                     segs, work, flipped, sl = meta
                     k = sl.start
+                    # the native finish always wins over the ext lane: the
+                    # lane only adds capacity for units that would run the
+                    # staged Python align anyway (lane_units is trimmed
+                    # below)
                     if (len(segs) != 1 or sl.stop - sl.start != 1
-                            or k not in flow_chains or k in lane_units):
+                            or k not in flow_chains):
                         continue
                     info = units[k][1]
                     if info.sh is None:
@@ -427,6 +443,12 @@ class DeviceRuntime:
         chains = self._chain_batch(units, flow_chains)
 
         with self.timers.time("align"):
+            # ext-lane selection from the staged survivors only (the units
+            # the native finish did not absorb)
+            a = self._alpha if lane_exec else 0.0
+            rem = [k for k in range(len(units)) if k not in done_units]
+            lane_units = {rem[i] for i in range(len(rem))
+                          if int((i + 1) * a) > int(i * a)}
             use_lane = lane_exec is not None and lane_units
             gens = [_done_gen() if k in done_units else finish_unit_gen(
                         mi, self._opt_dev if use_lane and k in lane_units
@@ -526,6 +548,8 @@ class DeviceRuntime:
             if retire:
                 self.device_flow = False
                 self._retired = True
+                if not self._lane_fixed:
+                    self._alpha = 0.0  # the ext lane rides the same link
                 self.timers.count("flow_lane_retired")
             import time as _t
             now = _t.time()
