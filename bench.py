@@ -212,28 +212,36 @@ def main_device():
         jax.block_until_ready(args)  # materialize host->HBM before timing
         return anchors, args, CP.infer_use_exc(exc)
 
-    def run(args, use_exc):
-        f, p, flag = CP.chain_scores_batch(
+    def dispatch(args, use_exc):
+        return CP.chain_scores_batch(
             *args, max_n=max_n, max_dist_x=MAX_DIST, max_dist_y=MAX_DIST,
             bw=BW, max_skip=MAX_SKIP, is_cdna=False, many_segs=False,
             interpret=interpret, use_exc=use_exc,
             # synth reads model 10 kb queries (qpos < 10000, span 15), so
             # chain scores fit 15 bits -> packed single-reduction epilogue
             score_bound=10300)
+
+    def run(args, use_exc):
+        f, p, flag = dispatch(args, use_exc)
         # fetch a tiny slice: defeats async dispatch illusions on tunneled
         # backends where block_until_ready returns before execution finishes
         return f, int(np.asarray(flag[:, 0]).sum())
 
-    n_iter = 1 if interpret else 2
+    n_iter = 1 if interpret else 3
     batches = [pack(s) for s in range(n_iter + 1)]
     # ONE kernel variant across warmup and all timed batches — a per-batch
     # use_exc would let a timed call recompile mid-measurement
     use_exc = any(b[2] for b in batches)
     f, flagged = run(batches[0][1], use_exc)  # warmup/compile
     f, flagged = run(batches[0][1], use_exc)  # steady-state warmup
+    # pipelined dispatch — the runtime's production shape (DeviceFlow and
+    # _chain_batch stage every bucket's dispatch before blocking on any
+    # result), so dispatch k+1 queues while k executes and the fixed
+    # host<->device round trip is paid once per PIPELINE, not once per
+    # call. Every timed call still sees a never-executed batch.
     t0 = time.perf_counter()
-    for it in range(n_iter):  # every timed call sees a never-executed batch
-        f, flagged = run(batches[it + 1][1], use_exc)
+    outs = [dispatch(batches[it + 1][1], use_exc) for it in range(n_iter)]
+    flagged = sum(int(np.asarray(flag[:, 0]).sum()) for _f, _p, flag in outs)
     t1 = time.perf_counter()
     total_anchors = N_READS * ANCHORS_PER_READ * n_iter
     value = total_anchors / (t1 - t0)
