@@ -264,13 +264,133 @@ def paf_stat(argv):
 
 # ------------------------------------------------------------------ sam2paf
 
+class _CigarSummary:
+    """One pass over a SAM CIGAR: per-op totals, clip lengths, and the
+    merged M-run list the MD walk consumes (=/X fold into M; H excluded)."""
+    __slots__ = ("m", "mm_ext", "ins_n", "ins_len", "del_n", "del_len",
+                 "n_skip", "clip", "soft_clip", "n_ops", "runs",
+                 "have_m", "have_ext")
+
+    def __init__(self, cigar_str, keep_runs):
+        self.m = self.mm_ext = 0
+        self.ins_n = self.ins_len = self.del_n = self.del_len = 0
+        self.n_skip = self.soft_clip = 0
+        self.clip = [0, 0]
+        self.n_ops = 0
+        self.runs = []          # [len, op] with =/X folded into M
+        self.have_m = self.have_ext = False
+        for m in RE_CIGAR.finditer(cigar_str):
+            ln, op = int(m.group(1)), m.group(2)
+            if op == "M":
+                self.m += ln
+                self.have_m = True
+            elif op == "I":
+                self.ins_n += 1
+                self.ins_len += ln
+            elif op == "D":
+                self.del_n += 1
+                self.del_len += ln
+            elif op == "N":
+                self.n_skip += ln
+            elif op == "S":
+                self.clip[0 if self.n_ops == 0 else 1] = ln
+                self.soft_clip += ln
+            elif op == "H":
+                self.clip[0 if self.n_ops == 0 else 1] = ln
+            elif op == "=":
+                self.m += ln
+                self.have_ext = True
+                op = "M"
+            elif op == "X":
+                self.m += ln
+                self.mm_ext += ln
+                self.have_ext = True
+                op = "M"
+            self.n_ops += 1
+            if keep_runs and op != "H":
+                if self.runs and self.runs[-1][1] == op:
+                    self.runs[-1][0] += ln
+                else:
+                    self.runs.append([ln, op])
+
+    @property
+    def gap_len(self):
+        return self.ins_len + self.del_len
+
+    @property
+    def gap_opens(self):
+        return self.ins_n + self.del_n
+
+
+def _md_to_cs(md, runs, seq, lineno):
+    """Rebuild a cs:Z difference string from the MD tag and the merged
+    CIGAR runs. Two cursor pairs walk in lockstep — (cig_t, cig_q) at CIGAR
+    run granularity and (md_t, md_q) at MD token granularity — and must
+    agree at the end (the reference's cx/cy vs mx/my check,
+    paftools.js:1117)."""
+    re_md = re.compile(r"(\d+)|(\^[A-Za-z]+)|([A-Za-z])")
+    cs = []
+    k = cig_t = cig_q = md_t = md_q = 0
+    for m in re_md.finditer(md):
+        if m.group(2) is not None:            # ^ACGT: deletion
+            deleted = m.group(2)[1:]
+            cs.extend(["-", deleted])
+            md_t += len(deleted)
+            cig_t += len(deleted)
+            k += 1
+            continue
+        # a match run (group 1) or a single substituted base (group 3)
+        ml = int(m.group(1)) if m.group(1) is not None else 1
+        while k < len(runs) and runs[k][1] != "D":
+            cl, op = runs[k]
+            if op == "M":
+                if md_q + ml < cig_q + cl:    # token ends inside this run
+                    if ml > 0:
+                        if m.group(3) is not None:
+                            cs.extend(["*", m.group(3), seq[md_q]])
+                        else:
+                            cs.extend([":", str(ml)])
+                    md_t += ml
+                    md_q += ml
+                    ml = 0
+                    break
+                take = cig_q + cl - md_q      # token spans past the run
+                cs.extend([":", str(take)])
+                cig_t += cl
+                cig_q += cl
+                k += 1
+                md_t += take
+                md_q += take
+                ml -= take
+            elif op == "I":
+                cs.extend(["+", seq[cig_q:cig_q + cl]])
+                cig_q += cl
+                md_q += cl
+                k += 1
+            elif op == "S":
+                cig_q += cl
+                md_q += cl
+                k += 1
+            else:
+                raise SystemExit(f"at line {lineno}: inconsistent MD tag")
+        if ml != 0:
+            raise SystemExit(f"at line {lineno}: inconsistent MD tag")
+    if cig_t != md_t or cig_q != md_q:
+        raise SystemExit(f"at line {lineno}: inconsistent MD tag")
+    return cs
+
+
 def paf_sam2paf(argv):
+    """SAM -> PAF conversion with cs:Z reconstruction from MD
+    (paftools.js:1117): summarize the CIGAR once (_CigarSummary),
+    reconcile NM against it (extended =/X CIGARs recompute NM; classic
+    CIGARs derive the mismatch count from NM minus gap bases), and rebuild
+    cs from MD when SEQ is present."""
     ap = argparse.ArgumentParser(prog="paftools sam2paf")
     ap.add_argument("-p", dest="pri_only", action="store_true")
     ap.add_argument("input")
     ns = ap.parse_args(argv)
 
-    re_md = re.compile(r"(\d+)|(\^[A-Za-z]+)|([A-Za-z])")
     re_tag = re.compile(r"\t(\S\S:[AZif]):(\S+)")
     ctg_len = {}
     lineno = 0
@@ -287,9 +407,10 @@ def paf_sam2paf(argv):
                 continue
             t = line.split("\t", 11)
             flag = int(t[1])
-            if t[9] != "*" and t[10] != "*" and len(t[9]) != len(t[10]):
+            seq, qual = t[9], t[10]
+            if seq != "*" and qual != "*" and len(seq) != len(qual):
                 raise SystemExit(f"at line {lineno}: inconsistent SEQ and "
-                                 f"QUAL lengths - {len(t[9])} != {len(t[10])}")
+                                 f"QUAL lengths - {len(seq)} != {len(qual)}")
             if t[2] == "*" or (flag & 4) or t[5] == "*":
                 continue
             if ns.pri_only and (flag & 0x100):
@@ -298,155 +419,71 @@ def paf_sam2paf(argv):
             if tlen is None:
                 raise SystemExit(f"at line {lineno}: can't find the length "
                                  f"of contig {t[2]}")
-            nn, NM, MD = 0, None, None
+            nm = md = None
             for m in re_tag.finditer(line):
                 if m.group(1) == "NM:i":
-                    NM = int(m.group(2))
-                elif m.group(1) == "nn:i":
-                    nn = int(m.group(2))
+                    nm = int(m.group(2))
                 elif m.group(1) == "MD:Z":
-                    MD = m.group(2)
-            if t[9] == "*":
-                MD = None
-            clip = [0, 0]
-            soft_clip = 0
-            I = [0, 0]
-            D = [0, 0]
-            M = N = mm = 0
-            have_M = have_ext = False
-            cigar = []
-            n_cigar = 0
-            for m in RE_CIGAR.finditer(t[5]):
-                ln, op = int(m.group(1)), m.group(2)
-                if op == "M":
-                    M += ln
-                    have_M = True
-                elif op == "I":
-                    I[0] += 1
-                    I[1] += ln
-                elif op == "D":
-                    D[0] += 1
-                    D[1] += ln
-                elif op == "N":
-                    N += ln
-                elif op == "S":
-                    clip[0 if n_cigar == 0 else 1] = ln
-                    soft_clip += ln
-                elif op == "H":
-                    clip[0 if n_cigar == 0 else 1] = ln
-                elif op == "=":
-                    M += ln
-                    have_ext = True
-                    op = "M"
-                elif op == "X":
-                    M += ln
-                    mm += ln
-                    have_ext = True
-                    op = "M"
-                n_cigar += 1
-                if MD is not None and op != "H":
-                    if cigar and cigar[-1][1] == op:
-                        cigar[-1][0] += ln
-                    else:
-                        cigar.append([ln, op])
-            ql = M + I[1] + soft_clip
-            tl = M + D[1] + N
+                    md = m.group(2)
+            if seq == "*":
+                md = None
+
+            cg = _CigarSummary(t[5], keep_runs=md is not None)
+            ql = cg.m + cg.ins_len + cg.soft_clip
+            tl = cg.m + cg.del_len + cg.n_skip
             ts = int(t[3]) - 1
             te = ts + tl
-            if n_cigar > 65535:
-                _warn(f"WARNING at line {lineno}: {n_cigar} CIGAR operations")
+            if cg.n_ops > 65535:
+                _warn(f"WARNING at line {lineno}: {cg.n_ops} CIGAR "
+                      "operations")
             if te > tlen:
                 _warn(f"WARNING at line {lineno}: alignment end position "
                       "larger than ref length; skipped")
                 continue
-            if t[9] != "*" and len(t[9]) != ql:
+            if seq != "*" and len(seq) != ql:
                 _warn(f"WARNING at line {lineno}: SEQ length inconsistent "
-                      f"with CIGAR ({len(t[9])} != {ql}); skipped")
+                      f"with CIGAR ({len(seq)} != {ql}); skipped")
                 continue
-            cs = []
-            if MD is not None:
-                k = cx = cy = mx = my = 0
-                ok = True
-                for m in re_md.finditer(MD):
-                    if m.group(2) is not None:  # deletion from the reference
-                        ln = len(m.group(2)) - 1
-                        cs.extend(["-", m.group(2)[1:]])
-                        mx += ln
-                        cx += ln
-                        k += 1
-                    else:
-                        ml = int(m.group(1)) if m.group(1) is not None else 1
-                        while k < len(cigar) and cigar[k][1] != "D":
-                            cl, op = cigar[k]
-                            if op == "M":
-                                if my + ml < cy + cl:
-                                    if ml > 0:
-                                        if m.group(3) is not None:
-                                            cs.extend(["*", m.group(3),
-                                                       t[9][my]])
-                                        else:
-                                            cs.extend([":", str(ml)])
-                                    mx += ml
-                                    my += ml
-                                    ml = 0
-                                    break
-                                dl = cy + cl - my
-                                cs.extend([":", str(dl)])
-                                cx += cl
-                                cy += cl
-                                k += 1
-                                mx += dl
-                                my += dl
-                                ml -= dl
-                            elif op == "I":
-                                cs.extend(["+", t[9][cy:cy + cl]])
-                                cy += cl
-                                my += cl
-                                k += 1
-                            elif op == "S":
-                                cy += cl
-                                my += cl
-                                k += 1
-                            else:
-                                raise SystemExit(f"at line {lineno}: "
-                                                 "inconsistent MD tag")
-                        if ml != 0:
-                            raise SystemExit(f"at line {lineno}: "
-                                             "inconsistent MD tag")
-                if cx != mx or cy != my:
-                    raise SystemExit(f"at line {lineno}: inconsistent MD tag")
-            if have_ext and not have_M:  # extended CIGAR
-                if NM is not None and NM != I[1] + D[1] + mm:
+
+            cs = _md_to_cs(md, cg.runs, seq, lineno) if md is not None \
+                else []
+
+            # mismatch count: extended CIGARs carry it; else derive from NM
+            mm = cg.mm_ext
+            if cg.have_ext and not cg.have_m:
+                if nm is not None and nm != cg.gap_len + mm:
                     _warn(f"WARNING at line {lineno}: NM is different from "
                           "sum of gaps and mismatches")
-                NM = I[1] + D[1] + mm
-            elif NM is not None:
-                if NM < I[1] + D[1]:
+                nm = cg.gap_len + mm
+            elif nm is not None:
+                if nm < cg.gap_len:
                     _warn(f"WARNING at line {lineno}: NM is less than the "
-                          f"total number of gaps ({NM} < {I[1] + D[1]})")
-                    NM = I[1] + D[1]
-                mm = NM - (I[1] + D[1])
+                          f"total number of gaps ({nm} < {cg.gap_len})")
+                    nm = cg.gap_len
+                mm = nm - cg.gap_len
             else:
                 _warn(f"WARNING at line {lineno}: unable to find the number "
                       "of mismatches; assuming zero")
                 mm = 0
-            mlen = M - mm
-            blen = M + I[1] + D[1]
-            qlen = M + I[1] + clip[0] + clip[1]
+
+            mlen = cg.m - mm
+            blen = cg.m + cg.gap_len
+            qlen = cg.m + cg.ins_len + cg.clip[0] + cg.clip[1]
             qname = t[0]
-            if (flag & 1) and (flag & 0x40):
-                qname += "/1"
-            if (flag & 1) and (flag & 0x80):
-                qname += "/2"
+            if flag & 1:
+                if flag & 0x40:
+                    qname += "/1"
+                if flag & 0x80:
+                    qname += "/2"
             if flag & 16:
-                qs, qe = clip[1], qlen - clip[0]
+                qs, qe = cg.clip[1], qlen - cg.clip[0]
             else:
-                qs, qe = clip[0], qlen - clip[1]
+                qs, qe = cg.clip[0], qlen - cg.clip[1]
             tags = ["tp:A:" + ("S" if flag & 0x100 else "P")]
-            if NM is not None:
+            if nm is not None:
                 tags.append(f"mm:i:{mm}")
-            tags.append(f"gn:i:{I[1] + D[1]}")
-            tags.append(f"go:i:{I[0] + D[0]}")
+            tags.append(f"gn:i:{cg.gap_len}")
+            tags.append(f"go:i:{cg.gap_opens}")
             tags.append("cg:Z:" + re.sub(r"\d+[SH]", "", t[5]))
             if cs:
                 tags.append("cs:Z:" + "".join(cs))
@@ -873,7 +910,69 @@ def paf_gff2bed(argv):
 
 # ----------------------------------------------------------------- liftover
 
+def _load_bed3(fn, merge=False):
+    """chrom -> sorted [st, en(, scan_index)] interval lists, overlap-query
+    ready (intv_index_end appends the scan index used by intv_find_ovlp)."""
+    bed = {}
+    with _open(fn) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            bed.setdefault(t[0], []).append([int(t[1]), int(t[2])])
+    for intervals in bed.values():
+        intv_sort(intervals)
+        if merge:
+            intv_merge(intervals, True)
+        intv_index_end(intervals, True)
+    return bed
+
+
+def _gap_compressed_div(cg, mlen, blen):
+    """Gap-compressed divergence estimate from a cigar: mismatches + gap
+    OPENS over (that + matches) — the liftover -d filter's metric."""
+    n_gap_bases = n_opens = 0
+    for m in RE_CIGAR.finditer(cg):
+        if m.group(2) in "ID":
+            n_gap_bases += int(m.group(1))
+            n_opens += 1
+    n_diff = (blen - mlen - n_gap_bases) + n_opens
+    return n_diff / (n_diff + mlen)
+
+
+def _lift_endpoints(cg, endpoints, walk_q0, t0):
+    """Resolve query-side endpoints to target coordinates in ONE cigar
+    walk. `endpoints` is sorted [walk_qpos, is_end, region_idx, result]
+    (result -2 = unresolved); walk coordinates run in the alignment's
+    strand orientation. M lifts an interior endpoint to the matching
+    target offset; I (query-only) lifts it to the block's target start;
+    D advances the target only. Returns the final (target, walk_q)
+    cursors for the caller's consistency check."""
+    k, x, y = 0, t0, walk_q0
+    for m in RE_CIGAR.finditer(cg):
+        ln, op = int(m.group(1)), m.group(2)
+        if op == "D":
+            x += ln
+            continue
+        while k < len(endpoints) and endpoints[k][0] < y:
+            k += 1
+        for i in range(k, len(endpoints)):
+            if not (y <= endpoints[i][0] < y + ln):
+                break
+            endpoints[i][3] = x + (endpoints[i][0] - y) if op == "M" else x
+        y += ln
+        if op == "M":
+            x += ln
+    return x, y
+
+
 def paf_liftover(argv):
+    """Lift BED intervals through PAF alignments (paftools.js:206).
+
+    For each primary/inversion alignment overlapping a BED interval on
+    the query, the interval's two endpoints — expressed in the
+    alignment's strand orientation — are resolved to target coordinates
+    by a single CIGAR walk (_lift_endpoints); endpoints landing outside
+    the aligned span clamp to the alignment's target bounds and the
+    output name gains a _t5/_t3 suffix recording the truncation."""
     ap = argparse.ArgumentParser(prog="paftools liftover")
     ap.add_argument("-m", dest="to_merge", action="store_true")
     ap.add_argument("-q", dest="min_mapq", type=int, default=5)
@@ -883,22 +982,13 @@ def paf_liftover(argv):
     ap.add_argument("bed")
     ns = ap.parse_args(argv)
 
-    bed = {}
-    with _open(ns.bed) as f:
-        for line in f:
-            t = line.rstrip("\n").split("\t")
-            bed.setdefault(t[0], []).append([int(t[1]), int(t[2])])
-    for chrom in bed:
-        intv_sort(bed[chrom])
-        if ns.to_merge:
-            intv_merge(bed[chrom], True)
-        intv_index_end(bed[chrom], True)
-
+    bed = _load_bed3(ns.bed, merge=ns.to_merge)
     re_tag = re.compile(r"^(\S\S):([AZif]):(\S+)$")
     with _open(ns.paf) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
-            if t[0] not in bed:
+            qname = t[0]
+            if qname not in bed:
                 continue
             tp = cg = None
             for fld in t[12:]:
@@ -912,148 +1002,206 @@ def paf_liftover(argv):
                 continue
             if cg is None:
                 raise SystemExit("unable to find the 'cg' tag")
-            for i in (1, 2, 3, 6, 7, 8, 9, 10, 11):
-                t[i] = int(t[i])
-            if t[11] < ns.min_mapq or t[10] < ns.min_len:
+            qlen, qst, qen = int(t[1]), int(t[2]), int(t[3])
+            strand, tname = t[4], t[5]
+            tst, ten = int(t[7]), int(t[8])
+            mlen, blen, mapq = int(t[9]), int(t[10]), int(t[11])
+            if mapq < ns.min_mapq or blen < ns.min_len:
                 continue
-            regs = intv_find_ovlp(bed[t[0]], t[2], t[3])
+            regs = intv_find_ovlp(bed[qname], qst, qen)
             if not regs:
                 continue
-            if 0.0 <= ns.max_div < 1.0:
-                n_gaps = n_opens = 0
-                for m in RE_CIGAR.finditer(cg):
-                    if m.group(2) in "ID":
-                        n_gaps += int(m.group(1))
-                        n_opens += 1
-                n_mm = t[10] - t[9] - n_gaps
-                n_diff2 = n_mm + n_opens
-                if n_diff2 / (n_diff2 + t[9]) > ns.max_div:
-                    continue
-            a, r = [], []
-            strand = t[4]
-            for i, (s, e, *_) in enumerate(regs):
+            if 0.0 <= ns.max_div < 1.0 \
+                    and _gap_compressed_div(cg, mlen, blen) > ns.max_div:
+                continue
+
+            # each region contributes two walk-space endpoints
+            # [walk_qpos, is_end, region_idx, lifted_target(-2)]
+            endpoints = []
+            for ri, (s, e, *_) in enumerate(regs):
                 if strand == "+":
-                    a.append([s, 0, i, -2])
-                    a.append([e - 1, 1, i, -2])
+                    ws, we = s, e - 1
                 else:
-                    a.append([t[1] - e, 0, i, -2])
-                    a.append([t[1] - s - 1, 1, i, -2])
-                r.append([-2, -2])
-            a.sort(key=lambda x: x[0])
-            k, x = 0, t[7]
-            y = t[2] if strand == "+" else t[1] - t[3]
-            for m in RE_CIGAR.finditer(cg):
-                ln = int(m.group(1))
-                if m.group(2) == "D":
-                    x += ln
-                    continue
-                while k < len(a) and a[k][0] < y:
-                    k += 1
-                for i in range(k, len(a)):
-                    if y <= a[i][0] < y + ln:
-                        a[i][3] = x + (a[i][0] - y) if m.group(2) == "M" else x
-                    else:
-                        break
-                y += ln
-                if m.group(2) == "M":
-                    x += ln
-            if (x != t[8] or (strand == "+" and y != t[3])
-                    or (strand == "-" and y != t[1] - t[2])):
+                    ws, we = qlen - e, qlen - s - 1
+                endpoints.append([ws, 0, ri, -2])
+                endpoints.append([we, 1, ri, -2])
+            endpoints.sort(key=lambda ep: ep[0])
+
+            walk_q0 = qst if strand == "+" else qlen - qen
+            x, y = _lift_endpoints(cg, endpoints, walk_q0, tst)
+            if (x != ten or (strand == "+" and y != qen)
+                    or (strand == "-" and y != qlen - qst)):
                 raise SystemExit("CIGAR is inconsistent with mapping "
                                  "coordinates")
-            for pos, which, i, lifted in a:
-                if which == 0:
-                    r[i][0] = lifted
-                else:
-                    r[i][1] = lifted + 1
-            for i, rr in enumerate(r):
-                name = "_".join(map(str, (t[0], regs[i][0], regs[i][1])))
-                if rr[0] < 0:
+
+            lifted = [[-2, -2] for _ in regs]
+            for _pos, is_end, ri, target in endpoints:
+                lifted[ri][is_end] = target + 1 if is_end else target
+            for ri, (lo, hi) in enumerate(lifted):
+                name = "_".join(map(str, (qname, regs[ri][0], regs[ri][1])))
+                if lo < 0:
                     name += "_t5"
-                    rr[0] = t[7]
-                if rr[1] < 0:
+                    lo = tst
+                if hi < 0:
                     name += "_t3"
-                    rr[1] = t[8]
-                _print(t[5], rr[0], rr[1], name, 0, strand)
+                    hi = ten
+                _print(tname, lo, hi, name, 0, strand)
 
 
 # --------------------------------------------------------------------- call
 
-def paf_call(argv):
-    ap = argparse.ArgumentParser(prog="paftools call")
-    ap.add_argument("-l", dest="min_cov_len", type=int, default=10000)
-    ap.add_argument("-L", dest="min_var_len", type=int, default=50000)
-    ap.add_argument("-g", dest="gap_thres", type=int, default=50)
-    ap.add_argument("-q", dest="min_mapq", type=int, default=5)
-    ap.add_argument("-f", dest="ref_fa", default=None)
-    ap.add_argument("input")
-    ns = ap.parse_args(argv)
+class _Variant:
+    """One called variant (ref/alt "-" = pure insertion/deletion side).
 
-    fa, fa_lens, is_vcf = None, [], False
-    if ns.ref_fa is not None:
+    `cov` counts primary alignments spanning the site; it starts at the
+    value seen while walking the cs string and is incremented later for
+    every subsequent alignment that fully contains the site (the pending
+    queue below), matching paftools.js:340's two-phase counting."""
+    __slots__ = ("ctg", "st", "en", "cov", "mapq", "ref", "alt",
+                 "qname", "qst", "qen", "strand")
+
+    def __init__(self, ctg, st, en, cov, mapq, ref, alt,
+                 qname, qst, qen, strand):
+        self.ctg, self.st, self.en = ctg, st, en
+        self.cov, self.mapq = cov, mapq
+        self.ref, self.alt = ref, alt
+        self.qname, self.qst, self.qen, self.strand = \
+            qname, qst, qen, strand
+
+    def fields(self):
+        return (self.ctg, self.st, self.en, self.cov, self.mapq,
+                self.ref, self.alt, self.qname, self.qst, self.qen,
+                self.strand)
+
+
+class _VariantClassCounter:
+    """Substitution / indel-length histogram printed at exit (only
+    confidently-covered variants count: cov == 1 semantics of
+    paftools.js — here cov <= 1, i.e. not seen by a second contig)."""
+
+    def __init__(self, gap_thres):
+        self.gap_thres = gap_thres
+        self.n_sub = [0, 0, 0]       # total, transition, transversion
+        self.n_ins = [0, 0, 0, 0]    # 1bp, 2bp, [3,thres), >=thres
+        self.n_del = [0, 0, 0, 0]
+
+    def _len_class(self, ln):
+        return 0 if ln == 1 else 1 if ln == 2 \
+            else 2 if ln < self.gap_thres else 3
+
+    def add(self, v: _Variant):
+        if v.cov > 1 or (v.ref == "-" and v.alt == "-"):
+            return
+        if v.ref == "-":
+            self.n_ins[self._len_class(len(v.alt))] += 1
+        elif v.alt == "-":
+            self.n_del[self._len_class(len(v.ref))] += 1
+        else:
+            self.n_sub[0] += 1
+            pair = (v.ref + v.alt).lower()
+            self.n_sub[1 if pair in ("ag", "ga", "ct", "tc") else 2] += 1
+
+    def report(self):
+        ts, tv = self.n_sub[1], self.n_sub[2]
+        _warn(f"{self.n_sub[0]} substitutions; ts/tv = "
+              f"{ts / tv if tv else float('nan'):.3f}")
+        _warn(f"{self.n_del[0]} 1bp deletions")
+        _warn(f"{self.n_ins[0]} 1bp insertions")
+        _warn(f"{self.n_del[1]} 2bp deletions")
+        _warn(f"{self.n_ins[1]} 2bp insertions")
+        _warn(f"{self.n_del[2]} [3,{self.gap_thres}) deletions")
+        _warn(f"{self.n_ins[2]} [3,{self.gap_thres}) insertions")
+        _warn(f"{self.n_del[3]} >={self.gap_thres} deletions")
+        _warn(f"{self.n_ins[3]} >={self.gap_thres} insertions")
+
+
+class _SingleCovTracker:
+    """Running length of reference covered by EXACTLY one long contig.
+
+    Alignments arrive sorted by (ctg, start); the tracker keeps one open
+    window [start, end) and, when a new alignment starts a fresh window /
+    overlaps / is contained, banks the single-covered prefix and emits it
+    as an "R" row (text mode only). `counted` is whether the contig that
+    OPENED the current window cleared min_var_len (paftools.js:340's
+    c1_counted)."""
+
+    def __init__(self, min_var_len, emit):
+        self.min_var_len = min_var_len
+        self.emit = emit        # callable(ctg, st, en) or None (VCF mode)
+        self.ctg = None
+        self.start = self.end = 0
+        self.counted = False
+        self.single_len = 0
+
+    def _bank(self, en):
+        if self.counted and en > self.start:
+            self.single_len += en - self.start
+            if self.emit:
+                self.emit(self.ctg, self.start, en)
+
+    def add(self, ctg, st, en, blen):
+        if ctg != self.ctg or st >= self.end:        # disjoint: new window
+            self._bank(self.end)
+            self.ctg, self.start, self.end = ctg, st, en
+            self.counted = blen >= self.min_var_len
+        elif en > self.end:                          # overlap extends
+            self._bank(st)
+            self.start, self.end = self.end, en
+            self.counted = blen >= self.min_var_len
+        elif en > self.start:                        # contained
+            self._bank(st)
+            self.start = en
+
+    def finish(self):
+        self._bank(self.end)
+        _warn(f"{self.single_len} reference bases covered by exactly "
+              "one contig")
+
+
+def _cs_variants(cs, ctg, x, y, rev, mapq, qname, cov_at):
+    """Walk a cs:Z string from reference position x / query position y
+    (query coords already strand-adjusted: y counts DOWN on the reverse
+    strand) and yield _Variant records with cov from cov_at(x)."""
+    for op, arg in RE_CS.findall(cs):
+        if op in ":=":
+            ln = len(arg) if op == "=" else int(arg)
+            y = y - ln if rev else y + ln
+            x += ln
+        elif op == "*":                      # substitution ref->alt
+            qs, qe = (y - 1, y) if rev else (y, y + 1)
+            y = y - 1 if rev else y + 1
+            ref_b, alt_b = arg[0], arg[1]
+            if ref_b != "n" and alt_b != "n":
+                yield _Variant(ctg, x, x + 1, cov_at(x), mapq, ref_b,
+                               alt_b, qname, qs, qe, "-" if rev else "+")
+            x += 1
+        elif op == "+":                      # insertion in the query
+            ln = len(arg)
+            qs, qe = (y - ln, y) if rev else (y, y + ln)
+            y = y - ln if rev else y + ln
+            yield _Variant(ctg, x, x, cov_at(x), mapq, "-", arg,
+                           qname, qs, qe, "-" if rev else "+")
+        elif op == "-":                      # deletion from the reference
+            yield _Variant(ctg, x, x + len(arg), cov_at(x), mapq, arg,
+                           "-", qname, y, y, "-" if rev else "+")
+            x += len(arg)
+
+
+class _VcfEmitter:
+    """VCF v4.1 output (call -f): anchors pure indels on the preceding
+    reference base fetched from the FASTA (left-anchored convention)."""
+
+    def __init__(self, ref_fa):
         from ..io.fastx import read_fastx
-        fa = {}
-        for rec in read_fastx(ns.ref_fa):
-            fa[rec.name] = rec.seq
-            fa_lens.append((rec.name, len(rec.seq)))
-        is_vcf = True
+        self.fa = {}
+        self.lens = []
+        for rec in read_fastx(ref_fa):
+            self.fa[rec.name] = rec.seq
+            self.lens.append((rec.name, len(rec.seq)))
 
-    re_tag = re.compile(r"\t(\S\S:[AZif]):(\S+)")
-    n_sub = [0, 0, 0]
-    n_ins = [0, 0, 0, 0]
-    n_del = [0, 0, 0, 0]
-
-    def print_vcf(o):
-        if o[3] != 1 or (o[5] == "-" and o[6] == "-"):
-            return
-        rev_s = o[10]
-        if o[5] != "-" and o[6] != "-":
-            v = [o[0], o[1] + 1, ".", o[5].upper(), o[6].upper()]
-        elif o[1] > 0:
-            if o[0] not in fa:
-                raise SystemExit(f'sequence "{o[0]}" is absent from the '
-                                 "reference FASTA")
-            ref = fa[o[0]][o[1] - 1].upper()
-            if o[5] == "-":
-                v = [o[0], o[1], ".", ref, ref + o[6].upper()]
-            else:
-                v = [o[0], o[1], ".", ref + o[5].upper(), ref]
-        else:
-            raise SystemExit(f"unexpected variant: {o}")
-        v.extend([o[4], ".",
-                  f"QNAME={o[7]};QSTART={o[8] + 1};QSTRAND={rev_s}",
-                  "GT", "1/1"])
-        _print(*v)
-
-    def count_var(o):
-        if o[3] > 1 or (o[5] == "-" and o[6] == "-"):
-            return
-        if o[5] == "-":
-            ln = len(o[6])
-            n_ins[0 if ln == 1 else 1 if ln == 2
-                  else 2 if ln < ns.gap_thres else 3] += 1
-        elif o[6] == "-":
-            ln = len(o[5])
-            n_del[0 if ln == 1 else 1 if ln == 2
-                  else 2 if ln < ns.gap_thres else 3] += 1
-        else:
-            n_sub[0] += 1
-            s = (o[5] + o[6]).lower()
-            if s in ("ag", "ga", "ct", "tc"):
-                n_sub[1] += 1
-            else:
-                n_sub[2] += 1
-
-    def flush(o):
-        count_var(o)
-        if is_vcf:
-            print_vcf(o)
-        else:
-            _print("V", *o)
-
-    if is_vcf:
+    def header(self):
         print("##fileformat=VCFv4.1")
-        for name, ln in fa_lens:
+        for name, ln in self.lens:
             print(f"##contig=<ID={name},length={ln}>")
         print('##INFO=<ID=QNAME,Number=1,Type=String,'
               'Description="Query name">')
@@ -1063,127 +1211,133 @@ def paf_call(argv):
               'Description="Query strand">')
         print('##FORMAT=<ID=GT,Number=1,Type=String,'
               'Description="Genotype">')
-        print("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsample")
+        print("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+              "\tsample")
 
-    a, out = [], []
-    c1_ctg, c1_start, c1_end, c1_counted, c1_len = None, 0, 0, False, 0
+    def emit(self, v: _Variant):
+        if v.cov != 1 or (v.ref == "-" and v.alt == "-"):
+            return
+        if v.ref != "-" and v.alt != "-":
+            row = [v.ctg, v.st + 1, ".", v.ref.upper(), v.alt.upper()]
+        elif v.st > 0:
+            if v.ctg not in self.fa:
+                raise SystemExit(f'sequence "{v.ctg}" is absent from the '
+                                 "reference FASTA")
+            anchor = self.fa[v.ctg][v.st - 1].upper()
+            if v.ref == "-":
+                row = [v.ctg, v.st, ".", anchor, anchor + v.alt.upper()]
+            else:
+                row = [v.ctg, v.st, ".", anchor + v.ref.upper(), anchor]
+        else:
+            raise SystemExit(f"unexpected variant: {list(v.fields())}")
+        row.extend([v.mapq, ".",
+                    f"QNAME={v.qname};QSTART={v.qst + 1};QSTRAND={v.strand}",
+                    "GT", "1/1"])
+        _print(*row)
+
+
+def paf_call(argv):
+    """Variant calling from an assembly-to-reference cs-PAF sorted by
+    target position (reference paftools.js:340). Architecture: a
+    single-coverage tracker for the "R" rows, a cs-walk generator that
+    yields typed variants, and a pending queue that upgrades each
+    variant's cov while later alignments still span it."""
+    ap = argparse.ArgumentParser(prog="paftools call")
+    ap.add_argument("-l", dest="min_cov_len", type=int, default=10000)
+    ap.add_argument("-L", dest="min_var_len", type=int, default=50000)
+    ap.add_argument("-g", dest="gap_thres", type=int, default=50)
+    ap.add_argument("-q", dest="min_mapq", type=int, default=5)
+    ap.add_argument("-f", dest="ref_fa", default=None)
+    ap.add_argument("input")
+    ns = ap.parse_args(argv)
+
+    vcf = _VcfEmitter(ns.ref_fa) if ns.ref_fa is not None else None
+    counter = _VariantClassCounter(ns.gap_thres)
+    re_tag = re.compile(r"\t(\S\S:[AZif]):(\S+)")
+
+    def flush(v: _Variant):
+        counter.add(v)
+        if vcf:
+            vcf.emit(v)
+        else:
+            _print("V", *v.fields())
+
+    if vcf:
+        vcf.header()
+    cov = _SingleCovTracker(
+        ns.min_var_len,
+        None if vcf else (lambda c, s, e: _print("R", c, s, e)))
+
+    # spans of earlier kept alignments, used for the cs-walk coverage
+    # seed. Parity quirk preserved from paftools.js:375: both the prune
+    # and the count test the FIRST span only — the list survives pruning
+    # iff its first span still overlaps, and every surviving span then
+    # counts toward cov regardless of its own extent.
+    prev_spans: list[tuple] = []
+    pending: list[_Variant] = []
+
     with _open(ns.input) as f:
         for line in f:
             line = line.rstrip("\n")
             t = line.split("\t", 12)
             for i in range(6, 12):
                 t[i] = int(t[i])
-            if t[10] < ns.min_cov_len or t[11] < ns.min_mapq:
+            blen, mapq = t[10], t[11]
+            if blen < ns.min_cov_len or mapq < ns.min_mapq:
                 continue
             for i in range(1, 4):
                 t[i] = int(t[i])
+            qname, rev = t[0], t[4] == "-"
             ctg, x, end = t[5], t[7], t[8]
-            query, rev = t[0], t[4] == "-"
-            y = t[3] if rev else t[2]
+            y = t[3] if rev else t[2]   # query cursor (runs down on rev)
+
             cs = tp = None
             have_s1 = have_s2 = False
             for m in re_tag.finditer(line):
-                if m.group(1) == "cs:Z":
-                    cs = m.group(2)
-                elif m.group(1) == "tp:A":
-                    tp = m.group(2)
-                elif m.group(1) == "s1:i":
+                tag, val = m.group(1), m.group(2)
+                if tag == "cs:Z":
+                    cs = val
+                elif tag == "tp:A":
+                    tp = val
+                elif tag == "s1:i":
                     have_s1 = True
-                elif m.group(1) == "s2:i":
+                elif tag == "s2:i":
                     have_s2 = True
-            if have_s1 and not have_s2:
+            if have_s1 and not have_s2:   # primary without secondary info
                 continue
-            if tp in ("S", "i"):
+            if tp in ("S", "i"):          # secondary / inversion rows
                 continue
-            if ctg != c1_ctg or x >= c1_end:
-                if c1_counted and c1_end > c1_start:
-                    c1_len += c1_end - c1_start
-                    if not is_vcf:
-                        _print("R", c1_ctg, c1_start, c1_end)
-                c1_ctg, c1_start, c1_end = ctg, x, end
-                c1_counted = t[10] >= ns.min_var_len
-            elif end > c1_end:  # overlap
-                if c1_counted and x > c1_start:
-                    c1_len += x - c1_start
-                    if not is_vcf:
-                        _print("R", c1_ctg, c1_start, x)
-                c1_start, c1_end = c1_end, end
-                c1_counted = t[10] >= ns.min_var_len
-            elif end > c1_start:  # contained
-                if c1_counted and x > c1_start:
-                    c1_len += x - c1_start
-                    if not is_vcf:
-                        _print("R", c1_ctg, c1_start, x)
-                c1_start = end
-            while out:
-                if out[0][0] != ctg or out[0][2] <= x:
-                    flush(out.pop(0))
-                else:
-                    break
-            for o in out:
-                if o[1] >= x and o[2] <= end:
-                    o[3] += 1
-            a = [ai for ai in a if a and a[0][0] == ctg and a[0][2] > x]
-            if t[10] >= ns.min_var_len:
-                if cs is None:
-                    continue
-                for m in RE_CS.finditer(cs):
-                    cov = 1
-                    if m.group(1) in "*+-":
-                        for _ai in a:
-                            if a[0][2] > x:
-                                cov += 1
-                    if m.group(1) in "=:":
-                        ln = (len(m.group(2)) if m.group(1) == "="
-                              else int(m.group(2)))
-                        y = y - ln if rev else y + ln
-                        x += ln
-                    elif m.group(1) == "*":
-                        if rev:
-                            qs, qe = y - 1, y
-                            y -= 1
-                        else:
-                            qs, qe = y, y + 1
-                            y += 1
-                        br, bq = m.group(2)[0], m.group(2)[1]
-                        if br != "n" and bq != "n":
-                            out.append([t[5], x, x + 1, cov, t[11], br, bq,
-                                        query, qs, qe, "-" if rev else "+"])
-                        x += 1
-                    elif m.group(1) == "+":
-                        ln = len(m.group(2))
-                        if rev:
-                            qs, qe = y - ln, y
-                            y -= ln
-                        else:
-                            qs, qe = y, y + ln
-                            y += ln
-                        out.append([t[5], x, x, cov, t[11], "-", m.group(2),
-                                    query, qs, qe, "-" if rev else "+"])
-                    elif m.group(1) == "-":
-                        ln = len(m.group(2))
-                        out.append([t[5], x, x + ln, cov, t[11], m.group(2),
-                                    "-", query, y, y, "-" if rev else "+"])
-                        x += ln
-            a.append([t[5], t[7], t[8]])
-    if c1_counted and c1_end > c1_start:
-        c1_len += c1_end - c1_start
-        if not is_vcf:
-            _print("R", c1_ctg, c1_start, c1_end)
-    while out:
-        flush(out.pop(0))
 
-    _warn(f"{c1_len} reference bases covered by exactly one contig")
-    tstv = n_sub[1] / n_sub[2] if n_sub[2] else float("nan")
-    _warn(f"{n_sub[0]} substitutions; ts/tv = {tstv:.3f}")
-    _warn(f"{n_del[0]} 1bp deletions")
-    _warn(f"{n_ins[0]} 1bp insertions")
-    _warn(f"{n_del[1]} 2bp deletions")
-    _warn(f"{n_ins[1]} 2bp insertions")
-    _warn(f"{n_del[2]} [3,{ns.gap_thres}) deletions")
-    _warn(f"{n_ins[2]} [3,{ns.gap_thres}) insertions")
-    _warn(f"{n_del[3]} >={ns.gap_thres} deletions")
-    _warn(f"{n_ins[3]} >={ns.gap_thres} insertions")
+            cov.add(ctg, x, end, blen)
+
+            # variants no longer spannable by this (sorted) stream: flush;
+            # the rest gain a cov count if this alignment contains them
+            while pending and (pending[0].ctg != ctg
+                               or pending[0].en <= x):
+                flush(pending.pop(0))
+            for v in pending:
+                if v.st >= x and v.en <= end:
+                    v.cov += 1
+
+            if prev_spans and not (prev_spans[0][0] == ctg
+                                   and prev_spans[0][2] > x):
+                prev_spans = []
+
+            if blen >= ns.min_var_len:
+                if cs is None:
+                    continue   # parity: js:402 skips the span append too
+
+                def cov_at(pos, spans=prev_spans):
+                    return 1 + (len(spans)
+                                if spans and spans[0][2] > pos else 0)
+                pending.extend(_cs_variants(cs, ctg, x, y, rev, mapq,
+                                            qname, cov_at))
+            prev_spans.append((ctg, t[7], t[8]))
+
+    cov.finish()
+    while pending:
+        flush(pending.pop(0))
+    counter.report()
 
 
 # ------------------------------------------------------------------- bedcov
@@ -1291,7 +1445,71 @@ RE_MASON = re.compile(
     r"^(\S+)!(\S+)!(\d+)_(\d+)!(\d+)_(\d+)!([+\-])([+\-])/([12])$")
 
 
+class _SimTruth:
+    """True mapping interval parsed from a simulator read name (pbsim2fq /
+    mason2fq conventions: name!chr!st!en!strand, mason paired variant picks
+    the mate's coordinates by read number)."""
+    __slots__ = ("tname", "st", "en", "strand")
+
+    def __init__(self, tname, st, en, strand):
+        self.tname, self.st, self.en, self.strand = tname, st, en, strand
+
+    @classmethod
+    def from_qname(cls, qname):
+        m = RE_PBSIM.match(qname)
+        if m:
+            return cls(m.group(2), int(m.group(3)), int(m.group(4)),
+                       m.group(5))
+        m = RE_MASON.match(qname)
+        if m is None:
+            raise SystemExit("Failed to parse simulated read names "
+                             f"'{qname}'")
+        if m.group(9) == "1":
+            return cls(m.group(2), int(m.group(3)), int(m.group(5)),
+                       m.group(7))
+        return cls(m.group(2), int(m.group(4)), int(m.group(6)),
+                   m.group(8))
+
+
+class _MapevalCounts:
+    """Per-mapq correct/wrong tallies + the cumulative Q-report, ordered
+    from high mapq down with empty/zero-error buckets folded into the next
+    emitted row (paftools.js:1453's output shape)."""
+
+    def __init__(self, max_mapq=60):
+        self.max_mapq = max_mapq
+        self.tot = [0] * (max_mapq + 1)
+        self.err = [0] * (max_mapq + 1)
+
+    def report(self):
+        sum_tot = sum_err = sum_tot2 = sum_err2 = 0
+        q_out = -1
+        for q in range(self.max_mapq, -1, -1):
+            if self.tot[q] == 0:
+                continue
+            if q_out < 0 or self.err[q] > 0:
+                if q_out >= 0:
+                    _print("Q", q_out, sum_tot, sum_err,
+                           f"{sum_err2 / sum_tot2:.9f}", sum_tot2)
+                sum_tot = sum_err = 0
+                q_out = q
+            sum_tot += self.tot[q]
+            sum_err += self.err[q]
+            sum_tot2 += self.tot[q]
+            sum_err2 += self.err[q]
+        if sum_tot2 > 0:
+            _print("Q", q_out, sum_tot, sum_err,
+                   f"{sum_err2 / sum_tot2:.9f}", sum_tot2)
+
+
 def paf_mapeval(argv):
+    """Mapping-accuracy evaluation on simulated reads (paftools.js:1453).
+
+    Alignments are grouped per read; an alignment is correct when it hits
+    the truth contig+strand and overlaps the truth interval by more than
+    -r of their union. Mode 0 judges the best-scoring alignment, mode 1
+    the first, mode 2 charges the error to the highest-mapq WRONG
+    alignment (optionally capping mapq at the best alignment's, -c)."""
     ap = argparse.ArgumentParser(prog="paftools mapeval")
     ap.add_argument("-Q", dest="err_out_q", type=int, default=None)
     ap.add_argument("-r", dest="ovlp_ratio", type=float, default=0.1)
@@ -1301,92 +1519,102 @@ def paf_mapeval(argv):
     ns = ap.parse_args(argv)
     max_mapq = 60
     err_out_q = 256 if ns.err_out_q is None else ns.err_out_q
+    counts = _MapevalCounts(max_mapq)
 
-    tot = [0] * (max_mapq + 1)
-    err = [0] * (max_mapq + 1)
+    # per-alignment rows: [tname, st, en, strand, mapq, score]
+    TN, ST, EN, STRAND, MAPQ, SCORE = range(6)
 
-    def is_correct(s, b):
-        if s[0] != b[0] or s[3] != b[3]:
+    def is_correct(truth, aln):
+        """Overlap of truth and alignment intervals exceeds -r of their
+        union span (asymmetric containment test of paftools.js:1475: the
+        earlier-starting interval must reach past the later start)."""
+        if aln[TN] != truth.tname or aln[STRAND] != truth.strand:
             return False
-        if s[1] < b[1]:
-            if s[2] <= b[1]:
-                return False
-            o = min(s[2], b[2]) - b[1]
-            length = max(s[2], b[2]) - s[1]
-        else:
-            if b[2] <= s[1]:
-                return False
-            o = min(s[2], b[2]) - s[1]
-            length = max(s[2], b[2]) - b[1]
+        s1, e1, s2, e2 = truth.st, truth.en, aln[ST], aln[EN]
+        lo_st, hi_st = (s1, s2) if s1 < s2 else (s2, s1)
+        first_en = e1 if s1 < s2 else e2
+        if first_en <= hi_st:
+            return False
+        o = min(e1, e2) - hi_st
+        length = max(e1, e2) - lo_st
         return o / length > ns.ovlp_ratio
 
-    def count_err(qname, a):
-        if not a:
+    def judge_read(qname, alns):
+        if not alns:
             return
-        m = RE_PBSIM.match(qname)
-        if m:
-            s = [m.group(2), int(m.group(3)), int(m.group(4)), m.group(5)]
-        else:
-            m = RE_MASON.match(qname)
-            if m is None:
-                raise SystemExit("Failed to parse simulated read names "
-                                 f"'{qname}'")
-            if m.group(9) == "1":
-                s = [m.group(2), int(m.group(3)), int(m.group(5)), m.group(7)]
-            else:
-                s = [m.group(2), int(m.group(4)), int(m.group(6)), m.group(8)]
+        truth = _SimTruth.from_qname(qname)
         if ns.mode in (0, 1):
-            max_i = 0
-            if ns.mode == 0:
+            best_i = 0
+            if ns.mode == 0:   # best score wins; mode 1 takes the first
                 best = 0
-                for i, ai in enumerate(a):
-                    if ai[5] > best:
-                        best, max_i = ai[5], i
-            mapq = a[max_i][4]
-            tot[mapq] += 1
-            if not is_correct(s, a[max_i]):
+                for i, aln in enumerate(alns):
+                    if aln[SCORE] > best:
+                        best, best_i = aln[SCORE], i
+            mapq = alns[best_i][MAPQ]
+            counts.tot[mapq] += 1
+            if not is_correct(truth, alns[best_i]):
                 if mapq >= err_out_q:
-                    _print("E", qname, *a[max_i])
-                err[mapq] += 1
+                    _print("E", qname, *alns[best_i])
+                counts.err[mapq] += 1
         elif ns.mode == 2:
             if ns.cap_short_mapq:
-                best, best_q = 0, 0
-                for ai in a:
-                    if ai[5] > best:
-                        best, best_q = ai[5], ai[4]
-                for ai in a:
-                    ai[4] = min(best_q, ai[4])
-            max_err_mapq, mmax_mapq, max_err_i = -1, 0, -1
-            for i, ai in enumerate(a):
-                mmax_mapq = max(mmax_mapq, ai[4])
-                if not is_correct(s, ai) and ai[4] > max_err_mapq:
-                    max_err_mapq, max_err_i = ai[4], i
-            if max_err_mapq >= 0:
-                tot[max_err_mapq] += 1
-                err[max_err_mapq] += 1
-                if max_err_mapq >= err_out_q:
-                    _print("E", qname, *a[max_err_i])
+                best = best_q = 0
+                for aln in alns:
+                    if aln[SCORE] > best:
+                        best, best_q = aln[SCORE], aln[MAPQ]
+                for aln in alns:
+                    aln[MAPQ] = min(best_q, aln[MAPQ])
+            worst_err_q, top_mapq, worst_i = -1, 0, -1
+            for i, aln in enumerate(alns):
+                top_mapq = max(top_mapq, aln[MAPQ])
+                if not is_correct(truth, aln) and aln[MAPQ] > worst_err_q:
+                    worst_err_q, worst_i = aln[MAPQ], i
+            if worst_err_q >= 0:
+                counts.tot[worst_err_q] += 1
+                counts.err[worst_err_q] += 1
+                if worst_err_q >= err_out_q:
+                    _print("E", qname, *alns[worst_i])
             else:
-                tot[mmax_mapq] += 1
+                counts.tot[top_mapq] += 1
 
-    last, a, n_unmapped = None, [], None
+    def sam_score(cigar, pos, line):
+        """Target span, and a score = matches - mismatches when NM is
+        present (NM includes gap bases, subtracted back out)."""
+        pos_end, n_gap, mlen = pos, 0, 0
+        for m in RE_CIGAR.finditer(cigar):
+            ln, op = int(m.group(1)), m.group(2)
+            if op == "M":
+                pos_end += ln
+                mlen += ln
+            elif op == "I":
+                n_gap += ln
+            elif op == "D":
+                n_gap += ln
+                pos_end += ln
+        score = pos_end - pos
+        mnm = re.search(r"\tNM:i:(\d+)", line)
+        if mnm and int(mnm.group(1)) >= n_gap:
+            score = mlen - (int(mnm.group(1)) - n_gap)
+        return pos_end, score
+
+    last, alns, n_unmapped = None, [], None
     with _open(ns.input) as f:
         for line in f:
             line = line.rstrip("\n")
             if not line or line[0] == "@":
                 continue
             t = line.split("\t")
-            if t[4] in "+-":  # PAF
+            if t[4] in "+-":                                        # PAF
                 if last != t[0]:
                     if last is not None:
-                        count_err(last, a)
-                    a, last = [], t[0]
+                        judge_read(last, alns)
+                    alns, last = [], t[0]
                 if (re.search(r"\ts1:i:\d+", line)
                         and not re.search(r"\ts2:i:\d+", line)):
                     continue
-                mapq = min(int(t[11]), max_mapq)
-                a.append([t[5], int(t[7]), int(t[8]), t[4], mapq, int(t[9])])
-            else:  # SAM
+                alns.append([t[5], int(t[7]), int(t[8]), t[4],
+                             min(int(t[11]), max_mapq), int(t[9])])
+            else:                                                   # SAM
                 flag = int(t[1])
                 read_no = flag >> 6 & 0x3
                 qname = t[0]
@@ -1394,56 +1622,21 @@ def paf_mapeval(argv):
                     qname = f"{t[0]}/{read_no}"
                 if last != qname:
                     if last is not None:
-                        count_err(last, a)
-                    a, last = [], qname
+                        judge_read(last, alns)
+                    alns, last = [], qname
                 if flag & 0x100:
                     continue
                 if (flag & 4) or t[2] == "*":
                     n_unmapped = (n_unmapped or 0) + 1
                     continue
-                mapq = min(int(t[4]), max_mapq)
                 pos = int(t[3]) - 1
-                pos_end = pos
-                n_gap = mlen = 0
-                for m in RE_CIGAR.finditer(t[5]):
-                    ln = int(m.group(1))
-                    if m.group(2) == "M":
-                        pos_end += ln
-                        mlen += ln
-                    elif m.group(2) == "I":
-                        n_gap += ln
-                    elif m.group(2) == "D":
-                        n_gap += ln
-                        pos_end += ln
-                score = pos_end - pos
-                mnm = re.search(r"\tNM:i:(\d+)", line)
-                if mnm:
-                    NM = int(mnm.group(1))
-                    if NM >= n_gap:
-                        score = mlen - (NM - n_gap)
-                a.append([t[2], pos, pos_end, "-" if flag & 16 else "+",
-                          mapq, score])
+                pos_end, score = sam_score(t[5], pos, line)
+                alns.append([t[2], pos, pos_end,
+                             "-" if flag & 16 else "+",
+                             min(int(t[4]), max_mapq), score])
     if last is not None:
-        count_err(last, a)
-
-    sum_tot = sum_err = sum_tot2 = sum_err2 = 0
-    q_out = -1
-    for q in range(max_mapq, -1, -1):
-        if tot[q] == 0:
-            continue
-        if q_out < 0 or err[q] > 0:
-            if q_out >= 0:
-                _print("Q", q_out, sum_tot, sum_err,
-                       f"{sum_err2 / sum_tot2:.9f}", sum_tot2)
-            sum_tot = sum_err = 0
-            q_out = q
-        sum_tot += tot[q]
-        sum_err += err[q]
-        sum_tot2 += tot[q]
-        sum_err2 += err[q]
-    if sum_tot2 > 0:
-        _print("Q", q_out, sum_tot, sum_err, f"{sum_err2 / sum_tot2:.9f}",
-               sum_tot2)
+        judge_read(last, alns)
+    counts.report()
     if n_unmapped is not None:
         _print("U", n_unmapped)
 
@@ -1573,7 +1766,64 @@ def paf_pbsim2fq(argv):
 
 # ----------------------------------------------------------------- junceval
 
+def _gtf_introns(gtf_path):
+    """chrom -> sorted, deduped, overlap-query-ready intron intervals from
+    a GTF's exon rows (intron = gap between consecutive exons of one
+    transcript). Parity note: the reference (paftools.js:1782) appends the
+    intron inside its overlap-warning branch body due to mis-indentation,
+    which executes unconditionally — so every exon gap is kept, warned or
+    not."""
+    exons_by_tid = {}
+    chrom_of = {}
+    with _open(gtf_path) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("#") or len(t) < 9 or t[2] != "exon":
+                continue
+            m = re.search(r'transcript_id "(\S+)"', t[8])
+            if m is None:
+                continue
+            tid = m.group(1)
+            chrom_of.setdefault(tid, t[0])
+            exons_by_tid.setdefault(tid, []).append(
+                [int(t[3]) - 1, int(t[4])])
+
+    anno = {}
+    for tid, exons in exons_by_tid.items():
+        intv_sort(exons)
+        introns = anno.setdefault(chrom_of[tid], [])
+        for left, right in zip(exons, exons[1:]):
+            if left[1] >= right[0]:
+                _warn("WARNING: incorrect annotation for transcript "
+                      f"{tid} ({left[1]} >= {right[0]})")
+            introns.append([left[1], right[0]])
+    for introns in anno.values():
+        if introns:
+            intv_sort(introns)
+            intv_dedup(introns)
+            intv_index_end(introns)
+    return anno
+
+
+def _cigar_introns(cigar, pos):
+    """(start, end) reference intervals of the N operators in a CIGAR."""
+    introns = []
+    for m in RE_CIGAR.finditer(cigar):
+        ln, op = int(m.group(1)), m.group(2)
+        if op == "N":
+            introns.append((pos, pos + ln))
+            pos += ln
+        elif op in "MX=D":
+            pos += ln
+    return introns
+
+
 def paf_junceval(argv):
+    """Splice-junction accuracy of SAM alignments vs a GTF annotation
+    (paftools.js:1759): each predicted intron either matches an annotated
+    one within -l fuzz (correct), overlaps without matching, or overlaps
+    nothing (novel). -p prints per-intron verdict rows (C/P/N), -e only
+    the wrong ones."""
     ap = argparse.ArgumentParser(prog="paftools junceval")
     ap.add_argument("-l", dest="l_fuzzy", type=int, default=0)
     ap.add_argument("-e", dest="err_only", action="store_true")
@@ -1584,41 +1834,7 @@ def paf_junceval(argv):
     ns = ap.parse_args(argv)
     print_ovlp = ns.print_ovlp or ns.err_only
 
-    tr = {}
-    with _open(ns.gtf) as f:
-        for line in f:
-            t = line.rstrip("\n").split("\t")
-            if t[0].startswith("#") or len(t) < 9 or t[2] != "exon":
-                continue
-            m = re.search(r'transcript_id "(\S+)"', t[8])
-            if m is None:
-                continue
-            tid = m.group(1)
-            if tid not in tr:
-                tr[tid] = [t[0], t[6], 0, 0, []]
-            tr[tid][4].append([int(t[3]) - 1, int(t[4])])
-
-    anno = {}
-    for tid, t in tr.items():
-        intv_sort(t[4])
-        s = t[4]
-        lst = anno.setdefault(t[0], [])
-        for i in range(len(s) - 1):
-            if s[i][1] >= s[i + 1][0]:
-                _warn(f"WARNING: incorrect annotation for transcript {tid} "
-                      f"({s[i][1]} >= {s[i + 1][0]})")
-            # NB the reference appends inside the warning's (mis-indented)
-            # body — i.e. unconditionally; reproduced by appending always
-            lst.append([s[i][1], s[i + 1][0]])
-    tr = None
-
-    for chrom in anno:
-        e = anno[chrom]
-        if not e:
-            continue
-        intv_sort(e)
-        intv_dedup(e)
-        intv_index_end(e)
+    anno = _gtf_introns(ns.gtf)
 
     n_pri = n_unmapped = n_mapped = 0
     n_sgl = n_splice = n_splice_hit = n_splice_novel = 0
@@ -1640,45 +1856,35 @@ def paf_junceval(argv):
             if last_qname != t[0]:
                 n_mapped += 1
                 last_qname = t[0]
-            pos = int(t[3]) - 1
-            introns = []
-            for m in RE_CIGAR.finditer(t[5]):
-                ln, op = int(m.group(1)), m.group(2)
-                if op == "N":
-                    introns.append([pos, pos + ln])
-                    pos += ln
-                elif op in "MX=D":
-                    pos += ln
+
+            introns = _cigar_introns(t[5], int(t[3]) - 1)
             if not introns:
                 n_sgl += 1
                 continue
             n_splice += len(introns)
-            chrom = anno.get(t[2])
-            if chrom is not None:
-                for i, (ist, ien) in enumerate(introns):
-                    o = intv_find_ovlp(chrom, ist, ien)
-                    if o:
-                        hit = False
-                        for oj in o:
-                            if (abs(ist - oj[0]) <= ns.l_fuzzy
-                                    and abs(ien - oj[1]) <= ns.l_fuzzy):
-                                n_splice_hit += 1
-                                hit = True
-                            if hit:
-                                break
-                        if print_ovlp:
-                            if hit and ns.err_only:
-                                continue
-                            x = "[" + ", ".join(f"({oj[0]},{oj[1]})"
-                                                for oj in o) + "]"
-                            _print("C" if hit else "P", t[0], i + 1, t[2],
-                                   ist, ien, x)
-                    else:
-                        n_splice_novel += 1
-                        if print_ovlp:
-                            _print("N", t[0], i + 1, t[2], ist, ien)
-            else:
+            chrom_introns = anno.get(t[2])
+            if chrom_introns is None:
                 n_splice_novel += len(introns)
+                continue
+            for i, (ist, ien) in enumerate(introns):
+                ovlps = intv_find_ovlp(chrom_introns, ist, ien)
+                if not ovlps:
+                    n_splice_novel += 1
+                    if print_ovlp:
+                        _print("N", t[0], i + 1, t[2], ist, ien)
+                    continue
+                hit = any(abs(ist - o[0]) <= ns.l_fuzzy
+                          and abs(ien - o[1]) <= ns.l_fuzzy
+                          for o in ovlps)
+                if hit:
+                    n_splice_hit += 1
+                if print_ovlp:
+                    if hit and ns.err_only:
+                        continue
+                    shown = "[" + ", ".join(f"({o[0]},{o[1]})"
+                                            for o in ovlps) + "]"
+                    _print("C" if hit else "P", t[0], i + 1, t[2],
+                           ist, ien, shown)
 
     if not print_ovlp:
         print(f"# unmapped reads: {n_unmapped}")
