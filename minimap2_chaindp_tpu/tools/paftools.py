@@ -493,33 +493,151 @@ def paf_sam2paf(argv):
 
 # --------------------------------------------------------------------- view
 
-def _update_aln(s_ref, s_qry, s_mid, typ, seq, slen):
-    ln = 1 if typ == "*" else len(seq)
-    if typ in "=:":
-        s_ref.append(seq)
-        s_qry.append(seq)
-        s_mid.append("|" * ln)
-        slen[0] += ln
-        slen[1] += ln
-    elif typ == "*":
-        s_ref.append(seq[0])
-        s_qry.append(seq[1])
-        s_mid.append(" ")
-        slen[0] += 1
-        slen[1] += 1
-    elif typ == "+":
-        s_ref.append("-" * ln)
-        s_qry.append(seq)
-        s_mid.append(" " * ln)
-        slen[1] += ln
-    elif typ == "-":
-        s_ref.append(seq)
-        s_qry.append("-" * ln)
-        s_mid.append(" " * ln)
-        slen[0] += ln
+class _AlnText:
+    """Three-row alignment text builder (ref / match-bar / query) shared
+    by the BLAST-like and MAF views; tracks consumed ref/query lengths."""
+
+    def __init__(self):
+        self.ref, self.mid, self.qry = [], [], []
+        self.consumed = [0, 0]          # [ref, query]
+
+    def add(self, op, seq):
+        ln = 1 if op == "*" else len(seq)
+        if op in "=:":
+            self.ref.append(seq)
+            self.qry.append(seq)
+            self.mid.append("|" * ln)
+            self.consumed[0] += ln
+            self.consumed[1] += ln
+        elif op == "*":                 # seq = ref base + query base
+            self.ref.append(seq[0])
+            self.qry.append(seq[1])
+            self.mid.append(" ")
+            self.consumed[0] += 1
+            self.consumed[1] += 1
+        elif op == "+":
+            self.ref.append("-" * ln)
+            self.qry.append(seq)
+            self.mid.append(" " * ln)
+            self.consumed[1] += ln
+        elif op == "-":
+            self.ref.append(seq)
+            self.qry.append("-" * ln)
+            self.mid.append(" " * ln)
+            self.consumed[0] += ln
+
+    def empty(self):
+        return not self.ref
+
+    def rows(self):
+        return "".join(self.ref), "".join(self.mid), "".join(self.qry)
+
+
+def _view_lastz(t, line, lineno):
+    m = re.search(r"\tcg:Z:(\S+)", line)
+    if m is None:
+        _warn("WARNING: converting to LASTZ-cigar format requires "
+              f"the 'cg' tag, which is absent on line {lineno}")
+        return
+    ms = re.search(r"\tAS:i:(\d+)", line)
+    score = ms.group(1) if ms else 0
+    out = ["cigar:", t[0], t[2], t[3], t[4], t[5], t[7], t[8], "+", score]
+    for mm in RE_CIGAR.finditer(m.group(1)):
+        out.extend([mm.group(2), mm.group(1)])
+    print(" ".join(str(x) for x in out))
+
+
+def _view_maf(t, line, lineno):
+    m = re.search(r"\tcs:Z:(\S+)", line)
+    if m is None:
+        _warn("WARNING: converting to MAF requires the 'cs' tag, "
+              f"which is absent on line {lineno}")
+        return
+    aln = _AlnText()
+    for mm in RE_CS.finditer(m.group(1)):
+        if mm.group(1) == ":":
+            raise SystemExit("converting to MAF only works with "
+                             "'minimap2 --cs=long'")
+        aln.add(mm.group(1), mm.group(2))
+    ms = re.search(r"\tAS:i:(\d+)", line)
+    score = int(ms.group(1)) if ms else 0
+    name_w = max(len(t[0]), len(t[5]))
+    ref_row, _, qry_row = aln.rows()
+    print(f"a {score}")
+    print(" ".join(["s", f"{t[5]:<{name_w}}", f"{t[7]:>10}",
+                    f"{int(t[8]) - int(t[7]):>10}", "+",
+                    f"{t[6]:>10}", ref_row]))
+    ql = int(t[1])
+    if t[4] == "+":
+        qs, qe = int(t[2]), int(t[3])
+    else:
+        qs, qe = ql - int(t[3]), ql - int(t[2])
+    print(" ".join(["s", f"{t[0]:<{name_w}}", f"{qs:>10}",
+                    f"{qe - qs:>10}", t[4], f"{ql:>10}", qry_row]))
+    print("")
+
+
+def _view_blast(t, line, lineno, line_len):
+    """BLAST-like eyeball view: the cs walk is re-chunked into blocks of
+    at most line_len alignment columns (a * column counts as one)."""
+    m = re.search(r"\tcs:Z:(\S+)", line)
+    if m is None:
+        _warn("WARNING: converting to BLAST-like alignment "
+              f"requires the 'cs' tag, which is absent on line {lineno}")
+        return
+    print(">" + re.sub(r"\tc[sg]:Z:\S+", "", line))
+    rs, strand = int(t[7]), t[4]
+    qs = int(t[2]) if strand == "+" else int(t[3])
+
+    def print_block(block_start, aln):
+        ref_row, mid_row, qry_row = aln.rows()
+        print(" ".join(["Ref+:", f"{rs + block_start[0] + 1:>10}", ref_row,
+                        f"{rs + aln.consumed[0]:<10}"]))
+        print("                 " + mid_row)
+        if strand == "+":
+            st, en = qs + block_start[1] + 1, qs + aln.consumed[1]
+        else:
+            st, en = qs - block_start[1], qs - aln.consumed[1] + 1
+        print(" ".join([f"Qry{strand}:", f"{st:>10}", qry_row, f"{en:<10}"]))
+
+    aln = _AlnText()
+    block_start = [0, 0]        # consumed (ref, qry) at block start
+    n_blocks = 0
+    cur_len = 0
+    for mm in RE_CS.finditer(m.group(1)):
+        op, seq = mm.group(1), mm.group(2)
+        if op == ":":
+            seq = "=" * int(seq)
+        start, rest = 0, 1 if op == "*" else len(seq)
+        while rest > 0:
+            if cur_len + rest >= line_len:      # fill + flush the block
+                take = line_len - cur_len
+                aln.add(op, seq if op == "*" else seq[start:start + take])
+                if n_blocks > 0:
+                    print("")
+                print_block(block_start, aln)
+                n_blocks += 1
+                block_start = list(aln.consumed)
+                prev = aln
+                aln = _AlnText()
+                aln.consumed = list(prev.consumed)
+                cur_len = 0
+            else:
+                take = rest
+                aln.add(op, seq if op == "*" else seq[start:start + take])
+                cur_len += take if op != "*" else 1
+            rest -= take
+            start += take
+    if not aln.empty():
+        if n_blocks > 0:
+            print("")
+        print_block(block_start, aln)
+    print("//")
 
 
 def paf_view(argv):
+    """PAF -> BLAST-like / MAF / LASTZ-cigar text (paftools.js:832); one
+    emitter per format above."""
     ap = argparse.ArgumentParser(prog="paftools view")
     ap.add_argument("-f", dest="fmt", default="aln",
                     choices=["aln", "lastz-cigar", "maf"])
@@ -528,20 +646,9 @@ def paf_view(argv):
     ns = ap.parse_args(argv)
     line_len = ns.line_len if ns.line_len else 0x7FFFFFFF
 
-    def print_aln(rs, qs, strand, slen, elen, s_ref, s_qry, s_mid):
-        r, q, m = "".join(s_ref), "".join(s_qry), "".join(s_mid)
-        print(" ".join(["Ref+:", f"{rs + slen[0] + 1:>10}", r,
-                        f"{rs + elen[0]:<10}"]))
-        print("                 " + m)
-        if strand == "+":
-            st, en = qs + slen[1] + 1, qs + elen[1]
-        else:
-            st, en = qs - slen[1], qs - elen[1] + 1
-        print(" ".join([f"Qry{strand}:", f"{st:>10}", q, f"{en:<10}"]))
-
-    lineno = 0
     if ns.fmt == "maf":
         print("##maf version=1\n")
+    lineno = 0
     with _open(ns.input) as f:
         for line in f:
             line = line.rstrip("\n")
@@ -549,94 +656,12 @@ def paf_view(argv):
                 continue
             t = line.split("\t", 12)
             lineno += 1
-            s_ref, s_qry, s_mid = [], [], []
-            slen, elen = [0, 0], [0, 0]
             if ns.fmt == "lastz-cigar":
-                m = re.search(r"\tcg:Z:(\S+)", line)
-                if m is None:
-                    _warn("WARNING: converting to LASTZ-cigar format requires "
-                          f"the 'cg' tag, which is absent on line {lineno}")
-                    continue
-                ms = re.search(r"\tAS:i:(\d+)", line)
-                score = ms.group(1) if ms else 0
-                out = ["cigar:", t[0], t[2], t[3], t[4], t[5], t[7], t[8],
-                       "+", score]
-                for mm in RE_CIGAR.finditer(m.group(1)):
-                    out.extend([mm.group(2), mm.group(1)])
-                print(" ".join(str(x) for x in out))
+                _view_lastz(t, line, lineno)
             elif ns.fmt == "maf":
-                m = re.search(r"\tcs:Z:(\S+)", line)
-                if m is None:
-                    _warn("WARNING: converting to MAF requires the 'cs' tag, "
-                          f"which is absent on line {lineno}")
-                    continue
-                for mm in RE_CS.finditer(m.group(1)):
-                    if mm.group(1) == ":":
-                        raise SystemExit("converting to MAF only works with "
-                                         "'minimap2 --cs=long'")
-                    _update_aln(s_ref, s_qry, s_mid, mm.group(1),
-                                mm.group(2), elen)
-                ms = re.search(r"\tAS:i:(\d+)", line)
-                score = int(ms.group(1)) if ms else 0
-                ln = max(len(t[0]), len(t[5]))
-                print(f"a {score}")
-                print(" ".join(["s", f"{t[5]:<{ln}}", f"{t[7]:>10}",
-                                f"{int(t[8]) - int(t[7]):>10}", "+",
-                                f"{t[6]:>10}", "".join(s_ref)]))
-                ql = int(t[1])
-                if t[4] == "+":
-                    qs, qe = int(t[2]), int(t[3])
-                else:
-                    qs, qe = ql - int(t[3]), ql - int(t[2])
-                print(" ".join(["s", f"{t[0]:<{ln}}", f"{qs:>10}",
-                                f"{qe - qs:>10}", t[4], f"{ql:>10}",
-                                "".join(s_qry)]))
-                print("")
-            else:  # BLAST-like
-                m = re.search(r"\tcs:Z:(\S+)", line)
-                if m is None:
-                    _warn("WARNING: converting to BLAST-like alignment "
-                          "requires the 'cs' tag, which is absent on line "
-                          f"{lineno}")
-                    continue
-                cs = m.group(1)
-                print(">" + re.sub(r"\tc[sg]:Z:\S+", "", line))
-                rs = int(t[7])
-                qs = int(t[2]) if t[4] == "+" else int(t[3])
-                n_blocks = 0
-                cur_len = 0
-                for mm in RE_CS.finditer(cs):
-                    typ, seq = mm.group(1), mm.group(2)
-                    if typ == ":":
-                        seq = "=" * int(seq)
-                    start, rest = 0, 1 if typ == "*" else len(seq)
-                    while rest > 0:
-                        if cur_len + rest >= line_len:
-                            l_proc = line_len - cur_len
-                            _update_aln(s_ref, s_qry, s_mid, typ,
-                                        seq if typ == "*"
-                                        else seq[start:start + l_proc], elen)
-                            if n_blocks > 0:
-                                print("")
-                            print_aln(rs, qs, t[4], slen, elen,
-                                      s_ref, s_qry, s_mid)
-                            n_blocks += 1
-                            s_ref, s_qry, s_mid = [], [], []
-                            cur_len = 0
-                            slen = list(elen)
-                        else:
-                            l_proc = rest
-                            _update_aln(s_ref, s_qry, s_mid, typ,
-                                        seq if typ == "*"
-                                        else seq[start:start + l_proc], elen)
-                            cur_len += l_proc if typ != "*" else 1
-                        rest -= l_proc
-                        start += l_proc
-                if s_ref:
-                    if n_blocks > 0:
-                        print("")
-                    print_aln(rs, qs, t[4], slen, elen, s_ref, s_qry, s_mid)
-                print("//")
+                _view_maf(t, line, lineno)
+            else:
+                _view_blast(t, line, lineno, line_len)
 
 
 # ---------------------------------------------------------------- delta2paf
@@ -706,31 +731,70 @@ def paf_delta2paf(argv):
 
 # --------------------------------------------------------------- splice2bed
 
+class _Bed12Row:
+    """One BED12 row under construction for splice2bed: exon blocks come
+    from the CIGAR's N gaps; `pri_class` is 0 = sole primary, 1 = one of
+    several primaries, 2 = secondary (rendered as itemRgb colors)."""
+    COLORS = ("0,128,255", "255,0,0", "0,192,0")
+    __slots__ = ("chrom", "st", "en", "name", "score", "strand",
+                 "pri_class", "block_starts", "block_lens")
+
+    def __init__(self, chrom, st, en, name, score, strand, pri_class):
+        self.chrom, self.st, self.en = chrom, st, en
+        self.name, self.score, self.strand = name, score, strand
+        self.pri_class = pri_class
+        self.block_starts, self.block_lens = [], []
+
+    def blocks_from_cigar(self, cigar):
+        x0 = x = 0
+        for m in RE_CIGAR.finditer(cigar):
+            if m.group(2) in "MD":
+                x += int(m.group(1))
+            elif m.group(2) == "N":
+                self.block_starts.append(x0)
+                self.block_lens.append(x - x0)
+                x += int(m.group(1))
+                x0 = x
+        self.block_starts.append(x0)
+        self.block_lens.append(x - x0)
+        if self.en is None:            # SAM rows compute the end here
+            self.en = self.st + x
+
+    def fields(self):
+        return (self.chrom, self.st, self.en, self.name, self.score,
+                self.strand, self.st, self.en,
+                self.COLORS[self.pri_class], len(self.block_starts),
+                ",".join(map(str, self.block_lens)) + ",",
+                ",".join(map(str, self.block_starts)) + ",")
+
+
 def paf_splice2bed(argv):
+    """Spliced PAF/SAM -> BED12 (paftools.js:1333): one row per
+    alignment, exon blocks split at N cigar ops, grouped per read so
+    multi-primary reads can be recolored before flushing."""
     ap = argparse.ArgumentParser(prog="paftools splice2bed")
     ap.add_argument("-m", dest="keep_multi", action="store_true")
     ap.add_argument("-f", dest="fmt", default="bed")
     ap.add_argument("-n", dest="name_conv", default=None)
     ap.add_argument("input")
     ns = ap.parse_args(argv)
-    colors = ["0,128,255", "255,0,0", "0,192,0"]
 
-    def print_lines(a):
-        if not a:
+    def flush(rows):
+        if not rows:
             return
-        n_pri = sum(1 for x in a if x[8] == 0)
+        n_pri = sum(1 for r in rows if r.pri_class == 0)
         if n_pri > 1:
-            for x in a:
-                if x[8] == 0:
-                    x[8] = 1
+            for r in rows:
+                if r.pri_class == 0:
+                    r.pri_class = 1
         elif n_pri == 0:
-            _warn(f"Warning: {a[0][3]} doesn't have a primary alignment")
-        for x in a:
-            if not ns.keep_multi and x[8] == 2:
+            _warn(f"Warning: {rows[0].name} doesn't have a primary "
+                  "alignment")
+        for r in rows:
+            if not ns.keep_multi and r.pri_class == 2:
                 continue
-            x[8] = colors[x[8]]
-            _print(*x)
-        a.clear()
+            _print(*r.fields())
+        rows.clear()
 
     conv = None
     if ns.name_conv is not None:
@@ -740,15 +804,13 @@ def paf_splice2bed(argv):
                 t = line.rstrip("\n").split("\t")
                 conv[t[0]] = t[1]
 
-    a = []
+    rows = []
     with _open(ns.input) as f:
         for line in f:
             line = line.rstrip("\n")
             if not line or line[0] == "@":
                 continue
             t = line.split("\t")
-            is_pri = False
-            cigar = None
             if conv is not None and t[0] in conv:
                 t[0] = conv[t[0]]
             if (len(t) >= 10 and t[4] not in "+-"
@@ -756,52 +818,65 @@ def paf_splice2bed(argv):
                 flag = int(t[1])
                 if flag & 1:
                     t[0] += "/" + str(flag >> 6 & 3)
-            if a and a[0][3] != t[0]:
-                print_lines(a)
-            if len(t) >= 12 and t[4] in "+-":  # PAF
+            if rows and rows[0].name != t[0]:
+                flush(rows)
+            cigar = None
+            if len(t) >= 12 and t[4] in "+-":        # PAF
+                is_pri = False
                 for fld in t[12:]:
                     if fld.startswith("cg:Z:"):
                         cigar = fld[5:]
                     elif fld.startswith("s2:i:"):
                         is_pri = True
-                a1 = [t[5], int(t[7]), int(t[8]), t[0],
-                      int(t[9]) * 1000 // int(t[10]), t[4]]
-            elif len(t) >= 10:  # SAM
+                row = _Bed12Row(t[5], int(t[7]), int(t[8]), t[0],
+                                int(t[9]) * 1000 // int(t[10]), t[4],
+                                0 if is_pri else 2)
+            elif len(t) >= 10:                       # SAM
                 flag = int(t[1])
                 if (flag & 4) or t[2] == "*":
                     continue
                 cigar = t[5]
-                is_pri = not (flag & 0x100)
-                a1 = [t[2], int(t[3]) - 1, None, t[0], 1000,
-                      "-" if flag & 16 else "+"]
+                row = _Bed12Row(t[2], int(t[3]) - 1, None, t[0], 1000,
+                                "-" if flag & 16 else "+",
+                                0 if not (flag & 0x100) else 2)
             else:
                 raise SystemExit("unrecognized input format")
             if cigar is None:
                 raise SystemExit("missing CIGAR")
-            x0 = x = 0
-            bs, bl = [], []
-            for m in RE_CIGAR.finditer(cigar):
-                if m.group(2) in "MD":
-                    x += int(m.group(1))
-                elif m.group(2) == "N":
-                    bs.append(x0)
-                    bl.append(x - x0)
-                    x += int(m.group(1))
-                    x0 = x
-            bs.append(x0)
-            bl.append(x - x0)
-            if a1[2] is None:
-                a1[2] = a1[1] + x
-            a1.extend([a1[1], a1[2], 0 if is_pri else 2, len(bs),
-                       ",".join(map(str, bl)) + ",",
-                       ",".join(map(str, bs)) + ","])
-            a.append(a1)
-    print_lines(a)
+            row.blocks_from_cigar(cigar)
+            rows.append(row)
+    flush(rows)
 
 
 # ------------------------------------------------------------------ gff2bed
 
+def _ens2ucsc_table(fai_path):
+    """ENSEMBL->UCSC chromosome-name mapping inferred from a UCSC .fai
+    (paftools.js:994's heuristic renaming)."""
+    table = {}
+    with _open(fai_path) as f:
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            s = t[0]
+            if re.search(r"_(random|alt|decoy)$", s):
+                s = re.sub(r"_(random|alt|decoy)$", "", s)
+                s = re.sub(r"^chr\S+_", "", s)
+            else:
+                s = re.sub(r"^chrUn_", "", s)
+            s = re.sub(r"v(\d+)", r".\1", s)
+            if s != t[0]:
+                table[s] = t[0]
+    return table
+
+
 def paf_gff2bed(argv):
+    """GTF/GFF3 -> BED12 (paftools.js:994): exon rows grouped per
+    transcript_id become one BED12 row; CDS rows set the thick range.
+    Exon tuples: (chrom, st, en, strand, tid, type, gene_name, tx_name).
+
+    Parity note: gene_name deliberately persists across rows that lack
+    the attribute (the reference leaks `name` the same way), so a
+    transcript without gene_name inherits the previous one."""
     ap = argparse.ArgumentParser(prog="paftools gff2bed")
     ap.add_argument("-u", dest="ucsc_fai", default=None)
     ap.add_argument("-s", dest="is_short", action="store_true")
@@ -809,51 +884,41 @@ def paf_gff2bed(argv):
     ap.add_argument("input")
     ns = ap.parse_args(argv)
 
-    ens2ucsc = {}
-    if ns.ucsc_fai is not None:
-        with _open(ns.ucsc_fai) as f:
-            for line in f:
-                t = line.rstrip("\n").split("\t")
-                s = t[0]
-                if re.search(r"_(random|alt|decoy)$", s):
-                    s = re.sub(r"_(random|alt|decoy)$", "", s)
-                    s = re.sub(r"^chr\S+_", "", s)
-                else:
-                    s = re.sub(r"^chrUn_", "", s)
-                s = re.sub(r"v(\d+)", r".\1", s)
-                if s != t[0]:
-                    ens2ucsc[s] = t[0]
-
+    ens2ucsc = _ens2ucsc_table(ns.ucsc_fai) if ns.ucsc_fai is not None \
+        else {}
     colors = {"protein_coding": "0,128,255", "lincRNA": "0,192,0",
               "snRNA": "0,192,0", "miRNA": "0,192,0", "misc_RNA": "0,192,0"}
     re_gtf = re.compile(r'(transcript_id|transcript_type|transcript_biotype|'
                         r'gene_name|transcript_name) "([^"]+)";')
     re_gff3 = re.compile(r"(transcript_id|transcript_type|transcript_biotype|"
                          r"gene_name|transcript_name)=([^;]+)")
-
-    gname = "N/A"  # NB: mirrors the reference's leaked `name` global
+    CHROM, ST, EN, STRAND, TID, TYPE, GENE, TXNAME = range(8)
 
     def print_bed12(exons, cds_st, cds_en):
         if not exons:
             return
-        name = (exons[0][7] + "|" + exons[0][5] if ns.is_short
-                else "|".join(str(x) for x in exons[0][4:7]))
-        a = sorted(exons, key=lambda e: e[1])
-        st, en = a[0][1], a[-1][2]
+        first = exons[0]
+        name = (first[TXNAME] + "|" + first[TYPE] if ns.is_short
+                else "|".join(str(x) for x in
+                              (first[TID], first[TYPE], first[GENE])))
+        by_pos = sorted(exons, key=lambda e: e[ST])
+        st, en = by_pos[0][ST], by_pos[-1][EN]
         if cds_st == 1 << 30:
             cds_st = st
         if cds_en == 0:
             cds_en = en
         if cds_st < st or cds_en > en:
             raise SystemExit("inconsistent thick start or end for "
-                             f"transcript {a[0][4]}")
-        sizes = [e[2] - e[1] for e in a]
-        starts = [e[1] - st for e in a]
-        color = colors.get(a[0][5], "196,196,196")
-        _print(a[0][0], st, en, name, 1000, a[0][3], cds_st, cds_en, color,
-               len(a), ",".join(map(str, sizes)) + ",",
+                             f"transcript {first[TID]}")
+        sizes = [e[EN] - e[ST] for e in by_pos]
+        starts = [e[ST] - st for e in by_pos]
+        color = colors.get(first[TYPE], "196,196,196")
+        _print(by_pos[0][CHROM], st, en, name, 1000, by_pos[0][STRAND],
+               cds_st, cds_en, color, len(by_pos),
+               ",".join(map(str, sizes)) + ",",
                ",".join(map(str, starts)) + ",")
 
+    gname = "N/A"
     exons = []
     cds_st, cds_en = 1 << 30, 0
     last_id = None
@@ -869,20 +934,22 @@ def paf_gff2bed(argv):
                 continue
             if len(t) < 9 or t[2] not in ("CDS", "exon"):
                 continue
-            st3 = int(t[3]) - 1
-            en4 = int(t[4])
+            st0 = int(t[3]) - 1
+            en0 = int(t[4])
             tid, typ, biotype, tname = None, "", "", "N/A"
-            for m in list(re_gtf.finditer(t[8])) + list(re_gff3.finditer(t[8])):
-                if m.group(1) == "transcript_id":
-                    tid = m.group(2)
-                elif m.group(1) == "transcript_type":
-                    typ = m.group(2)
-                elif m.group(1) == "transcript_biotype":
-                    biotype = m.group(2)
-                elif m.group(1) == "gene_name":
-                    gname = m.group(2)
-                elif m.group(1) == "transcript_name":
-                    tname = m.group(2)
+            for m in list(re_gtf.finditer(t[8])) \
+                    + list(re_gff3.finditer(t[8])):
+                key, val = m.group(1), m.group(2)
+                if key == "transcript_id":
+                    tid = val
+                elif key == "transcript_type":
+                    typ = val
+                elif key == "transcript_biotype":
+                    biotype = val
+                elif key == "gene_name":
+                    gname = val
+                elif key == "transcript_name":
+                    tname = val
             if typ == "" and biotype != "":
                 typ = biotype
             if tid is None:
@@ -893,8 +960,8 @@ def paf_gff2bed(argv):
                 cds_st, cds_en = 1 << 30, 0
                 last_id = tid
             if t[2] == "CDS":
-                cds_st = min(cds_st, st3)
-                cds_en = max(cds_en, en4)
+                cds_st = min(cds_st, st0)
+                cds_en = max(cds_en, en0)
             else:
                 chrom = t[0]
                 if ns.ucsc_fai is not None:
@@ -903,7 +970,8 @@ def paf_gff2bed(argv):
                     elif re.match(r"^[A-Z]+\d+\.\d+$", chrom):
                         chrom = re.sub(r"([A-Z]+\d+)\.(\d+)",
                                        r"chrUn_\1v\2", chrom)
-                exons.append([chrom, st3, en4, t[6], tid, typ, gname, tname])
+                exons.append((chrom, st0, en0, t[6], tid, typ, gname,
+                              tname))
     if last_id is not None:
         print_bed12(exons, cds_st, cds_en)
 
@@ -1900,6 +1968,11 @@ def paf_junceval(argv):
 # ------------------------------------------------------------------ ov-eval
 
 def paf_ov_eval(argv):
+    """Read-overlap sensitivity (paftools.js:1915): infer true overlaps
+    from a position-sorted read-to-reference PAF (a sliding window of
+    still-open reference spans; any two reads co-spanning >= -l bases
+    truly overlap), then mark which of those pairs the read overlapper
+    found. Sensitivity = found / inferred."""
     ap = argparse.ArgumentParser(prog="paftools ov-eval")
     ap.add_argument("-l", dest="min_ovlp", type=int, default=2000)
     ap.add_argument("-f", dest="min_frac", type=float, default=0.95)
@@ -1908,42 +1981,39 @@ def paf_ov_eval(argv):
     ap.add_argument("ovlp_paf")
     ns = ap.parse_args(argv)
 
-    a, h = [], {}
+    open_spans = []          # [ctg, st, en, qname] not yet past the cursor
+    truth = {}               # (nameA, nameB) -> overlap len (<0 once found)
     with _open(ns.to_ref_paf) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
-            if int(t[11]) < ns.min_mapq:
+            if int(t[11]) < ns.min_mapq or "tp:A:P" not in t[12:]:
                 continue
-            if "tp:A:P" not in t[12:]:
+            qname, qlen = t[0], int(t[1])
+            qst, qen = int(t[2]), int(t[3])
+            ctg, st, en = t[5], int(t[7]), int(t[8])
+            if (qen - qst < ns.min_ovlp or en - st < ns.min_ovlp
+                    or (qen - qst) / qlen < ns.min_frac):
                 continue
-            for i in (1, 2, 3, 6, 7, 8):
-                t[i] = int(t[i])
-            if (t[3] - t[2] < ns.min_ovlp or t[8] - t[7] < ns.min_ovlp
-                    or (t[3] - t[2]) / t[1] < ns.min_frac):
-                continue
-            ctg, st, en = t[5], t[7], t[8]
-            while a:
-                if a[0][0] == ctg and a[0][2] > st:
-                    break
-                a.pop(0)
-            for aj in a:
-                if aj[3] == t[0]:
+            while open_spans and not (open_spans[0][0] == ctg
+                                      and open_spans[0][2] > st):
+                open_spans.pop(0)
+            for _ctg, _st, o_en, o_name in open_spans:
+                if o_name == qname:
                     continue
-                ln = min(en, aj[2]) - st
+                ln = min(en, o_en) - st
                 if ln >= ns.min_ovlp:
-                    key = (min(aj[3], t[0]), max(aj[3], t[0]))
-                    h[key] = ln
-            a.append([ctg, st, en, t[0]])
+                    truth[(min(o_name, qname), max(o_name, qname))] = ln
+            open_spans.append([ctg, st, en, qname])
 
     with _open(ns.ovlp_paf) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
             key = (min(t[0], t[5]), max(t[0], t[5]))
-            if h.get(key, 0) > 0:
-                h[key] = -h[key]
+            if truth.get(key, 0) > 0:
+                truth[key] = -truth[key]
 
-    n_ovlp = len(h)
-    n_missing = sum(1 for v in h.values() if v > 0)
+    n_ovlp = len(truth)
+    n_missing = sum(1 for v in truth.values() if v > 0)
     print(f"{n_ovlp} overlaps inferred from the reference mapping")
     print(f"{n_missing} missed by the read overlapper")
     sens = 100 * (1 - n_missing / n_ovlp) if n_ovlp else float("nan")
