@@ -302,6 +302,9 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
             mo.max_intron_len(_si(v))
 
 
+_PLATFORM = None   # cached jax platform answer (one probe per process)
+
+
 def main(argv=None) -> int:
     try:
         return _main(argv)
@@ -495,7 +498,12 @@ def _main(argv=None) -> int:
         if use_device:
             # probe through the guarded owner thread: jax.devices() blocks
             # forever when the tunnel link is down, and a dead probe must
-            # degrade to the host path, not hang the run
+            # degrade to the host path, not hang the run. The platform
+            # cannot change within a process, so cache the answer — a
+            # repeat probe would otherwise queue behind long-running guard
+            # work (e.g. the async link probe riding a first-touch stall)
+            # and time out, banning a healthy device for the whole process.
+            global _PLATFORM
             from .utils.device_guard import device_call
 
             def _probe():
@@ -503,9 +511,11 @@ def _main(argv=None) -> int:
                 return jax.devices()[0].platform
 
             try:
-                import os
-                t = float(os.environ.get("MM2TPU_DEVICE_PROBE_S", "60"))
-                plat = device_call(_probe, t)
+                if _PLATFORM is None:
+                    import os
+                    t = float(os.environ.get("MM2TPU_DEVICE_PROBE_S", "60"))
+                    _PLATFORM = device_call(_probe, t)
+                plat = _PLATFORM
                 use_device = plat in ("tpu", "axon") or \
                     (ns.device == "tpu" and plat == "cpu")
             except Exception:

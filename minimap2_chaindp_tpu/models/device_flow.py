@@ -271,6 +271,10 @@ class DeviceFlow:
         stats: dict[int, tuple] = {}
         by_bucket: dict[tuple, list[int]] = {}
         mesh = self.mesh
+        # whether this call paid any cold-shape compile (the share
+        # controller must not measure compile time as lane throughput —
+        # that was retiring healthy lanes at the first flow-on sub-round)
+        self.last_run_cold = False
         for k, (segs, info) in enumerate(units):
             if len(info.segs) != 1 or info.mv is None or len(info.mv) == 0:
                 continue
@@ -394,6 +398,8 @@ class DeviceFlow:
             # (the persistent XLA cache makes every later process hot)
             warm_key = (R, mb, cb, gq, gr, use_exc, score_bound,
                         qpos.dtype.str)
+            if warm_key not in self._warm:
+                self.last_run_cold = True
             tmo = None if self.interpret else self._timeout(
                 warm_key in self._warm)
             with timers.time("kernel"):

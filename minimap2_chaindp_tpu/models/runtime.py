@@ -25,6 +25,9 @@ BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 # dominant per-run tax on short mapping runs. The persisted twin (with the
 # learned share and retirement verdicts) lives in utils/link_state.py.
 _PROBE_MEM: dict = {}
+# one async probe per process: a second thread would queue behind the first
+# on the device-owner thread (a first-touch stall can hold it for minutes)
+_PROBE_INFLIGHT: list = []
 
 
 def _done_gen():
@@ -133,6 +136,7 @@ class DeviceRuntime:
                                  and not self.device_flow)
         self._fast_ok_c = None
         self._host = None
+        self._t_first_map = None   # for the flow's min-run ripeness gate
         # -t worker pool for the host-side fast path (kt_for over
         # fragments, kthread.c:125): used when the calibrated routing
         # sends reads to the one-call native driver
@@ -213,7 +217,26 @@ class DeviceRuntime:
         retired, or the device stalled), the batch delegates to the
         HostRuntime path outright — structurally identical to --device
         host, so a dead link costs nothing beyond the cached probe."""
+        import time as _t
+        if self._t_first_map is None:
+            self._t_first_map = _t.time()
+        if getattr(self, "_probe_pending", False):
+            # no fresh link verdict existed at construction: a detached
+            # child measures the link while batches map host-only; the
+            # verdict (polled here) flips device_flow mid-run and seeds
+            # every later runtime via the state file
+            self._start_async_probe()
+            self._poll_probe()
         if self._host_delegate_ok():
+            return self._host_rt().map_batch(frags, rg_id)
+        if (not self._share_fixed and self.device_flow
+                and not self._flow_ripe()):
+            # min-run gate: this process's FIRST device round trip rides a
+            # first-touch connection stall measured at 10 s to 4+ minutes
+            # (pure network wait) — only a run long enough to amortize
+            # that should engage the device lane. Short runs map host-only
+            # and stay within noise of --device host; long runs engage
+            # once ripe and the controller takes over on measured rates.
             return self._host_rt().map_batch(frags, rg_id)
         chunk = 64
         if (not self._share_fixed and self.device_flow
@@ -241,6 +264,20 @@ class DeviceRuntime:
             self._fast_ok_c = bool(map_unit_ok(self.opt, self.mi)) \
                 and not self.device_seeds
         return self._fast_ok_c
+
+    def _flow_ripe(self) -> bool:
+        """Whether this run has lasted long enough to amortize the
+        process's one-off first-touch link stall (see map_batch). Always
+        ripe in interpret mode (tests — no link), once the controller has
+        engaged, or past MM2TPU_FLOW_MIN_RUN_S (default 15 s) of mapping
+        wall time in this runtime."""
+        if self._interpret or self._ctrl_updates > 0:
+            return True
+        import os
+        import time
+        t0 = self._t_first_map or time.time()
+        return (time.time() - t0) >= float(
+            os.environ.get("MM2TPU_FLOW_MIN_RUN_S", "15"))
 
     def _host_delegate_ok(self) -> bool:
         """Delegate whole batches to the HostRuntime path when no device
@@ -516,17 +553,36 @@ class DeviceRuntime:
         # dev_rate/(dev_rate+host_rate)). Guarded by _ctrl_lock: two
         # map_stream pipeline threads can finish batches concurrently.
         if host_futs and dev_fids and not self._share_fixed:
-            self._ctrl_update(len(dev_fids), max(t_dev_done - t_batch0, 1e-6),
-                              len(host_futs),
-                              max(host_last_t[0] - t_batch0, 1e-6))
+            if flow is not None and getattr(flow, "last_run_cold", False):
+                # this sub-round paid one-off compile/cache-load time —
+                # measuring it as lane throughput would retire a healthy
+                # lane (observed: a 16.9 MB/s link struck out on its very
+                # first flow-on sub-round). Skip the update; the next
+                # sub-round measures the warm lane.
+                self.timers.count("ctrl_warmup_skip")
+            else:
+                self._ctrl_update(len(dev_fids),
+                                  max(t_dev_done - t_batch0, 1e-6),
+                                  len(host_futs),
+                                  max(host_last_t[0] - t_batch0, 1e-6))
         return lines
 
     def _ctrl_update(self, n_dev: int, t_dev: float,
                      n_host: int, t_host: float) -> None:
         """One controller step from a sub-round's measured per-lane work:
         the split that makes both lanes finish together is
-        dev_rate/(dev_rate+host_rate)."""
-        target = (n_dev / t_dev) / (n_dev / t_dev + n_host / t_host)
+        dev_rate/(dev_rate+host_rate). The CONTRACT check is separate and
+        direct: the combined rate (all reads over the sub-round wall,
+        including the device straggler's tail) must not drop below what
+        the host lane alone sustained — a device lane whose fixed
+        per-dispatch round trip eats more than its reads are worth fails
+        this even when the finish-together split looks nonzero (observed:
+        an 18 MB/s link converged to share ~0.10 while combined ran 221
+        vs 510 host-lane reads/s — per-sub-round RTT the split formula
+        cannot see)."""
+        host_rate = n_host / t_host
+        target = (n_dev / t_dev) / (n_dev / t_dev + host_rate)
+        combined = (n_dev + n_host) / max(t_dev, t_host)
         with self._ctrl_lock:
             # heavier first step: the seed is only an estimate, the
             # first sub-round's measurement overrides it
@@ -535,12 +591,12 @@ class DeviceRuntime:
             self._flow_share = min(0.95, max(
                 0.02, (1.0 - w) * self._flow_share + w * target))
             self._ctrl_updates += 1
-            # a lane whose measured split would be ~nothing costs more
-            # than it maps (per-dispatch overhead + link polling taxing
-            # the host lane): two consecutive strikes retire it for
-            # this runtime AND persist the verdict (TTL'd; a 2x-better
-            # probed link paroles it — see _adopt_state)
-            if target < 0.05:
+            # two consecutive failing sub-rounds retire the lane for this
+            # runtime AND persist the verdict (TTL'd; a 2x-better probed
+            # link paroles it — see _adopt_state). Failing = the lane's
+            # split is ~nothing, or it dragged combined throughput below
+            # the host lane's own measured rate.
+            if target < 0.05 or combined < host_rate * 0.97:
                 self._lowshare_strikes += 1
             else:
                 self._lowshare_strikes = 0
@@ -629,39 +685,85 @@ class DeviceRuntime:
         # rides a burst that over-states the sustained rate.
         min_mbps = float(os.environ.get("MM2TPU_FLOW_MIN_MBPS", "4"))
         from ..utils import link_state
-        if link_state.fresh(_PROBE_MEM, link_state.PROBE_TTL_S):
+
+        def _ttl(ent):
+            # failed probes expire 3x faster (transient stalls, see below)
+            return link_state.PROBE_TTL_S / (3.0 if ent.get("fail") else 1)
+        if link_state.fresh(_PROBE_MEM, _ttl(_PROBE_MEM)
+                            if _PROBE_MEM else 0):
             mbps = _PROBE_MEM["mbps"]
             return mbps >= min_mbps, mbps
         ent = link_state.load().get("probe")
-        if link_state.fresh(ent, link_state.PROBE_TTL_S):
+        if isinstance(ent, dict) and link_state.fresh(ent, _ttl(ent)):
             _PROBE_MEM.update(ent)
             mbps = float(ent["mbps"])
             return mbps >= min_mbps, mbps
+        # no fresh verdict: probe ASYNCHRONOUSLY (first map_batch starts
+        # it) and start host-only. The link's first D2H of a process can
+        # stall for minutes (first-touch connection setup) — a blocking
+        # probe would either eat that stall on the critical path or
+        # mislabel a healthy link dead (r2's loss did both). The async
+        # result flips the flow on mid-run and persists for the next
+        # process/runtime, which then starts in the right regime.
+        self._probe_pending = True
+        return False, 0.0
+
+    def _start_async_probe(self):
+        """Spawn the DETACHED link-probe child (tools/link_probe.py) and
+        poll its persisted verdict cheaply from the controller loop
+        (_poll_probe). In-process probing was tried twice and failed both
+        ways: on the device-owner thread it blocks real device work for
+        the minutes a first-touch stall can take; as a niced thread it
+        starves behind the busy host mapping lane and never completes.
+        A separate process is scheduled fairly by the OS and uses the
+        device only while this process does not (the flow stays off until
+        a verdict exists). Spawns are throttled by the probe_started
+        marker so a dying child (hard SIGALRM bound) cannot cause a
+        respawn storm."""
+        import os
+        import subprocess
+        import sys as _sys
+        import time
+        if _PROBE_INFLIGHT:
+            return
+        from ..utils import link_state
+        budget = float(os.environ.get("MM2TPU_PROBE_BUDGET_S", "150"))
+        st = link_state.load()
+        mark = st.get("probe_started")
+        if link_state.fresh(mark, budget):
+            _PROBE_INFLIGHT.append(1)   # someone else's child is running
+            return
+        link_state.save({"probe_started": {"t": time.time()}})
         try:
-            from ..utils.device_guard import DeviceStall, device_call
-
-            def probe():
-                jx = self._jax
-                d = jx.device_put(np.zeros((1 << 18,), np.int32))  # 1 MB
-                jx.block_until_ready(d)
-                worst = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    np.asarray(d)
-                    worst = min(worst, 1.0 / (time.perf_counter() - t0))
-                return worst
-
-            # a link that cannot move 2 MB in 10 s is far below any
-            # useful bar — do not let the probe itself eat the startup
-            mbps = device_call(probe, 10.0)
+            subprocess.Popen(
+                [_sys.executable, "-m",
+                 "minimap2_chaindp_tpu.tools.link_probe"],
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                start_new_session=True)
+            _PROBE_INFLIGHT.append(1)
         except Exception:
-            _PROBE_MEM.update({"mbps": 0.0, "t": time.time()})
-            link_state.save({"probe": dict(_PROBE_MEM)})
-            return False, 0.0
-        mbps = round(mbps, 1)
-        _PROBE_MEM.update({"mbps": mbps, "t": time.time()})
-        link_state.save({"probe": dict(_PROBE_MEM)})
-        return mbps >= min_mbps, mbps
+            pass
+
+    def _poll_probe(self) -> None:
+        """Adopt a link verdict the probe child persisted after this
+        runtime started (flips the flow on mid-run under the lock)."""
+        import os
+        from ..utils import link_state
+        ent = link_state.load().get("probe")
+        if not link_state.fresh(ent, link_state.PROBE_TTL_S):
+            return
+        _PROBE_MEM.clear()
+        _PROBE_MEM.update(ent)
+        mbps = float(ent["mbps"])
+        min_mbps = float(os.environ.get("MM2TPU_FLOW_MIN_MBPS", "4"))
+        with self._ctrl_lock:
+            self.link_mbps = mbps
+            if not self._flow_forced and not self._retired:
+                self.device_flow = mbps >= min_mbps
+                self._probe_chose_off = not self.device_flow
+            self._probe_pending = False  # verdict adopted (either way)
 
     def _get_flow(self):
         """Lazily build the fused collect+chain device flow (device_flow.py)

@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
 LANES = 128
+# anchors processed per inner fori_loop iteration (must divide LANES):
+# amortizes the carried-block VMEM round trip, the dominant kernel cost
+# (see the unroll comment in _chain_kernel). Output-invariant.
+import os as _os
+UNROLL = int(_os.environ.get("MM2TPU_CHAIN_UNROLL", "4"))
+assert LANES % UNROLL == 0
 def pick_subl(max_n: int, n_blocks: int = 6) -> int:
     """Reads per grid program: as large as VMEM comfortably allows (more
     sublanes per vector op = better VPU latency hiding). n_blocks: live
@@ -230,8 +236,14 @@ def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
         suf = jax.lax.dot_general(vb, suf_mat, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if packed_ep:
-            fl = ((tot + suf) > max_skip_f).astype(jnp.int32)
-            scp = sc * 65536 + (lane2 + (cf * 256 + fl))
+            # (suf > max_skip - tot) == (tot + suf > max_skip) with the
+            # threshold shifted on the narrow (SUBL,1) side — one fewer
+            # full-width op; likewise (lane2 + cf*256) groups the two
+            # lane-constant terms (constant-folded on the newest chunk,
+            # where cf is a Python int)
+            thr = max_skip_f - tot
+            fl = (suf > thr).astype(jnp.int32)
+            scp = sc * 65536 + (lane2 + cf * 256) + fl
             bscp = jnp.maximum(bscp, jnp.where(valid, scp, NEG_INF))
             tot = tot + (suf[:, 0:1] + vb[:, 0:1].astype(jnp.float32))
             return (bscp, tot)
@@ -338,8 +350,21 @@ def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
 
         fb0 = jnp.zeros((SUBL, LANES), jnp.int32)
         pb0 = jnp.full((SUBL, LANES), -1, jnp.int32)
+
+        # unrolled anchor loop: the carry holds ~8 (SUBL, LANES) blocks,
+        # which exceed the vector register file — every fori_loop
+        # iteration round-trips them through VMEM. Window-size ablation
+        # (PERF.md r3 roofline) measured that carry traffic as ~75% of
+        # kernel time (~90 ms of 121 ms fixed vs window-linear work), so
+        # processing UNROLL anchors per iteration divides the dominant
+        # cost by UNROLL while leaving per-anchor math unchanged.
+        def inner_u(u, carry):
+            for k in range(UNROLL):
+                carry = inner(u * UNROLL + k, carry)
+            return carry
+
         fb, pb, *_, flags = jax.lax.fori_loop(
-            0, LANES, inner,
+            0, LANES // UNROLL, inner_u,
             (fb0, pb0, xb, rb, qb, mb, zero8 if single_seg else sib, flags))
         f_ref[:, isl] = fb
         p_ref[:, isl] = pb

@@ -23,7 +23,9 @@ import json
 import os
 import time
 
-PROBE_TTL_S = float(os.environ.get("MM2TPU_PROBE_TTL_S", "90"))
+# healthy verdicts live longer than the old 90 s: refreshing one costs a
+# probe child sitting through the link's first-touch stall (minutes)
+PROBE_TTL_S = float(os.environ.get("MM2TPU_PROBE_TTL_S", "300"))
 RETIRE_TTL_S = float(os.environ.get("MM2TPU_RETIRE_TTL_S", "300"))
 
 
