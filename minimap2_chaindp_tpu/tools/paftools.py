@@ -1711,78 +1711,91 @@ def paf_mapeval(argv):
 
 # ----------------------------------------------------------------- mason2fq
 
+class _MasonRead:
+    """One mason2-simulated SAM record with its truth coordinates
+    (read-number 0 = single-end) and the XE:XS:XI error comment."""
+    __slots__ = ("qname", "chrom", "st", "en", "strand", "seq", "qual",
+                 "read_no", "comment")
+
+    def __init__(self, t):
+        flag = int(t[1])
+        ref_span = sum(int(m.group(1)) for m in RE_CIGAR.finditer(t[5])
+                       if m.group(2) in "DMN")
+        if flag & 16:
+            self.seq, self.qual = revcomp(t[9]), t[10][::-1]
+        else:
+            self.seq, self.qual = t[9], t[10]
+        self.qname = re.sub(r"^simulated\.", "", t[0])
+        self.chrom = t[2]
+        self.st = int(t[3]) - 1
+        self.en = self.st + ref_span
+        self.strand = "-" if flag & 16 else "+"
+        pair_bits = flag & 0xC0
+        self.read_no = 1 if pair_bits == 0x40 else \
+            2 if pair_bits == 0x80 else 0
+        errv = snp = indel = 0
+        for fld in t[11:]:
+            m = re.match(r"^XE:i:(\d+)", fld)
+            if m:
+                errv = m.group(1)
+                continue
+            m = re.match(r"^XS:i:(\d+)", fld)
+            if m:
+                snp = m.group(1)
+                continue
+            m = re.match(r"^XI:i:(\d+)", fld)
+            if m:
+                indel = m.group(1)
+        self.comment = f"{errv}:{snp}:{indel}"
+
+    def print_se(self):
+        name = "!".join(str(x) for x in
+                        (self.qname, self.chrom, self.st, self.en,
+                         self.strand))
+        print(f"@{name} {self.comment}\n{self.seq}\n+\n{self.qual}")
+
+
+def _print_mason_pair(r1, r2):
+    """Emit a /1,/2 FASTQ pair whose name carries BOTH mates' truth
+    coordinates (st1_st2 / en1_en2 / strand1 strand2)."""
+    name = "!".join([r1.qname, r1.chrom, f"{r1.st}_{r2.st}",
+                     f"{r1.en}_{r2.en}", r1.strand + r2.strand])
+    print(f"@{name}/1 {r1.comment}\n{r1.seq}\n+\n{r1.qual}")
+    print(f"@{name}/2 {r2.comment}\n{r2.seq}\n+\n{r2.qual}")
+
+
 def paf_mason2fq(argv):
+    """mason2-simulated SAM -> FASTQ with truth names (paftools.js:1622):
+    adjacent records with the same name pair up; singletons emit as
+    single-end."""
     ap = argparse.ArgumentParser(prog="paftools mason2fq")
     ap.add_argument("input")
     ns = ap.parse_args(argv)
 
-    def print_se(a):
-        print("@" + "!".join(str(x) for x in a[:5]) + " " + a[8])
-        print(a[5])
-        print("+")
-        print(a[6])
-
-    last = None
+    held = None
     with _open(ns.input) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
             if t[0].startswith("@"):
                 continue
-            l_ref = sum(int(m.group(1)) for m in RE_CIGAR.finditer(t[5])
-                        if m.group(2) in "DMN")
-            flag = int(t[1])
-            if flag & 16:
-                seq = revcomp(t[9])
-                qual = t[10][::-1]
+            cur = _MasonRead(t)
+            if held is None:
+                held = cur
+            elif held.qname != cur.qname:
+                held.print_se()
+                held = cur
             else:
-                seq, qual = t[9], t[10]
-            qname = re.sub(r"^simulated\.", "", t[0])
-            chrom = t[2]
-            pos = int(t[3]) - 1
-            strand = "-" if flag & 16 else "+"
-            read_no = flag & 0xC0
-            read_no = 1 if read_no == 0x40 else 2 if read_no == 0x80 else 0
-            errv = snp = indel = 0
-            for fld in t[11:]:
-                m = re.match(r"^XE:i:(\d+)", fld)
-                if m:
-                    errv = m.group(1)
-                    continue
-                m = re.match(r"^XS:i:(\d+)", fld)
-                if m:
-                    snp = m.group(1)
-                    continue
-                m = re.match(r"^XI:i:(\d+)", fld)
-                if m:
-                    indel = m.group(1)
-            comment = f"{errv}:{snp}:{indel}"
-            cur = [qname, chrom, pos, pos + l_ref, strand, seq, qual,
-                   read_no, comment]
-            if last is None:
-                last = cur
-            elif last[0] != qname:
-                print_se(last)
-                last = cur
-            else:
-                if read_no == 2:
-                    if last[7] != 1:
+                if cur.read_no == 2:
+                    if held.read_no != 1:
                         raise SystemExit("ERROR: can't find read1")
-                    name = "!".join([qname, chrom, f"{last[2]}_{pos}",
-                                     f"{last[3]}_{pos + l_ref}",
-                                     last[4] + strand])
-                    print(f"@{name}/1 {last[8]}\n{last[5]}\n+\n{last[6]}")
-                    print(f"@{name}/2 {comment}\n{seq}\n+\n{qual}")
+                    _print_mason_pair(held, cur)
                 else:
-                    if last[7] != 2:
+                    if held.read_no != 2:
                         raise SystemExit("ERROR: can't find read2")
-                    name = "!".join([qname, chrom, f"{pos}_{last[2]}",
-                                     f"{pos + l_ref}_{last[3]}",
-                                     strand + last[4]])
-                    print(f"@{name}/1 {comment}\n{seq}\n+\n{qual}")
-                    print(f"@{name}/2 {last[8]}\n{last[5]}\n+\n{last[6]}")
-                last = None
-    if last is not None:
-        print_se(last)
+                    _print_mason_pair(cur, held)
+                held = None
+    if held is not None:
+        held.print_se()
 
 
 # ----------------------------------------------------------------- pbsim2fq
