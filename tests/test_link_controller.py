@@ -119,6 +119,25 @@ def test_host_delegation_when_probe_rejects(state_file):
     assert not rt2._host_delegate_ok()
 
 
+def test_min_run_gate(state_file):
+    """A run engages the device lane only after the min-run ripeness
+    window (the process's first device round trip can stall for minutes,
+    which a short run cannot amortize); interpret mode and an engaged
+    controller are always ripe."""
+    import time
+    mi, mo = _runtime()
+    rt = DeviceRuntime(mi, mo)
+    assert rt._flow_ripe()          # interpret (CPU tests): always ripe
+    rt._interpret = False
+    rt._t_first_map = time.time()
+    assert not rt._flow_ripe()      # fresh run: not ripe
+    rt._t_first_map = time.time() - 1e4
+    assert rt._flow_ripe()          # long-running: ripe
+    rt._t_first_map = time.time()
+    rt._ctrl_updates = 1
+    assert rt._flow_ripe()          # already engaged: stays engaged
+
+
 def test_controller_converges_and_retires(state_file):
     """Drive the real controller: (a) measured rates override the seed and
     converge toward dev_rate/(dev+host); (b) two consecutive ~zero-target
