@@ -130,26 +130,54 @@ def intv_find_ovlp(a, st, en):
 
 # --------------------------------------------------------------------- stat
 
+class _GapHistogram:
+    """Indel-length histogram in the reference's six bins
+    (paftools.js:558); names: 0=insertions into the query, 1=deletions."""
+    BINS = ("[0,50)", "[50,100)", "[100,300)", "[300,400)", "[400,1000)",
+            "[1000,inf)")
+    EDGES = (50, 100, 300, 400, 1000)
+
+    def __init__(self):
+        self.counts = [[0] * 6, [0] * 6]
+
+    def add(self, which, ln):
+        b = 0
+        while b < 5 and ln >= self.EDGES[b]:
+            b += 1
+        self.counts[which][b] += 1
+
+    def report(self):
+        for which, name in ((0, "insertions"), (1, "deletions")):
+            for b, label in enumerate(self.BINS):
+                print(f"Number of {name} in {label}: "
+                      f"{self.counts[which][b]}")
+
+
+def _query_cov_len(regs):
+    """Total query bases covered by the union of [qs, qe) intervals."""
+    regs.sort(key=lambda r: r[0])
+    st, en = regs[0]
+    length = 0
+    for s, e in regs[1:]:
+        if s < en:
+            en = max(en, e)
+        else:
+            length += en - st
+            st, en = s, e
+    return length + (en - st)
+
+
 def paf_stat(argv):
+    """Basic mapping statistics from PAF (primary = has s2) or SAM
+    (paftools.js:558): per-query coverage union, gap histogram, CIGAR
+    sanity warnings, optional long-gap rows (-l)."""
     ap = argparse.ArgumentParser(prog="paftools stat")
     ap.add_argument("-l", dest="gap_out_len", type=int, default=None)
     ap.add_argument("input")
     ns = ap.parse_args(argv)
 
     n_pri = n_2nd = n_seq = n_cigar_64k = l_tot = l_cov = 0
-    n_gap = [[0] * 6, [0] * 6]
-
-    def cov_len(regs):
-        regs.sort(key=lambda r: r[0])
-        st, en = regs[0]
-        length = 0
-        for s, e in regs[1:]:
-            if s < en:
-                en = max(en, e)
-            else:
-                length += en - st
-                st, en = s, e
-        return length + (en - st)
+    gaps = _GapHistogram()
 
     last = last_qlen = None
     regs = []
@@ -162,7 +190,7 @@ def paf_stat(argv):
                 continue
             t = line.split("\t", 12)
             atlen = None
-            if t[4] in "+-":  # PAF
+            if t[4] in "+-":                                    # PAF
                 if not re.search(r"\ts2:i:\d+", line):
                     n_2nd += 1
                     continue
@@ -179,7 +207,7 @@ def paf_stat(argv):
                 atlen = int(t[8]) - rs
                 ori_qlen = int(t[1])
                 is_sam = False
-            else:  # SAM
+            else:                                               # SAM
                 flag = int(t[1])
                 if (flag & 4) or t[2] == "*" or t[5] == "*":
                     continue
@@ -196,10 +224,13 @@ def paf_stat(argv):
             if last != t[0]:
                 if last is not None:
                     l_tot += last_qlen
-                    l_cov += cov_len(regs)
+                    l_cov += _query_cov_len(regs)
                 regs = []
                 n_seq += 1
                 last = t[0]
+
+            # one CIGAR walk: aligned lengths, clips, gap histogram, and
+            # the optional -l long-gap rows (printed at the gap's ref pos)
             M = tl = ql = sclip = n_cigar = 0
             clip = [0, 0]
             for m in RE_CIGAR.finditer(cigar):
@@ -210,14 +241,11 @@ def paf_stat(argv):
                     ql += ln
                     M += ln
                 elif op in "ID":
-                    typ = (0 if ln < 50 else 1 if ln < 100 else 2 if ln < 300
-                           else 3 if ln < 400 else 4 if ln < 1000 else 5)
+                    gaps.add(0 if op == "I" else 1, ln)
                     if op == "I":
                         ql += ln
-                        n_gap[0][typ] += 1
                     else:
                         tl += ln
-                        n_gap[1][typ] += 1
                     if ns.gap_out_len is not None and ln >= ns.gap_out_len:
                         _print(t[0], ql, "-" if is_rev else "+", tname,
                                rs + tl, op, ln)
@@ -244,7 +272,7 @@ def paf_stat(argv):
             last_qlen = ori_qlen
     if last is not None:
         l_tot += last_qlen
-        l_cov += cov_len(regs)
+        l_cov += _query_cov_len(regs)
 
     if ns.gap_out_len is None:
         print(f"Number of mapped sequences: {n_seq}")
@@ -254,12 +282,7 @@ def paf_stat(argv):
               f"{n_cigar_64k}")
         print(f"Number of bases in mapped sequences: {l_tot}")
         print(f"Number of mapped bases: {l_cov}")
-        names = ["insertions", "deletions"]
-        bins = ["[0,50)", "[50,100)", "[100,300)", "[300,400)", "[400,1000)",
-                "[1000,inf)"]
-        for w in range(2):
-            for b in range(6):
-                print(f"Number of {names[w]} in {bins[b]}: {n_gap[w][b]}")
+        gaps.report()
 
 
 # ------------------------------------------------------------------ sam2paf
