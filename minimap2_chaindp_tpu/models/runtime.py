@@ -224,8 +224,14 @@ class DeviceRuntime:
             # no fresh link verdict existed at construction: a detached
             # child measures the link while batches map host-only; the
             # verdict (polled here) flips device_flow mid-run and seeds
-            # every later runtime via the state file
-            self._start_async_probe()
+            # every later runtime via the state file. The SPAWN is
+            # deferred a few seconds: a short run never needs a verdict
+            # (the min-run gate keeps it host-only anyway), and even a
+            # nice'd child's jax import costs a 1-core mapper cycles.
+            import os as _os2
+            if (_t.time() - self._t_first_map) >= float(
+                    _os2.environ.get("MM2TPU_PROBE_DEFER_S", "5")):
+                self._start_async_probe()
             self._poll_probe()
         if self._host_delegate_ok():
             return self._host_rt().map_batch(frags, rg_id)

@@ -42,8 +42,14 @@ def measure():
 
 
 def main():
-    # the probe is almost pure network WAIT (measured: 2.4 s CPU over a
-    # 150 s+ first-touch stall), so no nice() — it cannot starve the mapper
+    # lowest priority: the probe's only CPU-heavy phase is its own jax
+    # import (~20-30 s on a small host — measured halving a concurrent
+    # mapper's throughput before this nice); the link wait itself is
+    # near-zero CPU. At nice 19 the import takes idle cycles only.
+    try:
+        os.nice(19)
+    except OSError:
+        pass
     budget = float(os.environ.get("MM2TPU_PROBE_BUDGET_S", "240"))
     from ..utils import link_state
 
