@@ -1434,33 +1434,60 @@ def paf_call(argv):
 # ------------------------------------------------------------------- bedcov
 
 def _read_bed12(fn, to_merge, to_dedup):
-    h = {}
+    """chrom -> interval lists from BED (BED12 rows contribute their exon
+    blocks), overlap-query-ready, with three per-interval accumulator
+    slots appended: covered bases, overlapping features, exact hits."""
+    by_chrom = {}
     with _open(fn) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
-            lst = h.setdefault(t[0], [])
-            bst, ben = int(t[1]), int(t[2])
-            if len(t) >= 12 and re.match(r"^\d+$", t[9]):
-                n = int(t[9])
-                sz = t[10].split(",")
-                st = t[11].split(",")
-                for i in range(n):
-                    lst.append([bst + int(st[i]),
-                                bst + int(st[i]) + int(sz[i]), 0, 0, 0])
-            else:
-                lst.append([bst, ben, 0, 0, 0])
-    for chrom in h:
+            lst = by_chrom.setdefault(t[0], [])
+            for st, en in _bed_blocks(t):
+                lst.append([st, en, 0, 0, 0])
+    for intervals in by_chrom.values():
         if to_merge:
-            intv_merge(h[chrom], False)
+            intv_merge(intervals, False)
         elif to_dedup:
-            intv_dedup(h[chrom], False)
+            intv_dedup(intervals, False)
         else:
-            intv_sort(h[chrom])
-        intv_index_end(h[chrom])
-    return h
+            intv_sort(intervals)
+        intv_index_end(intervals)
+    return by_chrom
+
+
+def _bed_blocks(t):
+    """The (st, en) blocks of one BED row: BED12 rows split into their
+    exon blocks, everything else is the plain interval."""
+    st, en = int(t[1]), int(t[2])
+    if len(t) >= 12 and re.match(r"^\d+$", t[9]):
+        n = int(t[9])
+        sizes = t[10].split(",")
+        offs = t[11].split(",")
+        return [(st + int(offs[i]), st + int(offs[i]) + int(sizes[i]))
+                for i in range(n)]
+    return [(st, en)]
+
+
+def _union_len(intervals):
+    """Total length of the union of (st, en) intervals (sorted or not)."""
+    if not intervals:
+        return 0
+    intervals.sort(key=lambda x: x[0])
+    st, en = intervals[0]
+    total = 0
+    for s, e in intervals[1:]:
+        if s <= en:
+            en = max(en, e)
+        else:
+            total += en - st
+            st, en = s, e
+    return total + (en - st)
 
 
 def paf_bedcov(argv):
+    """Covered-base counting (paftools.js:707): how much of each feature
+    row in `target` is covered by regions in `regions`, with optional
+    exclusion regions (-e) and per-feature rows (-p)."""
     ap = argparse.ArgumentParser(prog="paftools bedcov")
     ap.add_argument("-p", dest="print_len", action="store_true")
     ap.add_argument("-d", dest="dedup", action="store_true")
@@ -1477,50 +1504,30 @@ def paf_bedcov(argv):
     with _open(ns.target) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
-            a = []
-            bst, ben = int(t[1]), int(t[2])
-            if len(t) >= 12 and re.match(r"^\d+$", t[9]):
-                n = int(t[9])
-                sz = t[10].split(",")
-                st = t[11].split(",")
-                for i in range(n):
-                    a.append([bst + int(st[i]),
-                              bst + int(st[i]) + int(sz[i]), False])
-            else:
-                a.append([bst, ben, False])
+            chrom = t[0]
+            blocks = [[st, en, False] for st, en in _bed_blocks(t)]
             feat_len = 0
-            for ai in a:
-                if excl is not None and t[0] in excl:
-                    if intv_find_ovlp(excl[t[0]], ai[0], ai[1]):
-                        continue
-                ai[2] = True
-                feat_len += ai[1] - ai[0]
-            tot_len += feat_len
-            if t[0] not in target:
-                continue
-            b = []
-            for ai in a:
-                if not ai[2]:
+            for blk in blocks:
+                if excl is not None and chrom in excl \
+                        and intv_find_ovlp(excl[chrom], blk[0], blk[1]):
                     continue
-                for o in intv_find_ovlp(target[t[0]], ai[0], ai[1]):
-                    max_st = max(o[0], ai[0])
-                    min_en = min(o[1], ai[1])
-                    b.append([max_st, min_en])
-                    o[2] += min_en - max_st
-                    o[3] += 1
-                    if max_st == o[0] and min_en == o[1]:
-                        o[4] += 1
-            feat_hit_len = 0
-            if b:
-                b.sort(key=lambda x: x[0])
-                st, en = b[0]
-                for s, e in b[1:]:
-                    if s <= en:
-                        en = max(en, e)
-                    else:
-                        feat_hit_len += en - st
-                        st, en = s, e
-                feat_hit_len += en - st
+                blk[2] = True               # kept (not excluded)
+                feat_len += blk[1] - blk[0]
+            tot_len += feat_len
+            if chrom not in target:
+                continue
+            covered = []
+            for st, en, kept in blocks:
+                if not kept:
+                    continue
+                for o in intv_find_ovlp(target[chrom], st, en):
+                    o_st, o_en = max(o[0], st), min(o[1], en)
+                    covered.append((o_st, o_en))
+                    o[2] += o_en - o_st     # covered bases
+                    o[3] += 1               # overlapping features
+                    if o_st == o[0] and o_en == o[1]:
+                        o[4] += 1           # fully-covering features
+            feat_hit_len = _union_len(covered)
             hit_len += feat_hit_len
             if ns.print_len:
                 _print("F", *t[:4], feat_len, feat_hit_len)
