@@ -365,6 +365,19 @@ class DeviceRuntime:
         flow = self._get_flow()
         fast_ok = map_unit_ok(opt, mi) and not self.device_seeds
         fast_qlen_max = self.native_chain_max * 5
+        # the qlen cap exists to route mid-size reads to the DEVICE lane —
+        # it must not strand reads on the ~30x staged Python path when no
+        # device lane can actually take them: with the flow ineligible for
+        # this mode (e.g. splice) every read goes native, and reads beyond
+        # the flow/chain capacity buckets (~8192 anchors ≈ 43 kb) take the
+        # native path too (native_chain_max=0 still disables the fast path
+        # outright — tests and staged-coverage runs rely on that).
+        if self.native_chain_max > 0:
+            if flow is None:
+                fast_qlen_max = float("inf")
+            else:
+                from .device_flow import CAP_BUCKETS
+                dev_qlen_max = CAP_BUCKETS[-1] * 5
         # two concurrent whole-read lanes (the fork's send-task thread +
         # 56 host worker threads shape, fpga_chaindp.c:83 + run.sh:3): the
         # HOST lane maps its fragments through the one-call native driver
@@ -395,9 +408,15 @@ class DeviceRuntime:
         lane_exec = self._get_ext_lane()
 
         def _fast_eligible(fi, frag):
-            return (fast_ok and fi not in dev_fids
-                    and len(frag.segs) <= 2
-                    and sum(len(s.seq) for s in frag.segs) <= fast_qlen_max)
+            if not fast_ok or fi in dev_fids or len(frag.segs) > 2:
+                return False
+            qlen = sum(len(s.seq) for s in frag.segs)
+            if qlen <= fast_qlen_max:
+                return True
+            # oversized for every device bucket: native is the only lane
+            # that maps it at full speed
+            return (self.native_chain_max > 0 and flow is not None
+                    and qlen > dev_qlen_max)
 
         def _fast_one(frag):
             if len(frag.segs) == 1:
