@@ -376,8 +376,10 @@ class DeviceRuntime:
             if flow is None:
                 fast_qlen_max = float("inf")
             else:
-                from .device_flow import CAP_BUCKETS
-                dev_qlen_max = CAP_BUCKETS[-1] * 5
+                from .device_flow import CAP_BUCKETS, M_BUCKETS
+                # the flow's minimizer bucket (~qlen/5.3 entries) binds
+                # before its anchor capacity at occ ~1
+                dev_qlen_max = min(M_BUCKETS[-1], CAP_BUCKETS[-1]) * 5
         # two concurrent whole-read lanes (the fork's send-task thread +
         # 56 host worker threads shape, fpga_chaindp.c:83 + run.sh:3): the
         # HOST lane maps its fragments through the one-call native driver
