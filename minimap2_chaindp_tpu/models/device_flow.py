@@ -253,13 +253,15 @@ class DeviceFlow:
                | C.MM_F_SPLICE)
         return not (o.flag & bad) and o.bw < CP.TBL
 
-    def run(self, units, timers) -> dict[int, Chains]:
+    def run(self, units, timers) -> tuple[dict[int, Chains], bool]:
         """Run eligible units through the fused device step.
 
         `units` is the runtime's list of (segs, UnitInfo); eligible units get
         info.sh filled (anchors from the device, host-computed rep_len /
         mini_pos) and an entry in the returned {unit_index: Chains} dict.
         Ineligible or fallback units are left untouched for the staged path.
+        Returns (results, cold): cold is True when this call paid any
+        cold-shape compile (the caller's controller must not measure it).
         """
         import jax
         import jax.numpy as jnp
@@ -271,10 +273,13 @@ class DeviceFlow:
         stats: dict[int, tuple] = {}
         by_bucket: dict[tuple, list[int]] = {}
         mesh = self.mesh
-        # whether this call paid any cold-shape compile (the share
+        # whether THIS call paid any cold-shape compile (the share
         # controller must not measure compile time as lane throughput —
-        # that was retiring healthy lanes at the first flow-on sub-round)
-        self.last_run_cold = False
+        # that was retiring healthy lanes at the first flow-on sub-round).
+        # A local returned to the caller, NOT an instance attribute: the
+        # flow is shared by map_stream's two pipeline threads and an
+        # attribute reset at the next run()'s start would race the read.
+        run_cold = False
         for k, (segs, info) in enumerate(units):
             if len(info.segs) != 1 or info.mv is None or len(info.mv) == 0:
                 continue
@@ -399,7 +404,7 @@ class DeviceFlow:
             warm_key = (R, mb, cb, gq, gr, use_exc, score_bound,
                         qpos.dtype.str)
             if warm_key not in self._warm:
-                self.last_run_cold = True
+                run_cold = True
             tmo = None if self.interpret else self._timeout(
                 warm_key in self._warm)
             with timers.time("kernel"):
@@ -478,7 +483,7 @@ class DeviceFlow:
                                              opt.min_chain_score)
                     results[k] = ch
                     timers.count("device_reads")
-        return results
+        return results, run_cold
 
     def _seedhits(self, mv, over, anchors) -> SeedHits:
         from ..ops.seeds_device import _rep_len

@@ -345,6 +345,8 @@ class DeviceRuntime:
                 if not parole:
                     self.device_flow = False
                     self._retired = True
+                    if not self._lane_fixed:
+                        self._alpha = 0.0  # ext lane rides the same link
                     self.timers.count("flow_lane_retired_persisted")
 
     def _map_batch1(self, frags, rg_id: str = "") -> list[list[str]]:
@@ -372,14 +374,12 @@ class DeviceRuntime:
         # the flow/chain capacity buckets (~8192 anchors ≈ 43 kb) take the
         # native path too (native_chain_max=0 still disables the fast path
         # outright — tests and staged-coverage runs rely on that).
-        if self.native_chain_max > 0:
-            if flow is None:
-                fast_qlen_max = float("inf")
-            else:
-                from .device_flow import CAP_BUCKETS, M_BUCKETS
-                # the flow's minimizer bucket (~qlen/5.3 entries) binds
-                # before its anchor capacity at occ ~1
-                dev_qlen_max = min(M_BUCKETS[-1], CAP_BUCKETS[-1]) * 5
+        from .device_flow import CAP_BUCKETS, M_BUCKETS
+        # the flow's minimizer bucket (~qlen/5.3 entries) binds before its
+        # anchor capacity at occ ~1
+        dev_qlen_max = min(M_BUCKETS[-1], CAP_BUCKETS[-1]) * 5
+        if self.native_chain_max > 0 and flow is None:
+            fast_qlen_max = float("inf")
         # two concurrent whole-read lanes (the fork's send-task thread +
         # 56 host worker threads shape, fpga_chaindp.c:83 + run.sh:3): the
         # HOST lane maps its fragments through the one-call native driver
@@ -396,8 +396,16 @@ class DeviceRuntime:
         elif not fast_ok or self._flow_share >= 1.0:
             dev_fids = set(range(len(frags)))
         else:
+            # distribute the device share over flow-ABSORBABLE fragments
+            # only (single-segment, within the flow's buckets): a
+            # positional split assigned oversized/multi-seg fragments to
+            # the device lane, where the flow rejected them onto the ~30x
+            # staged path instead of the native fast path they deserve
             share = self._flow_share
-            dev_fids = {i for i in range(len(frags))
+            cand = [i for i, fr in enumerate(frags)
+                    if len(fr.segs) == 1
+                    and len(fr.segs[0].seq) <= dev_qlen_max]
+            dev_fids = {cand[i] for i in range(len(cand))
                         if int((i + 1) * share) > int(i * share)}
         # hybrid extension lane: a fraction alpha of the STAGED units (the
         # ones the fast path and the native chains-finish do not absorb —
@@ -462,11 +470,12 @@ class DeviceRuntime:
                                   slice(start, len(units))))
 
         flow_chains: dict[int, Chains] = {}
+        flow_cold = False
         if flow is not None:
             # device sections serialize on the device-owner thread
             # (utils/device_guard), so two map_stream batches interleave
             # safely: this batch's device waits overlap the other's host work
-            flow_chains = flow.run(units, self.timers)
+            flow_chains, flow_cold = flow.run(units, self.timers)
 
         # native finish from device chains: flow-handled single-segment
         # fragments run the post-chain half (regions -> align -> mapq ->
@@ -525,15 +534,25 @@ class DeviceRuntime:
                 h_idx = [k for k in range(len(gens)) if k not in lane_units]
                 regss_per_unit = [None] * len(gens)
                 t0 = _time.perf_counter()
+                d_done = [0.0]
+
+                def _dev_side(gs=[gens[k] for k in d_idx]):
+                    # timestamp INSIDE the closure: measuring after
+                    # fut.result() made t_dev >= t_host always, so the
+                    # rebalancer's grow branch was unreachable and alpha
+                    # only ever decayed
+                    r = run_scheduler(gs, lane_exec)
+                    d_done[0] = _time.perf_counter()
+                    return r
+
                 with _TPE(max_workers=1) as _ex:
-                    fut = _ex.submit(run_scheduler,
-                                     [gens[k] for k in d_idx], lane_exec)
+                    fut = _ex.submit(_dev_side)
                     th0 = _time.perf_counter()
                     h_out = run_scheduler([gens[k] for k in h_idx],
                                           self._align_exec)
                     t_host = _time.perf_counter() - th0
                     d_out = fut.result()
-                t_dev = _time.perf_counter() - t0
+                t_dev = (d_done[0] or _time.perf_counter()) - t0
                 for k, v in zip(d_idx, d_out):
                     regss_per_unit[k] = v
                 for k, v in zip(h_idx, h_out):
@@ -580,7 +599,7 @@ class DeviceRuntime:
         # dev_rate/(dev_rate+host_rate)). Guarded by _ctrl_lock: two
         # map_stream pipeline threads can finish batches concurrently.
         if host_futs and dev_fids and not self._share_fixed:
-            if flow is not None and getattr(flow, "last_run_cold", False):
+            if flow_cold:
                 # this sub-round paid one-off compile/cache-load time —
                 # measuring it as lane throughput would retire a healthy
                 # lane (observed: a 16.9 MB/s link struck out on its very
@@ -751,14 +770,19 @@ class DeviceRuntime:
         import subprocess
         import sys as _sys
         import time
-        if _PROBE_INFLIGHT:
-            return
+        # throttle window must cover the child's own lifetime (its budget
+        # + the SIGALRM backstop margin) or two processes could run
+        # concurrent probe children and wedge the tunnel
+        budget = float(os.environ.get("MM2TPU_PROBE_BUDGET_S", "240")) + 60
+        if _PROBE_INFLIGHT and time.time() - _PROBE_INFLIGHT[0] < budget:
+            return   # this process's own child is (or may still be) alive
         from ..utils import link_state
-        budget = float(os.environ.get("MM2TPU_PROBE_BUDGET_S", "150"))
         st = link_state.load()
         mark = st.get("probe_started")
         if link_state.fresh(mark, budget):
-            _PROBE_INFLIGHT.append(1)   # someone else's child is running
+            # another process's child is running: do NOT latch the
+            # in-process flag (that child may die verdict-less and this
+            # process must be able to spawn once the marker expires)
             return
         link_state.save({"probe_started": {"t": time.time()}})
         try:
@@ -769,17 +793,23 @@ class DeviceRuntime:
                     os.path.dirname(os.path.abspath(__file__)))),
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                 start_new_session=True)
-            _PROBE_INFLIGHT.append(1)
+            _PROBE_INFLIGHT[:] = [time.time()]
         except Exception:
             pass
 
     def _poll_probe(self) -> None:
         """Adopt a link verdict the probe child persisted after this
-        runtime started (flips the flow on mid-run under the lock)."""
+        runtime started (flips the flow on mid-run under the lock).
+        Failure verdicts use the same 3x-shorter TTL as _calibrate and
+        keep polling alive, so a long run re-measures a transient stall
+        instead of staying host-only forever."""
         import os
         from ..utils import link_state
         ent = link_state.load().get("probe")
-        if not link_state.fresh(ent, link_state.PROBE_TTL_S):
+        if not isinstance(ent, dict):
+            return
+        ttl = link_state.PROBE_TTL_S / (3.0 if ent.get("fail") else 1.0)
+        if not link_state.fresh(ent, ttl):
             return
         _PROBE_MEM.clear()
         _PROBE_MEM.update(ent)
@@ -790,7 +820,8 @@ class DeviceRuntime:
             if not self._flow_forced and not self._retired:
                 self.device_flow = mbps >= min_mbps
                 self._probe_chose_off = not self.device_flow
-            self._probe_pending = False  # verdict adopted (either way)
+            if not ent.get("fail"):
+                self._probe_pending = False  # healthy verdict adopted
 
     def _get_flow(self):
         """Lazily build the fused collect+chain device flow (device_flow.py)
@@ -965,9 +996,4 @@ class DeviceRuntime:
         return [results[k] for k in range(len(pending))]
 
 
-def _v_from_fp(f: np.ndarray, p: np.ndarray) -> np.ndarray:
-    v = np.zeros(len(f), dtype=np.int64)
-    for i in range(len(f)):
-        pi = p[i]
-        v[i] = v[pi] if pi >= 0 and v[pi] > f[i] else f[i]
-    return v
+from .device_flow import _v_from_fp  # noqa: E402 — shared exact fallback

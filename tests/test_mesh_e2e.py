@@ -70,7 +70,7 @@ def test_mesh_matches_single_chip_flow():
                                          collect_hits=False))
                  for n, s in reads]
         flow = DeviceFlow(mi, mo, interpret=True, mesh=mesh)
-        res = flow.run(units, Timers())
+        res, _cold = flow.run(units, Timers())
         return units, res
 
     u1, r1 = run_flow(None)
