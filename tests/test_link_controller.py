@@ -138,6 +138,37 @@ def test_min_run_gate(state_file):
     assert rt._flow_ripe()          # already engaged: stays engaged
 
 
+def test_oversized_reads_take_fast_path(state_file, monkeypatch):
+    """Reads beyond the flow's buckets (~21 kb) must ride the native fast
+    path in device mode, not strand on the staged Python align — and the
+    adaptive device share must never claim them (they are not
+    flow-absorbable)."""
+    import numpy as np
+    from minimap2_chaindp_tpu.native import map_unit_ok
+    monkeypatch.setenv("MM2TPU_NATIVE_CHAIN_MAX", "2048")
+    mi, mo = _runtime()
+    if not map_unit_ok(mo, mi):
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(8)
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    ref = refs[0].seq
+    # a "50 kb" read made of tiled MT segments (MT is 16.5 kb)
+    seq = (ref * 4)[:50000]
+    frags = [Frag([type(refs[0])("big", seq)])]
+    # plus normal fast-path reads
+    for i in range(4):
+        st = int(rng.integers(0, len(ref) - 1000))
+        frags.append(Frag([type(refs[0])(f"s{i}", ref[st:st + 1000])]))
+    rt = DeviceRuntime(mi, mo)
+    rt._flow_share = 0.9          # aggressive device share
+    out = rt.map_batch(frags)
+    assert rt.timers.counters.get("fast_native", 0) >= 1
+    # identity with the host pipeline
+    from minimap2_chaindp_tpu.models.pipeline import map_fragment_output
+    host = [map_fragment_output(mi, mo, f.segs) for f in frags]
+    assert [l for ls in out for l in ls] == [l for ls in host for l in ls]
+
+
 def test_controller_converges_and_retires(state_file):
     """Drive the real controller: (a) measured rates override the seed and
     converge toward dev_rate/(dev+host); (b) two consecutive ~zero-target
