@@ -805,6 +805,11 @@ def paf_splice2bed(argv):
     def flush(rows):
         if not rows:
             return
+        if ns.fmt != "bed":
+            # parity: the reference's print_lines only has a "bed" branch
+            # (paftools.js:1338) — any other -f silently emits nothing
+            rows.clear()
+            return
         n_pri = sum(1 for r in rows if r.pri_class == 0)
         if n_pri > 1:
             for r in rows:
@@ -1040,6 +1045,8 @@ def _lift_endpoints(cg, endpoints, walk_q0, t0):
     k, x, y = 0, t0, walk_q0
     for m in RE_CIGAR.finditer(cg):
         ln, op = int(m.group(1)), m.group(2)
+        if op not in "MID":
+            continue   # parity: paftools.js:232's regex only knows MID
         if op == "D":
             x += ln
             continue

@@ -153,6 +153,14 @@ def test_splice2bed_blocks_match_cigar():
         assert starts[-1] + sizes[-1] == int(paf[8]) - int(paf[7])
 
 
+def test_splice2bed_non_bed_format_emits_nothing():
+    """The reference's print_lines (paftools.js:1338) only has a "bed"
+    branch; any other -f value silently produces no output."""
+    out, _ = run("splice2bed", "-f", "x",
+                 os.path.join(GOLDEN_DIR, "splice.paf"))
+    assert out == ""
+
+
 # ------------------------------------------------------------------ gff2bed
 
 GTF = """chr1\tHAVANA\texon\t1001\t1100\t.\t+\t.\tgene_name "G1"; transcript_id "T1"; transcript_type "protein_coding";
@@ -221,6 +229,22 @@ def test_liftover():
     # q45->t145, q54 -> t(50M 10D)=160 + 4 = 164 => [145, 165)
     assert rows[0] == ["t", "110", "120", "q_10_20", "0", "+"]
     assert rows[1] == ["t", "145", "165", "q_45_55", "0", "+"]
+
+
+def test_liftover_skips_non_mid_ops():
+    """paftools.js:232's CIGAR regex only matches [MID]: an N (or any other)
+    op must be skipped without advancing either coordinate."""
+    paf = "\t".join(map(str, [
+        "q1", 100, 0, 100, "+", "t1", 1000, 100, 198, 90, 100, 60,
+        "tp:A:P", "cg:Z:30M5N40M2I28M"]))
+    pp, pb = "/tmp/lift_n.paf", "/tmp/lift_n.bed"
+    with open(pp, "w") as f:
+        f.write(paf + "\n")
+    with open(pb, "w") as f:
+        f.write("q1\t10\t50\n")
+    out, _ = run("liftover", "-l", "0", pp, pb)
+    # MID-only accounting: q10 -> t110, q50 -> t150 (the 5N never moves t)
+    assert out.splitlines() == ["t1\t110\t150\tq1_10_50\t0\t+"]
 
 
 # --------------------------------------------------------------------- call
