@@ -108,17 +108,29 @@ def _e2e_fields():
     bench = os.path.join(root, "tools", "e2e_bench.py")
     fields = {}
 
+    all_rates: dict = {}
+
     def one(tag, args, pat, tmo):
+        """One bench session; repeat calls with the same tag MERGE (best
+        steady, pooled per-repeat distribution) — the host/tpu lanes are
+        run as ALTERNATING sessions so minutes-scale machine drift on the
+        shared 1-core host cannot systematically favor whichever lane
+        happened to run later (the r2 371-vs-652 capture was partly that)."""
         try:
+            # 400 reads => ~0.8 s/repeat: long enough that 1-core scheduler
+            # noise stops dominating the best-of spread (at 200 reads the
+            # same lane measured 444-601 reads/s across back-to-back runs)
             out = subprocess.run(
-                [sys.executable, bench, "--reads", "200", "--len", "10000",
+                [sys.executable, bench, "--reads", "400", "--len", "10000",
                  *args], capture_output=True, text=True, timeout=tmo,
                 cwd=root)
             for line in out.stdout.splitlines():
                 if pat in line:
-                    fields[tag] = float(line.split(pat)[1].split()[0])
+                    v = float(line.split(pat)[1].split()[0])
+                    if fields.get(tag) is None or v > fields[tag]:
+                        fields[tag] = v
             # per-repeat distribution from the runN lines (run0 = warmup)
-            rates = []
+            rates = all_rates.setdefault(tag, [])
             for line in out.stderr.splitlines():
                 if line.startswith("run") and "reads/s" in line:
                     if not line.startswith("run0"):
@@ -135,18 +147,21 @@ def _e2e_fields():
                             fields["link_flow_share"] = float(
                                 tok.split("=")[1])
             if rates:
-                rates.sort()
+                srt = sorted(rates)
                 fields[tag + "_runs"] = {
-                    "min": rates[0], "median": rates[len(rates) // 2],
-                    "max": rates[-1], "n": len(rates)}
+                    "min": srt[0], "median": srt[len(srt) // 2],
+                    "max": srt[-1], "n": len(srt)}
         except Exception:
             pass
         fields.setdefault(tag, None)
 
-    one("e2e_reads_per_s_host", ["--device", "host", "--steady", "5"],
-        "steady:", 360)
-    one("e2e_reads_per_s_tpu_calibrated", ["--device", "tpu", "--steady", "5"],
-        "steady:", 600)
+    host = ("e2e_reads_per_s_host", ["--device", "host", "--steady", "3"],
+            "steady:", 360)
+    tpu = ("e2e_reads_per_s_tpu_calibrated",
+           ["--device", "tpu", "--steady", "3"],
+           "steady:", 720)  # includes the bounded post-warmup verdict wait
+    for lane in (host, tpu, host, tpu):
+        one(*lane)
     one("e2e_reads_per_s_reference_binary", ["--ref"], "reference:", 300)
     return fields
 

@@ -495,7 +495,19 @@ def _main(argv=None) -> int:
             continue
 
         use_device = ns.device in ("tpu", "auto")
-        if use_device:
+        # calibrated auto routing defers ALL device-backend init to the
+        # runtime's ripeness hook: short runs never touch the device, and
+        # the live client's background threads cost a 1-core host ~6% of
+        # mapping throughput even when every batch maps on the host path.
+        # Forced flow / --mesh / device-seeds (and explicit cpu test
+        # platforms, where the client is free) keep the eager probe.
+        import os as _os_dev
+        defer_client = (
+            use_device and not ns.mesh
+            and not _os_dev.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+            and _os_dev.environ.get("MM2TPU_DEVICE_FLOW", "") not in ("0", "1")
+            and _os_dev.environ.get("MM2TPU_DEVICE_SEEDS", "0") != "1")
+        if use_device and not defer_client:
             # probe through the guarded owner thread: jax.devices() blocks
             # forever when the tunnel link is down, and a dead probe must
             # degrade to the host path, not hang the run. The platform
@@ -531,7 +543,8 @@ def _main(argv=None) -> int:
                 d_, i_ = ns.mesh.lower().split("x")
                 mesh_shape = (int(d_), int(i_))
             runtime = DeviceRuntime(mi, mo, n_threads=ns.threads,
-                                    mesh_shape=mesh_shape)
+                                    mesh_shape=mesh_shape,
+                                    defer_client=defer_client)
         else:
             from .models.host_runtime import HostRuntime
             runtime = HostRuntime(mi, mo, n_threads=ns.threads)

@@ -42,7 +42,8 @@ class DeviceRuntime:
 
     def __init__(self, mi, opt, min_batch: int = 64,
                  device_seeds: bool | None = None, n_threads: int = 1,
-                 mesh_shape: tuple[int, int] | None = None):
+                 mesh_shape: tuple[int, int] | None = None,
+                 defer_client: bool = False):
         # mesh_shape = (data, index): run the fused flow as the sharded
         # multi-chip step over a jax Mesh (index key-range-sharded for
         # >HBM genomes, reads data-parallel); byte-identical output
@@ -66,11 +67,29 @@ class DeviceRuntime:
         self.timers = Timers()
         from ..utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
-        import jax
-        self._jax = jax
-        self._interpret = jax.devices()[0].platform == "cpu"
-        from .batch_align import DeviceAlignExecutor
-        self._align_exec = DeviceAlignExecutor(opt, interpret=self._interpret)
+        # deferred-client mode (calibrated auto routing only): skip device
+        # backend init entirely until the link verdict actually turns the
+        # flow on AND the run is ripe (map_batch's _ensure_client hook).
+        # The live axon/TPU client's background threads cost a 1-core host
+        # ~6% of its mapping throughput even when every batch delegates to
+        # the host path — the r2/r3 driver captures' tpu-vs-host gap was
+        # exactly this tax. Forced flow, --mesh, and device-seeds modes
+        # need the device up front and never defer.
+        self._defer_client = (defer_client and mesh_shape is None
+                              and not device_seeds
+                              and _os.environ.get("MM2TPU_DEVICE_FLOW", "")
+                              not in ("0", "1"))
+        if self._defer_client:
+            self._jax = None
+            self._interpret = False
+            self._align_exec = None
+        else:
+            import jax
+            self._jax = jax
+            self._interpret = jax.devices()[0].platform == "cpu"
+            from .batch_align import DeviceAlignExecutor
+            self._align_exec = DeviceAlignExecutor(
+                opt, interpret=self._interpret)
         self._seed_collector = None
         import threading
         self._seed_lock = threading.Lock()  # map_stream runs 2 batches
@@ -233,6 +252,11 @@ class DeviceRuntime:
                     _os2.environ.get("MM2TPU_PROBE_DEFER_S", "5")):
                 self._start_async_probe()
             self._poll_probe()
+        if self.device_flow and self._jax is None and self._flow_ripe():
+            # deferred-client mode: the verdict turned the flow on and the
+            # run is long enough to engage the device — bring the backend
+            # up now (failure retires the lane inside _ensure_client)
+            self._ensure_client()
         if self._host_delegate_ok():
             return self._host_rt().map_batch(frags, rg_id)
         if (not self._share_fixed and self.device_flow
@@ -300,6 +324,42 @@ class DeviceRuntime:
             return False
         return (self._retired or self._probe_chose_off) \
             and not self.device_flow
+
+    def _ensure_client(self) -> bool:
+        """Deferred-mode device-backend init (guarded): called from
+        map_batch the first time the flow is on AND ripe. Returns False —
+        and retires the lane — when the backend cannot be reached, so a
+        dead tunnel degrades to the host path instead of hanging."""
+        if self._jax is not None:
+            return True
+        with self._flow_lock:   # map_stream's two pipeline threads
+            return self._ensure_client_locked()
+
+    def _ensure_client_locked(self) -> bool:
+        if self._jax is not None:
+            return True
+        from ..utils.device_guard import device_call
+
+        def _init():
+            import jax
+            return jax, jax.devices()[0].platform
+
+        try:
+            jx, plat = device_call(_init, self._dev_timeout)
+        except Exception:
+            with self._ctrl_lock:
+                self.device_flow = False
+                self._retired = True
+                if not self._lane_fixed:
+                    self._alpha = 0.0
+            self.timers.count("flow_client_init_failed")
+            return False
+        from .batch_align import DeviceAlignExecutor
+        self._interpret = plat == "cpu"
+        self._align_exec = DeviceAlignExecutor(
+            self.opt, interpret=self._interpret)
+        self._jax = jx
+        return True
 
     def _host_rt(self):
         """Lazily build the delegate HostRuntime sharing this runtime's

@@ -57,6 +57,36 @@ def write_reads(path, reads):
             f.write(f">{name}\n{seq}\n")
 
 
+def await_link_verdict(max_wait_s=120.0):
+    """Steady-state tpu timing only: the warmup run spawns the detached
+    link-probe child (models/runtime._start_async_probe); its jax import
+    and first-touch device wait overlap the timed repeats on a 1-core
+    host, and until its verdict lands the runtime rides the probe-pending
+    flow-off seed. Wait (bounded) for the persisted verdict so the timed
+    repeats run in the settled regime with no child competing — the same
+    startup-cost amortization the warmup already applies to index build
+    and XLA compiles. Returns the verdict mbps or None."""
+    from minimap2_chaindp_tpu.utils import link_state
+    if link_state._path() is None:
+        return None          # persistence disabled (tests): nothing to await
+    if not link_state.fresh(link_state.load().get("probe_started"), 300.0):
+        return None          # no child in flight (short runs never spawn
+    t0 = time.perf_counter()  # one — the 5 s defer outlives them)
+    while True:
+        ent = link_state.load().get("probe")
+        if isinstance(ent, dict) and link_state.fresh(
+                ent, link_state.PROBE_TTL_S / (3.0 if ent.get("fail") else 1.0)):
+            dt = time.perf_counter() - t0
+            print(f"[e2e_bench] link verdict after {dt:.0f}s wait: "
+                  f"{ent.get('mbps')} MB/s", file=sys.stderr)
+            return ent.get("mbps")
+        if time.perf_counter() - t0 > max_wait_s:
+            print(f"[e2e_bench] no link verdict within {max_wait_s:.0f}s; "
+                  "timing with probe still pending", file=sys.stderr)
+            return None
+        time.sleep(2.0)
+
+
 def main():
     global REF_FA
     ap = argparse.ArgumentParser()
@@ -136,6 +166,8 @@ def main():
                 best = dt if best is None else min(best, dt)
             print(f"run{it}: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)",
                   file=sys.stderr)
+            if it == 0 and args.device == "tpu":
+                await_link_verdict()
         print(f"steady: {args.reads / best:8.1f} reads/s  ({best:.2f}s)")
         return
 
