@@ -118,3 +118,61 @@ def test_device_align_executor_splice():
         host.extend(map_fragment_output(mi, mo, f.segs))
     assert dev == host
     assert rt._align_exec.n_device > 0
+
+
+# ------------------------------------------------- deferred-client mode
+
+def _mt_setup():
+    io, mo = set_opt(None)
+    mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    frags = [Frag([q])
+             for q in read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))]
+    return mi, mo, frags
+
+
+def test_deferred_client_never_touches_backend(monkeypatch):
+    """defer_client=True with no link verdict: every batch maps on the
+    host path, output identical, and the device backend is NEVER
+    initialized (the live client's threads cost a 1-core host ~6% of
+    throughput — the r2/r3 driver captures' tpu-vs-host gap)."""
+    monkeypatch.delenv("MM2TPU_DEVICE_FLOW", raising=False)
+    monkeypatch.setenv("MM2TPU_PROBE_DEFER_S", "9999")  # no child spawn
+    mi, mo, frags = _mt_setup()
+    rt = DeviceRuntime(mi, mo, defer_client=True)
+    assert rt._jax is None and rt._align_exec is None
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    assert rt._jax is None           # still deferred after mapping
+    assert rt.device_flow is False   # probe pending -> host-only
+
+
+def test_deferred_client_engages_on_healthy_verdict(tmp_path, monkeypatch):
+    """defer_client=True + a fresh healthy persisted verdict + a ripe run:
+    map_batch brings the backend up through _ensure_client and the fused
+    flow engages, output still identical to the host pipeline."""
+    import json
+    import time
+    monkeypatch.delenv("MM2TPU_DEVICE_FLOW", raising=False)
+    monkeypatch.setenv("MM2TPU_PROBE_DEFER_S", "9999")
+    monkeypatch.setenv("MM2TPU_FLOW_MIN_RUN_S", "0")    # instantly ripe
+    state = tmp_path / "link_state.json"
+    state.write_text(json.dumps(
+        {"probe": {"mbps": 100.0, "t": time.time()}}))
+    monkeypatch.setenv("MM2TPU_STATE_FILE", str(state))
+    mi, mo, frags = _mt_setup()
+    rt = DeviceRuntime(mi, mo, defer_client=True)
+    assert rt._jax is None and rt.device_flow is True   # verdict adopted
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    assert rt._jax is not None       # client came up at the ripeness hook
+    assert rt._interpret is True     # cpu test platform detected at init
