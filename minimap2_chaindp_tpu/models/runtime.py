@@ -880,6 +880,11 @@ class DeviceRuntime:
             if not self._flow_forced and not self._retired:
                 self.device_flow = mbps >= min_mbps
                 self._probe_chose_off = not self.device_flow
+                if not self.device_flow and not self._lane_fixed:
+                    # the ext lane rides the same link; a live alpha with
+                    # the flow off would also block whole-batch host
+                    # delegation (and, deferred, reach a None align_exec)
+                    self._alpha = 0.0
             if not ent.get("fail"):
                 self._probe_pending = False  # healthy verdict adopted
 
