@@ -95,12 +95,14 @@ def host_native_fallback():
 
 def _e2e_fields():
     """BASELINE.md scaling row: same-session end-to-end reads/s at 1 chip /
-    1 host (200 x 10 kb map-ont SAM) for the host fast path, the calibrated
+    1 host (400 x 10 kb map-ont SAM) for the host fast path, the calibrated
     --device tpu route, and the reference binary — each bounded so a hang
     can never block the JSON line. In-process steady-state timing (one
     warmup run paying index build / XLA compiles / link calibration, then
-    five timed repeats, best taken) like the PERF.md tables — symmetric
-    across devices. Each route also records its per-repeat distribution
+    three timed repeats, best taken) like the PERF.md tables — symmetric
+    across devices, run as TWO alternating sessions per lane with pooled
+    distributions so machine drift cannot favor whichever lane runs
+    later. Each route also records its per-repeat distribution
     (min/median/max) and the tpu route records the link probe's own
     bandwidth + chosen routing, so the JSON self-describes the regime the
     numbers were captured in (VERDICT r2: best-case reporting)."""

@@ -795,15 +795,18 @@ class DeviceRuntime:
         def _ttl(ent):
             # failed probes expire 3x faster (transient stalls, see below)
             return link_state.PROBE_TTL_S / (3.0 if ent.get("fail") else 1)
+        def _engages(ent):
+            # a cpu backend's "bandwidth" is RAM speed: never engage the
+            # device lane on it (auto mode on a box with no accelerator)
+            return (float(ent["mbps"]) >= min_mbps
+                    and ent.get("plat", "tpu") not in ("cpu",))
         if link_state.fresh(_PROBE_MEM, _ttl(_PROBE_MEM)
                             if _PROBE_MEM else 0):
-            mbps = _PROBE_MEM["mbps"]
-            return mbps >= min_mbps, mbps
+            return _engages(_PROBE_MEM), _PROBE_MEM["mbps"]
         ent = link_state.load().get("probe")
         if isinstance(ent, dict) and link_state.fresh(ent, _ttl(ent)):
             _PROBE_MEM.update(ent)
-            mbps = float(ent["mbps"])
-            return mbps >= min_mbps, mbps
+            return _engages(ent), float(ent["mbps"])
         # no fresh verdict: probe ASYNCHRONOUSLY (first map_batch starts
         # it) and start host-only. The link's first D2H of a process can
         # stall for minutes (first-touch connection setup) — a blocking
@@ -878,7 +881,8 @@ class DeviceRuntime:
         with self._ctrl_lock:
             self.link_mbps = mbps
             if not self._flow_forced and not self._retired:
-                self.device_flow = mbps >= min_mbps
+                self.device_flow = (mbps >= min_mbps
+                                    and ent.get("plat", "tpu") != "cpu")
                 self._probe_chose_off = not self.device_flow
                 if not self.device_flow and not self._lane_fixed:
                     # the ext lane rides the same link; a live alpha with

@@ -24,10 +24,15 @@ import time
 def measure():
     """Untimed warmup fetch (absorbs the first-touch stall), then
     median-of-3 timed 1 MB fetches of DISTINCT buffers (a repeated fetch
-    of one buffer is served from a client-side cache)."""
+    of one buffer is served from a client-side cache). Also returns the
+    backend platform: a cpu backend's 'bandwidth' is RAM speed, and the
+    runtime must not engage the device lane on it (deferred-client auto
+    mode on a box with no accelerator would otherwise flip the
+    interpret-mode flow on — orders slower than the host path)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
+    plat = jax.devices()[0].platform
     warm = jnp.arange(1 << 14, dtype=jnp.int32)     # 64 KB
     jax.block_until_ready(warm)
     np.asarray(warm)
@@ -38,7 +43,7 @@ def measure():
         t0 = time.perf_counter()
         np.asarray(d)
         rates.append(1.0 / (time.perf_counter() - t0))
-    return round(sorted(rates)[1], 1)
+    return round(sorted(rates)[1], 1), plat
 
 
 def main():
@@ -66,8 +71,8 @@ def main():
     wd.start()
     signal.alarm(int(budget) + 30)
     try:
-        mbps = measure()
-        ent = {"mbps": mbps, "t": time.time()}
+        mbps, plat = measure()
+        ent = {"mbps": mbps, "t": time.time(), "plat": plat}
         if mbps <= 0.0:
             ent["fail"] = True
     except BaseException:

@@ -123,6 +123,10 @@ def test_device_align_executor_splice():
 # ------------------------------------------------- deferred-client mode
 
 def _mt_setup():
+    # the runtime's in-process probe cache outlives a runtime; clear it so
+    # each deferral test sees only its own state file
+    from minimap2_chaindp_tpu.models import runtime as rt_mod
+    rt_mod._PROBE_MEM.clear()
     io, mo = set_opt(None)
     mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
     refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
@@ -176,3 +180,27 @@ def test_deferred_client_engages_on_healthy_verdict(tmp_path, monkeypatch):
     assert dev == host
     assert rt._jax is not None       # client came up at the ripeness hook
     assert rt._interpret is True     # cpu test platform detected at init
+
+
+def test_deferred_client_ignores_cpu_platform_verdict(tmp_path, monkeypatch):
+    """A probe verdict from a cpu backend (auto mode on a box with no
+    accelerator) reports RAM-speed 'bandwidth'; the device lane must not
+    engage on it — interpret-mode flow is orders slower than the host."""
+    import json
+    import time
+    monkeypatch.delenv("MM2TPU_DEVICE_FLOW", raising=False)
+    monkeypatch.setenv("MM2TPU_PROBE_DEFER_S", "9999")
+    monkeypatch.setenv("MM2TPU_FLOW_MIN_RUN_S", "0")
+    state = tmp_path / "link_state.json"
+    state.write_text(json.dumps(
+        {"probe": {"mbps": 4000.0, "t": time.time(), "plat": "cpu"}}))
+    monkeypatch.setenv("MM2TPU_STATE_FILE", str(state))
+    mi, mo, frags = _mt_setup()
+    rt = DeviceRuntime(mi, mo, defer_client=True)
+    assert rt.device_flow is False
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    assert rt._jax is None   # backend never initialized
