@@ -110,34 +110,36 @@ def _e2e_fields():
     bench = os.path.join(root, "tools", "e2e_bench.py")
     fields = {}
 
-    all_rates: dict = {}
+    TAG = {"host": "e2e_reads_per_s_host",
+           "tpu": "e2e_reads_per_s_tpu_calibrated"}
 
-    def one(tag, args, pat, tmo):
-        """One bench session; repeat calls with the same tag MERGE (best
-        steady, pooled per-repeat distribution) — the host/tpu lanes are
-        run as ALTERNATING sessions so minutes-scale machine drift on the
-        shared 1-core host cannot systematically favor whichever lane
-        happened to run later (the r2 371-vs-652 capture was partly that)."""
+    def pair_session():
+        """ONE e2e_bench process interleaving host/tpu runs run-by-run
+        (alternating pair order): the 1-core host's bursty scheduler was
+        measured swinging SAME-MODE sessions 526-690 reads/s, so separate
+        per-lane sessions compare lottery tickets, not lanes. Pairing puts
+        both lanes under near-identical machine state seconds apart.
+        400 reads => ~0.8 s/repeat so scheduler noise does not dominate."""
         try:
-            # 400 reads => ~0.8 s/repeat: long enough that 1-core scheduler
-            # noise stops dominating the best-of spread (at 200 reads the
-            # same lane measured 444-601 reads/s across back-to-back runs)
             out = subprocess.run(
                 [sys.executable, bench, "--reads", "400", "--len", "10000",
-                 *args], capture_output=True, text=True, timeout=tmo,
-                cwd=root)
+                 "--device", "pair", "--steady", "6"],
+                capture_output=True, text=True, timeout=720, cwd=root)
             for line in out.stdout.splitlines():
-                if pat in line:
-                    v = float(line.split(pat)[1].split()[0])
-                    if fields.get(tag) is None or v > fields[tag]:
-                        fields[tag] = v
-            # per-repeat distribution from the runN lines (run0 = warmup)
-            rates = all_rates.setdefault(tag, [])
+                for dev, tag in TAG.items():
+                    pat = f"steady[{dev}]:"
+                    if pat in line:
+                        fields[tag] = float(line.split(pat)[1].split()[0])
+            rates = {dev: [] for dev in TAG}
             for line in out.stderr.splitlines():
                 if line.startswith("run") and "reads/s" in line:
-                    if not line.startswith("run0"):
-                        rates.append(float(line.split(":")[1].split()[0]))
-                if line.startswith("[calibrate]") and tag.endswith("tpu_calibrated"):
+                    if line.startswith("run0"):
+                        continue   # both lanes' warmup iteration
+                    for dev in TAG:
+                        if f"[{dev}]" in line:
+                            rates[dev].append(
+                                float(line.split(":")[1].split()[0]))
+                if line.startswith("[calibrate]"):
                     # "[calibrate] d2h=XMB/s device_flow=on flow_share=Y"
                     for tok in line.split():
                         if tok.startswith("d2h="):
@@ -148,22 +150,31 @@ def _e2e_fields():
                         elif tok.startswith("flow_share="):
                             fields["link_flow_share"] = float(
                                 tok.split("=")[1])
-            if rates:
-                srt = sorted(rates)
-                fields[tag + "_runs"] = {
-                    "min": srt[0], "median": srt[len(srt) // 2],
-                    "max": srt[-1], "n": len(srt)}
+            for dev, tag in TAG.items():
+                srt = sorted(rates[dev])
+                if srt:
+                    fields[tag + "_runs"] = {
+                        "min": srt[0], "median": srt[len(srt) // 2],
+                        "max": srt[-1], "n": len(srt)}
+        except Exception:
+            pass
+        for tag in TAG.values():
+            fields.setdefault(tag, None)
+
+    def one(tag, args, pat, tmo):
+        try:
+            out = subprocess.run(
+                [sys.executable, bench, "--reads", "400", "--len", "10000",
+                 *args], capture_output=True, text=True, timeout=tmo,
+                cwd=root)
+            for line in out.stdout.splitlines():
+                if pat in line:
+                    fields[tag] = float(line.split(pat)[1].split()[0])
         except Exception:
             pass
         fields.setdefault(tag, None)
 
-    host = ("e2e_reads_per_s_host", ["--device", "host", "--steady", "3"],
-            "steady:", 360)
-    tpu = ("e2e_reads_per_s_tpu_calibrated",
-           ["--device", "tpu", "--steady", "3"],
-           "steady:", 720)  # includes the bounded post-warmup verdict wait
-    for lane in (host, tpu, host, tpu):
-        one(*lane)
+    pair_session()
     one("e2e_reads_per_s_reference_binary", ["--ref"], "reference:", 300)
     return fields
 
