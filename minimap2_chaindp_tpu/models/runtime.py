@@ -83,6 +83,7 @@ class DeviceRuntime:
             self._jax = None
             self._interpret = False
             self._align_exec = None
+            self._client_thread = None
         else:
             import jax
             self._jax = jax
@@ -90,6 +91,7 @@ class DeviceRuntime:
             from .batch_align import DeviceAlignExecutor
             self._align_exec = DeviceAlignExecutor(
                 opt, interpret=self._interpret)
+            self._client_thread = None
         self._seed_collector = None
         import threading
         self._seed_lock = threading.Lock()  # map_stream runs 2 batches
@@ -254,13 +256,17 @@ class DeviceRuntime:
             self._poll_probe()
         if self.device_flow and self._jax is None and self._flow_ripe():
             # deferred-client mode: the verdict turned the flow on and the
-            # run is long enough to engage the device — bring the backend
-            # up now (failure retires the lane inside _ensure_client)
-            self._ensure_client()
+            # run is long enough to engage the device — kick the backend
+            # init on a SIDE thread (it rides the process's first-touch
+            # link stall, 10 s-4 min) and keep mapping on the host path
+            # until it is up; a synchronous init here measured 546 ->
+            # 185 reads/s on a 20k-read run (the mapper sat in the stall)
+            self._kick_client_init()
         if self._host_delegate_ok():
             return self._host_rt().map_batch(frags, rg_id)
         if (not self._share_fixed and self.device_flow
-                and not self._flow_ripe()):
+                and (not self._flow_ripe()
+                     or (self._defer_client and self._jax is None))):
             # min-run gate: this process's FIRST device round trip rides a
             # first-touch connection stall measured at 10 s to 4+ minutes
             # (pure network wait) — only a run long enough to amortize
@@ -325,27 +331,43 @@ class DeviceRuntime:
         return (self._retired or self._probe_chose_off) \
             and not self.device_flow
 
-    def _ensure_client(self) -> bool:
-        """Deferred-mode device-backend init (guarded): called from
-        map_batch the first time the flow is on AND ripe. Returns False —
-        and retires the lane — when the backend cannot be reached, so a
-        dead tunnel degrades to the host path instead of hanging."""
-        if self._jax is not None:
-            return True
+    def _kick_client_init(self) -> None:
+        """Deferred-mode device-backend init on a SIDE thread: map_batch
+        calls this when the flow turns on and keeps mapping host-only
+        until `_jax` is set (batches gate on it). The thread pays backend
+        init AND a first-touch warmup transfer — the tunnel's first D2H
+        of a process stalls 10 s-4 min, and paying it here (overlapped
+        with host mapping) keeps it off the flow's first dispatch. A
+        failed init retires the lane, so a dead tunnel degrades to the
+        host path instead of hanging."""
+        import threading
         with self._flow_lock:   # map_stream's two pipeline threads
-            return self._ensure_client_locked()
+            if self._jax is not None or self._client_thread is not None:
+                return
+            t = threading.Thread(target=self._client_init_work,
+                                 name="mm2tpu-client-init", daemon=True)
+            self._client_thread = t
+            t.start()
 
-    def _ensure_client_locked(self) -> bool:
-        if self._jax is not None:
-            return True
+    def _client_init_work(self) -> None:
         from ..utils.device_guard import device_call
 
         def _init():
             import jax
-            return jax, jax.devices()[0].platform
+            import numpy as _np
+            plat = jax.devices()[0].platform
+            if plat != "cpu":
+                # first-touch warmup: one 64 KB D2H absorbs the stall
+                import jax.numpy as jnp
+                _np.asarray(jax.block_until_ready(
+                    jnp.arange(1 << 14, dtype=jnp.int32)))
+            return jax, plat
 
         try:
-            jx, plat = device_call(_init, self._dev_timeout)
+            # generous budget: the warmup rides the first-touch stall; the
+            # host lane keeps mapping while this thread waits
+            tmo = max(self._dev_timeout or 0, 300)
+            jx, plat = device_call(_init, tmo)
         except Exception:
             with self._ctrl_lock:
                 self.device_flow = False
@@ -353,13 +375,13 @@ class DeviceRuntime:
                 if not self._lane_fixed:
                     self._alpha = 0.0
             self.timers.count("flow_client_init_failed")
-            return False
+            return
         from .batch_align import DeviceAlignExecutor
         self._interpret = plat == "cpu"
         self._align_exec = DeviceAlignExecutor(
             self.opt, interpret=self._interpret)
-        self._jax = jx
-        return True
+        self._jax = jx   # published LAST: batches gate on it
+        self.timers.count("flow_client_init_async")
 
     def _host_rt(self):
         """Lazily build the delegate HostRuntime sharing this runtime's

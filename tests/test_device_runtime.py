@@ -173,13 +173,19 @@ def test_deferred_client_engages_on_healthy_verdict(tmp_path, monkeypatch):
     mi, mo, frags = _mt_setup()
     rt = DeviceRuntime(mi, mo, defer_client=True)
     assert rt._jax is None and rt.device_flow is True   # verdict adopted
-    dev = [l for ls in rt.map_batch(frags) for l in ls]
     host = []
     for f in frags:
         host.extend(map_fragment_output(mi, mo, f.segs))
+    # first ripe batch KICKS the async init and maps host-only meanwhile
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
     assert dev == host
-    assert rt._jax is not None       # client came up at the ripeness hook
+    assert rt._client_thread is not None
+    rt._client_thread.join(timeout=60)
+    assert rt._jax is not None       # side thread brought the client up
     assert rt._interpret is True     # cpu test platform detected at init
+    # with the client up, the next batch engages the device path
+    dev2 = [l for ls in rt.map_batch(frags) for l in ls]
+    assert dev2 == host
 
 
 def test_deferred_client_ignores_cpu_platform_verdict(tmp_path, monkeypatch):
