@@ -130,6 +130,13 @@ def _e2e_fields():
                     pat = f"steady[{dev}]:"
                     if pat in line:
                         fields[tag] = float(line.split(pat)[1].split()[0])
+                if "paired_ratio_median:" in line:
+                    # median of adjacent host/tpu run-time ratios (>= 1.0
+                    # means the tpu route is at least as fast under the
+                    # same machine state) — the contract statistic; the
+                    # per-lane bests above still carry burst luck
+                    fields["e2e_tpu_vs_host_paired_ratio"] = float(
+                        line.split(":")[1])
             rates = {dev: [] for dev in TAG}
             for line in out.stderr.splitlines():
                 if line.startswith("run") and "reads/s" in line:

@@ -155,8 +155,10 @@ def main():
         # the device backend. Emits runN[dev] and steady[dev] lines.
         from minimap2_chaindp_tpu import cli
         best = {"host": None, "tpu": None}
+        ratios = []
         for it in range(args.steady + 1):
             order = ("host", "tpu") if it % 2 == 0 else ("tpu", "host")
+            pair = {}
             for dev in order:
                 sys.argv = ["mm2tpu", "-ax", "map-ont",
                             "-K", str(args.batch * args.read_len),
@@ -171,13 +173,22 @@ def main():
                 if it > 0:  # iteration 0 is both lanes' warmup
                     b = best[dev]
                     best[dev] = dt if b is None else min(b, dt)
+                    pair[dev] = dt
                 print(f"run{it}[{dev}]: {args.reads / dt:8.1f} reads/s"
                       f"  ({dt:.2f}s)", file=sys.stderr)
                 if it == 0 and dev == "tpu":
                     await_link_verdict()
+            if len(pair) == 2:
+                # ADJACENT-run ratio: the two runs sit ~1 s apart and share
+                # machine state, unlike best-of-N which compares whichever
+                # runs caught the 1-core host's ~20% scheduler bursts
+                ratios.append(pair["host"] / pair["tpu"])
         for dev in ("host", "tpu"):
             print(f"steady[{dev}]: {args.reads / best[dev]:8.1f} reads/s"
                   f"  ({best[dev]:.2f}s)")
+        if ratios:
+            ratios.sort()
+            print(f"paired_ratio_median: {ratios[len(ratios) // 2]:.3f}")
         return
 
     if args.steady:
