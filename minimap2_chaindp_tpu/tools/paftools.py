@@ -689,13 +689,60 @@ def paf_view(argv):
 
 # ---------------------------------------------------------------- delta2paf
 
+class _DeltaAln:
+    """One alignment block of a MUMmer .delta file, accumulated gap by
+    gap into CIGAR runs (reference behavior: misc/paftools.js:1270
+    paf_delta2paf, re-expressed as explicit (op, len) runs instead of
+    bit-packed ints). Delta gap encoding: each signed distance d names
+    the offset of the next unaligned base — |d|-1 matched columns, then
+    one reference base skipped in the query (d>0, a deletion) or one
+    query base absent from the reference (d<0, an insertion); d=0 closes
+    the block with the remaining matched tail."""
+    __slots__ = ("rs", "re", "qs", "qe", "strand", "nm", "x", "y", "cig")
+
+    def __init__(self, coords):
+        r0, r1, q0, q1, nm = coords
+        self.strand = "+" if (r0 < r1) == (q0 < q1) else "-"
+        self.rs, self.re = min(r0, r1) - 1, max(r0, r1)   # 1-based closed
+        self.qs, self.qe = min(q0, q1) - 1, max(q0, q1)   # -> 0-based half
+        self.nm = nm
+        self.x = self.y = 0    # ref/query columns consumed so far
+        self.cig = []          # [op, len] runs
+
+    def gap(self, d):
+        ln = abs(d) - 1
+        if ln > 0:
+            # match runs are always fenced by the indel that follows, so
+            # they never need merging with a previous run
+            self.cig.append(["M", ln])
+        op = "D" if d > 0 else "I"
+        self.x += ln + (d > 0)
+        self.y += ln + (d < 0)
+        if self.cig and self.cig[-1][0] == op:
+            self.cig[-1][1] += 1
+        else:
+            self.cig.append([op, 1])
+
+    def close_and_print(self, rname, rlen, qname, qlen):
+        tail = self.re - self.rs - self.x
+        if tail != self.qe - self.qs - self.y:
+            raise SystemExit("inconsisnt alignment")  # sic: paftools.js:1305
+        self.cig.append(["M", tail])   # a block ending on its last indel
+        #                                emits the reference's literal "0M"
+        blen = sum(ln for _op, ln in self.cig)
+        _print(qname, qlen, self.qs, self.qe, self.strand,
+               rname, rlen, self.rs, self.re, blen - self.nm, blen, 0,
+               f"NM:i:{self.nm}",
+               "cg:Z:" + "".join(f"{ln}{op}" for op, ln in self.cig))
+
+
 def paf_delta2paf(argv):
     ap = argparse.ArgumentParser(prog="paftools delta2paf")
     ap.add_argument("input")
     ns = ap.parse_args(argv)
     rname = qname = None
     rlen = qlen = 0
-    seen_gt = False
+    aln = None
     with _open(ns.input) as f:
         for line in f:
             line = line.rstrip("\n")
@@ -703,53 +750,18 @@ def paf_delta2paf(argv):
             if m:
                 rname, qname = m.group(1), m.group(2)
                 rlen, qlen = int(m.group(3)), int(m.group(4))
-                seen_gt = True
                 continue
-            if not seen_gt:
+            if rname is None:    # leading junk before the first '>' header
                 continue
             t = line.split(" ")
-            if len(t) == 7:
-                ti = [int(x) for x in t[:5]]
-                strand = 1 if ((ti[0] < ti[1]) == (ti[2] < ti[3])) else -1
-                rs, rE = min(ti[0], ti[1]) - 1, max(ti[0], ti[1])
-                qs, qE = min(ti[2], ti[3]) - 1, max(ti[2], ti[3])
-                x = y = 0
-                NM = ti[4]
-                cigar = []
-            elif len(t) == 1:
+            if len(t) == 7:      # new alignment block: coords + error count
+                aln = _DeltaAln([int(x) for x in t[:5]])
+            elif len(t) == 1 and aln is not None:
                 d = int(t[0])
                 if d == 0:
-                    blen = 0
-                    cigar_str = []
-                    if rE - rs - x != qE - qs - y:
-                        raise SystemExit("inconsisnt alignment")
-                    cigar.append((rE - rs - x) << 4)
-                    for c in cigar:
-                        blen += c >> 4
-                        cigar_str.append(f"{c >> 4}{'MID'[c & 0xF]}")
-                    _print(qname, qlen, qs, qE, "+" if strand > 0 else "-",
-                           rname, rlen, rs, rE, blen - NM, blen, 0,
-                           f"NM:i:{NM}", "cg:Z:" + "".join(cigar_str))
-                elif d > 0:
-                    ln = d - 1
-                    x += ln + 1
-                    y += ln
-                    if ln > 0:
-                        cigar.append(ln << 4)
-                    if cigar and (cigar[-1] & 0xF) == 2:
-                        cigar[-1] += 1 << 4
-                    else:
-                        cigar.append(1 << 4 | 2)
+                    aln.close_and_print(rname, rlen, qname, qlen)
                 else:
-                    ln = -d - 1
-                    x += ln
-                    y += ln + 1
-                    if ln > 0:
-                        cigar.append(ln << 4)
-                    if cigar and (cigar[-1] & 0xF) == 1:
-                        cigar[-1] += 1 << 4
-                    else:
-                        cigar.append(1 << 4 | 1)
+                    aln.gap(d)
 
 
 # --------------------------------------------------------------- splice2bed
