@@ -273,7 +273,10 @@ def main_device():
     # _chain_batch stage every bucket's dispatch before blocking on any
     # result), so dispatch k+1 queues while k executes and the fixed
     # host<->device round trip is paid once per PIPELINE, not once per
-    # call. Every timed call still sees a never-executed batch.
+    # call. Rep 1 sees never-executed batches; rep 2 re-dispatches the
+    # same device buffers, which PJRT re-EXECUTES in full (there is no
+    # result cache keyed on input buffers) — only compilation is reused,
+    # exactly as in rep 1 after the warmup.
     # best-of-2 timed pipelines (same steady-state best-of methodology as
     # the e2e fields): the tunnel's per-exec round trip drifts ~5% between
     # captures, which is link noise, not kernel throughput

@@ -506,7 +506,12 @@ def _main(argv=None) -> int:
             use_device and not ns.mesh
             and not _os_dev.environ.get("JAX_PLATFORMS", "").startswith("cpu")
             and _os_dev.environ.get("MM2TPU_DEVICE_FLOW", "") not in ("0", "1")
-            and _os_dev.environ.get("MM2TPU_DEVICE_SEEDS", "0") != "1")
+            and _os_dev.environ.get("MM2TPU_DEVICE_SEEDS", "0") != "1"
+            # pinned-lane modes init the backend at construction; keep the
+            # guarded eager probe in front of them (DeviceRuntime mirrors
+            # these checks in its _defer_client)
+            and _os_dev.environ.get("MM2TPU_FLOW_SHARE", "") == ""
+            and _os_dev.environ.get("MM2TPU_EXT_LANE", "") == "")
         if use_device and not defer_client:
             # probe through the guarded owner thread: jax.devices() blocks
             # forever when the tunnel link is down, and a dead probe must

@@ -30,6 +30,16 @@ _PROBE_MEM: dict = {}
 _PROBE_INFLIGHT: list = []
 
 
+def _verdict_engages(ent, min_mbps: float) -> bool:
+    """Whether a probe verdict admits the device lane: bandwidth over the
+    bar AND a real accelerator — a cpu backend's 'bandwidth' is RAM speed
+    (auto mode on a box with no accelerator must never flip the
+    interpret-mode flow on). Shared by startup adoption (_calibrate) and
+    mid-run adoption (_poll_probe)."""
+    return (float(ent["mbps"]) >= min_mbps
+            and ent.get("plat", "tpu") != "cpu")
+
+
 def _done_gen():
     """Placeholder wave generator for units the native chains-finish path
     already emitted text for (their region result is never read)."""
@@ -69,16 +79,20 @@ class DeviceRuntime:
         enable_persistent_cache()
         # deferred-client mode (calibrated auto routing only): skip device
         # backend init entirely until the link verdict actually turns the
-        # flow on AND the run is ripe (map_batch's _ensure_client hook).
-        # The live axon/TPU client's background threads cost a 1-core host
-        # ~6% of its mapping throughput even when every batch delegates to
-        # the host path — the r2/r3 driver captures' tpu-vs-host gap was
-        # exactly this tax. Forced flow, --mesh, and device-seeds modes
-        # need the device up front and never defer.
-        self._defer_client = (defer_client and mesh_shape is None
-                              and not device_seeds
-                              and _os.environ.get("MM2TPU_DEVICE_FLOW", "")
-                              not in ("0", "1"))
+        # flow on AND the run is ripe (map_batch's _kick_client_init hook,
+        # async). The live axon/TPU client's background threads cost a
+        # 1-core host ~6% of its mapping throughput even when every batch
+        # delegates to the host path — the r2/r3 driver captures'
+        # tpu-vs-host gap was exactly this tax. Anything that pins a
+        # device lane up front — forced flow, --mesh, device-seeds, a
+        # fixed share or a forced ext lane — needs the backend at
+        # construction and never defers (a deferred runtime with a pinned
+        # lane would reach _map_batch1 with no align executor).
+        self._defer_client = (
+            defer_client and mesh_shape is None and not device_seeds
+            and _os.environ.get("MM2TPU_DEVICE_FLOW", "") not in ("0", "1")
+            and _os.environ.get("MM2TPU_FLOW_SHARE", "") == ""
+            and _os.environ.get("MM2TPU_EXT_LANE", "") == "")
         if self._defer_client:
             self._jax = None
             self._interpret = False
@@ -817,18 +831,13 @@ class DeviceRuntime:
         def _ttl(ent):
             # failed probes expire 3x faster (transient stalls, see below)
             return link_state.PROBE_TTL_S / (3.0 if ent.get("fail") else 1)
-        def _engages(ent):
-            # a cpu backend's "bandwidth" is RAM speed: never engage the
-            # device lane on it (auto mode on a box with no accelerator)
-            return (float(ent["mbps"]) >= min_mbps
-                    and ent.get("plat", "tpu") not in ("cpu",))
         if link_state.fresh(_PROBE_MEM, _ttl(_PROBE_MEM)
                             if _PROBE_MEM else 0):
-            return _engages(_PROBE_MEM), _PROBE_MEM["mbps"]
+            return _verdict_engages(_PROBE_MEM, min_mbps), _PROBE_MEM["mbps"]
         ent = link_state.load().get("probe")
         if isinstance(ent, dict) and link_state.fresh(ent, _ttl(ent)):
             _PROBE_MEM.update(ent)
-            return _engages(ent), float(ent["mbps"])
+            return _verdict_engages(ent, min_mbps), float(ent["mbps"])
         # no fresh verdict: probe ASYNCHRONOUSLY (first map_batch starts
         # it) and start host-only. The link's first D2H of a process can
         # stall for minutes (first-touch connection setup) — a blocking
@@ -903,8 +912,7 @@ class DeviceRuntime:
         with self._ctrl_lock:
             self.link_mbps = mbps
             if not self._flow_forced and not self._retired:
-                self.device_flow = (mbps >= min_mbps
-                                    and ent.get("plat", "tpu") != "cpu")
+                self.device_flow = _verdict_engages(ent, min_mbps)
                 self._probe_chose_off = not self.device_flow
                 if not self.device_flow and not self._lane_fixed:
                     # the ext lane rides the same link; a live alpha with

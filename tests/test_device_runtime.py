@@ -159,8 +159,9 @@ def test_deferred_client_never_touches_backend(monkeypatch):
 
 def test_deferred_client_engages_on_healthy_verdict(tmp_path, monkeypatch):
     """defer_client=True + a fresh healthy persisted verdict + a ripe run:
-    map_batch brings the backend up through _ensure_client and the fused
-    flow engages, output still identical to the host pipeline."""
+    map_batch kicks the async client init (_kick_client_init) and the
+    fused flow engages once the side thread publishes the backend,
+    output still identical to the host pipeline."""
     import json
     import time
     monkeypatch.delenv("MM2TPU_DEVICE_FLOW", raising=False)

@@ -110,6 +110,9 @@ def main():
                     help="map against this prebuilt index (.mm2i) instead "
                          "of re-building from --ref-fa every run")
     args = ap.parse_args()
+    if args.device == "pair" and not args.steady:
+        ap.error("--device pair requires --steady N (paired runs are an "
+                 "in-process steady-state mode)")
 
     from minimap2_chaindp_tpu.io.fastx import read_fastx
     refs = list(read_fastx(args.ref_fa))
@@ -145,6 +148,23 @@ def main():
                "-ax", "map-ont", "-K", str(args.batch * args.read_len),
                "--device", args.device, REF_FA, qpath]
 
+    def timed_cli_run(dev):
+        """One in-process cli.main() mapping run, SAM to a scratch file,
+        wall time returned; stdout restored even if the run raises."""
+        from minimap2_chaindp_tpu import cli
+        sys.argv = ["mm2tpu", "-ax", "map-ont",
+                    "-K", str(args.batch * args.read_len),
+                    "--device", dev, REF_FA, qpath]
+        old = sys.stdout
+        try:
+            with open("/tmp/e2e_bench.sam", "w") as out:
+                sys.stdout = out
+                t0 = time.perf_counter()
+                cli.main()
+                return time.perf_counter() - t0
+        finally:
+            sys.stdout = old
+
     if args.steady and args.device == "pair":
         # PAIRED steady-state timing: host and tpu runs INTERLEAVED
         # run-by-run in one process (pair order alternating), so the
@@ -153,23 +173,13 @@ def main():
         # near-identical machine state. Deferred-client mode makes the
         # in-process tpu runs clean: a flow-off run never initializes
         # the device backend. Emits runN[dev] and steady[dev] lines.
-        from minimap2_chaindp_tpu import cli
         best = {"host": None, "tpu": None}
         ratios = []
         for it in range(args.steady + 1):
             order = ("host", "tpu") if it % 2 == 0 else ("tpu", "host")
             pair = {}
             for dev in order:
-                sys.argv = ["mm2tpu", "-ax", "map-ont",
-                            "-K", str(args.batch * args.read_len),
-                            "--device", dev, REF_FA, qpath]
-                with open("/tmp/e2e_bench.sam", "w") as out:
-                    old = sys.stdout
-                    sys.stdout = out
-                    t0 = time.perf_counter()
-                    cli.main()
-                    dt = time.perf_counter() - t0
-                    sys.stdout = old
+                dt = timed_cli_run(dev)
                 if it > 0:  # iteration 0 is both lanes' warmup
                     b = best[dev]
                     best[dev] = dt if b is None else min(b, dt)
@@ -196,19 +206,9 @@ def main():
         # native-lib load, XLA compiles, device-link calibration) then
         # `--steady` timed repeats, best taken — the PERF.md methodology,
         # symmetric across --device host/tpu.
-        sys.argv = ["mm2tpu", "-ax", "map-ont",
-                    "-K", str(args.batch * args.read_len),
-                    "--device", args.device, REF_FA, qpath]
-        from minimap2_chaindp_tpu import cli
         best = None
         for it in range(args.steady + 1):
-            with open("/tmp/e2e_bench.sam", "w") as out:
-                old = sys.stdout
-                sys.stdout = out
-                t0 = time.perf_counter()
-                cli.main()
-                dt = time.perf_counter() - t0
-                sys.stdout = old
+            dt = timed_cli_run(args.device)
             if it > 0:  # run 0 is warmup
                 best = dt if best is None else min(best, dt)
             print(f"run{it}: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)",
