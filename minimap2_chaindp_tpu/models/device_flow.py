@@ -68,8 +68,9 @@ def derive_queries(qhi, qlo, qspan8, nmv):
     """H2D slimming: qvalid/qseg/qtnd are DERIVED on device instead of
     shipped (valid = slot < count; tandem = neighbor key equality, matching
     the host packer's same-key marking; seg = 0 for the single-segment
-    flow), and spans ride as int8. Traced helper shared by the single-chip
-    flow and the sharded mesh step."""
+    flow), and spans ride as uint8 — HPC spans reach 255
+    (sketch.c:111). Traced helper shared by the single-chip flow and the
+    sharded mesh step."""
     import jax.numpy as jnp
     Rq, M = qhi.shape
     mslot = jnp.arange(M, dtype=jnp.int32)[None, :]
@@ -263,10 +264,8 @@ class DeviceFlow:
         Returns (results, cold): cold is True when this call paid any
         cold-shape compile (the caller's controller must not measure it).
         """
-        import jax
         import jax.numpy as jnp
         from ..utils.device_guard import DeviceStall, device_call
-        from .pipeline import host_chain
 
         opt, mi = self.opt, self.mi
         results: dict[int, Chains] = {}
@@ -318,6 +317,13 @@ class DeviceFlow:
             w1, excl = CP.clin_slope_exc(avg)
             if excl is None:
                 continue  # exception overflow -> host path
+            # NB: gap_qry varies per qlen_sum under MM_F_SR (map.c:357), so
+            # sr reads forced through the flow compile one kernel per
+            # distinct read length. Acceptable: the shipped config routes
+            # sr reads to the native fast path (native_chain_max), and the
+            # interpret-mode tests that do force sr here compile in ms —
+            # bounds are STATIC in the kernel (host-precomputed windows),
+            # so they cannot ride in as runtime scalars without redesign.
             key = (mb, cb, info.gap_qry, info.gap_ref)
             by_bucket.setdefault(key, []).append((k, w1, excl))
 
@@ -340,7 +346,8 @@ class DeviceFlow:
             qp_dt = np.int16 if slim and 2 * max_qlen + 1 <= 32767 \
                 else np.int32
             qpos = np.zeros((R, mb), qp_dt)
-            qspan8 = np.zeros((R, mb), np.int8)
+            qspan8 = np.zeros((R, mb), np.uint8)  # UNSIGNED: HPC spans reach
+            #   255 (sketch.c:111 kmer_span < 256); int8 would wrap >=128
             nmva = np.zeros((R, 1), np.int32)
             qls = np.zeros((R, 1), np.int32)
             nn = np.zeros((R, CP.LANES), np.int32)
@@ -413,11 +420,14 @@ class DeviceFlow:
                 except DeviceStall:
                     timers.count("stall_fallback", len(idxs))
                     continue
-            self._warm.add(warm_key)
             # the fetch inherits the dispatch budget: on async backends a
             # cold dispatch returns before compile+exec complete, so the
-            # compile cost lands on the blocking fetch
-            staged.append((entries, out, tmo))
+            # compile cost lands on the blocking fetch — and the shape is
+            # only marked warm AFTER that fetch succeeds (marking it here
+            # would hand a concurrent same-shape dispatch the short warm
+            # timeout while the cold compile still occupies the owner
+            # thread, spuriously banning the device)
+            staged.append((entries, out, tmo, warm_key))
 
         from ..native import chain_bottom_native
         from ..ops.seeds import collect_seed_hits
@@ -426,20 +436,32 @@ class DeviceFlow:
         host_sh: dict[int, SeedHits] = {}
         if not self.ship_anchors:
             with timers.time("seed"):
-                for entries, _out, _tmo in staged:
+                for entries, _out, _tmo, _wk in staged:
                     for k, _, _ in entries:
                         info = units[k][1]
                         host_sh[k] = collect_seed_hits(
                             mi, opt.flag, opt.mid_occ, info.mv, None,
                             info.qlen_sum)
-        for entries, out, tmo in staged:
+
+        def _keep_host_sh(ks):
+            # fallback reads still keep the host-derived SeedHits computed
+            # above (identical to what runtime._seed_hits would recompute:
+            # qname only matters under MM_F_NO_DIAG, which mode_ok
+            # excludes) — the host recompute then only redoes chaining
+            for k in ks:
+                if k in host_sh and units[k][1].sh is None:
+                    units[k][1].sh = host_sh[k]
+
+        for entries, out, tmo, warm_key in staged:
             with timers.time("kernel"):
                 try:
                     arrs = device_call(
                         lambda out=out: [np.asarray(v) for v in out], tmo)
                 except DeviceStall:
                     timers.count("stall_fallback", len(entries))
+                    _keep_host_sh([k for k, _, _ in entries])
                     continue
+            self._warm.add(warm_key)
             if self.ship_anchors:
                 xhi, xlo, yhi, ylo, f, p, flag = arrs
             else:
@@ -460,6 +482,7 @@ class DeviceFlow:
                     n, _span_sum, over = stats[k][:3]
                     if flag[r, 0]:
                         timers.count("fallback")
+                        _keep_host_sh([k])
                         continue  # skip-divergence -> exact host recompute
                     if self.ship_anchors:
                         anchors = np.stack([ax[r, :n], ay[r, :n]], axis=1)
@@ -486,11 +509,9 @@ class DeviceFlow:
         return results, run_cold
 
     def _seedhits(self, mv, over, anchors) -> SeedHits:
+        from ..ops.seeds import mini_pos_of
         from ..ops.seeds_device import _rep_len
-        keep = ~over
-        mini_pos = (mv[keep, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
-            | (mv[keep, 0] & np.uint64(0xFF)) << np.uint64(32)
-        return SeedHits(anchors, _rep_len(mv, over), mini_pos)
+        return SeedHits(anchors, _rep_len(mv, over), mini_pos_of(mv, ~over))
 
     def _timeout(self, warm: bool = True):
         from ..utils.device_guard import COMPILE_TIMEOUT_S, DEFAULT_TIMEOUT_S

@@ -122,6 +122,16 @@ class DeviceRuntime:
         # routing instead of regressing end-to-end throughput.
         flow_env = _os.environ.get("MM2TPU_DEVICE_FLOW", "")
         if mesh_shape is not None:
+            from .device_flow import CAP_BUCKETS
+            ni = mesh_shape[1]
+            if ni < 1 or CAP_BUCKETS[0] % ni != 0:
+                # shard_map needs equal blocks: every capacity bucket must
+                # split evenly across the index axis (they are powers of
+                # two, so any pow2 axis <= the smallest bucket works)
+                raise SystemExit(
+                    f"--mesh {mesh_shape[0]}x{ni}: the index axis must "
+                    f"divide the {CAP_BUCKETS[0]}-slot capacity buckets — "
+                    "use a power of two")
             self.device_flow = True   # explicit --mesh overrides the probe
             self.link_mbps = None
         elif flow_env in ("0", "1"):

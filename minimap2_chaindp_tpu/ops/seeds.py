@@ -26,6 +26,16 @@ class SeedHits:
     mini_pos: np.ndarray     # (n_mini_pos,) uint64: q_span<<32 | q_pos
 
 
+def mini_pos_of(mv: np.ndarray, keep) -> np.ndarray:
+    """mini_pos encoding (q_span<<32 | q_pos) for the kept minimizers —
+    every non-over-occurring minimizer is a "match", even with zero index
+    occurrences (map.c:131-138). The single definition shared by the host
+    collector, the device collector, and the fused flow, so the encoding
+    cannot silently diverge between golden and device paths."""
+    return (mv[keep, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
+        | (mv[keep, 0] & np.uint64(0xFF)) << np.uint64(32)
+
+
 def collect_minimizers(opt, mi, seqs: list[str]) -> np.ndarray:
     """Sketch all segments of a fragment; offsets q positions by the running sum
     of previous segment lengths (reference map.c:87-99)."""
@@ -96,9 +106,7 @@ def collect_seed_hits(mi, flag: int, max_occ: int, mv: np.ndarray,
     # every non-over-occurring minimizer is a "match" and lands in mini_pos,
     # even with zero occurrences in the index (map.c:131-138)
     keep = ~over
-    m_all = np.nonzero(keep)[0]
-    mini_pos = (mv[m_all, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
-        | (mv[m_all, 0] & np.uint64(0xFF)) << np.uint64(32)
+    mini_pos = mini_pos_of(mv, keep)
     m_idx = np.nonzero(keep & found)[0]
 
     if len(m_idx) == 0:

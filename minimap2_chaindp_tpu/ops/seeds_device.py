@@ -340,11 +340,9 @@ class DeviceSeedCollector:
                     << np.uint64(32) | ylo[r, :t].astype(np.uint64)
                 anchors = np.stack([x, y], axis=1)
                 ov = over[r, :n]
-                rep_len = _rep_len(mv, ov)
-                keep = ~ov
-                mini_pos = (mv[keep, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1) \
-                    | (mv[keep, 0] & np.uint64(0xFF)) << np.uint64(32)
-                out[i] = SeedHits(anchors, rep_len, mini_pos)
+                from .seeds import mini_pos_of
+                out[i] = SeedHits(anchors, _rep_len(mv, ov),
+                                  mini_pos_of(mv, ~ov))
         return out
 
 

@@ -211,3 +211,40 @@ def test_deferred_client_ignores_cpu_platform_verdict(tmp_path, monkeypatch):
         host.extend(map_fragment_output(mi, mo, f.segs))
     assert dev == host
     assert rt._jax is None   # backend never initialized
+
+
+def test_device_flow_hpc_spans_over_127():
+    """HPC minimizer spans reach 255 (reference sketch.c:111 emits any
+    kmer_span < 256); the flow ships spans as ONE byte, which must be
+    unsigned — an int8 wrap at >=128 silently corrupted reverse-strand
+    anchor coordinates while every count-based guard still passed."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # run lengths 2-9 make spans STRADDLE 128 (32 below / 60 above here):
+    # a uniform wrap (every span >= 128) only shifts all reverse-strand
+    # ylo by the same -256, which chaining is invariant to — the mix is
+    # what makes the corruption *relative* and output-visible
+    bases = rng.integers(0, 4, 600)
+    ref_seq = "".join("ACGT"[b] * int(rng.integers(2, 10)) for b in bases)
+    io, mo = set_opt("map-pb")      # HPC preset
+    mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    from minimap2_chaindp_tpu.index.sketch import sketch
+    mv = sketch(ref_seq, io.w, io.k, 0, bool(io.flag & 1))
+    spans = (np.asarray([x for x, _ in mv], dtype=np.uint64)
+             & np.uint64(0xFF)).astype(int)
+    assert (spans >= 128).any()     # the construction really triggers it
+    mi = build_index(["hpc_ref"], [ref_seq], io.w, io.k, io.flag,
+                     io.bucket_bits)
+    mo.update(mi)
+    # forward + revcomp queries (the wrap corrupted ylo on reverse strand)
+    q_fwd = ref_seq[500:3000]
+    q_rev = q_fwd[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    from minimap2_chaindp_tpu.io.fastx import SeqRecord
+    frags = [Frag([SeqRecord("qf", q_fwd)]), Frag([SeqRecord("qr", q_rev)])]
+    rt = DeviceRuntime(mi, mo)
+    dev = [l for ls in rt.map_batch(frags) for l in ls]
+    host = []
+    for f in frags:
+        host.extend(map_fragment_output(mi, mo, f.segs))
+    assert dev == host
+    assert rt.timers.counters.get("device_reads", 0) > 0
