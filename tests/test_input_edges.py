@@ -1,0 +1,68 @@
+"""Input-space edge regimes the bundled fixtures don't reach: soft-masked
+(lowercase) FASTA and IUPAC ambiguity codes. The reference maps both
+through seq_nt4_table (case-insensitive; every ambiguity code -> 4, i.e.
+N) while emitting SEQ as-given (format.c:226 reads the raw bytes)."""
+import os
+import random
+
+from conftest import GOLDEN_DIR, REF_TEST_DIR
+from minimap2_chaindp_tpu import constants as C
+from minimap2_chaindp_tpu.options import set_opt
+from minimap2_chaindp_tpu.io.fastx import SeqRecord, read_fastx
+from minimap2_chaindp_tpu.index.build import build_index
+from minimap2_chaindp_tpu.models.pipeline import map_fragment_output
+
+
+def _map_one(query: SeqRecord):
+    io, mo = set_opt(None)
+    mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+    refs = list(read_fastx(os.path.join(REF_TEST_DIR, "MT-human.fa")))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    mo.update(mi)
+    return map_fragment_output(mi, mo, [query])
+
+
+def _golden_mt_records():
+    with open(os.path.join(GOLDEN_DIR, "mt.sam")) as f:
+        return [l.rstrip("\n") for l in f
+                if not l.startswith("@")]
+
+
+def test_lowercase_query_matches_golden_modulo_seq_case():
+    """Soft-masked input: mapping identical to the uppercase golden; the
+    SAM SEQ column carries the original (lower) case, like the
+    reference's raw-byte emission."""
+    q = next(iter(read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))))
+    lines = _map_one(SeqRecord(q.name, q.seq.lower()))
+    got = [l.split("\t") for l in lines]
+    want = [l.split("\t") for l in _golden_mt_records()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[9] == w[9].lower()          # SEQ as-given
+        assert g[:9] + g[10:] == w[:9] + w[10:]
+
+
+def test_iupac_codes_map_like_n():
+    """Every IUPAC ambiguity code is seq_nt4 code 4 — positionally
+    indistinguishable from N; only SEQ (and the MD/cs tags, which
+    re-fetch query bytes) may differ."""
+    q = next(iter(read_fastx(os.path.join(REF_TEST_DIR, "MT-orang.fa"))))
+    random.seed(3)
+    pos = sorted(random.sample(range(len(q.seq)), 200))
+    iupac = "RYSWKMBDHV"
+    s_i, s_n = list(q.seq), list(q.seq)
+    for i, p in enumerate(pos):
+        s_i[p] = iupac[i % len(iupac)]
+        s_n[p] = "N"
+    la = _map_one(SeqRecord(q.name, "".join(s_i)))
+    lb = _map_one(SeqRecord(q.name, "".join(s_n)))
+    assert len(la) == len(lb)
+
+    def strip(line):
+        t = line.split("\t")
+        return [f for f in t[:9] + t[10:]
+                if not f.startswith(("MD:Z", "cs:Z"))]
+
+    for a, b in zip(la, lb):
+        assert strip(a) == strip(b)
