@@ -33,8 +33,12 @@ def decode_cigar(ops, n_ops, fin_i, fin_j, is_rev, min_intron_len=0):
     cigar: list[int] = []
     if n_ops:
         st = ops[:n_ops].astype(np.int64)
+        # ksw2.h:137-143 state machine: 0 -> M; 1 (and 3 without splice)
+        # -> D; 3 with splice -> N; everything ELSE (2 = insertion, 4 =
+        # second-affine long-gap insertion) -> I. State 4 only occurs in
+        # dual-affine extd2 (splice has no second gap profile).
         op = np.where(st == 0, 0,
-                      np.where(st == 2, 1,
+                      np.where((st == 2) | (st == 4), 1,
                                np.where(st == 1, 2,
                                         3 if min_intron_len > 0 else 2)))
         cut = np.nonzero(np.diff(op))[0] + 1

@@ -89,6 +89,11 @@ def _extract(arr, lane_t, idx, cond):
 
 def _fused_walk(meta_ref, scal_ref, ez_ref, ops_ref, p_any, stripe, base_smem,
                 sem, *, rmax, ncol, opcap, splice):
+    # ops_ref bound: every step decrements i and/or j, so the walk takes
+    # at most i0 + j0 + 2 <= rmax + 1 steps, and the LANES-aligned buffer
+    # flush offsets stay < opcap = rmax + 2*LANES rounded up (the caller's
+    # allocation) — opcap is not consulted at runtime, it documents and
+    # sizes that invariant.
     """On-chip CIGAR backtrack, fused onto the forward kernel's last grid
     step: the walk-start corner is decided from the just-computed ez state
     (the ksw_backtrack entry conditions the host would apply, ksw2.h:119 and
@@ -488,7 +493,18 @@ def _ksw_kernel(sf_ref, qr_ref, dac_ref, meta_ref, p_ref, ez_ref,
                     h_old_en0, h_en0_acc, v_h0t, u_h0t1, best_h, best_key,
                     h_st0, xb, x2b, vb)
 
-        init1 = (neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1, neg1,
+        # width-1 band whose aligned start coincides with the group's
+        # 128-aligned chunk base (en0 == st == base): lane en0-1 = base-1
+        # lies below every scanned chunk, so seed the H[en0-1] accumulator
+        # from the previous chunk — h_ref still holds it from the earlier
+        # rows whose scan covered that lane (the model reads the same
+        # stale H[en0-1], ksw2.py:331)
+        need_prev = act & (en0 == base) & (base > 0)
+        a0p = pl.multiple_of(jnp.maximum(base - LANES, 0), LANES)
+        h_en0m1_0 = _extract(h_ref[:, pl.ds(a0p, LANES)], a0p + lane,
+                             en0 - 1, need_prev)
+        init1 = (neg1, neg1, neg1, h_en0m1_0, neg1, neg1, neg1, neg1,
+                 neg1, neg1,
                  jnp.full((SUBL, 1), KSW_NEG_INF - 1, jnp.int32),
                  jnp.full((SUBL, 1), 0x7FFFFFFF, jnp.int32), neg1,
                  neg1, neg1, neg1)
@@ -767,7 +783,8 @@ def _p_flat_c_layout(p_rows, base, st, en, nrows, n_col):
 def plan_batch(jobs, q, e, q2, e2, splice=False):
     """Compute the static launch geometry for a batch of jobs.
     jobs: list of dicts with qseq/tseq (uint8 np arrays), w, zdrop,
-    end_bonus, flag. Returns None if the batch needs the host path."""
+    end_bonus, flag. Always returns a geometry — domain screening (job
+    size/eligibility) happens in the caller (batch_align._eligible)."""
     if not splice and q2 + e2 < q + e:
         q, q2 = q2, q
         e, e2 = e2, e
@@ -863,6 +880,19 @@ def extd2_batch(jobs, mat, q, e, q2, e2, interpret=False, quantize=False,
                              quantize=quantize, backtrack=backtrack)()()
 
 
+
+def _quantize_geom(geom):
+    """Round the static launch geometry up to compile-cache-friendly
+    steps (pow2 rmax/ncol, tws coupled to the ncol growth) — ONE rule
+    shared by extd2_batch_async and exts2_batch_async so their launch
+    geometry cannot drift apart."""
+    rmax_q = _pow2_at_least(geom["rmax"], 256)
+    ncol_q = _pow2_at_least(geom["ncol"], LANES)
+    geom["tws"] = _pow2_at_least(geom["tws"] + (ncol_q - geom["ncol"]),
+                                 2 * LANES)
+    geom["rmax"], geom["ncol"], geom["qoff"] = rmax_q, ncol_q, rmax_q
+    return geom
+
 def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
                       quantize=False, backtrack="host"):
     """Device-batched ksw_extd2: same per-job semantics as K.extd2.
@@ -879,15 +909,13 @@ def extd2_batch_async(jobs, mat, q, e, q2, e2, interpret=False,
     dispatches the backtrack walker if requested, and returns `collect_bt`;
     collect_bt() blocks on the walker and returns the list of K.Ez."""
     geom = plan_batch(jobs, q, e, q2, e2)
-    geom["rmax"] = max(geom["rmax"], 2 * LANES)   # on-chip walker stripe min
+    # stripe min for the on-chip walker; ALSO pads qoff for the kernel's
+    # dual-chunk query loads, so it stays on for host backtrack too (in
+    # production quantize=True subsumes it: rmax -> pow2 >= 256)
+    geom["rmax"] = max(geom["rmax"], 2 * LANES)
     geom["qoff"] = geom["rmax"]
     if quantize:
-        geom["rmax"] = _pow2_at_least(geom["rmax"], 256)
-        geom["qoff"] = geom["rmax"]
-        ncol_q = _pow2_at_least(geom["ncol"], LANES)
-        geom["tws"] = _pow2_at_least(
-            geom["tws"] + (ncol_q - geom["ncol"]), 2 * LANES)
-        geom["ncol"] = ncol_q
+        _quantize_geom(geom)
     q, e, q2, e2 = geom["q"], geom["e"], geom["q2"], geom["e2"]
     if e != e2:
         long_thres = (q2 - q) // (e - e2) - 1
@@ -1008,15 +1036,10 @@ def exts2_batch_async(jobs, mat, q, e, q2, noncan, interpret=False,
     R = (n + SUBL - 1) // SUBL * SUBL
     if quantize:
         R = _pow2_at_least(R, SUBL)
+    if quantize:
+        _quantize_geom(geom)
     tws, qoff, rmax, ncol = geom["tws"], geom["qoff"], geom["rmax"], \
         geom["ncol"]
-    if quantize:
-        rmax_q = _pow2_at_least(rmax, 256)
-        ncol_q = _pow2_at_least(ncol, LANES)
-        tws = _pow2_at_least(tws + (ncol_q - ncol), 2 * LANES)
-        geom["rmax"], geom["ncol"], geom["qoff"] = rmax_q, ncol_q, rmax_q
-        rmax, ncol, qoff = rmax_q, ncol_q, rmax_q
-        geom["tws"] = tws
     sf = np.zeros((R, tws), dtype=np.int8)
     qr = np.zeros((R, qoff + tws + LANES), dtype=np.int8)
     dac = np.zeros((R, tws), dtype=np.int16)

@@ -227,7 +227,9 @@ int64_t mm2tpu_decode_cigar(
         else out[n++] = (uint32_t)(len << 4 | op);
     };
     auto op_of = [&](int st) {
-        return st == 0 ? 0 : st == 2 ? 1 : st == 1 ? 2
+        // ksw2.h:137-143: 0 -> M; 1 (and 3 sans splice) -> D; 3 with
+        // splice -> N; else (2 and the dual-affine long-gap state 4) -> I
+        return st == 0 ? 0 : (st == 2 || st == 4) ? 1 : st == 1 ? 2
              : (min_intron_len > 0 ? 3 : 2);
     };
     for (int64_t k = 0; k < n_ops; ) {

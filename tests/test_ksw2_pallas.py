@@ -108,3 +108,27 @@ def test_extd2_pallas_tiny_and_divergent():
         if len(jobs[-1]["qseq"]) == 0:
             jobs[-1]["qseq"] = np.array([0], dtype=np.uint8)
     check(jobs)
+
+
+@pytest.mark.slow
+def test_extd2_width1_band_at_chunk_base():
+    """Width-1 band whose aligned start lands exactly on the group's
+    128-aligned chunk base: H[en0-1] sits one lane below every scanned
+    chunk and must be seeded from the previous chunk — unseeded, the
+    accumulator stayed NEG and H[en0] wrapped positive (observed score
+    2147483582 vs golden -221 on the qlen=1, unbanded, tlen=200 job)."""
+    rng = np.random.default_rng(2)
+    q, e, q2, e2 = 4, 2, 24, 1
+    mat = K.gen_simple_mat(5, 2, 4)
+    jobs = [dict(qseq=rng.integers(0, 4, 1).astype(np.uint8),
+                 tseq=rng.integers(0, 4, tlen).astype(np.uint8),
+                 w=-1, zdrop=-1, end_bonus=0, flag=0)
+            for tlen in (135, 200)]
+    got = KP.extd2_batch(jobs, mat, q, e, q2, e2, interpret=True,
+                         backtrack="host")
+    for j, job in enumerate(jobs):
+        ez = K.extd2(job["qseq"], job["tseq"], mat, q, e, q2, e2,
+                     job["w"], job["zdrop"], job["end_bonus"], job["flag"])
+        d = got[j]
+        assert (ez.score, ez.mqe, ez.mte, ez.max) == \
+            (d.score, d.mqe, d.mte, d.max), f"job {j}"
