@@ -101,7 +101,14 @@ def test_backtrack_device_long_gaps():
     t = rng.integers(0, 4, 200).astype(np.uint8)
     # query = target with a 30-bp insertion at 90 and a 30-bp deletion at 150
     ins = rng.integers(0, 4, 30).astype(np.uint8)
-    q = np.concatenate([t[:90], ins, t[90:150], t[180:]])
-    jobs = [dict(qseq=q.astype(np.uint8), tseq=t, w=80, zdrop=400,
-                 end_bonus=-1, flag=0)]
+    q = np.concatenate([t[:90], ins, t[90:150], t[180:]]).astype(np.uint8)
+    jobs = [dict(qseq=q, tseq=t, w=80, zdrop=400, end_bonus=-1, flag=0)]
     _cmp(jobs)
+    # and against the golden model outright: the known-good alignment is
+    # 88M30I62M30D20M (both gaps through the second affine profile)
+    mat = K.gen_simple_mat(5, 2, 4)
+    ez = K.extd2(q, t, mat, 4, 2, 24, 1, 80, 400, -1, 0)
+    dev = KP.extd2_batch(jobs, mat, 4, 2, 24, 1, interpret=True,
+                         backtrack="device")[0]
+    assert ez.score == dev.score
+    assert list(ez.cigar) == list(dev.cigar)
