@@ -16,12 +16,15 @@ import numpy as np
 
 from .. import constants as C
 from ..ops import ksw2 as K
-from ..align import align_pair
+from ..align import _host_thunk
 
 # device-domain caps (VMEM sizing of the extd2 kernel's state arrays)
 MAX_TLEN = 16384
 MAX_QLEN = 16384
 MIN_DEV_JOBS = 4     # tiny waves aren't worth a device launch
+# above this threshold the native one-call skeleton driver disengages so
+# the wave scheduler sees the jobs (see _sync_native_skeleton)
+_NATIVE_MAX_DEFAULT = 100000
 
 
 class DeviceAlignExecutor:
@@ -42,7 +45,7 @@ class DeviceAlignExecutor:
         # the whole problem; the Pallas kernel takes what's left.  On a
         # co-located host lower this to shift work back to the device.
         self.native_max = int(os.environ.get("MM2TPU_NATIVE_EXT_MAX",
-                                             "100000"))
+                                             str(_NATIVE_MAX_DEFAULT)))
         # interpret mode (CPU tests) keeps the device path covered but
         # routes big problems to the host model, which is much faster there
         self.max_span = 768 if interpret else MAX_QLEN + MAX_TLEN
@@ -61,6 +64,10 @@ class DeviceAlignExecutor:
                                                     opt.q2 + opt.e2)
         self.n_device = 0
         self.n_host = 0
+        self.n_native = 0
+        import threading
+        self._stat_lock = threading.Lock()  # two map_stream batch threads
+        self._warm: set = set()             # bucket shapes already compiled
         from ..utils.device_guard import DEFAULT_TIMEOUT_S
         self.timeout = DEFAULT_TIMEOUT_S
 
@@ -68,8 +75,11 @@ class DeviceAlignExecutor:
         # the one-call-per-read native align driver (align_driver.cc) only
         # engages when every extension job would route to host SIMD anyway;
         # lowering native_max re-enables wave scheduling so the device
-        # kernel sees the jobs
-        self.opt.native_skeleton = self._native_max >= 100000
+        # kernel sees the jobs. NB: only ever widens skeleton use back to
+        # the default — an embedder's explicit opt.native_skeleton = False
+        # (e.g. the CLI's -A debug dumps) is preserved.
+        if self._native_max < _NATIVE_MAX_DEFAULT:
+            self.opt.native_skeleton = False
 
     @property
     def native_max(self):
@@ -89,37 +99,35 @@ class DeviceAlignExecutor:
 
     def run(self, jobs) -> list:
         thunks: list = [None] * len(jobs)
+        # sub-threshold jobs: one native SIMD batch call (same callee
+        # family either way — exts2 for splice scoring, extd2 otherwise;
+        # the single-affine q==q2,e==e2 case has no native batch kernel)
         if self.splice:
-            from ..native import exts2_batch_native
-            nat = [i for i, j in enumerate(jobs)
-                   if len(j["qseq"]) + len(j["tseq"]) <= self.native_max]
-            if nat:
-                res = exts2_batch_native(
-                    [jobs[i] for i in nat], self.mat, self.opt.q,
-                    self.opt.e, self.opt.q2, self.opt.noncan)
-                if res is not None:
-                    for i, ez in zip(nat, res):
-                        thunks[i] = (lambda v=ez: v)
-                    self.n_native = getattr(self, "n_native", 0) + len(nat)
+            from ..native import exts2_batch_native as nat_fn
+            nat_args = (self.opt.q, self.opt.e, self.opt.q2,
+                        self.opt.noncan)
         elif not (self.opt.q == self.opt.q2 and self.opt.e == self.opt.e2):
-            from ..native import extd2_batch_native
+            from ..native import extd2_batch_native as nat_fn
+            nat_args = (self.opt.q, self.opt.e, self.opt.q2, self.opt.e2)
+        else:
+            nat_fn = None
+        if nat_fn is not None:
             nat = [i for i, j in enumerate(jobs)
                    if len(j["qseq"]) + len(j["tseq"]) <= self.native_max]
             if nat:
-                res = extd2_batch_native(
-                    [jobs[i] for i in nat], self.mat, self.opt.q,
-                    self.opt.e, self.opt.q2, self.opt.e2)
+                res = nat_fn([jobs[i] for i in nat], self.mat, *nat_args)
                 if res is not None:
                     for i, ez in zip(nat, res):
                         thunks[i] = (lambda v=ez: v)
-                    self.n_native = getattr(self, "n_native", 0) + len(nat)
+                    with self._stat_lock:
+                        self.n_native += len(nat)
         dev = [i for i, j in enumerate(jobs)
                if thunks[i] is None and self._eligible(j)] \
             if self.use_device else []
         if len(dev) >= MIN_DEV_JOBS:
             from ..ops import ksw2_pallas as KP
             # bucket by padded problem size to bound compiled kernel shapes
-            by_bucket: dict[tuple, list[int]] = {}
+            by_bucket: dict[int, list[int]] = {}
             for i in dev:
                 j = jobs[i]
                 sz = KP._pow2_at_least(len(j["qseq"]) + len(j["tseq"]), 256)
@@ -131,10 +139,11 @@ class DeviceAlignExecutor:
             # staged dispatch/collect: launch every bucket's forward kernel
             # before blocking on any result, so the device works on bucket
             # k+1 while the host reads scores / decodes bucket k.  The whole
-            # device section runs on the guarded owner thread; a stalled
-            # link leaves these thunks None and the lazy host executor below
-            # picks them up (identical output, the err_flag pattern).
-            from ..utils.device_guard import DeviceStall, device_call
+            # device section runs on the guarded owner thread; ANY device
+            # failure (stall, PJRT/XLA error, compile failure) leaves these
+            # thunks None and the lazy host executor below picks them up
+            # (identical output, the err_flag pattern).
+            from ..utils.device_guard import device_call
 
             def _device_block():
                 stage1 = []
@@ -157,32 +166,40 @@ class DeviceAlignExecutor:
                 for idxs, c2 in stage2:
                     out.append((idxs, c2()))
                 return out
+            # cold bucket shapes get the compile budget (the same warm/cold
+            # split device_flow uses): a first-compile on the tunnel link
+            # can take minutes, and timing it out would ban the device
+            keys = frozenset(by_bucket)
+            tmo = None if self.interpret else (
+                self.timeout if keys <= self._warm else max(
+                    self._compile_timeout(), self.timeout))
             try:
-                done = device_call(_device_block,
-                                   None if self.interpret else self.timeout)
-            except DeviceStall:
+                done = device_call(_device_block, tmo)
+            except Exception:
                 done = []
+                with self._stat_lock:   # observable: silent fallback count
+                    self.n_dev_errors = getattr(self, "n_dev_errors", 0) + 1
+            else:
+                self._warm |= keys       # warm only after a full success
             for idxs, res in done:
                 for i, ez in zip(idxs, res):
                     thunks[i] = (lambda v=ez: v)
-                self.n_device += len(idxs)
+                with self._stat_lock:
+                    self.n_device += len(idxs)
+        n_host = 0
         for i, j in enumerate(jobs):
             if thunks[i] is None:
                 thunks[i] = _host_thunk(self.opt, self.mat, j)
-                self.n_host += 1
+                n_host += 1
+        if n_host:
+            with self._stat_lock:
+                self.n_host += n_host
         return thunks
 
-
-def _host_thunk(opt, mat, job):
-    cache = []
-
-    def run():
-        if not cache:
-            cache.append(align_pair(opt, job["qseq"], job["tseq"], mat,
-                                    job["w"], job["end_bonus"],
-                                    job["zdrop"], job["flag"]))
-        return cache[0]
-    return run
+    @staticmethod
+    def _compile_timeout():
+        from ..utils.device_guard import COMPILE_TIMEOUT_S
+        return COMPILE_TIMEOUT_S
 
 
 def run_scheduler(gens: list, executor) -> list:
