@@ -24,10 +24,8 @@ def _load():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _SO, "-lz"],
-                check=True, capture_output=True)
+            from ..native import _compile_so
+            _compile_so([_SRC], _SO, extra=("-lz",))
         lib = ctypes.CDLL(_SO)
         lib.fxr_open.restype = ctypes.c_void_p
         lib.fxr_open.argtypes = [ctypes.c_char_p]

@@ -43,9 +43,7 @@ def _load_locked():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                check=True, capture_output=True)
+            _compile_so([_SRC], _SO)
         lib = ctypes.CDLL(_SO)
         lib.mm2tpu_chain_bottom.restype = ctypes.c_int64
         lib.mm2tpu_chain_bottom.argtypes = [
@@ -107,9 +105,7 @@ def _load_align_locked():
     try:
         if (not os.path.exists(_AL_SO)
                 or os.path.getmtime(_AL_SO) < os.path.getmtime(_AL_SRC)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _AL_SRC,
-                 "-o", _AL_SO], check=True, capture_output=True)
+            _compile_so([_AL_SRC], _AL_SO)
         lib = ctypes.CDLL(_AL_SO)
         # raw-address pointers (c_void_p + __array_interface__) — these
         # run thousands of times per batch and arr.ctypes.data_as() costs
@@ -166,7 +162,10 @@ def _load_align_locked():
 
 
 def _np_ptr(a, t=None):
-    # raw data address: ~20x cheaper than a.ctypes.data_as() on the hot path
+    # raw data address: ~20x cheaper than a.ctypes.data_as() on the hot
+    # path. `t` is ADVISORY ONLY — call sites pass the intended pointer
+    # type as documentation; no cast or dtype check happens here (the
+    # argtypes on the C prototypes are all c_void_p).
     return a.__array_interface__["data"][0]
 
 
@@ -187,6 +186,27 @@ def _np_ptr_cached(a):
 
 _u8dt = np.dtype(np.uint8)
 _i8dt = np.dtype(np.int8)
+
+
+def _compile_so(srcs, so_path, extra=()):
+    """Compile to a temp path and os.replace into place: two concurrent
+    processes recompiling after a source change must never dlopen a
+    partially written shared object (the loser would hit a truncated ELF,
+    and the bare except would pin it to the pure-Python path for life)."""
+    tmp = f"{so_path}.{os.getpid()}.tmp"
+    try:
+        # extras go AFTER the sources: -l libraries must follow the
+        # objects that need them; a later -O simply overrides the -O2
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             *srcs, *extra, "-o", tmp], check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _as_u8(a):
@@ -374,10 +394,8 @@ def _load_ksw_locked():
         src_mtime = max(os.path.getmtime(s) for s in srcs + [_KSW_SRC])
         if (not os.path.exists(_KSW_SO)
                 or os.path.getmtime(_KSW_SO) < src_mtime):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17"] + srcs + ["-o", _KSW_SO],
-                check=True, capture_output=True)
+            _compile_so(srcs, _KSW_SO,
+                        extra=("-O3", "-march=native"))
         lib = ctypes.CDLL(_KSW_SO)
         _vp = _c.c_void_p
         lib.mm2tpu_extd2_batch.restype = None
@@ -647,7 +665,13 @@ class _MapUnitCtx:
 
     def _alloc_text(self):
         self.text_buf = np.empty(self.text_cap, dtype=np.uint8)
-        self.line_off = np.empty(258, dtype=np.int64)
+        # line_cap must grow with text_cap: the native driver returns the
+        # same -2 for a LINE-offset overflow (align_driver.cc n_lines+1 >=
+        # line_cap) as for text overflow, and a fixed 258-slot buffer made
+        # the grow-retry loop spin forever on reads with >=257 output
+        # lines (e.g. -N 300 on a tandem-repeat mapping)
+        self.line_off = np.empty(max(258, self.text_cap >> 9),
+                                 dtype=np.int64)
 
     def _alloc(self):
         self.regs_out = np.empty((self.nr_cap, 28), dtype=np.int64)
@@ -818,82 +842,68 @@ def _pe_flips(opt, n_segs):
             for j in range(n_segs)]
 
 
-class _MapPECtx:
-    """Marshalling extension of _MapUnitCtx for 2-segment fragments."""
-
-    def map_pe(self, base, lib, segs, rg_id: str):
-        from . import constants as CC
-        from .io.fastx import strip_pair_suffix
-        opt = base.opt
-        qlens = [len(s.seq) for s in segs]
-        qlen_sum = qlens[0] + qlens[1]
-        if qlen_sum == 0 or min(qlens) == 0:
-            return None
-        flips = _pe_flips(opt, 2)
-        qa = []
-        for j, s in enumerate(segs):
-            a = CC.seq_to_nt4(s.seq)
-            if flips[j]:
-                a = np.where(a < 4, (3 - a).astype(np.uint8),
-                             np.uint8(4))[::-1].copy()
-            qa.append(a)
-        base.optv[16], base.optv[17] = _map_gap_bounds(opt, qlen_sum)
-        hash_ = CC.qname_hash(segs[0].name, qlen_sum, opt.seed)
-        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
-        if sam_mode:
-            names = [strip_pair_suffix(s.name).encode() for s in segs]
-        else:
-            names = [s.name.encode() for s in segs]
-        seqs = [s.seq.encode() for s in segs]
-        quals = [s.qual.encode() if s.qual else None for s in segs]
-        copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
-        coms = [(s.comment.encode() if copy_com and s.comment else None)
-                for s in segs]
-        rg_b = rg_id.encode() if rg_id else None
-        blob, roffs = _mi_rname_blob(base.mi)
-        want_text = 4 * qlen_sum + 65536
-        if want_text > base.text_cap:
-            base.text_cap = want_text
-            base._alloc_text()
-        p = base.ptrs
-        while True:
-            n_lines = lib.mm2tpu_map_frag_pe(
-                _np_ptr(qa[0]), qlens[0], _np_ptr(qa[1]), qlens[1],
-                1 if flips[0] else 0, 1 if flips[1] else 0, hash_,
-                p[0], p[1], p[2], base.n_seq, p[3], base.n_keys, p[4], p[5],
-                base.k, base.w, base.hpc, p[8], p[6], p[7],
-                names[0], len(names[0]),
-                names[0], len(names[0]), names[1], len(names[1]),
-                seqs[0], quals[0], coms[0], len(coms[0]) if coms[0] else 0,
-                seqs[1], quals[1], coms[1], len(coms[1]) if coms[1] else 0,
-                rg_b, len(rg_b) if rg_b else 0,
-                _np_ptr(blob), _np_ptr(roffs), sam_mode,
-                _np_ptr(base.text_buf), base.text_cap,
-                _np_ptr(base.line_off), len(base.line_off),
-                base.out_ptrs[3])
-            if n_lines != -2:
-                break
-            base.text_cap *= 4
-            base._alloc_text()
-        if n_lines < 0:
-            return None
-        offs = base.line_off[:n_lines + 1].tolist()
-        tb = base.text_buf
-        return [tb[offs[i]:offs[i + 1]].tobytes().decode(
-                    "ascii", "surrogateescape") for i in range(n_lines)]
-
-
-_pe_local = _threading.local()
-
-
-def _pe_ctx():
-    """Per-thread PE helper (its scratch buffers are not shareable across
-    the -t worker pool)."""
-    ctx = getattr(_pe_local, "ctx", None)
-    if ctx is None:
-        ctx = _MapPECtx()
-        _pe_local.ctx = ctx
-    return ctx
+def _map_pe(base, lib, segs, rg_id: str):
+    """PE marshalling over a _MapUnitCtx's buffers (stateless: every
+    scratch buffer lives on `base`, which is already per-thread)."""
+    from . import constants as CC
+    from .io.fastx import strip_pair_suffix
+    opt = base.opt
+    qlens = [len(s.seq) for s in segs]
+    qlen_sum = qlens[0] + qlens[1]
+    if qlen_sum == 0 or min(qlens) == 0:
+        return None
+    flips = _pe_flips(opt, 2)
+    qa = []
+    for j, s in enumerate(segs):
+        a = CC.seq_to_nt4(s.seq)
+        if flips[j]:
+            a = np.where(a < 4, (3 - a).astype(np.uint8),
+                         np.uint8(4))[::-1].copy()
+        qa.append(a)
+    base.optv[16], base.optv[17] = _map_gap_bounds(opt, qlen_sum)
+    hash_ = CC.qname_hash(segs[0].name, qlen_sum, opt.seed)
+    sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+    if sam_mode:
+        names = [strip_pair_suffix(s.name).encode() for s in segs]
+    else:
+        names = [s.name.encode() for s in segs]
+    seqs = [s.seq.encode() for s in segs]
+    quals = [s.qual.encode() if s.qual else None for s in segs]
+    copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
+    coms = [(s.comment.encode() if copy_com and s.comment else None)
+            for s in segs]
+    rg_b = rg_id.encode() if rg_id else None
+    blob, roffs = _mi_rname_blob(base.mi)
+    want_text = 4 * qlen_sum + 65536
+    if want_text > base.text_cap:
+        base.text_cap = want_text
+        base._alloc_text()
+    p = base.ptrs
+    while True:
+        n_lines = lib.mm2tpu_map_frag_pe(
+            _np_ptr(qa[0]), qlens[0], _np_ptr(qa[1]), qlens[1],
+            1 if flips[0] else 0, 1 if flips[1] else 0, hash_,
+            p[0], p[1], p[2], base.n_seq, p[3], base.n_keys, p[4], p[5],
+            base.k, base.w, base.hpc, p[8], p[6], p[7],
+            names[0], len(names[0]),
+            names[0], len(names[0]), names[1], len(names[1]),
+            seqs[0], quals[0], coms[0], len(coms[0]) if coms[0] else 0,
+            seqs[1], quals[1], coms[1], len(coms[1]) if coms[1] else 0,
+            rg_b, len(rg_b) if rg_b else 0,
+            _np_ptr(blob), _np_ptr(roffs), sam_mode,
+            _np_ptr(base.text_buf), base.text_cap,
+            _np_ptr(base.line_off), len(base.line_off),
+            base.out_ptrs[3])
+        if n_lines != -2:
+            break
+        base.text_cap *= 4
+        base._alloc_text()
+    if n_lines < 0:
+        return None
+    offs = base.line_off[:n_lines + 1].tolist()
+    tb = base.text_buf
+    return [tb[offs[i]:offs[i + 1]].tobytes().decode(
+                "ascii", "surrogateescape") for i in range(n_lines)]
 
 
 def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
@@ -905,7 +915,7 @@ def map_frag_pe_native(mi, opt, segs, rg_id: str = ""):
         return None
     if opt.flag & CC.MM_F_INDEPEND_SEG:
         return None
-    return _pe_ctx().map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
+    return _map_pe(_map_ctx(mi, opt), lib, segs, rg_id)
 
 
 _map_ctx_local = _threading.local()
@@ -1153,9 +1163,7 @@ def _load_sketch_locked():
     try:
         if (not os.path.exists(_SK_SO)
                 or os.path.getmtime(_SK_SO) < os.path.getmtime(_SK_SRC)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SK_SRC,
-                 "-o", _SK_SO], check=True, capture_output=True)
+            _compile_so([_SK_SRC], _SK_SO)
         lib = ctypes.CDLL(_SK_SO)
         lib.mm2tpu_sketch_batch.restype = ctypes.c_void_p
         lib.mm2tpu_sketch_batch.argtypes = [
@@ -1167,9 +1175,6 @@ def _load_sketch_locked():
         lib.mm2tpu_sketch_take.restype = None
         lib.mm2tpu_sketch_take.argtypes = [ctypes.c_void_p,
                                            ctypes.POINTER(ctypes.c_uint64)]
-        lib.mm2tpu_sort_kv.restype = None
-        lib.mm2tpu_sort_kv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                       ctypes.c_int64]
         lib.mm2tpu_build_csr.restype = ctypes.c_int64
         lib.mm2tpu_build_csr.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -1230,10 +1235,11 @@ def sdust_native(b4: np.ndarray, T: int, W: int):
     lib = load_ksw()
     if lib is None:
         return None
-    cap = max(len(b4) // 8, 64)
+    b4 = _as_u8(b4)   # bound to a local: a temporary's buffer would be
+    cap = max(len(b4) // 8, 64)  # freed before the native call reads it
     while True:
         out = np.empty(2 * cap, dtype=np.int64)
-        n = lib.mm2tpu_sdust(_np_ptr(_as_u8(b4)), len(b4), T, W,
+        n = lib.mm2tpu_sdust(_np_ptr(b4), len(b4), T, W,
                              _np_ptr(out), cap)
         if n <= cap:
             return [(int(out[2 * i]), int(out[2 * i + 1]))
@@ -1241,14 +1247,6 @@ def sdust_native(b4: np.ndarray, T: int, W: int):
         cap = n
 
 
-def sort_kv_native(keys: np.ndarray, vals: np.ndarray) -> bool:
-    """In-place sort of (key, val) u64 pairs by key then val; False = no lib
-    (caller falls back to np.lexsort)."""
-    lib = _load_sketch()
-    if lib is None:
-        return False
-    lib.mm2tpu_sort_kv(_np_ptr(keys), _np_ptr(vals), len(keys))
-    return True
 
 
 def build_csr_native(mvs: list):

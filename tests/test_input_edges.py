@@ -66,3 +66,29 @@ def test_iupac_codes_map_like_n():
 
     for a, b in zip(la, lb):
         assert strip(a) == strip(b)
+
+
+def test_many_output_lines_native_retry(tmp_path):
+    """A read with more output records than the native text buffers'
+    initial 258 line slots (-N 300 on a tandem repeat): the grow-retry
+    loop must enlarge line_off alongside text_buf — the native driver
+    returns the same -2 for either overflow, and a fixed line_off made
+    the loop spin forever while text_buf quadrupled toward OOM."""
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[b] for b in rng.integers(0, 4, 100))
+    ref = tmp_path / "tandem.fa"
+    qry = tmp_path / "q.fa"
+    ref.write_text(f">tand\n{unit * 300}\n")
+    qry.write_text(f">q1\n{unit * 3}\n")
+    out = subprocess.run(
+        [_sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-a",
+         "-N", "300", "-p", "0.1", "--device", "host",
+         str(ref), str(qry)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    recs = [l for l in out.stdout.splitlines() if not l.startswith("@")]
+    assert len(recs) > 258          # past the old fixed line_off capacity
+    assert "fast_native=1" in out.stderr   # rode the native text path
