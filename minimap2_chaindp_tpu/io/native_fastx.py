@@ -7,16 +7,28 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
+import threading
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_ROOT, "native", "fastx_reader.cc")
 _SO = os.path.join(_ROOT, "native", "libmm2tpu_fastx.so")
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load():
+    # serialized like native.py's loaders: two threads racing the stale-so
+    # check would compile concurrently, and the loser would see _tried
+    # mid-compile and silently pin itself to the pure-Python parser
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib

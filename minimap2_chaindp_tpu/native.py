@@ -193,7 +193,9 @@ def _compile_so(srcs, so_path, extra=()):
     processes recompiling after a source change must never dlopen a
     partially written shared object (the loser would hit a truncated ELF,
     and the bare except would pin it to the pure-Python path for life)."""
-    tmp = f"{so_path}.{os.getpid()}.tmp"
+    import threading
+    tmp = (f"{so_path}.{os.getpid()}."
+           f"{threading.get_ident()}.tmp")   # unique per pid AND thread
     try:
         # extras go AFTER the sources: -l libraries must follow the
         # objects that need them; a later -O simply overrides the -O2
@@ -663,6 +665,23 @@ class _MapUnitCtx:
         self.text_cap = 1 << 17
         self._alloc_text()
 
+
+    def _grow_text(self, code, grows) -> bool:
+        """Grow the buffer the -2/-3 overflow code names; False = give up
+        (bounded so a future non-shrinking overflow degrades to the
+        python fallback instead of quadrupling memory forever)."""
+        if grows >= 8:
+            return False
+        if code == -2:            # text capacity
+            self.text_cap *= 4
+            self._alloc_text()
+        elif code == -3:          # line_off capacity only
+            self.line_off = np.empty(4 * len(self.line_off),
+                                     dtype=np.int64)
+        else:
+            return False
+        return True
+
     def _alloc_text(self):
         self.text_buf = np.empty(self.text_cap, dtype=np.uint8)
         # line_cap must grow with text_cap: the native driver returns the
@@ -752,6 +771,7 @@ class _MapUnitCtx:
             self.text_cap = want_text
             self._alloc_text()
         p = self.ptrs
+        grows = 0
         while True:
             n_lines = lib.mm2tpu_map_unit_text(
                 _np_ptr(qa), qlen, hash_,
@@ -765,10 +785,10 @@ class _MapUnitCtx:
                 _np_ptr(self.line_off), len(self.line_off),
                 self.out_ptrs[3],
                 self.rank_ptr, *self._qrank(rec.name))
-            if n_lines != -2:
+            if n_lines >= 0 or n_lines == -1 \
+                    or not self._grow_text(n_lines, grows):
                 break
-            self.text_cap *= 4
-            self._alloc_text()
+            grows += 1
         if n_lines < 0:
             return None
         offs = self.line_off[:n_lines + 1].tolist()
@@ -808,6 +828,7 @@ class _MapUnitCtx:
         u = np.ascontiguousarray(chains.u, dtype=np.uint64)
         mini = np.ascontiguousarray(mini_pos, dtype=np.uint64)
         p = self.ptrs
+        grows = 0
         while True:
             n_lines = lib.mm2tpu_map_unit_text_chains(
                 _np_ptr(qa), qlen, hash_,
@@ -822,10 +843,10 @@ class _MapUnitCtx:
                 _np_ptr(self.text_buf), self.text_cap,
                 _np_ptr(self.line_off), len(self.line_off),
                 self.out_ptrs[3])
-            if n_lines != -2:
+            if n_lines >= 0 or n_lines == -1 \
+                    or not self._grow_text(n_lines, grows):
                 break
-            self.text_cap *= 4
-            self._alloc_text()
+            grows += 1
         if n_lines < 0:
             return None
         offs = self.line_off[:n_lines + 1].tolist()
@@ -879,6 +900,7 @@ def _map_pe(base, lib, segs, rg_id: str):
         base.text_cap = want_text
         base._alloc_text()
     p = base.ptrs
+    grows = 0
     while True:
         n_lines = lib.mm2tpu_map_frag_pe(
             _np_ptr(qa[0]), qlens[0], _np_ptr(qa[1]), qlens[1],
@@ -894,10 +916,10 @@ def _map_pe(base, lib, segs, rg_id: str):
             _np_ptr(base.text_buf), base.text_cap,
             _np_ptr(base.line_off), len(base.line_off),
             base.out_ptrs[3])
-        if n_lines != -2:
+        if n_lines >= 0 or n_lines == -1 \
+                or not base._grow_text(n_lines, grows):
             break
-        base.text_cap *= 4
-        base._alloc_text()
+        grows += 1
     if n_lines < 0:
         return None
     offs = base.line_off[:n_lines + 1].tolist()

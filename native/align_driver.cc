@@ -2606,8 +2606,9 @@ static int64_t emit_unit_text(
     constexpr int64_t F_NO_PRINT_2ND = 0x4000;
     TextOut o{out_text, text_cap};
     int64_t n_lines = 0;
-    auto start_line = [&]() {
-        if (n_lines + 1 >= line_cap) { o.of = true; return; }
+    bool line_of = false;   // distinct from o.of: the caller must know
+    auto start_line = [&]() {               // WHICH buffer to grow
+        if (n_lines + 1 >= line_cap) { line_of = true; return; }
         line_off[n_lines++] = o.pos;
     };
     for (int64_t j = 0; j < (int64_t)regs.size(); ++j) {
@@ -2622,14 +2623,15 @@ static int64_t emit_unit_text(
         emit_sam(o, e, regs, -1, c.flag);
     }
     line_off[n_lines] = o.pos;
-    if (o.of) return -2;
+    if (line_of) return -3;   // line_off capacity
+    if (o.of) return -2;       // text capacity
     return n_lines;
 }
 
 // Map one read and emit its SAM/PAF lines directly (single-segment fast
 // path): text into out_text (cap text_cap) with per-line offsets in
 // line_off (line k spans [line_off[k], line_off[k+1])); returns the line
-// count, -1 contract fallback, -2 text/line capacity.  out_misc[0] =
+// count, -1 contract fallback, -2 text capacity, -3 line_off capacity.  out_misc[0] =
 // rep_len.  sam_mode != 0 -> SAM records (incl. the unmapped record on
 // zero regions); else PAF rows.  rnames = concatenated target names with
 // rname_off offsets (n_seq + 1).
@@ -2967,8 +2969,9 @@ int64_t mm2tpu_map_frag_pe(
     int64_t oflag = opt[0];
     TextOut o{out_text, text_cap};
     int64_t n_lines = 0;
-    auto start_line = [&]() {
-        if (n_lines + 1 >= line_cap) { o.of = true; return; }
+    bool line_of = false;   // distinct from o.of: the caller must know
+    auto start_line = [&]() {               // WHICH buffer to grow
+        if (n_lines + 1 >= line_cap) { line_of = true; return; }
         line_off[n_lines++] = o.pos;
     };
     const char* seqs[2] = {seq0, seq1};
@@ -3011,7 +3014,8 @@ int64_t mm2tpu_map_frag_pe(
         }
     }
     line_off[n_lines] = o.pos;
-    if (o.of) return -2;
+    if (line_of) return -3;   // line_off capacity
+    if (o.of) return -2;       // text capacity
     return n_lines;
 }
 

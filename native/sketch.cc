@@ -246,19 +246,6 @@ void mm2tpu_sketch_take(void* handle, uint64_t* out)
 
 }  // extern "C"
 
-// ---- index-build helper: sort (key, val) pairs by key then val
-// (the radix_sort_128x + per-bucket value sort of index.c:349/394).
-extern "C" void mm2tpu_sort_kv(uint64_t* keys, uint64_t* vals, int64_t n)
-{
-    std::vector<std::pair<uint64_t, uint64_t>> kv(n);
-    for (int64_t i = 0; i < n; ++i) kv[i] = {keys[i], vals[i]};
-    std::sort(kv.begin(), kv.end());
-    for (int64_t i = 0; i < n; ++i) {
-        keys[i] = kv[i].first;
-        vals[i] = kv[i].second;
-    }
-}
-
 // ---- whole CSR build in one call: split per-contig minimizer arrays into
 // (key = x>>8, val = y) pairs, sort by (key, val) (index.c:349/394), and
 // emit unique keys + run starts.  mvs: n_arr pointers to (ns[a] x 2) u64
