@@ -29,8 +29,8 @@ def set_name_tables(mi: MinimizerIndex, names: list[str]) -> None:
     order = sorted(range(len(names)), key=lambda i: names[i])
     mi.sorted_names = [names[i] for i in order]
     rank = np.empty(len(names), dtype=np.int64)
-    for r, i in enumerate(order):
-        rank[i] = r
+    rank[np.asarray(order, dtype=np.int64)] = np.arange(len(names),
+                                                        dtype=np.int64)
     mi.name_rank = rank
 
 
@@ -52,13 +52,17 @@ def dump_index(mi: MinimizerIndex, path: str) -> None:
             nb = s.name.encode()
             f.write(struct.pack("<i", len(nb)))
             f.write(nb)
-            f.write(struct.pack("<i", s.length))
-        f.write(mi.S.astype(np.uint8).tobytes())
+            # <I like stock .mmi: contigs may exceed 2^31 bp (<= 4 Gbp)
+            f.write(struct.pack("<I", s.length))
+        if not (mi.flag & 0x2):    # MM_I_NO_SEQ dumps write no S
+            f.write(mi.S.astype(np.uint8, copy=False).tobytes())
         f.write(struct.pack("<q", len(mi.keys)))
-        f.write(mi.keys.astype("<u8").tobytes())
-        f.write(mi.starts.astype("<i8").tobytes())
+        # copy=False: these GB-scale tables are already little-endian on
+        # every supported host; a default astype would double peak RSS
+        f.write(mi.keys.astype("<u8", copy=False).tobytes())
+        f.write(mi.starts.astype("<i8", copy=False).tobytes())
         f.write(struct.pack("<q", len(mi.values)))
-        f.write(mi.values.astype("<u8").tobytes())
+        f.write(mi.values.astype("<u8", copy=False).tobytes())
 
 
 def load_index(path: str) -> MinimizerIndex:
@@ -69,19 +73,30 @@ def load_index(path: str) -> MinimizerIndex:
         mi = MinimizerIndex(k=k, w=w, flag=flag, b=b)
         names = []
         off = 0
+
+        def _read(n, what):
+            buf = f.read(n)
+            if len(buf) != n:          # truncated mid-section: fail loud
+                raise ValueError(f"{path}: truncated index ({what})")
+            return buf
+
         for _ in range(n_seq):
-            (nl,) = struct.unpack("<i", f.read(4))
-            name = f.read(nl).decode()
-            (length,) = struct.unpack("<i", f.read(4))
+            (nl,) = struct.unpack("<i", _read(4, "name_len"))
+            name = _read(nl, "name").decode()
+            (length,) = struct.unpack("<I", _read(4, "seq_len"))
             mi.seqs.append(RefSeq(name=name, offset=off, length=length))
             names.append(name)
             off += length
-        mi.S = np.frombuffer(f.read(off), dtype=np.uint8).copy()
-        (n_keys,) = struct.unpack("<q", f.read(8))
-        mi.keys = np.frombuffer(f.read(8 * n_keys), dtype="<u8").copy()
-        mi.starts = np.frombuffer(f.read(8 * (n_keys + 1)), dtype="<i8").copy()
-        (n_vals,) = struct.unpack("<q", f.read(8))
-        mi.values = np.frombuffer(f.read(8 * n_vals), dtype="<u8").copy()
+        if not (flag & 0x2):           # MM_I_NO_SEQ parts carry no S
+            mi.S = np.frombuffer(_read(off, "S"), dtype=np.uint8).copy()
+        (n_keys,) = struct.unpack("<q", _read(8, "n_keys"))
+        mi.keys = np.frombuffer(_read(8 * n_keys, "keys"),
+                                dtype="<u8").copy()
+        mi.starts = np.frombuffer(_read(8 * (n_keys + 1), "starts"),
+                                  dtype="<i8").copy()
+        (n_vals,) = struct.unpack("<q", _read(8, "n_vals"))
+        mi.values = np.frombuffer(_read(8 * n_vals, "values"),
+                                  dtype="<u8").copy()
         set_name_tables(mi, names)
     return mi
 
@@ -121,20 +136,34 @@ def is_mmi_index(path: str) -> bool:
 
 
 def _pack_seq4(S: np.ndarray) -> np.ndarray:
-    """nt4 byte codes -> packed 4-bit u32 words (mm_seq4_set, mmpriv.h:30)."""
+    """nt4 byte codes -> packed 4-bit u32 words (mm_seq4_set, mmpriv.h:30).
+    Chunked: the naive uint32 temporaries cost ~8 bytes/base — ~24 GB
+    transient for a GRCh38-scale S — so work in 64 Mbase blocks."""
     n = len(S)
-    pad = (-n) % 8
-    s = np.concatenate([S.astype(np.uint32),
-                        np.zeros(pad, np.uint32)]).reshape(-1, 8)
-    return (s << (np.arange(8, dtype=np.uint32) * 4)).sum(
-        axis=1, dtype=np.uint32)
+    out = np.empty((n + 7) // 8, dtype=np.uint32)
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    CH = 64 << 20
+    for lo in range(0, n, CH):
+        blk = S[lo:lo + CH]
+        pad = (-len(blk)) % 8
+        sb = np.concatenate([blk.astype(np.uint32),
+                             np.zeros(pad, np.uint32)]).reshape(-1, 8)
+        out[lo // 8:lo // 8 + len(sb)] = (sb << shifts).sum(
+            axis=1, dtype=np.uint32)
+    return out
 
 
 def _unpack_seq4(words: np.ndarray, n: int) -> np.ndarray:
-    """Packed 4-bit u32 words -> nt4 byte codes (mm_seq4_get, mmpriv.h:29)."""
-    s = (words[:, None] >> (np.arange(8, dtype=np.uint32) * 4)) & np.uint32(
-        0xF)
-    return s.reshape(-1)[:n].astype(np.uint8)
+    """Packed 4-bit u32 words -> nt4 byte codes (mm_seq4_get, mmpriv.h:29).
+    Chunked like _pack_seq4 to bound the uint32 temporaries."""
+    out = np.empty(8 * len(words), dtype=np.uint8)
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    CH = 8 << 20     # words per block = 64 Mbase
+    for lo in range(0, len(words), CH):
+        w = words[lo:lo + CH]
+        s = (w[:, None] >> shifts) & np.uint32(0xF)
+        out[8 * lo:8 * lo + s.size] = s.reshape(-1).astype(np.uint8)
+    return out[:n]
 
 
 def _ragged_gather(values, starts, rows, row_cnt):

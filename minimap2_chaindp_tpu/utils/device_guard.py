@@ -42,6 +42,10 @@ _q: queue.SimpleQueue | None = None
 _started = False
 _bad = False
 _start_lock = threading.Lock()
+# sequences the waiter's timeout/abandon decision against the worker's
+# completion (an unlocked handoff could permanently ban a device whose
+# call finished exactly at the timeout boundary)
+_ban_lock = threading.Lock()
 
 
 def device_bad() -> bool:
@@ -59,19 +63,29 @@ def _arm_exit_hook():
     flushes and hard-exits first.  atexit runs LIFO, so this hook
     (registered at stall time, i.e. late) preempts jax's own teardown.
     Callers that need a nonzero status must exit through their own path
-    before atexit (the CLI does: cli._exit)."""
+    before atexit (the CLI does: cli._exit) — and an uncaught exception
+    is remembered via sys.excepthook so the hard exit reports failure
+    instead of masking it with status 0."""
     global _exit_hook_armed
     if _exit_hook_armed:
         return
     _exit_hook_armed = True
     import atexit
+    failed = []
+    prev_hook = sys.excepthook
+
+    def _remember(tp, val, tb):
+        failed.append(1)
+        prev_hook(tp, val, tb)
+
+    sys.excepthook = _remember
 
     def _hard_exit():
         if not _bad:
             return  # worker recovered — normal teardown is safe
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(1 if failed else 0)
 
     atexit.register(_hard_exit)
 
@@ -109,14 +123,15 @@ def _worker():
         except BaseException as e:  # noqa: BLE001 — relayed to the waiter
             call.value = e
             call.status = "err"
-        if call.abandoned and call.status == "ok" and _bad:
-            # the waiter gave up on THIS call but the device came back
-            # (a long first compile, not a wedge) — un-ban it so the next
-            # batch routes to the device again
-            _bad = False
-            print("[mm2tpu] device recovered (slow call completed); "
-                  "device routing re-enabled", file=sys.stderr)
-        call.ev.set()
+        with _ban_lock:   # sequenced against the waiter's abandon path
+            if call.abandoned and call.status == "ok" and _bad:
+                # the waiter gave up on THIS call but the device came back
+                # (a long first compile, not a wedge) — un-ban it so the
+                # next batch routes to the device again
+                _bad = False
+                print("[mm2tpu] device recovered (slow call completed); "
+                      "device routing re-enabled", file=sys.stderr)
+            call.ev.set()
 
 
 def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
@@ -140,17 +155,28 @@ def device_call(fn, timeout: float | None = DEFAULT_TIMEOUT_S):
             _started = True
     call = _Call(fn)
     _q.put(call)
-    if not call.ev.wait(timeout):
-        call.abandoned = True
-        # re-check: the worker may have finished between the wait timing
-        # out and the flag being set
-        if not call.ev.is_set():
-            _bad = True
-            _arm_exit_hook()
-            print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
-                  "mapping continues on the exact host path",
-                  file=sys.stderr)
-            raise DeviceStall(f"device call exceeded {timeout:.0f}s")
+    # wait in short slices: a call queued BEHIND a wedged one must bail as
+    # soon as another thread bans the device, not sleep its whole budget
+    import time as _time
+    deadline = _time.monotonic() + timeout
+    done = call.ev.wait(min(timeout, 2.0))
+    while not done:
+        if _bad and not call.ev.is_set():
+            raise DeviceStall("device marked unavailable while queued")
+        rem = deadline - _time.monotonic()
+        if rem <= 0:
+            break
+        done = call.ev.wait(min(rem, 2.0))
+    if not done:
+        with _ban_lock:   # sequenced against the worker's completion
+            if not call.ev.is_set():
+                call.abandoned = True
+                _bad = True
+                _arm_exit_hook()
+                print(f"[mm2tpu] WARNING: device stalled >{timeout:.0f}s; "
+                      "mapping continues on the exact host path",
+                      file=sys.stderr)
+                raise DeviceStall(f"device call exceeded {timeout:.0f}s")
     if call.status == "err":
         raise call.value
     return call.value

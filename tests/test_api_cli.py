@@ -328,3 +328,61 @@ def test_device_index_build_bit_identical():
     dev_h = build_index(names, seqs, 5, 19, 1, 14, device=True)
     assert np.array_equal(host_h.values, dev_h.values)
     assert np.array_equal(host_h.keys, dev_h.keys)
+
+
+def test_mm2i_no_seq_roundtrip(tmp_path):
+    """MM_I_NO_SEQ indexes carry no S section: dump must skip it and load
+    must not consume the key tables as sequence bytes (previously a
+    NO_SEQ .mm2i was unloadable or silently misparsed)."""
+    import numpy as np
+    from minimap2_chaindp_tpu.options import set_opt
+    from minimap2_chaindp_tpu.index.build import build_index
+    from minimap2_chaindp_tpu.index.serialize import dump_index, load_index
+    io, mo = set_opt(None)
+    io.flag |= 0x2                      # MM_I_NO_SEQ
+    mi = build_index(["c1", "c2"],
+                     ["ACGTACGTAC" * 50, "TTGGCCAATT" * 40],
+                     io.w, io.k, io.flag, io.bucket_bits)
+    p = tmp_path / "noseq.mm2i"
+    dump_index(mi, str(p))
+    m2 = load_index(str(p))
+    assert (m2.keys == mi.keys).all() and (m2.values == mi.values).all()
+    assert (m2.starts == mi.starts).all()
+    assert [s.length for s in m2.seqs] == [s.length for s in mi.seqs]
+    assert len(m2.S) == 0
+
+
+def test_mm2i_truncated_fails_loud(tmp_path):
+    """A .mm2i truncated mid-section must raise, not silently load short
+    tables that would produce wrong mappings."""
+    import pytest as _pytest
+    from minimap2_chaindp_tpu.options import set_opt
+    from minimap2_chaindp_tpu.index.build import build_index
+    from minimap2_chaindp_tpu.index.serialize import dump_index, load_index
+    io, mo = set_opt(None)
+    mi = build_index(["c"], ["ACGTACGTAC" * 60], io.w, io.k, io.flag,
+                     io.bucket_bits)
+    p = tmp_path / "t.mm2i"
+    dump_index(mi, str(p))
+    raw = p.read_bytes()
+    p.write_bytes(raw[:len(raw) - 16])
+    with _pytest.raises(ValueError, match="truncated"):
+        load_index(str(p))
+
+
+def test_mm2i_contig_over_2gb_header(tmp_path):
+    """Contig lengths are unsigned 32-bit like stock .mmi (<= 4 Gbp):
+    a >2^31 bp contig's length must survive dump/load (previously the
+    signed pack raised struct.error)."""
+    from minimap2_chaindp_tpu.index.build import MinimizerIndex, RefSeq
+    from minimap2_chaindp_tpu.index.serialize import dump_index, load_index
+    import numpy as np
+    mi = MinimizerIndex(k=15, w=10, flag=0x2, b=14)   # NO_SEQ: no S bytes
+    mi.seqs.append(RefSeq(name="huge", offset=0, length=3_000_000_000))
+    mi.keys = np.array([123], dtype=np.uint64)
+    mi.starts = np.array([0, 1], dtype=np.int64)
+    mi.values = np.array([7], dtype=np.uint64)
+    p = tmp_path / "huge.mm2i"
+    dump_index(mi, str(p))
+    m2 = load_index(str(p))
+    assert m2.seqs[0].length == 3_000_000_000

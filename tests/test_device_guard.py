@@ -48,3 +48,29 @@ def test_stall_marks_bad_and_fails_fast():
     # allow the wedged worker to drain before other tests reuse the thread
     time.sleep(3)
     dg._bad = False
+
+
+def test_queued_waiter_bails_on_ban():
+    """A call queued behind a wedged one must bail as soon as the ban
+    lands, not sleep its whole (possibly 600 s compile) budget."""
+    import threading
+    errs = {}
+
+    def first():
+        try:
+            dg.device_call(lambda: time.sleep(4), 0.3)
+        except dg.DeviceStall:
+            errs["first"] = True
+
+    t = threading.Thread(target=first)
+    t.start()
+    time.sleep(0.05)       # let the wedge call occupy the worker
+    t0 = time.perf_counter()
+    with pytest.raises(dg.DeviceStall):
+        dg.device_call(lambda: 1, 30.0)   # queued; budget 30 s
+    dt = time.perf_counter() - t0
+    t.join()
+    assert errs.get("first")
+    assert dt < 5.0        # bailed on the ban, not the 30 s budget
+    time.sleep(4)          # drain the wedge before other tests
+    dg._bad = False
