@@ -50,7 +50,9 @@ class Alignment:
             self.q_st, self.q_en, "+" if self.strand > 0 else "-", self.ctg,
             self.ctg_len, self.r_st, self.r_en, self.mlen, self.blen,
             self.mapq, f"tp:A:{'P' if self.is_primary else 'S'}",
-            "ts:A:" + ".+-?"[self.trans_strand], "cg:Z:" + self.cigar_str]))
+            "ts:A:" + ("+" if self.trans_strand > 0
+                       else "-" if self.trans_strand < 0 else "."),
+            "cg:Z:" + self.cigar_str]))
 
 
 class Aligner:
@@ -87,7 +89,12 @@ class Aligner:
             if len(scoring) >= 6:
                 mo.q2, mo.e2 = scoring[4:6]
             if len(scoring) >= 7:
-                mo.sc_ambi = scoring[6]
+                # v2.10 has no sc_ambi (ksw_gen_simple_mat(m,mat,a,b),
+                # align.c:9 hardcodes the ambiguous score) — accepting and
+                # ignoring it would silently mis-score N bases
+                raise NotImplementedError(
+                    "sc_ambi (scoring[6]) is not supported by minimap2 "
+                    "v2.10 semantics")
         self.idx_opt, self.map_opt = io, mo
         if seq is not None:
             self._mi = build_index(["N/A"], [seq], io.w, io.k, io.flag,
@@ -131,32 +138,55 @@ class Aligner:
         return [s.name for s in self._mi.seqs]
 
     def seq(self, name: str, start: int = 0, end: int = 0x7FFFFFFF) -> str | None:
+        """Fetch [start, end) of a contig (reference mappy_fetch_seq,
+        cmappy.h:115): None for unknown names, start past the contig or an
+        empty range; end is clamped. Negative start (reference UB — it
+        would read the preceding contig's bytes) also returns None."""
         rid = self._mi.name2id(name)
         if rid < 0:
             return None
-        codes = self._mi.getseq(rid, start, end)
+        ln = self._mi.seqs[rid].length
+        if start < 0 or start >= ln or start >= end:
+            return None
+        codes = self._mi.getseq(rid, start, min(end, ln))
         return "".join("ACGTN"[c] for c in codes)
 
-    def map(self, seq: str, seq2: str | None = None, name: str = "query",
+    def map(self, seq: str, seq2: str | None = None, name: str = "",
             cs: bool = False, MD: bool = False):
-        """Map one read (or read pair); yields Alignment hits."""
+        """Map one read (or read pair); yields Alignment hits.
+
+        The default empty name matches reference mappy's qname=NULL (zero
+        x31 contribution to the per-read tie-break hash, map.c:345); pass
+        a name to reproduce named-read CLI hashing. seq2 follows
+        mm_map_aux (cmappy.h:74): it is reverse-complemented, the pair
+        maps as ONE 2-segment fragment, and seg-1 hits get their rev flag
+        flipped back — q_st/q_en stay on the revcomped read, exactly like
+        the reference API."""
         segs = [SeqRecord(name, seq)]
+        work2 = None
         if seq2 is not None:
-            segs.append(SeqRecord(name, seq2))
+            work2 = C.revcomp_str(seq2)
+            segs.append(SeqRecord(name, work2))
         regss = map_frag(self._mi, self.map_opt, segs)
         for read_num, regs in enumerate(regss, 1):
-            qseq = seq if read_num == 1 else seq2
+            qseq = seq if read_num == 1 else work2
             for r in regs:
                 if r.p is None:
                     continue
                 cigar = [(c >> 4, c & 0xF) for c in r.p.cigar]
                 cs_str = md_str = ""
+                # tags describe the alignment of the (revcomped) work
+                # sequence and must use the pre-flip rev flag
                 if cs:
                     from .io.output import _write_cs
                     cs_str = _write_cs(self._mi, qseq, r, False)[len("\tcs:Z:"):]
                 if MD:
                     from .io.output import _write_md
                     md_str = _write_md(self._mi, qseq, r)[len("\tMD:Z:"):]
+                if read_num == 2:
+                    # mm_map_aux flips ONLY rev on the second segment's
+                    # hits (cmappy.h:94-95); q_st/q_en stay as computed
+                    r.rev = 1 - r.rev
                 yield Alignment(
                     ctg=self._mi.seqs[r.rid].name,
                     ctg_len=self._mi.seqs[r.rid].length,
@@ -166,7 +196,8 @@ class Aligner:
                     is_primary=(r.id == r.parent),
                     mlen=r.mlen, blen=r.blen,
                     NM=r.blen - r.mlen + r.p.n_ambi,
-                    trans_strand=r.p.trans_strand,
+                    trans_strand=(1 if r.p.trans_strand == 1
+                                  else -1 if r.p.trans_strand == 2 else 0),
                     read_num=read_num, cs=cs_str, MD=md_str)
 
 

@@ -15,7 +15,6 @@ import numpy as np
 
 from .. import constants as C
 from .. import hits as H
-from ..align import align_skeleton
 from ..esterr import est_err
 from ..io import output as out
 from ..io.fastx import SeqRecord
@@ -52,14 +51,6 @@ def chain_post(opt, max_chain_gap_ref, mi, qlen_sum, n_segs, qlens, regs, a):
         if not (opt.flag & (C.MM_F_SPLICE | C.MM_F_SR | C.MM_F_NO_LJOIN)):
             regs = H.join_long(regs, opt, qlen_sum, a)
     return regs
-
-
-def align_regs(opt, mi, qlen, seq, regs, a):
-    """reference align_regs (map.c:249-259)."""
-    if not (opt.flag & C.MM_F_CIGAR):
-        return regs
-    regs = align_skeleton(opt, mi, qlen, seq, regs, a)
-    return _align_regs_post(opt, mi, regs)
 
 
 def _align_regs_post(opt, mi, regs):

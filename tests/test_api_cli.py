@@ -386,3 +386,47 @@ def test_mm2i_contig_over_2gb_header(tmp_path):
     dump_index(mi, str(p))
     m2 = load_index(str(p))
     assert m2.seqs[0].length == 3_000_000_000
+
+
+def test_mappy_paired_end_mm_map_aux():
+    """Aligner.map(seq, seq2) follows mm_map_aux (cmappy.h:74): seq2 is
+    reverse-complemented, the pair maps as ONE 2-segment fragment, and
+    seg-1 hits get rev flipped back — a proper FR pair comes out read1 +
+    / read2 - with joint pairing applied (previously seq2 was mapped
+    as-given, so proper pairs could never form)."""
+    from minimap2_chaindp_tpu import mappy as mp
+    from minimap2_chaindp_tpu import constants as C
+    a = mp.Aligner("/root/reference/test/MT-human.fa", preset="sr")
+    r1 = a.seq("MT_human", 2000, 2100)
+    r2 = C.revcomp_str(a.seq("MT_human", 2200, 2300))
+    hits = sorted(a.map(r1, r2), key=lambda h: h.read_num)
+    assert [h.read_num for h in hits] == [1, 2]
+    assert hits[0].strand == 1 and hits[0].r_st == 2000
+    assert hits[1].strand == -1 and hits[1].r_st == 2200
+    assert all(h.is_primary and h.mapq == 60 for h in hits)
+
+
+def test_mappy_seq_bounds():
+    """Aligner.seq mirrors mappy_fetch_seq's guards: unknown name, start
+    past the contig, empty range, and (reference-UB) negative start all
+    return None; end is clamped (previously a negative start leaked the
+    PRECEDING contig's bases)."""
+    from minimap2_chaindp_tpu import mappy as mp
+    a = mp.Aligner("/root/reference/test/MT-human.fa", preset="sr")
+    ln = a._mi.seqs[0].length
+    assert a.seq("nope") is None
+    assert a.seq("MT_human", -3, 5) is None
+    assert a.seq("MT_human", ln, ln + 5) is None
+    assert a.seq("MT_human", 5, 2) is None
+    assert len(a.seq("MT_human", ln - 10, ln + 100)) == 10   # clamped
+    assert a.seq("MT_human", 0, 4) == "GATC"[:0] + a.seq("MT_human")[:4]
+
+
+def test_mappy_scoring_rejects_sc_ambi():
+    """v2.10 has no sc_ambi; a 7-tuple must fail loud, not silently
+    ignore the user's N-base score."""
+    import pytest as _pytest
+    from minimap2_chaindp_tpu import mappy as mp
+    with _pytest.raises(NotImplementedError):
+        mp.Aligner("/root/reference/test/MT-human.fa", preset="sr",
+                   scoring=(2, 4, 4, 2, 24, 1, 1))
