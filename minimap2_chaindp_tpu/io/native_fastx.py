@@ -74,6 +74,9 @@ def read_fastx_native(path: str, block_bases: int = 8_000_000):
     try:
         while True:
             n = lib.fxr_read_block(h, block_bases)
+            if n < 0:    # hard IO/zlib error (unreadable path, bad gzip)
+                raise OSError(f"{path}: read error (unreadable input or "
+                              "corrupt gzip stream)")
             if n == 0:
                 return
             blen = lib.fxr_bases_len(h)

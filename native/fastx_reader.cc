@@ -55,13 +55,14 @@ bool read_line(Reader* r, std::string* out) {
   return c >= 0 || !out->empty();
 }
 
-// parse one record; returns false at EOF
+// parse one record; returns false at EOF or on a malformed record
+// (qual length != seq length stops the stream, like kseq's -2 which
+// mm_bseq_read treats as end-of-input, kseq.h:221-223)
 bool read_record(Reader* r) {
   int c;
   while ((c = r->getc_()) >= 0 && c != '>' && c != '@') {
   }
   if (c < 0) return false;
-  bool fastq = (c == '@');
   std::string header;
   read_line(r, &header);
   size_t sp = header.find_first_of(" \t");
@@ -81,18 +82,25 @@ bool read_record(Reader* r) {
     r->text.push_back('\0');
   }
 
+  // sequence: whole LINES until a line starting with '>', '@' (next
+  // record, no qual) or '+' (FASTQ separator) — kseq.h:201-208: record
+  // delimiters and the separator only count at line starts, so wrapped
+  // (multi-line) FASTQ and mid-line '>' bytes parse exactly like kseq
   int64_t seq_start = static_cast<int64_t>(r->bases.size());
+  bool have_plus = false;
   std::string line;
-  if (!fastq) {
-    while ((c = r->getc_()) >= 0) {
-      if (c == '>') {
-        r->ungetc_('>');
-        break;
-      }
-      if (c != '\n' && c != '\r')
-        r->bases.push_back(static_cast<char>(c));
+  while ((c = r->getc_()) >= 0) {
+    if (c == '\n' || c == '\r') continue;   // blank lines
+    if (c == '>' || c == '@') {
+      r->ungetc_(c);
+      break;
     }
-  } else {
+    if (c == '+') {
+      have_plus = true;
+      read_line(r, &line);   // rest of the separator line
+      break;
+    }
+    r->bases.push_back(static_cast<char>(c));
     read_line(r, &line);
     r->bases.insert(r->bases.end(), line.begin(), line.end());
   }
@@ -101,15 +109,24 @@ bool read_record(Reader* r) {
   r->seq_off.push_back(seq_start);
   r->seq_len.push_back(n);
 
-  if (fastq) {
-    read_line(r, &line);  // '+' separator
+  if (have_plus) {
+    // quality: whole lines until >= seq length; any mismatch is
+    // malformed input and ends the stream (kseq returns -2)
     int64_t qual_start = static_cast<int64_t>(r->bases.size());
     int64_t got = 0;
-    while (got < n && (c = r->getc_()) >= 0) {
-      if (c != '\n' && c != '\r') {
-        r->bases.push_back(static_cast<char>(c));
-        ++got;
-      }
+    while (got < n) {
+      if (!read_line(r, &line)) break;
+      r->bases.insert(r->bases.end(), line.begin(), line.end());
+      got += static_cast<int64_t>(line.size());
+    }
+    if (got != n) {
+      // drop the malformed record entirely and stop
+      r->bases.resize(static_cast<size_t>(seq_start));
+      r->name_off.pop_back();
+      r->comment_off.pop_back();
+      r->seq_off.pop_back();
+      r->seq_len.pop_back();
+      return false;
     }
     r->qual_off.push_back(qual_start);
   } else {
@@ -150,6 +167,14 @@ int64_t fxr_read_block(void* h, int64_t max_bases) {
       break;
     }
     total += r->seq_len.back();
+  }
+  if (r->eof) {
+    // distinguish hard IO/zlib errors (unreadable path, truncated gzip)
+    // from genuine EOF: the python fallback raises on these, and a
+    // silent empty result would look like an empty input file
+    int errnum = 0;
+    gzerror(r->fp, &errnum);
+    if (errnum != Z_OK && errnum != Z_STREAM_END) return -1;
   }
   return static_cast<int64_t>(r->seq_len.size());
 }
