@@ -11,8 +11,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from . import constants as C
 from .options import IndexOptions, MapOptions, set_opt, check_opt
 from .io.fastx import read_fastx, read_frags
@@ -35,10 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("-d", dest="dump_index", default=None, help="dump index to file")
     # mapping
     a("-f", dest="mid_occ_frac", type=float, default=None)
-    a("-g", dest="max_gap", type=int, default=None)
+    a("-g", dest="max_gap", default=None)   # _si: k/m/g ok
     a("-G", dest="max_intron_len", default=None)
-    a("-F", dest="max_frag_len", type=int, default=None)
-    a("-r", dest="bw", type=int, default=None)
+    a("-F", dest="max_frag_len", default=None)
+    a("-r", dest="bw", default=None)
     a("-n", "--min-count", dest="min_cnt", type=int, default=None)
     a("-m", "--min-chain-score", dest="min_chain_score", type=int,
       default=None)
@@ -102,8 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--MD", dest="md", action="store_true")
     a("--for-only", action="store_true")
     a("--rev-only", action="store_true")
-    a("--secondary", default=None, choices=["yes", "no"])
-    a("--frag", default=None, choices=["yes", "no"])
+    a("--secondary", default=None, choices=["yes", "no", "y", "n"])
+    a("--frag", default=None, choices=["yes", "no", "y", "n"])
     a("--sr", action="store_true")
     a("--splice", action="store_true")
     a("--no-long-join", action="store_true")
@@ -151,14 +149,24 @@ def _run_debug_sequential(mi, mo, ns, rg_id, out, part_no, is_multi,
 
 
 def _si(v) -> int:
+    """Reference mm_parse_num (main.c:84-93): strtod's leading number, one
+    optional k/m/g suffix, trailing junk ignored, rounded via +.499."""
     if v is None:
         return 0
+    import re as _re
     s = str(v)
-    mult = 1
-    if s[-1] in "kKmMgG":
-        mult = {"k": 1000, "m": 1000000, "g": 1000000000}[s[-1].lower()]
-        s = s[:-1]
-    return int(float(s) * mult)
+    m = _re.match(r"\s*[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s)
+    if not m:
+        return 0
+    x = float(m.group(0))
+    rest = s[m.end():]
+    if rest[:1] in ("g", "G"):
+        x *= 1e9
+    elif rest[:1] in ("m", "M"):
+        x *= 1e6
+    elif rest[:1] in ("k", "K"):
+        x *= 1e3
+    return int(x + .499)
 
 
 def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
@@ -173,11 +181,11 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
     if ns.mid_occ_frac is not None:
         mo.mid_occ_frac = ns.mid_occ_frac
     if ns.max_gap is not None:
-        mo.max_gap = ns.max_gap
+        mo.max_gap = _si(ns.max_gap)
     if ns.max_frag_len is not None:
-        mo.max_frag_len = ns.max_frag_len
+        mo.max_frag_len = _si(ns.max_frag_len)
     if ns.bw is not None:
-        mo.bw = ns.bw
+        mo.bw = _si(ns.bw)
     if ns.min_cnt is not None:
         mo.min_cnt = ns.min_cnt
     if ns.min_chain_score is not None:
@@ -283,14 +291,14 @@ def apply_args(ns, io: IndexOptions, mo: MapOptions) -> None:
         mo.flag |= C.MM_F_FOR_ONLY
     if ns.rev_only:
         mo.flag |= C.MM_F_REV_ONLY
-    if ns.secondary == "no":
-        mo.flag |= C.MM_F_NO_PRINT_2ND
-    if ns.frag == "yes":
+    if ns.secondary in ("no", "n"):       # yes_or_no both ways
+        mo.flag |= C.MM_F_NO_PRINT_2ND     # (main.c:95-106)
+    elif ns.secondary in ("yes", "y"):
+        mo.flag &= ~C.MM_F_NO_PRINT_2ND
+    if ns.frag in ("yes", "y"):
         mo.flag |= C.MM_F_FRAG_MODE
-    if ns.sr:
-        set_opt("sr", io, mo)
-    if ns.splice:
-        set_opt("splice", io, mo)
+    elif ns.frag in ("no", "n"):
+        mo.flag &= ~C.MM_F_FRAG_MODE
     if ns.no_long_join:
         mo.flag |= C.MM_F_NO_LJOIN
     if ns.softclip:
@@ -349,6 +357,12 @@ def _main(argv=None) -> int:
                                    max(int(d_) * int(i_), 1))
         except Exception:
             pass
+    if ns.mesh:
+        import re as _re_m
+        if not _re_m.fullmatch(r"\d+x\d+", ns.mesh.lower()):
+            print(f"[ERROR] --mesh expects DATAxINDEX (e.g. 4x2), got "
+                  f"'{ns.mesh}'", file=sys.stderr)
+            return 1
     # the reference CLI runs at mm_verbose=3 unless -v overrides (main.c:304)
     mlog.set_verbose(3 if ns.verbose is None else ns.verbose)
     io, mo = set_opt(None)
@@ -359,6 +373,13 @@ def _main(argv=None) -> int:
             # reference main.c:312: clean error + exit, no traceback
             print(f"[ERROR] unknown preset '{ns.preset}'", file=sys.stderr)
             return 1
+    # --sr / --splice are preset aliases: like -x they apply BEFORE the
+    # per-option overrides (previously they ran LAST and clobbered user
+    # scoring, e.g. `--sr -A 5` silently reset a=2)
+    if ns.sr:
+        set_opt("sr", io, mo)
+    if ns.splice:
+        set_opt("splice", io, mo)
     apply_args(ns, io, mo)
     check_opt(io, mo)
     if (mo.flag & C.MM_F_CIGAR) and (io.flag & C.MM_I_NO_SEQ):
@@ -421,13 +442,15 @@ def _main(argv=None) -> int:
     if dump_mmi_streaming:
         pass  # opened lazily at the first part, so a failed build/read
         # never truncates an existing index file
-    elif ns.dump_index:  # .mm2i dumps are single-part: look ahead first
-        parts = list(parts)
-        if len(parts) > 1:
+    elif ns.dump_index:  # .mm2i dumps are single-part: peek 2 parts,
+        import itertools       # NOT list(parts) — a 3 Gbp genome under a
+        head = list(itertools.islice(parts, 2))   # small -I would build
+        if len(head) > 1:      # and hold EVERY part before erroring
             print("[ERROR] the index dump does not support multi-part "
                   "indexes; raise -I (or dump stock format via a .mmi "
                   "extension)", file=sys.stderr)
             return 1
+        parts = iter(head)
     # one-part lookahead: the SAM header is written once, with @SQ lines
     # only when the index is single-part (reference main.c:224-231) — the
     # same part double-buffering the reference's read_task_thread keeps
@@ -477,6 +500,10 @@ def _main(argv=None) -> int:
                 if cur is None:
                     if dump_mmi_fp is not None:
                         dump_mmi_fp.close()
+                    # index-build-only runs still get the closing
+                    # Version/CMD/Real-time stderr footer (main.c prints
+                    # it on every exit path)
+                    mlog.banner("2.10-r761", argv_disp)
                     return 0
                 continue
 

@@ -430,3 +430,53 @@ def test_mappy_scoring_rejects_sc_ambi():
     with _pytest.raises(NotImplementedError):
         mp.Aligner("/root/reference/test/MT-human.fa", preset="sr",
                    scoring=(2, 4, 4, 2, 24, 1, 1))
+
+
+def test_cli_option_parity_fixes():
+    """Reference option semantics (main.c): yes_or_no works BOTH ways,
+    preset aliases apply before per-option overrides, and -g/-F/-r accept
+    mm_parse_num's k/m/g suffixes with +.499 rounding."""
+    from minimap2_chaindp_tpu.cli import build_parser, apply_args, _si
+    from minimap2_chaindp_tpu.options import set_opt
+    from minimap2_chaindp_tpu import constants as C
+    # mm_parse_num semantics (main.c:84-93)
+    assert _si("0.7g") == 700_000_000     # rounds, not truncates
+    assert _si("2k") == 2000 and _si("1m") == 1_000_000
+    assert _si("1q") == 1                 # trailing junk ignored
+    # --secondary=yes clears the sr preset's NO_PRINT_2ND (main.c:376)
+    ns = build_parser().parse_args(
+        ["-x", "sr", "--secondary", "yes", "t", "q"])
+    io, mo = set_opt("sr")
+    apply_args(ns, io, mo)
+    assert not (mo.flag & C.MM_F_NO_PRINT_2ND)
+    # --frag=no clears FRAG_MODE (main.c:374)
+    ns = build_parser().parse_args(["-x", "sr", "--frag", "no", "t", "q"])
+    io, mo = set_opt("sr")
+    apply_args(ns, io, mo)
+    assert not (mo.flag & C.MM_F_FRAG_MODE)
+    # -r with a unit suffix
+    ns = build_parser().parse_args(["-r", "2k", "t", "q"])
+    io, mo = set_opt(None)
+    apply_args(ns, io, mo)
+    assert mo.bw == 2000
+
+
+def test_cli_sr_alias_applies_before_overrides(tmp_path):
+    """`--sr -A 5` keeps the user's match score: the preset alias is a
+    BASE, like -x (previously it ran last and reset a=2)."""
+    import subprocess
+    import sys as _sys
+    out = subprocess.run(
+        [_sys.executable, "-c", """
+import sys
+sys.path.insert(0, "/root/repo")
+from minimap2_chaindp_tpu.cli import build_parser, apply_args
+from minimap2_chaindp_tpu.options import set_opt
+ns = build_parser().parse_args(["--sr", "-A", "5", "t", "q"])
+io, mo = set_opt(None)
+set_opt("sr", io, mo)
+apply_args(ns, io, mo)
+assert mo.a == 5, mo.a
+print("ok")
+"""], capture_output=True, text=True, timeout=120)
+    assert out.stdout.strip() == "ok", out.stderr[-300:]
