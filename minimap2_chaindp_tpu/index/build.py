@@ -41,7 +41,7 @@ class MinimizerIndex:
     S: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint8))  # 4-bit codes, 1/byte host-side
     # CSR tables
     keys: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
-    starts: np.ndarray = field(default_factory=lambda: np.empty(1, dtype=np.int64))
+    starts: np.ndarray = field(default_factory=lambda: np.zeros(1, dtype=np.int64))
     values: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
     # lexicographic rank of each rid among target names (for ava-mode dual/diag
     # skipping, reference index.c:560-592 rname_rid/rever_rid)
@@ -78,10 +78,18 @@ class MinimizerIndex:
         return int(np.partition(cnt, kk)[kk]) + 1
 
     def name2id(self, name: str) -> int:
-        for i, s in enumerate(self.seqs):
-            if s.name == name:
-                return i
-        return -1
+        """rid of a contig name (reference mm_idx_name2id: hash lookup).
+        The map is built lazily and invalidated when seqs grows, so every
+        call after the first is O(1) instead of a linear scan (mappy's
+        Aligner.seq calls this per fetch)."""
+        m = getattr(self, "_name2id", None)
+        if m is None or getattr(self, "_name2id_n", -1) != len(self.seqs):
+            m = {}
+            for i, s in enumerate(self.seqs):
+                m.setdefault(s.name, i)   # duplicates: first wins, like
+            object.__setattr__(self, "_name2id", m)       # the old scan
+            object.__setattr__(self, "_name2id_n", len(self.seqs))
+        return m.get(name, -1)
 
     def stat(self) -> dict:
         cnt = np.diff(self.starts)

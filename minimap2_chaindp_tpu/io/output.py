@@ -10,14 +10,67 @@ NT_UPPER = "ACGTN"
 NT_LOWER = "acgtn"
 
 
+def _mm_escape(s: str) -> str:
+    """Reference mm_escape (format.c:68-79): backslash-t becomes a tab,
+    double backslash a backslash, any other escaped char is dropped."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            if i + 1 < len(s):
+                n = s[i + 1]
+                if n == "t":
+                    out.append("\t")
+                elif n == "\\":
+                    out.append("\\")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _rg_line_and_id(rg: str | None) -> tuple[str | None, str]:
+    """Reference sam_write_rg_line (format.c:82-113): validate the -R
+    argument and return (header_line | None, rg_id). On any validation
+    error the line is OMITTED from the header (with the reference's
+    [ERROR] message) and the ID is empty."""
+    import sys
+    if not rg:
+        return None, ""
+    if not rg.startswith("@RG"):
+        print("[ERROR] the read group line is not started with @RG",
+              file=sys.stderr)
+        return None, ""
+    if "\t" in rg:
+        print("[ERROR] the read group line contained literal <tab> "
+              "characters -- replace with escaped tabs: \\t",
+              file=sys.stderr)
+        return None, ""
+    line = _mm_escape(rg)
+    i = line.find("\tID:")
+    if i < 0:
+        print("[ERROR] no ID within the read group line", file=sys.stderr)
+        return None, ""
+    j = i + 4
+    k = j
+    while k < len(line) and line[k] not in "\t\n":
+        k += 1
+    if k - j + 1 > 256:
+        print("[ERROR] @RG:ID is longer than 255 characters",
+              file=sys.stderr)
+        return None, ""
+    return line, line[j:k]
+
+
 def write_sam_hdr(mi, rg: str | None, ver: str, cmdline: str | None) -> str:
     """mi=None omits the @SQ lines (multi-part index, reference main.c:228)."""
     lines = []
     for s in (mi.seqs if mi is not None else []):
         lines.append(f"@SQ\tSN:{s.name}\tLN:{s.length}")
-    rg_id = ""
-    if rg:
-        rg_line = rg.replace("\\t", "\t")
+    rg_line, _ = _rg_line_and_id(rg)
+    if rg_line is not None:
         lines.append(rg_line)
     pg = f"@PG\tID:minimap2\tPN:minimap2\tVN:{ver}"
     if cmdline:
@@ -27,17 +80,7 @@ def write_sam_hdr(mi, rg: str | None, ver: str, cmdline: str | None) -> str:
 
 
 def parse_rg_id(rg: str | None) -> str:
-    if not rg:
-        return ""
-    rg_line = rg.replace("\\t", "\t")
-    i = rg_line.find("\tID:")
-    if i < 0:
-        return ""
-    j = i + 4
-    k = j
-    while k < len(rg_line) and rg_line[k] not in "\t\n":
-        k += 1
-    return rg_line[j:k]
+    return _rg_line_and_id(rg)[1]
 
 
 def _cigar_str(cigar: list[int]) -> str:
@@ -135,6 +178,12 @@ def _write_md(mi, seq: str, r: Region) -> str:
         elif op == 2:
             out.append(f"{l_md}^" + "".join(NT_UPPER[tseq[t_off + j]] for j in range(length)))
             l_md = 0
+            t_off += length
+        elif op == 3:
+            # intron: MD has no N concept — skip the reference span
+            # WITHOUT emitting (the reference cannot reach here: its
+            # write_MD asserts op <= 2, format.c:190; a stale t_off
+            # would otherwise corrupt every later MD run)
             t_off += length
     if l_md > 0:
         out.append(str(l_md))

@@ -1695,6 +1695,11 @@ static void emit_md(TextOut& o, const EmitCtx& e, const NatReg& r) {
             for (int64_t j = 0; j < len; ++j) o.ch(NT_UPPER[t[to + j]]);
             l_md = 0;
             to += len;
+        } else if (op == 3) {
+            // intron: MD has no N concept — advance past the reference
+            // span without emitting (a stale `to` corrupted every later
+            // MD run on spliced alignments; io/output.py:_write_md same)
+            to += len;
         }
     }
     if (l_md > 0) o.num(l_md);

@@ -92,3 +92,41 @@ def test_many_output_lines_native_retry(tmp_path):
     recs = [l for l in out.stdout.splitlines() if not l.startswith("@")]
     assert len(recs) > 258          # past the old fixed line_off capacity
     assert "fast_native=1" in out.stderr   # rode the native text path
+
+
+def test_md_tag_on_spliced_alignment():
+    """MD must advance its reference offset over N ops: a stale offset
+    made every MD run after the first intron compare against intron
+    bases (dense phantom mismatches). The reference cannot emit MD for
+    splice at all (format.c:190 asserts op<=2); emitting the correct tag
+    is the useful superset. Native and python writers must agree, and
+    the match/mismatch/deletion spans must sum to the CIGAR's M total."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    def run(env_extra):
+        env = dict(os.environ, **env_extra)
+        out = subprocess.run(
+            [_sys.executable, "-m", "minimap2_chaindp_tpu.cli", "-ax",
+             "splice", "-a", "--MD", "--device", "host",
+             "tests/data/splice_genome.fa", "tests/data/splice_cdna.fa"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=env)
+        assert out.returncode == 0, out.stderr[-300:]
+        return [l for l in out.stdout.splitlines() if not l.startswith("@")]
+
+    nat = run({})
+    py = run({"MM2TPU_NATIVE_SKELETON": "0"})
+    assert nat == py
+    for line in nat:
+        f = line.split("\t")
+        cig = f[5]
+        md = next(x[5:] for x in f[11:] if x.startswith("MD:Z:"))
+        m_total = sum(int(n) for n, op in
+                      re.findall(r"(\d+)([MIDNSH])", cig) if op == "M")
+        md_total = sum(int(n) for n in re.findall(r"\d+", md)) \
+            + len(re.findall(r"(?<!\^)[A-Z]", md.replace("^", "^ "))) \
+            - sum(len(d) for d in re.findall(r"\^([A-Z]+)", md))
+        # runs + substituted bases cover exactly the M columns
+        assert md_total == m_total, (cig, md)
