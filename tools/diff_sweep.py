@@ -141,14 +141,23 @@ def run_case(label, args, ref_bin=REF_BIN, device="host", extra=()):
         [sys.executable, "-m", "minimap2_chaindp_tpu.cli", "--device",
          device, *extra, *args], capture_output=True, text=True, cwd=ROOT,
         env=env)
-    ref = subprocess.run([ref_bin, "-t", "12", *args],
-                         capture_output=True, text=True)
+    # watchdogged oracle run: the fork's result-thread race wedges the
+    # binary intermittently on 1 core — a hang must become a labeled
+    # datum, not a silently blocked sweep (VERDICT r3 #7)
+    from tools.refbin import run_ref
+    ref = run_ref([ref_bin, "-t", "12", *args], timeout_s=180.0, retries=2,
+                  text=True)
+    if ref.proc is None:
+        print(f"HANG [{label}] (oracle wedged {ref.hangs}x; no verdict)")
+        return None
     strip = lambda t: [l for l in t.split("\n") if not l.startswith("@PG")]
     ok = ours.returncode == 0 and ref.returncode == 0 \
         and strip(ours.stdout) == strip(ref.stdout)
     n_rec = sum(1 for l in ours.stdout.split("\n")
                 if l and not l.startswith("@"))
-    print(f"{'OK  ' if ok else 'DIFF'} [{label}] ({n_rec} records)")
+    tag = "OK  " if ok else "DIFF"
+    note = f", oracle retried after {ref.hangs} hang(s)" if ref.hangs else ""
+    print(f"{tag} [{label}] ({n_rec} records{note})")
     return ok
 
 
@@ -215,8 +224,12 @@ def main():
     if ns.tpu:
         cases.append(("map-ont SAM (TPU device runtime)",
                       ["-a", REF_FA, f"{d}/ont.fa"], REF_BIN, "tpu"))
-    fails = sum(not run_case(*c) for c in cases)
-    print(f"{len(cases) - fails}/{len(cases)} cases byte-identical")
+    got = [run_case(*c) for c in cases]
+    fails = sum(g is False for g in got)
+    hangs = sum(g is None for g in got)
+    note = f" ({hangs} no-verdict: oracle wedged)" if hangs else ""
+    print(f"{len(cases) - fails - hangs}/{len(cases)} cases "
+          f"byte-identical{note}")
     return 1 if fails else 0
 
 

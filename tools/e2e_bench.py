@@ -93,7 +93,7 @@ def main():
     ap.add_argument("--reads", type=int, default=400)
     ap.add_argument("--len", dest="read_len", type=int, default=1000)
     ap.add_argument("--device", default="host",
-                    choices=["host", "tpu", "pair"])
+                    choices=["host", "tpu", "pair", "refpair"])
     ap.add_argument("--ref", action="store_true", help="reference binary only")
     ap.add_argument("--both", action="store_true")
     ap.add_argument("--profile", action="store_true")
@@ -110,9 +110,9 @@ def main():
                     help="map against this prebuilt index (.mm2i) instead "
                          "of re-building from --ref-fa every run")
     args = ap.parse_args()
-    if args.device == "pair" and not args.steady:
-        ap.error("--device pair requires --steady N (paired runs are an "
-                 "in-process steady-state mode)")
+    if args.device in ("pair", "refpair") and not args.steady:
+        ap.error(f"--device {args.device} requires --steady N (paired runs "
+                 "are an in-process steady-state mode)")
 
     from minimap2_chaindp_tpu.io.fastx import read_fastx
     refs = list(read_fastx(args.ref_fa))
@@ -132,15 +132,30 @@ def main():
     write_reads(qpath, reads)
     REF_FA = args.index or args.ref_fa
 
+    from tools.refbin import run_ref
+
+    def ref_once(timeout_s=240.0):
+        """One watchdogged reference-binary run: (wall_s | None, hangs).
+        The fork's result-thread race wedges it intermittently on this
+        1-core host, so a hang becomes a labeled datum, never a stall."""
+        r = run_ref([REF_BIN, "-ax", "map-ont", "-t", "4", REF_FA, qpath],
+                    timeout_s=timeout_s, retries=2,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return (r.dt if r.ok else None), r.hangs
+
     if args.ref or args.both:
         # warm once, then time
+        hangs, dt = 0, None
         for it in range(2):
-            t0 = time.perf_counter()
-            subprocess.run([REF_BIN, "-ax", "map-ont", "-t", "4", REF_FA, qpath],
-                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                           check=True)
-            dt = time.perf_counter() - t0
-        print(f"reference: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)")
+            dt, h = ref_once()
+            hangs += h
+            if dt is None:
+                break
+        if dt is not None:
+            print(f"reference: {args.reads / dt:8.1f} reads/s  ({dt:.2f}s)"
+                  f"  ref_hangs: {hangs}")
+        else:
+            print(f"reference: WEDGED  ref_hangs: {hangs}")
         if not args.both:
             return
 
@@ -164,6 +179,51 @@ def main():
                 return time.perf_counter() - t0
         finally:
             sys.stdout = old
+
+    if args.steady and args.device == "refpair":
+        # PAIRED steady-state framework-host vs REFERENCE BINARY, runs
+        # interleaved so the 1-core host's ~20% scheduler bursts hit both
+        # lanes under near-identical machine state (same rationale as
+        # `pair`). The framework lane runs in-process (startup excluded,
+        # run 0 = warmup); the binary lane is a subprocess, so its exec +
+        # index-build cost stays in its time — the same deal its own users
+        # get — and it runs under the hang watchdog (the fork's
+        # result-thread race wedges intermittently on 1 core). Emits
+        # runN[host]/runN[ref], steady[...], refpair_ratio_median (ref
+        # time / host time; >1 means the framework is faster) and
+        # ref_hangs.
+        best = {"host": None, "ref": None}
+        ratios = []
+        hangs = 0
+        for it in range(args.steady + 1):
+            order = ("host", "ref") if it % 2 == 0 else ("ref", "host")
+            pair = {}
+            for dev in order:
+                if dev == "host":
+                    dt = timed_cli_run("host")
+                else:
+                    dt, h = ref_once()
+                    hangs += h
+                if dt is None:
+                    print(f"run{it}[ref]: WEDGED", file=sys.stderr)
+                    continue
+                if it > 0:
+                    b = best[dev]
+                    best[dev] = dt if b is None else min(b, dt)
+                    pair[dev] = dt
+                print(f"run{it}[{dev}]: {args.reads / dt:8.1f} reads/s"
+                      f"  ({dt:.2f}s)", file=sys.stderr)
+            if len(pair) == 2:
+                ratios.append(pair["ref"] / pair["host"])
+        for dev in ("host", "ref"):
+            if best[dev] is not None:
+                print(f"steady[{dev}]: {args.reads / best[dev]:8.1f} reads/s"
+                      f"  ({best[dev]:.2f}s)")
+        if ratios:
+            ratios.sort()
+            print(f"refpair_ratio_median: {ratios[len(ratios) // 2]:.3f}")
+        print(f"ref_hangs: {hangs}")
+        return
 
     if args.steady and args.device == "pair":
         # PAIRED steady-state timing: host and tpu runs INTERLEAVED
