@@ -186,6 +186,104 @@ def _e2e_fields():
     return fields
 
 
+def _e2e_1kb_fields():
+    """Short-read regime row (VERDICT r3 #2): paired framework-host vs the
+    REFERENCE BINARY at 1 kb reads, interleaved run-by-run in one
+    e2e_bench process so the 1-core host's scheduler bursts hit both lanes
+    alike. ratio > 1 means the framework is faster; ref_hangs counts
+    watchdogged oracle wedges (the fork's result-thread race)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    fields = {}
+    try:
+        out = subprocess.run(
+            [sys.executable, bench, "--reads", "2000", "--len", "1000",
+             "--device", "refpair", "--steady", "4"],
+            capture_output=True, text=True, timeout=900, cwd=root)
+        for line in out.stdout.splitlines():
+            if "steady[host]:" in line:
+                fields["e2e_1kb_reads_per_s_host"] = float(
+                    line.split("steady[host]:")[1].split()[0])
+            elif "steady[ref]:" in line:
+                fields["e2e_1kb_reads_per_s_reference_binary"] = float(
+                    line.split("steady[ref]:")[1].split()[0])
+            elif "refpair_ratio_median:" in line:
+                fields["e2e_1kb_host_vs_ref_paired_ratio"] = float(
+                    line.split(":")[1])
+            elif "ref_hangs:" in line:
+                fields["e2e_1kb_ref_hangs"] = int(line.split(":")[1])
+    except Exception:
+        pass
+    for tag in ("e2e_1kb_reads_per_s_host",
+                "e2e_1kb_reads_per_s_reference_binary",
+                "e2e_1kb_host_vs_ref_paired_ratio"):
+        fields.setdefault(tag, None)
+    return fields
+
+
+def _e2e_engaged_fields():
+    """Engaged-regime capture (VERDICT r3 #1): a paired host/tpu session
+    LONG enough per run to clear the flow's 15 s min-run ripeness gate
+    (models/runtime.py), so the device lane can actually engage, with the
+    run's flow telemetry recorded. Self-describing either way: in a
+    healthy-link hour the JSON shows device_reads > 0 and the paired
+    ratio; in a dead-link hour it shows the lane off/retired plus the
+    probed link_mbps — below the documented ~25-35 MB/s break-even
+    (PERF.md link-physics section) the controller's contract is to not
+    lose, not to win."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    n_reads = int(os.environ.get("MM2TPU_BENCH_ENGAGED_READS", "12000"))
+    fields = {"e2e_engaged_reads": n_reads}
+    try:
+        out = subprocess.run(
+            [sys.executable, bench, "--reads", str(n_reads),
+             "--len", "10000", "--device", "pair", "--steady", "2"],
+            capture_output=True, text=True, timeout=1800, cwd=root)
+        for line in out.stdout.splitlines():
+            if "steady[host]:" in line:
+                fields["e2e_engaged_reads_per_s_host"] = float(
+                    line.split("steady[host]:")[1].split()[0])
+            elif "steady[tpu]:" in line:
+                fields["e2e_engaged_reads_per_s_tpu"] = float(
+                    line.split("steady[tpu]:")[1].split()[0])
+            elif "paired_ratio_median:" in line:
+                fields["e2e_engaged_paired_ratio"] = float(
+                    line.split(":")[1])
+        flow = {"device_reads": 0, "ext_lane_reads": 0, "retired": 0,
+                "retired_persisted": 0, "stall_fallback": 0}
+        for line in out.stderr.splitlines():
+            if line.startswith("flow") and "[tpu]:" in line:
+                for tok in line.split()[1:]:
+                    k, v = tok.split("=")
+                    if k in ("retired", "retired_persisted",
+                             "stall_fallback"):
+                        flow[k] += int(v)
+                    elif k in flow:
+                        flow[k] = max(flow[k], int(v))
+            elif line.startswith("[calibrate]"):
+                for tok in line.split():
+                    if tok.startswith("d2h="):
+                        fields["e2e_engaged_link_mbps"] = float(
+                            tok[4:].replace("MB/s", ""))
+                    elif tok.startswith("device_flow="):
+                        fields["e2e_engaged_link_flow"] = tok.split("=")[1]
+                    elif tok.startswith("flow_share="):
+                        fields["e2e_engaged_flow_share"] = float(
+                            tok.split("=")[1])
+        fields["e2e_engaged_device_reads_best_run"] = flow["device_reads"]
+        fields["e2e_engaged_ext_lane_reads_best_run"] = flow["ext_lane_reads"]
+        fields["e2e_engaged_retirements"] = (flow["retired"]
+                                             + flow["retired_persisted"])
+        fields["e2e_engaged_stall_fallbacks"] = flow["stall_fallback"]
+    except Exception:
+        pass
+    for tag in ("e2e_engaged_reads_per_s_host", "e2e_engaged_reads_per_s_tpu",
+                "e2e_engaged_paired_ratio"):
+        fields.setdefault(tag, None)
+    return fields
+
+
 def main():
     """Driver entry: run the device measurement in a child process with a
     timeout (the tunnel-attached TPU can stall indefinitely), retry, and
@@ -216,6 +314,9 @@ def main():
                "device": "unreachable"}
     if os.environ.get("MM2TPU_BENCH_E2E", "1") == "1":
         rec.update(_e2e_fields())
+        rec.update(_e2e_1kb_fields())
+    if os.environ.get("MM2TPU_BENCH_ENGAGED", "1") == "1":
+        rec.update(_e2e_engaged_fields())
     print(json.dumps(rec))
 
 

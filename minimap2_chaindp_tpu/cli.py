@@ -13,6 +13,10 @@ import sys
 
 from . import constants as C
 from .options import IndexOptions, MapOptions, set_opt, check_opt
+
+# flow telemetry of the most recent _main() mapping run (see bottom of
+# _main): counters dict, for in-process bench drivers
+LAST_RUN_COUNTERS: dict = {}
 from .io.fastx import read_fastx, read_frags
 from .io.output import write_sam_hdr, parse_rg_id
 from .index.build import build_index
@@ -632,6 +636,10 @@ def _main(argv=None) -> int:
                   f"{share_s}",
                   file=_sys.stderr)
         runtime.timers.report()
+        # in-process drivers (tools/e2e_bench.py) read the last run's flow
+        # telemetry here — counters survive after the runtime is dropped
+        global LAST_RUN_COUNTERS
+        LAST_RUN_COUNTERS = dict(runtime.timers.counters)
     if dump_mmi_fp is not None:
         dump_mmi_fp.close()
     mlog.banner("2.10-r761", argv_disp)

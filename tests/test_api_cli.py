@@ -39,6 +39,33 @@ def test_index_roundtrip(tmp_path):
     assert str(h1) == str(h2)
 
 
+def test_index_mmap_load(tmp_path):
+    """The default mmap'd .mm2i load (index/serialize.py load_index,
+    VERDICT r3 #5) is array-identical to the eager load, maps identically
+    through mappy, and fails loud on truncation in both modes."""
+    import numpy as np
+
+    import minimap2_chaindp_tpu.mappy as mp
+    from minimap2_chaindp_tpu.index.serialize import load_index
+    idx = str(tmp_path / "mt.mm2i")
+    mp.Aligner(os.path.join(REF_TEST_DIR, "MT-human.fa"), fn_idx_out=idx)
+    mm, eager = load_index(idx, mmap=True), load_index(idx, mmap=False)
+    assert isinstance(mm.keys, np.memmap)
+    for tbl in ("S", "keys", "starts", "values"):
+        assert np.array_equal(getattr(mm, tbl), getattr(eager, tbl)), tbl
+    q = next(mp.fastx_read(os.path.join(REF_TEST_DIR, "MT-orang.fa")))
+    h = next(mp.Aligner(idx).map(q[1], name="MT_orang"))  # mmap default
+    assert h.mapq == 60
+    trunc = str(tmp_path / "trunc.mm2i")
+    with open(idx, "rb") as f:
+        raw = f.read()
+    with open(trunc, "wb") as f:
+        f.write(raw[:-64])
+    for mode in (True, False):
+        with pytest.raises(ValueError, match="truncated"):
+            load_index(trunc, mmap=mode)
+
+
 def test_cli_sam_golden():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(

@@ -246,6 +246,22 @@ def main():
                     pair[dev] = dt
                 print(f"run{it}[{dev}]: {args.reads / dt:8.1f} reads/s"
                       f"  ({dt:.2f}s)", file=sys.stderr)
+                if dev == "tpu":
+                    # flow telemetry for THIS run (bench.py's engaged-
+                    # regime fields parse it): device_reads>0 == the
+                    # device lane actually carried reads
+                    from minimap2_chaindp_tpu import cli as _cli
+                    c = _cli.LAST_RUN_COUNTERS
+                    print(f"flow{it}[tpu]: "
+                          f"device_reads={c.get('device_reads', 0)} "
+                          f"ext_lane_reads={c.get('ext_lane_reads', 0)} "
+                          f"retired={c.get('flow_lane_retired', 0)} "
+                          f"retired_persisted="
+                          f"{c.get('flow_lane_retired_persisted', 0)} "
+                          f"client_init="
+                          f"{c.get('flow_client_init_async', 0)} "
+                          f"stall_fallback={c.get('stall_fallback', 0)}",
+                          file=sys.stderr)
                 if it == 0 and dev == "tpu":
                     await_link_verdict()
             if len(pair) == 2:

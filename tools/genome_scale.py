@@ -196,6 +196,27 @@ def main():
     if not os.path.exists(mmi_h):
         run_cli(["-H", "-d", mmi_h, ref])
 
+    # ---- load-time split (VERDICT r3 #5): mmap'd load returns in
+    # milliseconds at any scale; the one-off page-fault walk of every
+    # table rides at disk/page-cache speed; the eager load is what every
+    # mapping run used to pay up front
+    from minimap2_chaindp_tpu.index.serialize import load_index
+    t0 = time.perf_counter()
+    mi2 = load_index(mmi, mmap=True)
+    t_mm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sink = int(mi2.keys.sum() + mi2.values.sum() + mi2.starts.sum()
+               + int(mi2.S.sum()))
+    t_touch = time.perf_counter() - t0
+    del mi2, sink
+    t0 = time.perf_counter()
+    mi2 = load_index(mmi, mmap=False)
+    t_eager = time.perf_counter() - t0
+    del mi2
+    print(f"[load] mmap {t_mm * 1e3:.1f} ms + full first-touch walk "
+          f"{t_touch:.1f}s; eager load {t_eager:.1f}s "
+          f"({os.path.getsize(mmi) / 1e6:.0f} MB)")
+
     # ---- mapping: fast-path on vs off identity + reads/s
     for label, preset, q in (("map-ont", "map-ont", ont),
                              ("map-pb", "map-pb", pb)):
