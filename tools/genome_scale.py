@@ -146,6 +146,9 @@ def main():
                          "the prebuilt index and gate on construction "
                          "truth (proper-pair rate, position, TLEN)")
     ap.add_argument("--skip-mapeval", action="store_true")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="skip the in-process build timing/stats pass "
+                         "(reuse a prebuilt .mm2i from a prior run)")
     ap.add_argument("--dir", default="/tmp/genome_scale")
     ns = ap.parse_args()
 
@@ -158,23 +161,24 @@ def main():
               f"synthesized in {dt:.1f}s")
 
     # ---- index build: time + peak memory (in-process)
-    from minimap2_chaindp_tpu.io.fastx import read_fastx
-    from minimap2_chaindp_tpu.index.build import build_index
-    recs = list(read_fastx(ref))
-    t0 = time.perf_counter()
-    mi = build_index([r.name for r in recs], [r.seq for r in recs],
-                     10, 15, 0, 14)
-    t_idx = time.perf_counter() - t0
-    n_keys = len(mi.keys)
-    n_vals = len(mi.values)
-    print(f"[index] build {t_idx:.1f}s  ({ns.mb / t_idx:.1f} Mb/s, "
-          f"{n_keys / 1e6:.1f}M keys, {n_vals / 1e6:.1f}M positions, "
-          f"peak RSS {peak_rss_mb():.0f} MB)")
-    occ = np.diff(mi.starts)
-    print(f"[index] occurrence dist: mean {occ.mean():.2f}  "
-          f"p50 {int(np.percentile(occ, 50))}  "
-          f"p99 {int(np.percentile(occ, 99))}  max {int(occ.max())}")
-    del mi, recs
+    if not ns.skip_build:
+        from minimap2_chaindp_tpu.io.fastx import read_fastx
+        from minimap2_chaindp_tpu.index.build import build_index
+        recs = list(read_fastx(ref))
+        t0 = time.perf_counter()
+        mi = build_index([r.name for r in recs], [r.seq for r in recs],
+                         10, 15, 0, 14)
+        t_idx = time.perf_counter() - t0
+        n_keys = len(mi.keys)
+        n_vals = len(mi.values)
+        print(f"[index] build {t_idx:.1f}s  ({ns.mb / t_idx:.1f} Mb/s, "
+              f"{n_keys / 1e6:.1f}M keys, {n_vals / 1e6:.1f}M positions, "
+              f"peak RSS {peak_rss_mb():.0f} MB)")
+        occ = np.diff(mi.starts)
+        print(f"[index] occurrence dist: mean {occ.mean():.2f}  "
+              f"p50 {int(np.percentile(occ, 50))}  "
+              f"p99 {int(np.percentile(occ, 99))}  max {int(occ.max())}")
+        del mi, recs
 
     # ---- reads
     ont = os.path.join(ns.dir, f"ont{ns.mb}.fa")
@@ -344,10 +348,13 @@ def main():
         if not os.path.exists(mq):
             simulate(ref, mq, ns.mesh_reads, 1000, 0.10, seed=9)
         env = {"JAX_PLATFORMS": "cpu"}
+        # map from the prebuilt .mm2i (mmap'd load): the mesh proof is
+        # about the sharded tables, not about re-paying the index build
+        # in both processes
         t0 = time.perf_counter()
         dt_m, out_m = run_cli(["-ax", "map-ont", "--device", "tpu",
-                               "--mesh", ns.mesh, ref, mq], env)
-        _, out_h = run_cli(["-ax", "map-ont", "--device", "host", ref, mq])
+                               "--mesh", ns.mesh, mmi, mq], env)
+        _, out_h = run_cli(["-ax", "map-ont", "--device", "host", mmi, mq])
         ident = "BYTE-IDENTICAL" if out_m == out_h else "MISMATCH"
         print(f"[mesh {ns.mesh}] {ns.mesh_reads} reads over the sharded "
               f"{ns.mb} Mb index: {ident} ({dt_m:.1f}s on the virtual "
