@@ -37,10 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0x40000000
 LANES = 128
 # anchors processed per inner fori_loop iteration (must divide LANES):
-# amortizes the carried-block VMEM round trip, the dominant kernel cost
-# (see the unroll comment in _chain_kernel). Output-invariant.
+# amortizes the carried-block VMEM round trip AND the per-group field-
+# register rotation (r4: registers rotate by UNROLL once per group with
+# static in-group column reads, instead of by 1 per anchor — that change
+# moved the measured unroll saturation point from 8 to 16/32 and the
+# captured rate 73.6M -> 77.0M anchors/s). Output-invariant.
 import os as _os
-UNROLL = int(_os.environ.get("MM2TPU_CHAIN_UNROLL", "4"))
+UNROLL = int(_os.environ.get("MM2TPU_CHAIN_UNROLL", "16"))
 assert LANES % UNROLL == 0
 def pick_subl(max_n: int, n_blocks: int = 6) -> int:
     """Reads per grid program: as large as VMEM comfortably allows (more
@@ -268,17 +271,19 @@ def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
         mb = span_ref[:, isl]
         sib = None if single_seg else sid_ref[:, isl]
 
-        def inner(off, carry):
+        def inner(off, k, carry):
             # per-anchor fields come from carried registers rotated by a
-            # CONSTANT 1 each iteration (cheaper than a dynamic roll by
-            # LANES-off): column `off` of the original block sits at lane 0
+            # CONSTANT UNROLL once per unroll GROUP (cheaper than a dynamic
+            # roll by LANES-off, and UNROLL× cheaper than the r3 design's
+            # rotate-by-1 per anchor): within the group, anchor k's column
+            # sits at static lane k
             fb, pb, xr, rr, qr, mr, sr, flags = carry
             i = base_i + off
-            xi = xr[:, 0:1]
-            ri = rr[:, 0:1]
-            qi = qr[:, 0:1]
-            qs = mr[:, 0:1]
-            si = None if single_seg else sr[:, 0:1]
+            xi = xr[:, k:k + 1]
+            ri = rr[:, k:k + 1]
+            qi = qr[:, k:k + 1]
+            qs = mr[:, k:k + 1]
+            si = None if single_seg else sr[:, k:k + 1]
             act_read = (i < n_vec)
 
             # host-precomputed older-window-chunk count (from the sliding
@@ -343,9 +348,7 @@ def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
             fb = jnp.where(lane == off, f_new, fb)
             pb = jnp.where(lane == off, p_new, pb)
             skip_bad = have & skip_fl & act_read
-            rot1 = lambda t: pltpu.roll(t, LANES - 1, 1)
-            return (fb, pb, rot1(xr), rot1(rr), rot1(qr), rot1(mr),
-                    sr if single_seg else rot1(sr),
+            return (fb, pb, xr, rr, qr, mr, sr,
                     flags | jnp.where(skip_bad, 1, 0))
 
         fb0 = jnp.zeros((SUBL, LANES), jnp.int32)
@@ -360,8 +363,11 @@ def _chain_kernel(nold_ref, xst_ref, rpos_ref, qpos_ref, span_ref, sid_ref,
         # cost by UNROLL while leaving per-anchor math unchanged.
         def inner_u(u, carry):
             for k in range(UNROLL):
-                carry = inner(u * UNROLL + k, carry)
-            return carry
+                carry = inner(u * UNROLL + k, k, carry)
+            fb, pb, xr, rr, qr, mr, sr, flags = carry
+            rotu = lambda t: pltpu.roll(t, LANES - UNROLL, 1)
+            return (fb, pb, rotu(xr), rotu(rr), rotu(qr), rotu(mr),
+                    sr if single_seg else rotu(sr), flags)
 
         fb, pb, *_, flags = jax.lax.fori_loop(
             0, LANES // UNROLL, inner_u,
