@@ -90,8 +90,13 @@ def main():
     refs = [(r.name, r.seq) for r in read_fastx(ref_fa)]
     rng = np.random.default_rng(ns.seed)
 
+    # the two short classes are the discriminative ones: a 300 bp read is
+    # SINE-family-length (the genome is ~5% SINE copies), so a real
+    # fraction of them is genuinely multi-mapping and the mapq curve must
+    # separate them — a flat all-Q60 curve would mean miscalibration
     classes = [("ont10k", 10000, 0.10), ("mid5k", 5000, 0.12),
-               ("hard1k", 1000, 0.15)]
+               ("hard1k", 1000, 0.15), ("short500", 500, 0.10),
+               ("sine300", 300, 0.05)]
     pooled_rows = []
     print(f"[study] {ns.mb} Mb genome, {ns.n} reads/class, seed {ns.seed}")
     for label, rl, err in classes:
