@@ -39,6 +39,8 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <mutex>
+#include <queue>
 #include <utility>
 
 namespace {
@@ -276,3 +278,87 @@ extern "C" int64_t mm2tpu_build_csr(
     starts[nk] = N;
     return nk;
 }
+
+// ---- streaming CSR build (r4, VERDICT r3 weak #5): the one-call
+// mm2tpu_build_csr holds every minimizer pair TWICE (caller chunks + the
+// sort buffer) and over-allocates ukey/starts at N — at 3 Gbp that is
+// ~18 GB of the measured 31 GB build peak.  This accumulator copies each
+// per-contig chunk in as it is sketched (the caller frees its array
+// immediately), sorts blocks on arrival, and k-way merges straight into
+// the caller's value array while recording unique keys/starts in
+// exact-size native temps.  Peak holds each pair ~once plus the outputs.
+// Same (key, val) total order as the one-call path — values are unique
+// genome-wide, so block merge == full sort, bit for bit.
+
+struct CsrAcc {
+    std::vector<std::vector<std::pair<uint64_t, uint64_t>>> blocks;
+    std::vector<uint64_t> ukey;    // filled by merge
+    std::vector<int64_t> starts;
+    int64_t n = 0;
+    std::mutex mu;                 // csr_add from -t sketch workers
+};
+
+extern "C" void* mm2tpu_csr_begin() { return new CsrAcc(); }
+
+extern "C" void mm2tpu_csr_add(void* h, const uint64_t* mv, int64_t n)
+{
+    if (n <= 0) return;
+    auto* a = (CsrAcc*)h;
+    std::vector<std::pair<uint64_t, uint64_t>> b;
+    b.reserve(n);
+    for (int64_t i = 0; i < n; ++i)
+        b.emplace_back(mv[2 * i] >> 8, mv[2 * i + 1]);
+    std::sort(b.begin(), b.end());
+    std::lock_guard<std::mutex> g(a->mu);
+    a->n += n;
+    a->blocks.push_back(std::move(b));
+}
+
+extern "C" int64_t mm2tpu_csr_total(void* h) { return ((CsrAcc*)h)->n; }
+
+// Merge every block into val[] (capacity = total), recording unique keys
+// and run starts internally.  Frees the blocks.  Returns nk (unique keys).
+extern "C" int64_t mm2tpu_csr_merge(void* h, uint64_t* val)
+{
+    auto* a = (CsrAcc*)h;
+    using Ent = std::pair<std::pair<uint64_t, uint64_t>, size_t>;
+    std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+    std::vector<size_t> pos(a->blocks.size(), 0);
+    for (size_t bi = 0; bi < a->blocks.size(); ++bi)
+        if (!a->blocks[bi].empty())
+            heap.push({a->blocks[bi][0], bi});
+    int64_t i = 0;
+    uint64_t prev_key = 0;
+    while (!heap.empty()) {
+        auto [kv, bi] = heap.top();
+        heap.pop();
+        val[i] = kv.second;
+        if (i == 0 || kv.first != prev_key) {
+            a->ukey.push_back(kv.first);
+            a->starts.push_back(i);
+            prev_key = kv.first;
+        }
+        ++i;
+        if (++pos[bi] < a->blocks[bi].size()) {
+            heap.push({a->blocks[bi][pos[bi]], bi});
+        } else {
+            // free exhausted blocks eagerly
+            a->blocks[bi].clear();
+            a->blocks[bi].shrink_to_fit();
+        }
+    }
+    a->blocks.clear();
+    a->blocks.shrink_to_fit();
+    a->starts.push_back(i);
+    return (int64_t)a->ukey.size();
+}
+
+extern "C" void mm2tpu_csr_finish(void* h, uint64_t* ukey, int64_t* starts)
+{
+    auto* a = (CsrAcc*)h;
+    std::memcpy(ukey, a->ukey.data(), a->ukey.size() * 8);
+    std::memcpy(starts, a->starts.data(), a->starts.size() * 8);
+    delete a;
+}
+
+extern "C" void mm2tpu_csr_abort(void* h) { delete (CsrAcc*)h; }
