@@ -263,7 +263,38 @@ def main():
                           f"stall_fallback={c.get('stall_fallback', 0)}",
                           file=sys.stderr)
                 if it == 0 and dev == "tpu":
-                    await_link_verdict()
+                    mbps = await_link_verdict()
+                    if mbps and mbps >= float(os.environ.get(
+                            "MM2TPU_FLOW_MIN_MBPS", "4")):
+                        # ENGAGED-regime steady-state warmup: pay the
+                        # process's one-time backend init + first-touch
+                        # D2H stall (10 s-4 min) HERE in the warmup
+                        # iteration — same treatment index build and XLA
+                        # compiles already get — so later runs' deferred
+                        # client init completes in milliseconds and the
+                        # device lane can actually engage once ripe.
+                        # Guarded: a stall marks the device bad and the
+                        # timed runs self-describe as host-delegated.
+                        from minimap2_chaindp_tpu.utils.device_guard \
+                            import device_call
+
+                        def _warm():
+                            import jax
+                            if jax.devices()[0].platform != "cpu":
+                                import jax.numpy as jnp
+                                np.asarray(jax.block_until_ready(
+                                    jnp.arange(1 << 14, dtype=jnp.int32)))
+                            return True
+                        t0w = time.perf_counter()
+                        try:
+                            device_call(_warm, 300.0)
+                            print(f"[e2e_bench] backend warmed in "
+                                  f"{time.perf_counter() - t0w:.0f}s",
+                                  file=sys.stderr)
+                        except Exception as e:
+                            print(f"[e2e_bench] backend warmup failed "
+                                  f"({time.perf_counter() - t0w:.0f}s): "
+                                  f"{type(e).__name__}", file=sys.stderr)
             if len(pair) == 2:
                 # ADJACENT-run ratio: the two runs sit ~1 s apart and share
                 # machine state, unlike best-of-N which compares whichever
