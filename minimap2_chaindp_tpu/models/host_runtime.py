@@ -66,8 +66,8 @@ class HostRuntime:
         from .pipeline import (finish_unit_gen, format_frag, host_chain,
                                prepare_frag, seed_unit)
 
-        from ..native import (map_frag_pe_native, map_unit_ok,
-                              map_unit_text_native)
+        from ..native import (map_batch_text_native, map_frag_pe_native,
+                              map_unit_ok, map_unit_text_native)
         fast_ok = map_unit_ok(opt, mi)
 
         def _fast_one(frag):
@@ -78,15 +78,44 @@ class HostRuntime:
             return map_frag_pe_native(mi, opt, frag.segs, rg_id)
 
         pre_fast: list = [None] * len(frags)
-        if fast_ok and self._pool is not None:
-            # kt_for over fragments: fan the native calls across the -t
-            # worker pool; list(map(...)) preserves input order
+        pre_done = [False] * len(frags)
+        if fast_ok:
+            # single-segment fragments run the BATCHED native loop (the
+            # whole per-read loop in C — at 150 bp sr the per-read Python
+            # wrapper cost ~39 of 57 us/read); chunked across the -t pool
+            # (kt_for over fragment ranges, GIL released per chunk call)
+            se = [i for i, f in enumerate(frags) if len(f.segs) == 1]
             with self.timers.time("seed"):
-                eligible = [f for f in frags if len(f.segs) <= 2]
-                got = list(self._pool.map(_fast_one, eligible))
-                it = iter(got)
-                pre_fast = [next(it) if len(f.segs) <= 2 else None
-                            for f in frags]
+                def _se_batch(idxs):
+                    return map_batch_text_native(
+                        mi, opt, [frags[i].segs[0] for i in idxs], rg_id)
+                if se:
+                    if self._pool is not None and len(se) > 2 * self.n_threads:
+                        W = self.n_threads
+                        cuts = [round(t * len(se) / W) for t in range(W + 1)]
+                        chunks = [se[cuts[t]:cuts[t + 1]] for t in range(W)]
+                        futs = [self._pool.submit(_se_batch, c)
+                                for c in chunks[1:]]
+                        parts = [_se_batch(chunks[0])]
+                        parts += [f.result() for f in futs]
+                        if all(p is not None for p in parts):
+                            got = [l for p in parts for l in p]
+                        else:
+                            got = None
+                    else:
+                        got = _se_batch(se)
+                    if got is not None:
+                        for i, lines in zip(se, got):
+                            pre_fast[i] = lines
+                            pre_done[i] = True
+                if self._pool is not None:
+                    # kt_for over the remaining (PE / batch-miss) frags
+                    rest = [i for i, f in enumerate(frags)
+                            if len(f.segs) <= 2 and not pre_done[i]]
+                    for i, r in zip(rest, self._pool.map(
+                            lambda i: _fast_one(frags[i]), rest)):
+                        pre_fast[i] = r
+                        pre_done[i] = True
 
         frag_meta = []
         units = []           # (unit, info) for the staged path
@@ -94,7 +123,7 @@ class HostRuntime:
         with self.timers.time("seed"):
             for fi, frag in enumerate(frags):
                 if fast_ok and len(frag.segs) <= 2:
-                    lines_f = pre_fast[fi] if self._pool is not None \
+                    lines_f = pre_fast[fi] if pre_done[fi] \
                         else _fast_one(frag)
                     if lines_f is not None:
                         self.timers.count("fast_native")

@@ -457,6 +457,19 @@ def _load_ksw_locked():
             _vp, _vp, _c.c_int32,
             _vp, _c.c_int64, _vp, _c.c_int64, _vp,
             _vp, _c.c_int64, _c.c_int64]
+        lib.mm2tpu_map_batch_text.restype = _c.c_int64
+        lib.mm2tpu_map_batch_text.argtypes = [
+            _c.c_int64,
+            _vp, _vp, _vp, _vp, _vp, _vp, _vp, _vp,
+            _c.c_int64, _c.c_int64, _c.c_int64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _c.c_char_p, _c.c_int64,
+            _vp, _vp, _c.c_int32,
+            _vp, _c.c_int64, _vp, _c.c_int64,
+            _vp, _vp]
         lib.mm2tpu_map_unit_text_chains.restype = _c.c_int64
         lib.mm2tpu_map_unit_text_chains.argtypes = [
             _vp, _c.c_int64, _c.c_uint64,
@@ -797,6 +810,81 @@ class _MapUnitCtx:
                                                          "surrogateescape")
                 for i in range(n_lines)]
 
+    def map_batch_text(self, lib, recs, rg_id: str):
+        """Map a BATCH of single-segment reads in one native call (the
+        whole per-read loop runs in C — reference worker_for shape,
+        map.c:598-636): returns a list with, per read, its finished
+        text lines or None (contract fallback — remap that read on the
+        staged path).  Returns None for the whole batch when ineligible
+        (ava needs per-read rank context) or on repeated overflow."""
+        if self.is_ava:
+            return None
+        from . import constants as CC
+        opt = self.opt
+        n = len(recs)
+        if n == 0:
+            return []
+        seqs = [r.seq.encode() for r in recs]
+        names = [r.name.encode() for r in recs]
+        quals = [(r.qual.encode() if r.qual else b"") for r in recs]
+        copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
+        coms = [(r.comment.encode() if (copy_com and r.comment) else b"")
+                for r in recs]
+
+        def blob(parts):
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(p) for p in parts], out=offs[1:])
+            return (np.frombuffer(b"".join(parts) or b"\0",
+                                  dtype=np.uint8), offs)
+
+        seq_b, seq_o = blob(seqs)
+        name_b, name_o = blob(names)
+        qual_b, qual_o = blob(quals)
+        com_b, com_o = blob(coms)
+        rg_b = rg_id.encode() if rg_id else None
+        rblob, roffs = _mi_rname_blob(self.mi)
+        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+        total_q = int(seq_o[-1])
+        text_cap = 8 * total_q + (1 << 20)
+        line_cap = max(1024, 16 * n)
+        p = self.ptrs
+        rli = np.empty(n + 1, dtype=np.int64)
+        status = np.empty(n, dtype=np.int32)
+        grows = 0
+        while True:
+            text = np.empty(text_cap, dtype=np.uint8)
+            line_off = np.empty(line_cap, dtype=np.int64)
+            rc = lib.mm2tpu_map_batch_text(
+                n, _np_ptr(seq_b), _np_ptr(seq_o),
+                _np_ptr(name_b), _np_ptr(name_o),
+                _np_ptr(qual_b), _np_ptr(qual_o),
+                _np_ptr(com_b), _np_ptr(com_o),
+                self.seed, opt.max_gap_ref, opt.max_frag_len,
+                p[0], p[1], p[2], self.n_seq, p[3], self.n_keys,
+                p[4], p[5], self.k, self.w, self.hpc, p[8], p[6], p[7],
+                rg_b, len(rg_b) if rg_b else 0,
+                _np_ptr(rblob), _np_ptr(roffs), sam_mode,
+                _np_ptr(text), text_cap, _np_ptr(line_off), line_cap,
+                _np_ptr(rli), _np_ptr(status))
+            if rc == 0:
+                break
+            grows += 1
+            if grows > 8:
+                return None
+            if rc == -2:
+                text_cap *= 4
+            line_cap *= 4   # more text implies more lines either way
+        out = []
+        for i in range(n):
+            if status[i] < 0:
+                out.append(None)
+                continue
+            lo, hi = int(rli[i]), int(rli[i + 1])
+            out.append([text[line_off[t]:line_off[t + 1]].tobytes()
+                        .decode("ascii", "surrogateescape")
+                        for t in range(lo, hi)])
+        return out
+
     def map_text_chains(self, lib, rec, rg_id: str, chains, rep_len: int,
                         mini_pos):
         """Finish one read FROM PRECOMPUTED CHAINS (the device flow's
@@ -967,6 +1055,16 @@ def map_unit_text_native(mi, opt, rec, rg_id: str = ""):
     if lib is None:
         return None
     return _map_ctx(mi, opt).map_text(lib, rec, rg_id)
+
+
+def map_batch_text_native(mi, opt, recs, rg_id: str = ""):
+    """Map a batch of single-segment reads through ONE native call;
+    returns per-read lists of output lines (None entries = fall back
+    per read), or None when the batch path is unavailable."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    return _map_ctx(mi, opt).map_batch_text(lib, recs, rg_id)
 
 
 def map_unit_text_chains_native(mi, opt, rec, rg_id, chains, rep_len,

@@ -2682,6 +2682,122 @@ int64_t mm2tpu_map_unit_text(
                           line_off, line_cap);
 }
 
+// Per-read tie-break hash computed C-side for the batch path (reference
+// map.c:345-347: __ac_X31_hash_string ^ (Wang(qlen)+Wang(seed)), then
+// Wang).  Matches the Python constants.qname_hash for ASCII names (the
+// batch caller falls back to the per-read path on any non-ASCII byte,
+// where Python's code-point iteration and byte iteration could differ).
+static inline uint32_t wang32(uint32_t key) {
+    key += ~(key << 15); key ^= key >> 10; key += key << 3;
+    key ^= key >> 6; key += ~(key << 11); key ^= key >> 16;
+    return key;
+}
+static inline uint32_t batch_qname_hash(const char* s, int64_t len,
+                                        int64_t qlen, int64_t seed) {
+    uint32_t h = 0;
+    for (int64_t i = 0; i < len; ++i)
+        h = (h << 5) - h + (uint32_t)(uint8_t)s[i];
+    h ^= wang32((uint32_t)qlen) + wang32((uint32_t)seed);
+    return wang32(h);
+}
+
+// Batched single-segment mapping: the whole per-read loop runs here so the
+// Python driver pays marshalling once per BATCH, not per read (measured:
+// at 150 bp sr the per-read Python wrapper cost ~39 us/read of the 57 us
+// total — the reference's worker_for loop shape, map.c:598-636, without
+// the interpreter between reads).  Read i's name/seq/qual/comment live in
+// blobs at [xxx_offs[i], xxx_offs[i+1]); qual_offs/com_offs may be null.
+// Per-read gap bounds (compute_gap_bounds, map.c:357-366) are derived
+// here from max_gap/max_gap_ref/max_frag_len on a local opt copy.
+// Outputs: shared text buffer + line_off (global offsets);
+// read_line_idx[i..i+1] brackets read i's lines; status[i] = line count
+// or -1 (contract fallback: the caller remaps that read on the staged
+// path).  Returns 0, or -2/-3 (text/line capacity: grow + rerun batch).
+extern "C" int64_t mm2tpu_map_batch_text(
+    int64_t n_reads,
+    const char* seq_blob, const int64_t* seq_offs,
+    const char* name_blob, const int64_t* name_offs,
+    const char* qual_blob, const int64_t* qual_offs,
+    const char* com_blob, const int64_t* com_offs,
+    int64_t seed, int64_t max_gap_ref, int64_t max_frag_len,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt_in, const double* optf,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
+    int64_t* read_line_idx, int32_t* status)
+{
+    constexpr int OPTN = 34;
+    int64_t opt[OPTN];
+    memcpy(opt, opt_in, sizeof(opt));
+    const bool is_sr = (opt[0] & 0x1000) != 0;   // MM_F_SR
+    const uint8_t* tab = nt4_table();
+    std::vector<uint8_t> qa;
+    int64_t gpos = 0, glines = 0;
+    int64_t misc[4];
+    for (int64_t i = 0; i < n_reads; ++i) {
+        read_line_idx[i] = glines;
+        status[i] = -1;
+        const char* seq = seq_blob + seq_offs[i];
+        const int64_t qlen = seq_offs[i + 1] - seq_offs[i];
+        const char* name = name_blob + name_offs[i];
+        const int64_t nlen = name_offs[i + 1] - name_offs[i];
+        if (qlen == 0) continue;                    // python-path parity
+        bool ascii = true;
+        for (int64_t j = 0; j < nlen && ascii; ++j)
+            ascii = (uint8_t)name[j] < 0x80;
+        if (!ascii) continue;                       // hash parity fallback
+        qa.resize(qlen);
+        for (int64_t j = 0; j < qlen; ++j)
+            qa[j] = tab[(uint8_t)seq[j]];
+        const uint32_t qhash = batch_qname_hash(name, nlen, qlen, seed);
+        // compute_gap_bounds (map.c:357-366), single-segment unit
+        const int64_t max_gap = opt[13];
+        int64_t gq = is_sr ? (qlen > max_gap ? qlen : max_gap) : max_gap;
+        int64_t gr = max_gap;
+        if (max_gap_ref > 0) gr = max_gap_ref;
+        else if (max_frag_len > 0) {
+            gr = max_frag_len - qlen;
+            if (gr < max_gap) gr = max_gap;
+        }
+        opt[16] = gq;
+        opt[17] = gr;
+        const char* qual = qual_offs
+            ? (qual_offs[i + 1] > qual_offs[i] ? qual_blob + qual_offs[i]
+                                               : nullptr)
+            : nullptr;
+        const char* com = nullptr;
+        int64_t com_len = 0;
+        if (com_offs && com_offs[i + 1] > com_offs[i]) {
+            com = com_blob + com_offs[i];
+            com_len = com_offs[i + 1] - com_offs[i];
+        }
+        int64_t nl = mm2tpu_map_unit_text(
+            qa.data(), qlen, qhash, S, seq_off, seq_len, n_seq,
+            keys, n_keys, starts, values, k, w, hpc, mat, opt, optf,
+            name, nlen, seq, qual, com, com_len, rg_id, rg_len,
+            rnames, rname_off, sam_mode,
+            out_text + gpos, text_cap - gpos,
+            line_off + glines, line_cap - glines,
+            misc, nullptr, -1, 0);
+        if (nl == -2 || nl == -3) return nl;        // grow + rerun batch
+        if (nl < 0) continue;                        // per-read fallback
+        // line offsets came back relative to this read's slice
+        for (int64_t t = 0; t <= nl; ++t) line_off[glines + t] += gpos;
+        gpos = line_off[glines + nl];
+        glines += nl;
+        status[i] = (int32_t)nl;
+    }
+    read_line_idx[n_reads] = glines;
+    line_off[glines] = gpos;
+    return 0;
+}
+
 // Map one read FROM PRECOMPUTED CHAINS and emit its SAM/PAF lines: the
 // device-offload text path (sketch/collect/chain already done — chains
 // from the TPU flow, models/device_flow.py).  a = interleaved (x,y)

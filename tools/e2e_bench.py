@@ -94,6 +94,12 @@ def main():
     ap.add_argument("--len", dest="read_len", type=int, default=1000)
     ap.add_argument("--device", default="host",
                     choices=["host", "tpu", "pair", "refpair"])
+    ap.add_argument("--preset", default="map-ont",
+                    help="preset for BOTH lanes (e.g. sr for the "
+                         "reference's Illumina headline regime)")
+    ap.add_argument("--err", type=float, default=0.10,
+                    help="simulated per-base error rate (use ~0.005 "
+                         "for Illumina-like sr reads)")
     ap.add_argument("--ref", action="store_true", help="reference binary only")
     ap.add_argument("--both", action="store_true")
     ap.add_argument("--profile", action="store_true")
@@ -118,14 +124,14 @@ def main():
     refs = list(read_fastx(args.ref_fa))
     rng = np.random.default_rng(11)
     if len(refs) == 1:
-        reads = simulate(refs[0].seq, args.reads, args.read_len, 0.10,
+        reads = simulate(refs[0].seq, args.reads, args.read_len, args.err,
                          seed=7)
     else:
         reads = []
         per = [int(rng.integers(0, len(refs))) for _ in range(args.reads)]
         for ci in sorted(set(per)):
             n_c = per.count(ci)
-            sub = simulate(refs[ci].seq, n_c, args.read_len, 0.10,
+            sub = simulate(refs[ci].seq, n_c, args.read_len, args.err,
                            seed=7 + ci)
             reads.extend((f"{nm}!{refs[ci].name}", sq) for nm, sq in sub)
     qpath = "/tmp/e2e_bench_reads.fa"
@@ -138,7 +144,7 @@ def main():
         """One watchdogged reference-binary run: (wall_s | None, hangs).
         The fork's result-thread race wedges it intermittently on this
         1-core host, so a hang becomes a labeled datum, never a stall."""
-        r = run_ref([REF_BIN, "-ax", "map-ont", "-t", "4", REF_FA, qpath],
+        r = run_ref([REF_BIN, "-ax", args.preset, "-t", "4", REF_FA, qpath],
                     timeout_s=timeout_s, retries=2,
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         return (r.dt if r.ok else None), r.hangs
@@ -160,14 +166,14 @@ def main():
             return
 
     env_cmd = [sys.executable, "-m", "minimap2_chaindp_tpu.cli",
-               "-ax", "map-ont", "-K", str(args.batch * args.read_len),
+               "-ax", args.preset, "-K", str(args.batch * args.read_len),
                "--device", args.device, REF_FA, qpath]
 
     def timed_cli_run(dev):
         """One in-process cli.main() mapping run, SAM to a scratch file,
         wall time returned; stdout restored even if the run raises."""
         from minimap2_chaindp_tpu import cli
-        sys.argv = ["mm2tpu", "-ax", "map-ont",
+        sys.argv = ["mm2tpu", "-ax", args.preset,
                     "-K", str(args.batch * args.read_len),
                     "--device", dev, REF_FA, qpath]
         old = sys.stdout
@@ -328,7 +334,7 @@ def main():
     if args.profile:
         import cProfile
         import pstats
-        sys.argv = ["mm2tpu", "-ax", "map-ont",
+        sys.argv = ["mm2tpu", "-ax", args.preset,
                     "-K", str(args.batch * args.read_len),
                     "--device", args.device, REF_FA, qpath]
         from minimap2_chaindp_tpu import cli
