@@ -186,6 +186,41 @@ def _e2e_fields():
     return fields
 
 
+def _e2e_sr150_fields():
+    """Illumina-regime row: the reference's own headline is short reads
+    ("three times as fast" than BWA-MEM, README.md:67-68; sr preset
+    options.c:124). Paired framework-host vs the reference binary at
+    150 bp / 0.5% error under -ax sr, interleaved run-by-run."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    fields = {}
+    try:
+        out = subprocess.run(
+            [sys.executable, bench, "--reads", "8000", "--len", "150",
+             "--err", "0.005", "--preset", "sr",
+             "--device", "refpair", "--steady", "4"],
+            capture_output=True, text=True, timeout=600, cwd=root)
+        for line in out.stdout.splitlines():
+            if "steady[host]:" in line:
+                fields["e2e_sr150_reads_per_s_host"] = float(
+                    line.split("steady[host]:")[1].split()[0])
+            elif "steady[ref]:" in line:
+                fields["e2e_sr150_reads_per_s_reference_binary"] = float(
+                    line.split("steady[ref]:")[1].split()[0])
+            elif "refpair_ratio_median:" in line:
+                fields["e2e_sr150_host_vs_ref_paired_ratio"] = float(
+                    line.split(":")[1])
+            elif "ref_hangs:" in line:
+                fields["e2e_sr150_ref_hangs"] = int(line.split(":")[1])
+    except Exception:
+        pass
+    for tag in ("e2e_sr150_reads_per_s_host",
+                "e2e_sr150_reads_per_s_reference_binary",
+                "e2e_sr150_host_vs_ref_paired_ratio"):
+        fields.setdefault(tag, None)
+    return fields
+
+
 def _e2e_1kb_fields():
     """Short-read regime row (VERDICT r3 #2): paired framework-host vs the
     REFERENCE BINARY at 1 kb reads, interleaved run-by-run in one
@@ -320,6 +355,7 @@ def main():
     if os.environ.get("MM2TPU_BENCH_E2E", "1") == "1":
         rec.update(_e2e_fields())
         rec.update(_e2e_1kb_fields())
+        rec.update(_e2e_sr150_fields())
     if os.environ.get("MM2TPU_BENCH_ENGAGED", "1") == "1":
         rec.update(_e2e_engaged_fields())
     print(json.dumps(rec))
