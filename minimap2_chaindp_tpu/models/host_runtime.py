@@ -66,8 +66,9 @@ class HostRuntime:
         from .pipeline import (finish_unit_gen, format_frag, host_chain,
                                prepare_frag, seed_unit)
 
-        from ..native import (map_batch_text_native, map_frag_pe_native,
-                              map_unit_ok, map_unit_text_native)
+        from ..native import (map_batch_pe_native, map_batch_text_native,
+                              map_frag_pe_native, map_unit_ok,
+                              map_unit_text_native)
         fast_ok = map_unit_ok(opt, mi)
 
         def _fast_one(frag):
@@ -108,8 +109,35 @@ class HostRuntime:
                         for i, lines in zip(se, got):
                             pre_fast[i] = lines
                             pre_done[i] = True
+                pe = [i for i, f in enumerate(frags) if len(f.segs) == 2]
+                if pe:
+
+                    def _pe_batch(idxs):
+                        return map_batch_pe_native(
+                            mi, opt, [frags[i].segs for i in idxs], rg_id)
+
+                    if self._pool is not None and len(pe) > 2 * self.n_threads:
+                        W = self.n_threads
+                        cuts = [round(t * len(pe) / W)
+                                for t in range(W + 1)]
+                        chunks = [pe[cuts[t]:cuts[t + 1]]
+                                  for t in range(W)]
+                        futs = [self._pool.submit(_pe_batch, c)
+                                for c in chunks[1:]]
+                        parts = [_pe_batch(chunks[0])]
+                        parts += [f.result() for f in futs]
+                        if all(p is not None for p in parts):
+                            got = [l for p in parts for l in p]
+                        else:
+                            got = None
+                    else:
+                        got = _pe_batch(pe)
+                    if got is not None:
+                        for i, lines in zip(pe, got):
+                            pre_fast[i] = lines
+                            pre_done[i] = True
                 if self._pool is not None:
-                    # kt_for over the remaining (PE / batch-miss) frags
+                    # kt_for over the remaining (batch-miss) frags
                     rest = [i for i, f in enumerate(frags)
                             if len(f.segs) <= 2 and not pre_done[i]]
                     for i, r in zip(rest, self._pool.map(

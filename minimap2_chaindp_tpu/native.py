@@ -470,6 +470,21 @@ def _load_ksw_locked():
             _vp, _vp, _c.c_int32,
             _vp, _c.c_int64, _vp, _c.c_int64,
             _vp, _vp]
+        lib.mm2tpu_map_batch_pe_text.restype = _c.c_int64
+        lib.mm2tpu_map_batch_pe_text.argtypes = [
+            _c.c_int64,
+            _vp, _vp, _vp, _vp, _vp, _vp, _vp, _vp,
+            _vp, _vp, _vp, _vp, _vp, _vp, _vp, _vp,
+            _c.c_int32, _c.c_int32,
+            _c.c_int64, _c.c_int64, _c.c_int64,
+            _vp, _vp, _vp, _c.c_int64,
+            _vp, _c.c_int64, _vp, _vp,
+            _c.c_int32, _c.c_int32, _c.c_int32,
+            _vp, _vp, _vp,
+            _c.c_char_p, _c.c_int64,
+            _vp, _vp, _c.c_int32,
+            _vp, _c.c_int64, _vp, _c.c_int64,
+            _vp, _vp]
         lib.mm2tpu_map_unit_text_chains.restype = _c.c_int64
         lib.mm2tpu_map_unit_text_chains.argtypes = [
             _vp, _c.c_int64, _c.c_uint64,
@@ -885,6 +900,85 @@ class _MapUnitCtx:
                         for t in range(lo, hi)])
         return out
 
+    def map_batch_pe_text(self, lib, frag_segs, rg_id: str):
+        """Map a BATCH of 2-segment (paired-end) fragments in one native
+        call (per-pair loop in C — see map_batch_text).  frag_segs:
+        list of (seg0, seg1).  Returns per-pair line lists (None =
+        per-pair fallback) or None when unavailable."""
+        from . import constants as CC
+        opt = self.opt
+        n = len(frag_segs)
+        if n == 0:
+            return []
+        flips = _pe_flips(opt, 2)
+
+        def blob(parts):
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(p) for p in parts], out=offs[1:])
+            return (np.frombuffer(b"".join(parts) or b"\0",
+                                  dtype=np.uint8), offs)
+
+        copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
+        cols = []
+        for j in (0, 1):
+            segs = [fs[j] for fs in frag_segs]
+            cols.append((blob([s.seq.encode() for s in segs]),
+                         blob([s.name.encode() for s in segs]),
+                         blob([(s.qual.encode() if s.qual else b"")
+                               for s in segs]),
+                         blob([(s.comment.encode()
+                                if copy_com and s.comment else b"")
+                               for s in segs])))
+        rg_b = rg_id.encode() if rg_id else None
+        rblob, roffs = _mi_rname_blob(self.mi)
+        sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
+        total_q = int(cols[0][0][1][-1] + cols[1][0][1][-1])
+        text_cap = 8 * total_q + (1 << 20)
+        line_cap = max(1024, 16 * n)
+        p = self.ptrs
+        rli = np.empty(n + 1, dtype=np.int64)
+        status = np.empty(n, dtype=np.int32)
+        grows = 0
+        while True:
+            text = np.empty(text_cap, dtype=np.uint8)
+            line_off = np.empty(line_cap, dtype=np.int64)
+            rc = lib.mm2tpu_map_batch_pe_text(
+                n,
+                _np_ptr(cols[0][0][0]), _np_ptr(cols[0][0][1]),
+                _np_ptr(cols[1][0][0]), _np_ptr(cols[1][0][1]),
+                _np_ptr(cols[0][1][0]), _np_ptr(cols[0][1][1]),
+                _np_ptr(cols[1][1][0]), _np_ptr(cols[1][1][1]),
+                _np_ptr(cols[0][2][0]), _np_ptr(cols[0][2][1]),
+                _np_ptr(cols[1][2][0]), _np_ptr(cols[1][2][1]),
+                _np_ptr(cols[0][3][0]), _np_ptr(cols[0][3][1]),
+                _np_ptr(cols[1][3][0]), _np_ptr(cols[1][3][1]),
+                1 if flips[0] else 0, 1 if flips[1] else 0,
+                self.seed, opt.max_gap_ref, opt.max_frag_len,
+                p[0], p[1], p[2], self.n_seq, p[3], self.n_keys,
+                p[4], p[5], self.k, self.w, self.hpc, p[8], p[6], p[7],
+                rg_b, len(rg_b) if rg_b else 0,
+                _np_ptr(rblob), _np_ptr(roffs), sam_mode,
+                _np_ptr(text), text_cap, _np_ptr(line_off), line_cap,
+                _np_ptr(rli), _np_ptr(status))
+            if rc == 0:
+                break
+            grows += 1
+            if grows > 8:
+                return None
+            if rc == -2:
+                text_cap *= 4
+            line_cap *= 4
+        out = []
+        for i in range(n):
+            if status[i] < 0:
+                out.append(None)
+                continue
+            lo, hi = int(rli[i]), int(rli[i + 1])
+            out.append([text[line_off[t]:line_off[t + 1]].tobytes()
+                        .decode("ascii", "surrogateescape")
+                        for t in range(lo, hi)])
+        return out
+
     def map_text_chains(self, lib, rec, rg_id: str, chains, rep_len: int,
                         mini_pos):
         """Finish one read FROM PRECOMPUTED CHAINS (the device flow's
@@ -1065,6 +1159,17 @@ def map_batch_text_native(mi, opt, recs, rg_id: str = ""):
     if lib is None:
         return None
     return _map_ctx(mi, opt).map_batch_text(lib, recs, rg_id)
+
+
+def map_batch_pe_native(mi, opt, frag_segs, rg_id: str = ""):
+    """Map a batch of 2-segment fragments through ONE native call; per-
+    pair lists of output lines (None entries = fall back), or None when
+    unavailable (no lib / independent-segment mode)."""
+    from . import constants as CC
+    lib = load_ksw()
+    if lib is None or (opt.flag & CC.MM_F_INDEPEND_SEG):
+        return None
+    return _map_ctx(mi, opt).map_batch_pe_text(lib, frag_segs, rg_id)
 
 
 def map_unit_text_chains_native(mi, opt, rec, rg_id, chains, rep_len,

@@ -2798,6 +2798,137 @@ extern "C" int64_t mm2tpu_map_batch_text(
     return 0;
 }
 
+extern "C" int64_t mm2tpu_map_frag_pe(
+    const uint8_t*, int64_t, const uint8_t*, int64_t, int32_t, int32_t,
+    uint64_t, const uint8_t*, const int64_t*, const int64_t*, int64_t,
+    const uint64_t*, int64_t, const int64_t*, const uint64_t*,
+    int32_t, int32_t, int32_t, const int8_t*, const int64_t*,
+    const double*, const char*, int64_t, const char*, int64_t,
+    const char*, int64_t, const char*, const char*, const char*, int64_t,
+    const char*, const char*, const char*, int64_t, const char*, int64_t,
+    const char*, const int64_t*, int32_t, char*, int64_t, int64_t*,
+    int64_t, int64_t*);
+
+// Batched paired-end mapping: the per-pair loop of mm2tpu_map_frag_pe run
+// natively over blob-packed segments (same rationale and protocol as
+// mm2tpu_map_batch_text; sr paired-end is the reference's headline
+// Illumina workload).  flip0/flip1 are the pe_ori revcomp flags (pair-
+// invariant); nt4 encode + revcomp + the joint qname hash (RAW name0,
+// qlen_sum, seed — map.c:345-347) + SAM-mode pair-suffix stripping
+// (mm_qname_len, bseq.h:31-36) all happen here.  status[i] = line count
+// or -1 (fallback); returns 0 / -2 / -3.
+extern "C" int64_t mm2tpu_map_batch_pe_text(
+    int64_t n_pairs,
+    const char* seq0_blob, const int64_t* seq0_offs,
+    const char* seq1_blob, const int64_t* seq1_offs,
+    const char* name0_blob, const int64_t* name0_offs,
+    const char* name1_blob, const int64_t* name1_offs,
+    const char* qual0_blob, const int64_t* qual0_offs,
+    const char* qual1_blob, const int64_t* qual1_offs,
+    const char* com0_blob, const int64_t* com0_offs,
+    const char* com1_blob, const int64_t* com1_offs,
+    int32_t flip0, int32_t flip1,
+    int64_t seed, int64_t max_gap_ref, int64_t max_frag_len,
+    const uint8_t* S, const int64_t* seq_off, const int64_t* seq_len,
+    int64_t n_seq,
+    const uint64_t* keys, int64_t n_keys, const int64_t* starts,
+    const uint64_t* values,
+    int32_t k, int32_t w, int32_t hpc,
+    const int8_t* mat, const int64_t* opt_in, const double* optf,
+    const char* rg_id, int64_t rg_len,
+    const char* rnames, const int64_t* rname_off,
+    int32_t sam_mode,
+    char* out_text, int64_t text_cap, int64_t* line_off, int64_t line_cap,
+    int64_t* pair_line_idx, int32_t* status)
+{
+    constexpr int OPTN = 34;
+    int64_t opt[OPTN];
+    memcpy(opt, opt_in, sizeof(opt));
+    const bool is_sr = (opt[0] & 0x1000) != 0;
+    const uint8_t* tab = nt4_table();
+    std::vector<uint8_t> qa0, qa1;
+    int64_t gpos = 0, glines = 0;
+    int64_t misc[4];
+    auto encode = [&](std::vector<uint8_t>& qa, const char* s, int64_t n,
+                      bool flip) {
+        qa.resize(n);
+        if (!flip) {
+            for (int64_t j = 0; j < n; ++j) qa[j] = tab[(uint8_t)s[j]];
+        } else {
+            for (int64_t j = 0; j < n; ++j) {
+                uint8_t c = tab[(uint8_t)s[n - 1 - j]];
+                qa[j] = c < 4 ? (uint8_t)(3 - c) : (uint8_t)4;
+            }
+        }
+    };
+    auto stripped = [&](const char* nm, int64_t len) -> int64_t {
+        // mm_qname_len: drop a trailing "/<digit>" on names >= 3 chars
+        if (len >= 3 && nm[len - 2] == '/'
+                && nm[len - 1] >= '0' && nm[len - 1] <= '9')
+            return len - 2;
+        return len;
+    };
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        pair_line_idx[i] = glines;
+        status[i] = -1;
+        const char* s0 = seq0_blob + seq0_offs[i];
+        const char* s1 = seq1_blob + seq1_offs[i];
+        const int64_t q0 = seq0_offs[i + 1] - seq0_offs[i];
+        const int64_t q1 = seq1_offs[i + 1] - seq1_offs[i];
+        const char* n0 = name0_blob + name0_offs[i];
+        const char* n1 = name1_blob + name1_offs[i];
+        int64_t n0l = name0_offs[i + 1] - name0_offs[i];
+        int64_t n1l = name1_offs[i + 1] - name1_offs[i];
+        if (q0 == 0 || q1 == 0) continue;
+        bool ascii = true;
+        for (int64_t j = 0; j < n0l && ascii; ++j)
+            ascii = (uint8_t)n0[j] < 0x80;
+        if (!ascii) continue;
+        const int64_t qlen_sum = q0 + q1;
+        const uint32_t qhash = batch_qname_hash(n0, n0l, qlen_sum, seed);
+        encode(qa0, s0, q0, flip0 != 0);
+        encode(qa1, s1, q1, flip1 != 0);
+        const int64_t max_gap = opt[13];
+        opt[16] = is_sr ? (qlen_sum > max_gap ? qlen_sum : max_gap)
+                        : max_gap;
+        int64_t gr = max_gap;
+        if (max_gap_ref > 0) gr = max_gap_ref;
+        else if (max_frag_len > 0) {
+            gr = max_frag_len - qlen_sum;
+            if (gr < max_gap) gr = max_gap;
+        }
+        opt[17] = gr;
+        if (sam_mode) { n0l = stripped(n0, n0l); n1l = stripped(n1, n1l); }
+        auto blobq = [&](const char* b, const int64_t* o) -> const char* {
+            return (o && o[i + 1] > o[i]) ? b + o[i] : nullptr;
+        };
+        const char* qual0 = blobq(qual0_blob, qual0_offs);
+        const char* qual1 = blobq(qual1_blob, qual1_offs);
+        const char* com0 = blobq(com0_blob, com0_offs);
+        const char* com1 = blobq(com1_blob, com1_offs);
+        const int64_t c0l = com0 ? com0_offs[i + 1] - com0_offs[i] : 0;
+        const int64_t c1l = com1 ? com1_offs[i + 1] - com1_offs[i] : 0;
+        int64_t nl = mm2tpu_map_frag_pe(
+            qa0.data(), q0, qa1.data(), q1, flip0, flip1, qhash,
+            S, seq_off, seq_len, n_seq, keys, n_keys, starts, values,
+            k, w, hpc, mat, opt, optf,
+            n0, n0l, n0, n0l, n1, n1l,
+            s0, qual0, com0, c0l, s1, qual1, com1, c1l,
+            rg_id, rg_len, rnames, rname_off, sam_mode,
+            out_text + gpos, text_cap - gpos,
+            line_off + glines, line_cap - glines, misc);
+        if (nl == -2 || nl == -3) return nl;
+        if (nl < 0) continue;
+        for (int64_t t = 0; t <= nl; ++t) line_off[glines + t] += gpos;
+        gpos = line_off[glines + nl];
+        glines += nl;
+        status[i] = (int32_t)nl;
+    }
+    pair_line_idx[n_pairs] = glines;
+    line_off[glines] = gpos;
+    return 0;
+}
+
 // Map one read FROM PRECOMPUTED CHAINS and emit its SAM/PAF lines: the
 // device-offload text path (sketch/collect/chain already done — chains
 // from the TPU flow, models/device_flow.py).  a = interleaved (x,y)
