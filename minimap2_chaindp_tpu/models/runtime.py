@@ -40,6 +40,18 @@ def _verdict_engages(ent, min_mbps: float) -> bool:
             and ent.get("plat", "tpu") != "cpu")
 
 
+class _ChunkView:
+    """Per-fragment view into a chunked host-lane future (the batched
+    native call returns the whole chunk's line lists)."""
+    __slots__ = ("fut", "j")
+
+    def __init__(self, fut, j):
+        self.fut, self.j = fut, j
+
+    def result(self):
+        return self.fut.result()[self.j]
+
+
 def _done_gen():
     """Placeholder wave generator for units the native chains-finish path
     already emitted text for (their region result is never read)."""
@@ -549,13 +561,37 @@ class DeviceRuntime:
             return r
 
         if fast_ok:
-            # kt_for over fragments (kthread.c:125): the native one-call
-            # driver releases the GIL, so workers scale across cores and
-            # overlap the device lane's link waits on a 1-core host
+            # kt_for over fragments (kthread.c:125): the native calls
+            # release the GIL, so workers scale across cores and overlap
+            # the device lane's link waits on a 1-core host. Single-seg
+            # fragments go in CHUNKED batched native calls (the whole
+            # per-read loop in C — see native.map_batch_text_native);
+            # chunks keep the lane-rate timestamps fine-grained enough
+            # for the share controller.
             ex = self._pool or self._get_lane_ex()
+            from ..native import map_batch_text_native
+            se_elig = []
             for fi, frag in enumerate(frags):
                 if _fast_eligible(fi, frag):
-                    host_futs[fi] = ex.submit(_fast_timed, frag)
+                    if len(frag.segs) == 1:
+                        se_elig.append(fi)
+                    else:
+                        host_futs[fi] = ex.submit(_fast_timed, frag)
+
+            def _fast_chunk(idxs):
+                res = map_batch_text_native(
+                    mi, opt, [frags[i].segs[0] for i in idxs], rg_id)
+                if res is None:  # e.g. ava: per-read path has rank ctx
+                    res = [_fast_one(frags[i]) for i in idxs]
+                host_last_t[0] = _time.perf_counter()
+                return res
+
+            CH = 24
+            for st in range(0, len(se_elig), CH):
+                idxs = se_elig[st:st + CH]
+                fut = ex.submit(_fast_chunk, idxs)
+                for j, fi in enumerate(idxs):
+                    host_futs[fi] = _ChunkView(fut, j)
 
         frag_meta = []
         units = []
