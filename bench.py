@@ -186,74 +186,53 @@ def _e2e_fields():
     return fields
 
 
+def _refpair_fields(tag, extra_args, timeout):
+    """One paired framework-vs-reference-binary capture (e2e_bench
+    --device refpair: lanes interleaved run-by-run so the 1-core host's
+    scheduler bursts hit both alike; the binary runs under the hang
+    watchdog). Fields are prefixed with `tag`; ratio > 1 means the
+    framework is faster."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    fields = {}
+    try:
+        out = subprocess.run(
+            [sys.executable, bench, *extra_args,
+             "--device", "refpair", "--steady", "4"],
+            capture_output=True, text=True, timeout=timeout, cwd=root)
+        for line in out.stdout.splitlines():
+            if "steady[host]:" in line:
+                fields[f"{tag}_reads_per_s_host"] = float(
+                    line.split("steady[host]:")[1].split()[0])
+            elif "steady[ref]:" in line:
+                fields[f"{tag}_reads_per_s_reference_binary"] = float(
+                    line.split("steady[ref]:")[1].split()[0])
+            elif "refpair_ratio_median:" in line:
+                fields[f"{tag}_host_vs_ref_paired_ratio"] = float(
+                    line.split(":")[1])
+            elif "ref_hangs:" in line:
+                fields[f"{tag}_ref_hangs"] = int(line.split(":")[1])
+    except Exception:
+        pass
+    for suffix in ("reads_per_s_host", "reads_per_s_reference_binary",
+                   "host_vs_ref_paired_ratio"):
+        fields.setdefault(f"{tag}_{suffix}", None)
+    return fields
+
+
 def _e2e_sr150_fields():
     """Illumina-regime row: the reference's own headline is short reads
     ("three times as fast" than BWA-MEM, README.md:67-68; sr preset
-    options.c:124). Paired framework-host vs the reference binary at
-    150 bp / 0.5% error under -ax sr, interleaved run-by-run."""
-    root = os.path.dirname(os.path.abspath(__file__))
-    bench = os.path.join(root, "tools", "e2e_bench.py")
-    fields = {}
-    try:
-        out = subprocess.run(
-            [sys.executable, bench, "--reads", "8000", "--len", "150",
-             "--err", "0.005", "--preset", "sr",
-             "--device", "refpair", "--steady", "4"],
-            capture_output=True, text=True, timeout=600, cwd=root)
-        for line in out.stdout.splitlines():
-            if "steady[host]:" in line:
-                fields["e2e_sr150_reads_per_s_host"] = float(
-                    line.split("steady[host]:")[1].split()[0])
-            elif "steady[ref]:" in line:
-                fields["e2e_sr150_reads_per_s_reference_binary"] = float(
-                    line.split("steady[ref]:")[1].split()[0])
-            elif "refpair_ratio_median:" in line:
-                fields["e2e_sr150_host_vs_ref_paired_ratio"] = float(
-                    line.split(":")[1])
-            elif "ref_hangs:" in line:
-                fields["e2e_sr150_ref_hangs"] = int(line.split(":")[1])
-    except Exception:
-        pass
-    for tag in ("e2e_sr150_reads_per_s_host",
-                "e2e_sr150_reads_per_s_reference_binary",
-                "e2e_sr150_host_vs_ref_paired_ratio"):
-        fields.setdefault(tag, None)
-    return fields
+    options.c:124) — 150 bp / 0.5% error under -ax sr."""
+    return _refpair_fields("e2e_sr150",
+                           ["--reads", "8000", "--len", "150",
+                            "--err", "0.005", "--preset", "sr"], 600)
 
 
 def _e2e_1kb_fields():
-    """Short-read regime row (VERDICT r3 #2): paired framework-host vs the
-    REFERENCE BINARY at 1 kb reads, interleaved run-by-run in one
-    e2e_bench process so the 1-core host's scheduler bursts hit both lanes
-    alike. ratio > 1 means the framework is faster; ref_hangs counts
-    watchdogged oracle wedges (the fork's result-thread race)."""
-    root = os.path.dirname(os.path.abspath(__file__))
-    bench = os.path.join(root, "tools", "e2e_bench.py")
-    fields = {}
-    try:
-        out = subprocess.run(
-            [sys.executable, bench, "--reads", "2000", "--len", "1000",
-             "--device", "refpair", "--steady", "4"],
-            capture_output=True, text=True, timeout=900, cwd=root)
-        for line in out.stdout.splitlines():
-            if "steady[host]:" in line:
-                fields["e2e_1kb_reads_per_s_host"] = float(
-                    line.split("steady[host]:")[1].split()[0])
-            elif "steady[ref]:" in line:
-                fields["e2e_1kb_reads_per_s_reference_binary"] = float(
-                    line.split("steady[ref]:")[1].split()[0])
-            elif "refpair_ratio_median:" in line:
-                fields["e2e_1kb_host_vs_ref_paired_ratio"] = float(
-                    line.split(":")[1])
-            elif "ref_hangs:" in line:
-                fields["e2e_1kb_ref_hangs"] = int(line.split(":")[1])
-    except Exception:
-        pass
-    for tag in ("e2e_1kb_reads_per_s_host",
-                "e2e_1kb_reads_per_s_reference_binary",
-                "e2e_1kb_host_vs_ref_paired_ratio"):
-        fields.setdefault(tag, None)
-    return fields
+    """Short-read regime row (VERDICT r3 #2): 1 kb ONT-like reads."""
+    return _refpair_fields("e2e_1kb",
+                           ["--reads", "2000", "--len", "1000"], 900)
 
 
 def _e2e_engaged_fields():

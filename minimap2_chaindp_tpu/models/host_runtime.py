@@ -80,70 +80,44 @@ class HostRuntime:
 
         pre_fast: list = [None] * len(frags)
         pre_done = [False] * len(frags)
+
+        def _chunked_batch(idxs, batch_fn):
+            """Fan fragment indexes across the -t pool in chunks through a
+            batched native call (kt_for over fragment ranges, GIL released
+            per chunk); a chunk whose batch call is unavailable falls back
+            to the per-fragment native path — only that chunk."""
+            def run(ch):
+                got = batch_fn(ch)
+                if got is None:
+                    got = [_fast_one(frags[i]) for i in ch]
+                return got
+            if self._pool is not None and len(idxs) > 2 * self.n_threads:
+                W = self.n_threads
+                cuts = [round(t * len(idxs) / W) for t in range(W + 1)]
+                chunks = [idxs[cuts[t]:cuts[t + 1]] for t in range(W)]
+                futs = [self._pool.submit(run, c) for c in chunks[1:]]
+                parts = [run(chunks[0])] + [f.result() for f in futs]
+            else:
+                chunks = [idxs]
+                parts = [run(idxs)]
+            for ch, p in zip(chunks, parts):
+                for i, lines in zip(ch, p):
+                    pre_fast[i] = lines
+                    pre_done[i] = True
+
         if fast_ok:
-            # single-segment fragments run the BATCHED native loop (the
-            # whole per-read loop in C — at 150 bp sr the per-read Python
-            # wrapper cost ~39 of 57 us/read); chunked across the -t pool
-            # (kt_for over fragment ranges, GIL released per chunk call)
+            # whole per-read/per-pair loops run in BATCHED native calls
+            # (the per-fragment Python wrapper was ~39 of 57 us/read at
+            # 150 bp sr)
             se = [i for i, f in enumerate(frags) if len(f.segs) == 1]
+            pe = [i for i, f in enumerate(frags) if len(f.segs) == 2]
             with self.timers.time("seed"):
-                def _se_batch(idxs):
-                    return map_batch_text_native(
-                        mi, opt, [frags[i].segs[0] for i in idxs], rg_id)
                 if se:
-                    if self._pool is not None and len(se) > 2 * self.n_threads:
-                        W = self.n_threads
-                        cuts = [round(t * len(se) / W) for t in range(W + 1)]
-                        chunks = [se[cuts[t]:cuts[t + 1]] for t in range(W)]
-                        futs = [self._pool.submit(_se_batch, c)
-                                for c in chunks[1:]]
-                        parts = [_se_batch(chunks[0])]
-                        parts += [f.result() for f in futs]
-                        if all(p is not None for p in parts):
-                            got = [l for p in parts for l in p]
-                        else:
-                            got = None
-                    else:
-                        got = _se_batch(se)
-                    if got is not None:
-                        for i, lines in zip(se, got):
-                            pre_fast[i] = lines
-                            pre_done[i] = True
-                pe = [i for i, f in enumerate(frags) if len(f.segs) == 2]
+                    _chunked_batch(se, lambda ch: map_batch_text_native(
+                        mi, opt, [frags[i].segs[0] for i in ch], rg_id))
                 if pe:
-
-                    def _pe_batch(idxs):
-                        return map_batch_pe_native(
-                            mi, opt, [frags[i].segs for i in idxs], rg_id)
-
-                    if self._pool is not None and len(pe) > 2 * self.n_threads:
-                        W = self.n_threads
-                        cuts = [round(t * len(pe) / W)
-                                for t in range(W + 1)]
-                        chunks = [pe[cuts[t]:cuts[t + 1]]
-                                  for t in range(W)]
-                        futs = [self._pool.submit(_pe_batch, c)
-                                for c in chunks[1:]]
-                        parts = [_pe_batch(chunks[0])]
-                        parts += [f.result() for f in futs]
-                        if all(p is not None for p in parts):
-                            got = [l for p in parts for l in p]
-                        else:
-                            got = None
-                    else:
-                        got = _pe_batch(pe)
-                    if got is not None:
-                        for i, lines in zip(pe, got):
-                            pre_fast[i] = lines
-                            pre_done[i] = True
-                if self._pool is not None:
-                    # kt_for over the remaining (batch-miss) frags
-                    rest = [i for i, f in enumerate(frags)
-                            if len(f.segs) <= 2 and not pre_done[i]]
-                    for i, r in zip(rest, self._pool.map(
-                            lambda i: _fast_one(frags[i]), rest)):
-                        pre_fast[i] = r
-                        pre_done[i] = True
+                    _chunked_batch(pe, lambda ch: map_batch_pe_native(
+                        mi, opt, [frags[i].segs for i in ch], rg_id))
 
         frag_meta = []
         units = []           # (unit, info) for the staged path

@@ -845,31 +845,17 @@ class _MapUnitCtx:
         copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
         coms = [(r.comment.encode() if (copy_com and r.comment) else b"")
                 for r in recs]
-
-        def blob(parts):
-            offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum([len(p) for p in parts], out=offs[1:])
-            return (np.frombuffer(b"".join(parts) or b"\0",
-                                  dtype=np.uint8), offs)
-
-        seq_b, seq_o = blob(seqs)
-        name_b, name_o = blob(names)
-        qual_b, qual_o = blob(quals)
-        com_b, com_o = blob(coms)
+        seq_b, seq_o = _pack_blob(seqs, n)
+        name_b, name_o = _pack_blob(names, n)
+        qual_b, qual_o = _pack_blob(quals, n)
+        com_b, com_o = _pack_blob(coms, n)
         rg_b = rg_id.encode() if rg_id else None
         rblob, roffs = _mi_rname_blob(self.mi)
         sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
-        total_q = int(seq_o[-1])
-        text_cap = 8 * total_q + (1 << 20)
-        line_cap = max(1024, 16 * n)
         p = self.ptrs
-        rli = np.empty(n + 1, dtype=np.int64)
-        status = np.empty(n, dtype=np.int32)
-        grows = 0
-        while True:
-            text = np.empty(text_cap, dtype=np.uint8)
-            line_off = np.empty(line_cap, dtype=np.int64)
-            rc = lib.mm2tpu_map_batch_text(
+
+        def call(text, text_cap, line_off, line_cap, rli, status):
+            return lib.mm2tpu_map_batch_text(
                 n, _np_ptr(seq_b), _np_ptr(seq_o),
                 _np_ptr(name_b), _np_ptr(name_o),
                 _np_ptr(qual_b), _np_ptr(qual_o),
@@ -881,24 +867,8 @@ class _MapUnitCtx:
                 _np_ptr(rblob), _np_ptr(roffs), sam_mode,
                 _np_ptr(text), text_cap, _np_ptr(line_off), line_cap,
                 _np_ptr(rli), _np_ptr(status))
-            if rc == 0:
-                break
-            grows += 1
-            if grows > 8:
-                return None
-            if rc == -2:
-                text_cap *= 4
-            line_cap *= 4   # more text implies more lines either way
-        out = []
-        for i in range(n):
-            if status[i] < 0:
-                out.append(None)
-                continue
-            lo, hi = int(rli[i]), int(rli[i + 1])
-            out.append([text[line_off[t]:line_off[t + 1]].tobytes()
-                        .decode("ascii", "surrogateescape")
-                        for t in range(lo, hi)])
-        return out
+
+        return _run_batch_call(call, n, int(seq_o[-1]))
 
     def map_batch_pe_text(self, lib, frag_segs, rg_id: str):
         """Map a BATCH of 2-segment (paired-end) fragments in one native
@@ -911,38 +881,25 @@ class _MapUnitCtx:
         if n == 0:
             return []
         flips = _pe_flips(opt, 2)
-
-        def blob(parts):
-            offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum([len(p) for p in parts], out=offs[1:])
-            return (np.frombuffer(b"".join(parts) or b"\0",
-                                  dtype=np.uint8), offs)
-
         copy_com = bool(opt.flag & CC.MM_F_COPY_COMMENT)
         cols = []
         for j in (0, 1):
             segs = [fs[j] for fs in frag_segs]
-            cols.append((blob([s.seq.encode() for s in segs]),
-                         blob([s.name.encode() for s in segs]),
-                         blob([(s.qual.encode() if s.qual else b"")
-                               for s in segs]),
-                         blob([(s.comment.encode()
-                                if copy_com and s.comment else b"")
-                               for s in segs])))
+            cols.append((_pack_blob([s.seq.encode() for s in segs], n),
+                         _pack_blob([s.name.encode() for s in segs], n),
+                         _pack_blob([(s.qual.encode() if s.qual else b"")
+                                     for s in segs], n),
+                         _pack_blob([(s.comment.encode()
+                                      if copy_com and s.comment else b"")
+                                     for s in segs], n)))
         rg_b = rg_id.encode() if rg_id else None
         rblob, roffs = _mi_rname_blob(self.mi)
         sam_mode = 1 if opt.flag & CC.MM_F_OUT_SAM else 0
         total_q = int(cols[0][0][1][-1] + cols[1][0][1][-1])
-        text_cap = 8 * total_q + (1 << 20)
-        line_cap = max(1024, 16 * n)
         p = self.ptrs
-        rli = np.empty(n + 1, dtype=np.int64)
-        status = np.empty(n, dtype=np.int32)
-        grows = 0
-        while True:
-            text = np.empty(text_cap, dtype=np.uint8)
-            line_off = np.empty(line_cap, dtype=np.int64)
-            rc = lib.mm2tpu_map_batch_pe_text(
+
+        def call(text, text_cap, line_off, line_cap, rli, status):
+            return lib.mm2tpu_map_batch_pe_text(
                 n,
                 _np_ptr(cols[0][0][0]), _np_ptr(cols[0][0][1]),
                 _np_ptr(cols[1][0][0]), _np_ptr(cols[1][0][1]),
@@ -960,24 +917,8 @@ class _MapUnitCtx:
                 _np_ptr(rblob), _np_ptr(roffs), sam_mode,
                 _np_ptr(text), text_cap, _np_ptr(line_off), line_cap,
                 _np_ptr(rli), _np_ptr(status))
-            if rc == 0:
-                break
-            grows += 1
-            if grows > 8:
-                return None
-            if rc == -2:
-                text_cap *= 4
-            line_cap *= 4
-        out = []
-        for i in range(n):
-            if status[i] < 0:
-                out.append(None)
-                continue
-            lo, hi = int(rli[i]), int(rli[i + 1])
-            out.append([text[line_off[t]:line_off[t + 1]].tobytes()
-                        .decode("ascii", "surrogateescape")
-                        for t in range(lo, hi)])
-        return out
+
+        return _run_batch_call(call, n, total_q)
 
     def map_text_chains(self, lib, rec, rg_id: str, chains, rep_len: int,
                         mini_pos):
@@ -1036,6 +977,48 @@ class _MapUnitCtx:
         return [tb[offs[i]:offs[i + 1]].tobytes().decode("ascii",
                                                          "surrogateescape")
                 for i in range(n_lines)]
+
+
+def _pack_blob(parts, n):
+    """Concatenate byte strings into one uint8 array + (n+1) offsets."""
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offs[1:])
+    return (np.frombuffer(b"".join(parts) or b"\0", dtype=np.uint8), offs)
+
+
+def _run_batch_call(call, n, total_q):
+    """Shared grow-retry + decode protocol for the batched native text
+    drivers.  `call(text, text_cap, line_off, line_cap, rli, status)`
+    returns the C entry's 0 / -2 / -3; on success this decodes per-item
+    line lists (None for status < 0).  Returns the list or None after
+    repeated overflow."""
+    text_cap = 8 * total_q + (1 << 20)
+    line_cap = max(1024, 16 * n)
+    rli = np.empty(n + 1, dtype=np.int64)
+    status = np.empty(n, dtype=np.int32)
+    grows = 0
+    while True:
+        text = np.empty(text_cap, dtype=np.uint8)
+        line_off = np.empty(line_cap, dtype=np.int64)
+        rc = call(text, text_cap, line_off, line_cap, rli, status)
+        if rc == 0:
+            break
+        grows += 1
+        if grows > 8:
+            return None
+        if rc == -2:
+            text_cap *= 4
+        line_cap *= 4   # more text implies more lines either way
+    out = []
+    for i in range(n):
+        if status[i] < 0:
+            out.append(None)
+            continue
+        lo, hi = int(rli[i]), int(rli[i + 1])
+        out.append([text[line_off[t]:line_off[t + 1]].tobytes()
+                    .decode("ascii", "surrogateescape")
+                    for t in range(lo, hi)])
+    return out
 
 
 def _pe_flips(opt, n_segs):
@@ -1540,14 +1523,21 @@ class CsrBuilder:
         self._lib.mm2tpu_csr_add(self._h, _np_ptr(a), len(a))
 
     def finish(self):
-        """-> (keys, starts, values); the handle is consumed."""
+        """-> (keys, starts, values); the handle is consumed.  The handle
+        stays owned (abortable) until the last native call: a MemoryError
+        from the GB-scale output allocations must still free the native
+        accumulator via abort(), not leak it."""
         lib, h = self._lib, self._h
+        try:
+            n = lib.mm2tpu_csr_total(h)
+            val = np.empty(n, np.uint64)
+            nk = lib.mm2tpu_csr_merge(h, _np_ptr(val))
+            ukey = np.empty(nk, np.uint64)
+            starts = np.empty(nk + 1, np.int64)
+        except BaseException:
+            self.abort()
+            raise
         self._h = None
-        n = lib.mm2tpu_csr_total(h)
-        val = np.empty(n, np.uint64)
-        nk = lib.mm2tpu_csr_merge(h, _np_ptr(val))
-        ukey = np.empty(nk, np.uint64)
-        starts = np.empty(nk + 1, np.int64)
         lib.mm2tpu_csr_finish(h, _np_ptr(ukey), _np_ptr(starts))
         return ukey, starts, val
 

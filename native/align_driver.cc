@@ -2883,6 +2883,11 @@ extern "C" int64_t mm2tpu_map_batch_pe_text(
         bool ascii = true;
         for (int64_t j = 0; j < n0l && ascii; ++j)
             ascii = (uint8_t)n0[j] < 0x80;
+        // name1 too: the SAM pair-suffix strip below uses ASCII digit
+        // tests, but Python's strip_pair_suffix accepts Unicode digits —
+        // non-ASCII names take the per-pair path for strip/hash parity
+        for (int64_t j = 0; j < n1l && ascii; ++j)
+            ascii = (uint8_t)n1[j] < 0x80;
         if (!ascii) continue;
         const int64_t qlen_sum = q0 + q1;
         const uint32_t qhash = batch_qname_hash(n0, n0l, qlen_sum, seed);
