@@ -617,9 +617,13 @@ def _main(argv=None) -> int:
         # threaded 2-batch pipeline (device or host runtime): batch k+1
         # maps while batch k's results are awaited / its text is written
         for batch_lines in runtime.map_stream(_tee(batches), rg_id):
-            for lines in batch_lines:
-                for line in lines:
-                    print(line, file=out)
+            # one buffered write per batch, not one print per record: at
+            # 50k+ records/s (sr batch driver) per-line print() is a
+            # measurable tax
+            flat = [line for lines in batch_lines for line in lines]
+            if flat:
+                flat.append("")          # trailing newline
+                out.write("\n".join(flat))
             b = stash.popleft()
             mlog.mlog("worker_pipeline",
                       f"mapped {sum(len(f.segs) for f in b)} sequences")
