@@ -309,6 +309,19 @@ def main():
     fall back to the native host path so ONE JSON line always prints."""
     attempts = int(os.environ.get("MM2TPU_BENCH_ATTEMPTS", "3"))
     per_try_s = float(os.environ.get("MM2TPU_BENCH_TIMEOUT_S", "600"))
+    try:
+        # a FRESH failed link verdict means the tunnel is hard-dead right
+        # now: one attempt still runs (the verdict could be a transient),
+        # but burning 3 x 10 min of retries before the labeled fallback
+        # helps nobody
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from minimap2_chaindp_tpu.utils import link_state
+        ent = link_state.load().get("probe")
+        if (isinstance(ent, dict) and ent.get("fail")
+                and link_state.fresh(ent, 600.0)):
+            attempts = 1
+    except Exception:
+        pass
     rec = None
     for k in range(attempts):
         try:
