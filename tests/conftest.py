@@ -26,6 +26,21 @@ os.environ["MM2TPU_STATE_FILE"] = ""
 REF_TEST_DIR = "/root/reference/test"
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
+# Build the compiled-reference oracles on demand so a fresh checkout runs the
+# full oracle-backed suites instead of skipping them (each oracle module's
+# skipif evaluates at import time, after this). A failed build (no reference
+# tree / toolchain) leaves the artifacts absent and those suites skip.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if (not os.path.exists(os.path.join(_ROOT, ".golden", "minimap2_ref"))
+        and os.path.isdir("/root/reference")):
+    import subprocess
+    try:
+        subprocess.run(
+            ["bash", os.path.join(_ROOT, "golden", "build_reference.sh")],
+            capture_output=True, timeout=600)
+    except Exception:
+        pass
+
 import pytest  # noqa: E402
 
 

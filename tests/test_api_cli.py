@@ -100,6 +100,13 @@ def test_cli_multipart_index(mode, golden):
     assert mine == want
 
 
+REF_BIN = "/root/repo/.golden/minimap2_ref"
+_needs_oracle = pytest.mark.skipif(
+    not os.path.exists(REF_BIN),
+    reason="compiled reference oracle unavailable (golden/build_reference.sh)")
+
+
+@_needs_oracle
 def test_mappy_cs_md():
     """Aligner.map(cs=True, MD=True) populates the cs/MD strings like the
     reference mappy (mappy.pyx:118-135), matching the PAF tag values."""
@@ -126,6 +133,7 @@ def test_mappy_cs_md():
     assert h2.cs == "" and h2.MD == ""
 
 
+@_needs_oracle
 def test_cli_flag_parity_X_and_M(tmp_path):
     """-X expands to -D -P --no-long-join --dual=no (main.c:336) and -M sets
     mask_level; both byte-identical to the reference binary."""
