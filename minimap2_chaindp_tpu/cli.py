@@ -419,18 +419,25 @@ def _main(argv=None) -> int:
                       "overriding command line", file=sys.stderr)
             yield mi
             return
-        part, plen = [], 0
+        # encode each contig to nt4 as it is read (and let the ASCII
+        # string free immediately): at genome scale the raw strings are
+        # ~1 byte/base, so holding them all alongside the build's nt4
+        # buffer doubled the front half of the build's footprint;
+        # build_index additionally consumes these per-contig arrays as it
+        # copies them into its concatenated buffer
+        from .constants import seq_to_nt4
+        part_names, part_seqs, plen = [], [], 0
         for r in read_fastx(ns.target):
-            part.append(r)
-            plen += len(r.seq)
+            part_names.append(r.name)
+            part_seqs.append(seq_to_nt4(r.seq))
+            plen += len(part_seqs[-1])
             if plen >= io.batch_size:
-                yield build_index([x.name for x in part],
-                                  [x.seq for x in part],
+                yield build_index(part_names, part_seqs,
                                   io.w, io.k, io.flag, io.bucket_bits,
                                   n_threads=ns.threads)
-                part, plen = [], 0
-        if part:
-            yield build_index([x.name for x in part], [x.seq for x in part],
+                part_names, part_seqs, plen = [], [], 0
+        if part_names:
+            yield build_index(part_names, part_seqs,
                               io.w, io.k, io.flag, io.bucket_bits,
                               n_threads=ns.threads)
 

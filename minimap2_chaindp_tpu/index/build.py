@@ -121,12 +121,22 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
     cat = np.empty(total, dtype=np.uint8)
     offs = np.zeros(len(seq_strs) + 1, dtype=np.int64)
     off = 0
+    consume = isinstance(seq_strs, list)
     for rid, (name, s) in enumerate(zip(names, seq_strs)):
-        codes = SEQ_NT4_TABLE[np.frombuffer(s.encode(), dtype=np.uint8)]
+        if isinstance(s, np.ndarray):
+            # already nt4-encoded (streaming callers encode per contig as
+            # they read, so full ASCII strings never accumulate); entries
+            # of a mutable list are released once copied into `cat`, so
+            # the chunks and the concatenated buffer never coexist in full
+            codes = s
+        else:
+            codes = SEQ_NT4_TABLE[np.frombuffer(s.encode(), dtype=np.uint8)]
         # the reference packs ambiguous bases as a pseudo-random 0-3 code
         # (index.c:497 uses lrand48 when c>=4); we keep 4 host-side and mask at
         # alignment time instead, which matches ksw2 behavior for N bases.
         cat[off:off + len(codes)] = codes
+        if consume and isinstance(s, np.ndarray):
+            seq_strs[rid] = None
         mi.seqs.append(RefSeq(name=name, offset=off, length=len(codes)))
         off += len(codes)
         offs[rid + 1] = off
@@ -187,8 +197,11 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
             if acc is not None:
                 acc.abort()
                 acc = None
-            mvs = [sketch(s, w, k, rid, bool(flag & 1))
-                   for rid, s in enumerate(seq_strs) if len(s) > 0]
+            # sketch from the nt4 buffer, not seq_strs — streaming callers'
+            # entries are consumed (None) once copied into `cat`
+            mvs = [sketch(cat[offs[rid]:offs[rid + 1]], w, k, rid,
+                          bool(flag & 1))
+                   for rid in range(n_seqs) if offs[rid + 1] > offs[rid]]
         else:
             mvs = [m for m in mvs if len(m)]
         mlog("mm_idx_gen", "collected minimizers")

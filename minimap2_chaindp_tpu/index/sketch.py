@@ -26,15 +26,22 @@ from ..constants import SEQ_NT4_TABLE, hash64
 UINT64_MAX = 0xFFFFFFFFFFFFFFFF
 
 
-def sketch(seq: str | bytes, w: int, k: int, rid: int, is_hpc: bool) -> np.ndarray:
+def sketch(seq: "str | bytes | np.ndarray", w: int, k: int, rid: int,
+           is_hpc: bool) -> np.ndarray:
     """Return minimizers as an (n, 2) uint64 array of (x, y) rows.
+    `seq` may be ASCII (str/bytes) or already-encoded nt4 uint8 codes.
     Dispatches to the native C++ sketcher (native/sketch.cc) when built;
     the Python loop below is the golden model it is validated against."""
-    if isinstance(seq, str):
-        seq = seq.encode()
-    length = len(seq)
-    assert length > 0 and 0 < w < 256 and 0 < k <= 28
-    nt4 = SEQ_NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
+    if isinstance(seq, np.ndarray):
+        nt4 = seq
+        length = len(seq)
+        assert length > 0 and 0 < w < 256 and 0 < k <= 28
+    else:
+        if isinstance(seq, str):
+            seq = seq.encode()
+        length = len(seq)
+        assert length > 0 and 0 < w < 256 and 0 < k <= 28
+        nt4 = SEQ_NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
 
     from ..native import sketch_batch_native
     res = sketch_batch_native([nt4], w, k, [rid], is_hpc)

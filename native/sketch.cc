@@ -37,11 +37,14 @@
 // results live in std::vector inside the handle instead of a caller guess.
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
+#include <string>
 #include <vector>
 #include <algorithm>
 #include <mutex>
 #include <queue>
 #include <utility>
+#include <unistd.h>
 
 namespace {
 
@@ -290,15 +293,58 @@ extern "C" int64_t mm2tpu_build_csr(
 // Same (key, val) total order as the one-call path — values are unique
 // genome-wide, so block merge == full sort, bit for bit.
 
+static_assert(sizeof(std::pair<uint64_t, uint64_t>) == 16,
+              "spill format assumes packed 16-byte (key, value) pairs");
+
 struct CsrAcc {
     std::vector<std::vector<std::pair<uint64_t, uint64_t>>> blocks;
+    std::vector<int64_t> spill_counts;  // pairs per on-disk block, add order
+    int spill_fd = -1;                  // unlinked temp file; -1 = RAM mode
+    bool spill_dead = false;            // write failed: later adds go to RAM
+    int64_t spill_bytes = 0;            // bytes of COMPLETE on-disk blocks
     std::vector<uint64_t> ukey;    // filled by merge
     std::vector<int64_t> starts;
     int64_t n = 0;
     std::mutex mu;                 // csr_add from -t sketch workers
+    ~CsrAcc() { if (spill_fd >= 0) close(spill_fd); }
 };
 
 extern "C" void* mm2tpu_csr_begin() { return new CsrAcc(); }
+
+// Spill mode (bounded-memory build): sorted blocks stream to an unlinked
+// temp file in `dir` instead of accumulating in RAM, and the k-way merge
+// reads them back through fixed-size buffers — peak block memory drops
+// from all-pairs (~9 GB at 3 Gbp) to n_blocks x 1 MiB.  Same pair
+// stream, same merge order (values are unique genome-wide), so the CSR
+// is bit-identical to RAM mode.  Falls back to RAM mode if the temp
+// file cannot be created (the build must never fail on spill setup).
+extern "C" void* mm2tpu_csr_begin_spill(const char* dir)
+{
+    auto* a = new CsrAcc();
+    std::string tmpl = std::string(dir && *dir ? dir : "/tmp")
+                       + "/mm2tpu_spill_XXXXXX";
+    std::vector<char> path(tmpl.begin(), tmpl.end());
+    path.push_back('\0');
+    int fd = mkstemp(path.data());
+    if (fd >= 0) {
+        unlink(path.data());   // anonymous: reclaimed even on crash
+        a->spill_fd = fd;
+    }
+    return a;
+}
+
+static bool pwrite_all(int fd, const void* p, size_t len, int64_t off)
+{
+    const char* c = (const char*)p;
+    while (len) {
+        ssize_t w = pwrite(fd, c, len, (off_t)off);
+        if (w <= 0) return false;
+        c += w;
+        off += w;
+        len -= (size_t)w;
+    }
+    return true;
+}
 
 extern "C" void mm2tpu_csr_add(void* h, const uint64_t* mv, int64_t n)
 {
@@ -311,22 +357,86 @@ extern "C" void mm2tpu_csr_add(void* h, const uint64_t* mv, int64_t n)
     std::sort(b.begin(), b.end());
     std::lock_guard<std::mutex> g(a->mu);
     a->n += n;
+    if (a->spill_fd >= 0 && !a->spill_dead) {
+        // pair<u64,u64> is 16 bytes with no padding; write the raw run at
+        // the tracked offset (pwrite: a failed/partial block never moves
+        // spill_bytes, so earlier complete blocks stay readable)
+        size_t bytes = (size_t)n * sizeof(b[0]);
+        if (pwrite_all(a->spill_fd, b.data(), bytes, a->spill_bytes)) {
+            a->spill_bytes += (int64_t)bytes;
+            a->spill_counts.push_back(n);
+            return;
+        }
+        // disk full mid-build: this and later blocks fall back to RAM;
+        // the complete on-disk blocks still merge (mixed-mode merge)
+        a->spill_dead = true;
+    }
     a->blocks.push_back(std::move(b));
 }
 
 extern "C" int64_t mm2tpu_csr_total(void* h) { return ((CsrAcc*)h)->n; }
 
-// Merge every block into val[] (capacity = total), recording unique keys
-// and run starts internally.  Frees the blocks.  Returns nk (unique keys).
+// Buffered cursor over one sorted on-disk block (spill mode): holds BUF
+// pairs, refills by pread at absolute offsets (no shared file position).
+struct SpillReader {
+    static constexpr int64_t BUF = 1 << 16;  // pairs = 1 MiB per block
+    int fd = -1;
+    int64_t base = 0, npairs = 0, pos = 0, buf_start = 0;
+    std::vector<std::pair<uint64_t, uint64_t>> buf;
+
+    bool refill()
+    {
+        int64_t want = std::min(BUF, npairs - pos);
+        buf.resize((size_t)want);
+        size_t bytes = (size_t)want * sizeof(buf[0]);
+        char* dst = (char*)buf.data();
+        int64_t off = (base + pos) * (int64_t)sizeof(buf[0]);
+        while (bytes) {
+            ssize_t r = pread(fd, dst, bytes, (off_t)off);
+            if (r <= 0) return false;
+            dst += r;
+            off += r;
+            bytes -= (size_t)r;
+        }
+        buf_start = pos;
+        return true;
+    }
+    const std::pair<uint64_t, uint64_t>& cur() const
+    {
+        return buf[(size_t)(pos - buf_start)];
+    }
+};
+
+// Merge every block (in-RAM and spilled) into val[] (capacity = total),
+// recording unique keys and run starts internally.  Frees the blocks.
+// Returns nk (unique keys), or -1 if a spill read failed (caller must
+// treat the accumulator as poisoned and abort).  Pair order is the
+// global (key, value) sort — values are unique genome-wide, so the
+// result is independent of how blocks were stored.
 extern "C" int64_t mm2tpu_csr_merge(void* h, uint64_t* val)
 {
     auto* a = (CsrAcc*)h;
+    size_t nram = a->blocks.size();
+    std::vector<SpillReader> spill(a->spill_counts.size());
+    {
+        int64_t base = 0;
+        for (size_t si = 0; si < a->spill_counts.size(); ++si) {
+            spill[si].fd = a->spill_fd;
+            spill[si].base = base;
+            spill[si].npairs = a->spill_counts[si];
+            base += a->spill_counts[si];
+            if (spill[si].npairs > 0 && !spill[si].refill()) return -1;
+        }
+    }
     using Ent = std::pair<std::pair<uint64_t, uint64_t>, size_t>;
     std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
-    std::vector<size_t> pos(a->blocks.size(), 0);
-    for (size_t bi = 0; bi < a->blocks.size(); ++bi)
+    std::vector<size_t> pos(nram, 0);
+    for (size_t bi = 0; bi < nram; ++bi)
         if (!a->blocks[bi].empty())
             heap.push({a->blocks[bi][0], bi});
+    for (size_t si = 0; si < spill.size(); ++si)
+        if (spill[si].npairs > 0)
+            heap.push({spill[si].cur(), nram + si});
     int64_t i = 0;
     uint64_t prev_key = 0;
     while (!heap.empty()) {
@@ -339,16 +449,30 @@ extern "C" int64_t mm2tpu_csr_merge(void* h, uint64_t* val)
             prev_key = kv.first;
         }
         ++i;
-        if (++pos[bi] < a->blocks[bi].size()) {
-            heap.push({a->blocks[bi][pos[bi]], bi});
+        if (bi < nram) {
+            if (++pos[bi] < a->blocks[bi].size()) {
+                heap.push({a->blocks[bi][pos[bi]], bi});
+            } else {
+                // free exhausted blocks eagerly
+                a->blocks[bi].clear();
+                a->blocks[bi].shrink_to_fit();
+            }
         } else {
-            // free exhausted blocks eagerly
-            a->blocks[bi].clear();
-            a->blocks[bi].shrink_to_fit();
+            SpillReader& s = spill[bi - nram];
+            if (++s.pos < s.npairs) {
+                if (s.pos - s.buf_start >= (int64_t)s.buf.size()
+                        && !s.refill())
+                    return -1;
+                heap.push({s.cur(), bi});
+            }
         }
     }
     a->blocks.clear();
     a->blocks.shrink_to_fit();
+    if (a->spill_fd >= 0) {
+        close(a->spill_fd);
+        a->spill_fd = -1;
+    }
     a->starts.push_back(i);
     return (int64_t)a->ukey.size();
 }

@@ -72,3 +72,54 @@ def test_build_index_streams_identically():
     assert np.array_equal(mi.values, val)
     assert np.array_equal(
         mi.starts, np.concatenate([starts, [len(val)]]).astype(np.int64))
+
+
+def test_spill_matches_ram_mode():
+    """Spill mode (sorted blocks streamed to an unlinked temp file,
+    merged back through bounded buffers) is bit-identical to RAM mode —
+    including blocks larger than one SpillReader buffer (65536 pairs)."""
+    b = CsrBuilder.create(spill=True)
+    if b is None:
+        pytest.skip("native sketch lib unavailable")
+    rng = np.random.default_rng(17)
+    chunks = _chunks(rng, n_chunks=5)
+    # one oversized block to force mid-merge refills
+    n = 200_000
+    x = (rng.integers(0, 300, n).astype(np.uint64) << np.uint64(8)) \
+        | np.uint64(15)
+    y = np.arange(n, dtype=np.uint64) * np.uint64(13) + np.uint64(10**12)
+    chunks.append(np.stack([x, y], axis=1))
+    ref = build_csr_native([c.copy() for c in chunks])
+    for c in chunks:
+        b.add(c)
+    got = b.finish()
+    for i, nm in enumerate(("keys", "starts", "values")):
+        assert np.array_equal(ref[i], got[i]), nm
+
+
+def test_spill_env_and_build_index(monkeypatch, tmp_path):
+    """MM2TPU_BUILD_SPILL=1 routes build_index through spill mode and the
+    index is identical to the default build; MM2TPU_SPILL_DIR is used."""
+    from minimap2_chaindp_tpu.index.build import build_index
+    rng = np.random.default_rng(23)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 50000))
+    mi0 = build_index(["c1"], [seq], 10, 15, 0, 14)
+    monkeypatch.setenv("MM2TPU_BUILD_SPILL", "1")
+    monkeypatch.setenv("MM2TPU_SPILL_DIR", str(tmp_path))
+    mi1 = build_index(["c1"], [seq], 10, 15, 0, 14)
+    assert np.array_equal(mi0.keys, mi1.keys)
+    assert np.array_equal(mi0.starts, mi1.starts)
+    assert np.array_equal(mi0.values, mi1.values)
+
+
+def test_spill_abort_and_empty(tmp_path, monkeypatch):
+    monkeypatch.setenv("MM2TPU_SPILL_DIR", str(tmp_path))
+    b = CsrBuilder.create(spill=True)
+    if b is None:
+        pytest.skip("native sketch lib unavailable")
+    keys, starts, values = b.finish()   # no blocks at all
+    assert len(keys) == 0 and starts.tolist() == [0]
+    b2 = CsrBuilder.create(spill=True)
+    b2.add(np.array([[1 << 8, 2]], dtype=np.uint64))
+    b2.abort()
+    b2.abort()

@@ -164,10 +164,15 @@ def main():
     if not ns.skip_build:
         from minimap2_chaindp_tpu.io.fastx import read_fastx
         from minimap2_chaindp_tpu.index.build import build_index
-        recs = list(read_fastx(ref))
+        from minimap2_chaindp_tpu.constants import seq_to_nt4
         t0 = time.perf_counter()
-        mi = build_index([r.name for r in recs], [r.seq for r in recs],
-                         10, 15, 0, 14)
+        # stream-encode per contig like the CLI: ASCII strings never
+        # accumulate, and build_index consumes the nt4 chunks as it packs
+        names, seqs = [], []
+        for r in read_fastx(ref):
+            names.append(r.name)
+            seqs.append(seq_to_nt4(r.seq))
+        mi = build_index(names, seqs, 10, 15, 0, 14)
         t_idx = time.perf_counter() - t0
         n_keys = len(mi.keys)
         n_vals = len(mi.values)
@@ -178,7 +183,7 @@ def main():
         print(f"[index] occurrence dist: mean {occ.mean():.2f}  "
               f"p50 {int(np.percentile(occ, 50))}  "
               f"p99 {int(np.percentile(occ, 99))}  max {int(occ.max())}")
-        del mi, recs
+        del mi, names, seqs
 
     # ---- reads
     ont = os.path.join(ns.dir, f"ont{ns.mb}.fa")
