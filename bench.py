@@ -30,16 +30,24 @@ MIN_SC = 40
 
 
 def baseline_anchors_per_s(reads):
-    """Single-core reference chain.c throughput, measured via golden build."""
+    """Single-core reference chain.c throughput via the golden build.
+
+    Stabilized (VERDICT r4 #4): each repeat loops the 64-read workload
+    for a FIXED >=3 s work budget (chain_bench.c argv[6]) so the 1-core
+    host's scheduler bursts average out — the old single ~40 ms pass
+    swung the round-headline denominator 1.26M -> 2.43M anchors/s
+    between rounds. Returns (best, {min, median, max, n}) or None."""
     root = os.path.dirname(os.path.abspath(__file__))
     bench = os.path.join(root, ".golden", "chain_bench")
-    if not os.path.exists(bench):
+    src = os.path.join(root, "golden", "chain_bench.c")
+    if (not os.path.exists(bench)
+            or os.path.getmtime(bench) < os.path.getmtime(src)):
         try:
             subprocess.run(["bash", os.path.join(root, "golden", "build_reference.sh")],
                            check=True, capture_output=True)
             subprocess.run(
                 ["gcc", "-O2", "-std=gnu99", "-DHAVE_KALLOC", "-I/root/reference",
-                 os.path.join(root, "golden", "chain_bench.c"),
+                 src,
                  os.path.join(root, ".golden", "chain.o"),
                  os.path.join(root, ".golden", "kalloc.o"),
                  os.path.join(root, ".golden", "misc.o"),
@@ -52,16 +60,22 @@ def baseline_anchors_per_s(reads):
     for a in sub:
         lines.append(str(len(a)))
         lines.extend(f"{int(x):x} {int(y):x}" for x, y in a)
-    best = 0.0
-    for _ in range(3):  # best-of-3: the single-core baseline is noisy
+    budget_s = float(os.environ.get("MM2TPU_BASELINE_BUDGET_S", "3"))
+    rates = []
+    for _ in range(3):
         out = subprocess.run(
             [bench, str(MAX_DIST), str(MAX_DIST), str(BW), str(MAX_SKIP),
-             str(MIN_SC)],
+             str(MIN_SC), str(budget_s)],
             input="\n".join(lines), capture_output=True, text=True,
             check=True)
         total, secs = out.stdout.split()
-        best = max(best, int(total) / float(secs))
-    return best
+        rates.append(int(total) / float(secs))
+    rates.sort()
+    spread = {"min": round(rates[0], 1),
+              "median": round(rates[len(rates) // 2], 1),
+              "max": round(rates[-1], 1), "n": len(rates),
+              "budget_s": budget_s}
+    return rates[-1], spread
 
 
 def host_native_fallback():
@@ -80,13 +94,15 @@ def host_native_fallback():
                         False, 1, a)
     dt = time.perf_counter() - t0
     value = 64 * ANCHORS_PER_READ / dt
-    base = baseline_anchors_per_s(anchors)
+    bl = baseline_anchors_per_s(anchors)
+    base, spread = bl if bl else (None, None)
     return {
         "metric": "chaindp_anchors_per_s",
         "value": round(value, 1),
         "unit": "anchors/s",
         "vs_baseline": round(value / base, 3) if base else None,
         "baseline_single_core_c": round(base, 1) if base else None,
+        "baseline_spread": spread,
         "device": "unreachable (tunnel stall) - native host path",
         "reads": 64,
         "anchors_per_read": ANCHORS_PER_READ,
@@ -350,7 +366,54 @@ def main():
         rec.update(_e2e_sr150_fields())
     if os.environ.get("MM2TPU_BENCH_ENGAGED", "1") == "1":
         rec.update(_e2e_engaged_fields())
+    rec.update(_drift_fields(rec))
     print(json.dumps(rec))
+
+
+def _drift_fields(rec):
+    """Self-describing drift posture (VERDICT r4 #8): absolute reads/s
+    fields on this shared 1-core host swing 2-3x round-to-round with
+    machine load (host 688->559, reference 361->193 across r3->r4 with no
+    code change) — only the *_paired_ratio fields and the on-chip kernel
+    anchors/s carry cross-round signal. Also a warn-only tripwire: compare
+    this run's ratio/kernel fields against the newest BENCH_r*.json."""
+    import glob
+    import re
+    fields = {"drift_note": (
+        "absolute *_reads_per_s_* fields are machine-drifting on this "
+        "shared 1-core host (2-3x swings round-to-round); compare rounds "
+        "via *_paired_ratio fields and the kernel anchors/s only")}
+    warns = []
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(
+            glob.glob(os.path.join(root, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        if benches:
+            prev_path = benches[-1]
+            with open(prev_path) as f:
+                prev = json.load(f)
+            fields["drift_baseline_round"] = os.path.basename(prev_path)
+            v0, v1 = prev.get("value"), rec.get("value")
+            # only compare like with like: both on-device kernel numbers
+            both_dev = all("native host path" not in str(
+                r.get("device", "")) and "unreachable" not in str(
+                r.get("device", "")) for r in (prev, rec))
+            if both_dev and v0 and v1 and v1 < 0.8 * v0:
+                warns.append(f"kernel anchors/s {v1:.3g} < 80% of "
+                             f"{os.path.basename(prev_path)}'s {v0:.3g}")
+            for k in sorted(set(prev) & set(rec)):
+                if not k.endswith("paired_ratio"):
+                    continue
+                r0, r1 = prev.get(k), rec.get(k)
+                if (isinstance(r0, (int, float))
+                        and isinstance(r1, (int, float))
+                        and r1 < r0 - 0.05):
+                    warns.append(f"{k} {r1:.3f} < {r0:.3f} - 0.05")
+    except Exception:
+        pass
+    fields["regression_warnings"] = warns
+    return fields
 
 
 def main_device():
@@ -424,13 +487,15 @@ def main_device():
         t1 = time.perf_counter()
         value = max(value, total_anchors / (t1 - t0))
 
-    base = baseline_anchors_per_s(batches[0][0])
+    bl = baseline_anchors_per_s(batches[0][0])
+    base, spread = bl if bl else (None, None)
     rec = {
         "metric": "chaindp_anchors_per_s",
         "value": round(value, 1),
         "unit": "anchors/s",
         "vs_baseline": round(value / base, 3) if base else None,
         "baseline_single_core_c": round(base, 1) if base else None,
+        "baseline_spread": spread,
         "device": str(dev),
         "reads": N_READS,
         "anchors_per_read": ANCHORS_PER_READ,

@@ -101,11 +101,19 @@ class MinimizerIndex:
         }
 
 
-def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
+def build_index(names: Sequence[str],
+                seq_strs: "Sequence[str | np.ndarray]", w: int, k: int,
                 flag: int = 0, bucket_bits: int = 14,
                 n_threads: int = 1,
                 device: bool | None = None) -> MinimizerIndex:
     """Build the CSR minimizer index from reference sequences.
+
+    `seq_strs` entries may be ASCII strings or already-nt4-encoded uint8
+    arrays. CONSUME SEMANTICS (ADVICE r4): when `seq_strs` is a mutable
+    list, ndarray entries are set to None as each is copied into the
+    concatenated buffer — streaming callers rely on this so per-contig
+    chunks and the full genome buffer never coexist. Pass a tuple (or
+    keep your own references) if you need the arrays afterwards.
 
     n_threads > 1 fans the per-contig native sketching across a worker
     pool (the reference's kt_pipeline step-1 parallelism, index.c:506-517;
@@ -153,7 +161,24 @@ def build_index(names: Sequence[str], seq_strs: Sequence[str], w: int, k: int,
     # so the build never holds the full pair set twice; the device-sort
     # path and the no-native golden path keep the accumulate-then-build
     # shape
-    acc = None if device else CsrBuilder.create()
+    if device:
+        acc = None
+    else:
+        spill = None   # None -> MM2TPU_BUILD_SPILL decides in create()
+        if _os.environ.get("MM2TPU_BUILD_SPILL", "") == "":
+            # auto spill (VERDICT r4 #7): bound the build's block memory
+            # once the estimated sorted-pair volume alone crosses
+            # MM2TPU_SPILL_AUTO_GB (pairs are 16 B, minimizer density
+            # ~2/(w+1) per base — sketch.c window math); measured at
+            # 3 Gbp: −8.2 GB peak for the same wall time (PERF.md)
+            est_gb = total * 2.0 / (w + 1) * 16 / 2**30
+            auto_gb = float(_os.environ.get("MM2TPU_SPILL_AUTO_GB", "6"))
+            spill = est_gb > auto_gb
+            if spill:
+                mlog("mm_idx_gen",
+                     f"spill build auto-enabled (~{est_gb:.1f} GB of "
+                     "minimizer blocks; MM2TPU_BUILD_SPILL=0 forces RAM)")
+        acc = CsrBuilder.create(spill=spill)
     mvs: list | None = []
     try:
         if n_threads > 1 and n_seqs > 1:

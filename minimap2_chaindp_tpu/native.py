@@ -1403,6 +1403,8 @@ def _load_sketch_locked():
         lib.mm2tpu_csr_abort.argtypes = [ctypes.c_void_p]
         lib.mm2tpu_csr_begin_spill.restype = ctypes.c_void_p
         lib.mm2tpu_csr_begin_spill.argtypes = [ctypes.c_char_p]
+        lib.mm2tpu_csr_status.restype = ctypes.c_int
+        lib.mm2tpu_csr_status.argtypes = [ctypes.c_void_p]
         _sk_lib = lib
     except Exception:
         _sk_lib = None
@@ -1511,18 +1513,26 @@ class CsrBuilder:
 
     def __init__(self, lib, spill_dir=None):
         self._lib = lib
+        self._spill_requested = spill_dir is not None
         if spill_dir is not None:
             self._h = lib.mm2tpu_csr_begin_spill(
                 os.fsencode(str(spill_dir)))
+            if not self.spilling:   # mkstemp failed -> silent RAM fallback
+                import sys
+                print("[mm2tpu] WARNING: requested spill build could not "
+                      f"create a temp file in {spill_dir}; building "
+                      "unbounded in RAM", file=sys.stderr)
         else:
             self._h = lib.mm2tpu_csr_begin()
 
     @classmethod
     def create(cls, spill: bool | None = None):
-        """spill=True (or MM2TPU_BUILD_SPILL=1) streams sorted blocks to an
-        unlinked temp file (MM2TPU_SPILL_DIR or TMPDIR) instead of RAM —
-        the bounded-memory build for genome-scale indexes (~9 GB less peak
-        at 3 Gbp for ~2 extra min of disk I/O); bit-identical CSR."""
+        """spill=True (or MM2TPU_BUILD_SPILL=1/0) streams sorted blocks to
+        an unlinked temp file (MM2TPU_SPILL_DIR or TMPDIR) instead of RAM —
+        the bounded-memory build for genome-scale indexes (~8 GB less peak
+        at 3 Gbp, measured same wall time; bit-identical CSR).  Default
+        (unset): the caller (index/build.py) auto-enables spill when the
+        estimated pair volume crosses MM2TPU_SPILL_AUTO_GB."""
         lib = _load_sketch()
         if lib is None:
             return None
@@ -1533,6 +1543,14 @@ class CsrBuilder:
         import tempfile
         sdir = os.environ.get("MM2TPU_SPILL_DIR") or tempfile.gettempdir()
         return cls(lib, spill_dir=sdir)
+
+    @property
+    def spilling(self) -> bool:
+        """Whether blocks are actually going to disk right now (ADVICE r4:
+        a requested spill can silently fall back to RAM on mkstemp failure
+        or disk-full; callers deserve a signal)."""
+        return self._h is not None \
+            and self._lib.mm2tpu_csr_status(self._h) == 1
 
     def add(self, mv: np.ndarray) -> None:
         if len(mv) == 0:
@@ -1546,6 +1564,11 @@ class CsrBuilder:
         from the GB-scale output allocations must still free the native
         accumulator via abort(), not leak it."""
         lib, h = self._lib, self._h
+        if self._spill_requested and lib.mm2tpu_csr_status(h) & 2:
+            import sys
+            print("[mm2tpu] WARNING: spill build lost its disk mid-build "
+                  "(write failure); later blocks accumulated in RAM",
+                  file=sys.stderr)
         try:
             n = lib.mm2tpu_csr_total(h)
             val = np.empty(n, np.uint64)

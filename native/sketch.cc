@@ -376,6 +376,17 @@ extern "C" void mm2tpu_csr_add(void* h, const uint64_t* mv, int64_t n)
 
 extern "C" int64_t mm2tpu_csr_total(void* h) { return ((CsrAcc*)h)->n; }
 
+// Spill health query: bit 0 = a spill file is active, bit 1 = a spill
+// write failed and later blocks fell back to RAM.  Lets the caller warn
+// when a REQUESTED bounded-memory build is silently running unbounded
+// (mkstemp failure or disk-full mid-build) instead of OOMing blind.
+extern "C" int mm2tpu_csr_status(void* h)
+{
+    auto* a = (CsrAcc*)h;
+    std::lock_guard<std::mutex> g(a->mu);
+    return (a->spill_fd >= 0 ? 1 : 0) | (a->spill_dead ? 2 : 0);
+}
+
 // Buffered cursor over one sorted on-disk block (spill mode): holds BUF
 // pairs, refills by pread at absolute offsets (no shared file position).
 struct SpillReader {

@@ -100,7 +100,8 @@ def test_cli_multipart_index(mode, golden):
     assert mine == want
 
 
-REF_BIN = "/root/repo/.golden/minimap2_ref"
+REF_BIN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".golden", "minimap2_ref")
 _needs_oracle = pytest.mark.skipif(
     not os.path.exists(REF_BIN),
     reason="compiled reference oracle unavailable (golden/build_reference.sh)")

@@ -123,3 +123,41 @@ def test_spill_abort_and_empty(tmp_path, monkeypatch):
     b2.add(np.array([[1 << 8, 2]], dtype=np.uint64))
     b2.abort()
     b2.abort()
+
+
+def test_spill_status_and_warning(tmp_path, monkeypatch, capfd):
+    """ADVICE r4: a requested spill that cannot create its temp file must
+    warn and report spilling=False instead of silently running unbounded;
+    a healthy spill reports spilling=True."""
+    monkeypatch.setenv("MM2TPU_SPILL_DIR", str(tmp_path))
+    b = CsrBuilder.create(spill=True)
+    if b is None:
+        pytest.skip("native sketch lib unavailable")
+    assert b.spilling is True
+    b.abort()
+    assert b.spilling is False   # consumed handle: no longer spilling
+    # unwritable spill dir -> RAM fallback with a stderr warning
+    monkeypatch.setenv("MM2TPU_SPILL_DIR", str(tmp_path / "absent" / "sub"))
+    b2 = CsrBuilder.create(spill=True)
+    err = capfd.readouterr().err
+    assert b2.spilling is False
+    assert "WARNING" in err and "spill" in err
+    b2.add(np.array([[1 << 8, 2]], dtype=np.uint64))   # RAM mode still works
+    keys, starts, values = b2.finish()
+    assert len(keys) == 1 and values.tolist() == [2]
+
+
+def test_auto_spill_threshold(monkeypatch):
+    """build_index auto-enables spill when the estimated pair volume
+    crosses MM2TPU_SPILL_AUTO_GB (and not below it); output identical."""
+    from minimap2_chaindp_tpu.index.build import build_index
+    rng = np.random.default_rng(31)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 60000))
+    mi0 = build_index(["c1"], [seq], 10, 15, 0, 14)
+    # force the auto threshold below this tiny genome's estimate
+    monkeypatch.delenv("MM2TPU_BUILD_SPILL", raising=False)
+    monkeypatch.setenv("MM2TPU_SPILL_AUTO_GB", "0.0000001")
+    mi1 = build_index(["c1"], [seq], 10, 15, 0, 14)
+    assert np.array_equal(mi0.keys, mi1.keys)
+    assert np.array_equal(mi0.starts, mi1.starts)
+    assert np.array_equal(mi0.values, mi1.values)
