@@ -287,6 +287,7 @@ def _e2e_engaged_fields():
                     line.split(":")[1])
         flow = {"device_reads": 0, "ext_lane_reads": 0, "retired": 0,
                 "retired_persisted": 0, "stall_fallback": 0}
+        steal = {}
         for line in out.stderr.splitlines():
             if line.startswith("flow") and "[tpu]:" in line:
                 for tok in line.split()[1:]:
@@ -296,6 +297,13 @@ def _e2e_engaged_fields():
                         flow[k] += int(v)
                     elif k in flow:
                         flow[k] = max(flow[k], int(v))
+            elif line.startswith("steal") and "[tpu]:" in line:
+                # keep the run with the most stolen reads (counters are
+                # per-run; the best-engaged run describes the lane)
+                toks = dict(t.split("=") for t in line.split()[1:])
+                if int(toks.get("steal_reads", 0)) >= steal.get(
+                        "steal_reads", -1):
+                    steal = {k: int(v) for k, v in toks.items()}
             elif line.startswith("[calibrate]"):
                 for tok in line.split():
                     if tok.startswith("d2h="):
@@ -311,6 +319,24 @@ def _e2e_engaged_fields():
         fields["e2e_engaged_retirements"] = (flow["retired"]
                                              + flow["retired_persisted"])
         fields["e2e_engaged_stall_fallbacks"] = flow["stall_fallback"]
+        # steal-lane journey (r5): reads the work-stealing device lane
+        # completed in its best run, its measured host-CPU cost per read
+        # (the r4 "dispatch prep is asserted, never measured" gap), and
+        # the economics guard's activity
+        if steal:
+            n = steal.get("steal_reads", 0)
+            fields["e2e_engaged_steal_reads_best_run"] = n
+            fields["e2e_engaged_steal_cpu_ms_per_read"] = (
+                round(steal.get("steal_cpu_ms", 0) / n, 2) if n else None)
+            fields["e2e_engaged_steal_cpu_split_ms"] = {
+                k.replace("steal_", "").replace("_ms", ""):
+                    steal.get(k, 0)
+                for k in ("steal_prep_ms", "steal_flowhost_ms",
+                          "steal_dispatch_ms", "steal_finish_ms")}
+            fields["e2e_engaged_steal_paused"] = steal.get(
+                "steal_paused", 0)
+            fields["e2e_engaged_steal_probes"] = steal.get(
+                "steal_probe", 0)
     except Exception:
         pass
     for tag in ("e2e_engaged_reads_per_s_host", "e2e_engaged_reads_per_s_tpu",

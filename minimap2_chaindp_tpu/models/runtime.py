@@ -180,6 +180,7 @@ class DeviceRuntime:
             self._flow_share = min(
                 0.3, max(0.05, 2.5 / (2.5 + dev_ms) * 0.5))
         self._lane_ex = None
+        self._draining = True   # map_stream clears it while batches flow
         self._lowshare_strikes = 0
         # sub-round share controller state (guarded by _ctrl_lock: two
         # map_stream pipeline threads may finish batches concurrently)
@@ -247,14 +248,24 @@ class DeviceRuntime:
         results. Yields each batch's per-fragment output lines in order."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            futs = deque()
-            for batch in batches:
-                futs.append(ex.submit(self.map_batch, batch, rg_id))
-                if len(futs) >= 2:
+        # steal-lane hint: while more batches are still coming, a device
+        # straggler at one batch's join overlaps the next batch's host
+        # mapping, so the steal loop may pull work right up to the tail;
+        # once the input is exhausted the final batches re-apply the
+        # conservative join-tail reserve (models/steal.py)
+        self._draining = False
+        try:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = deque()
+                for batch in batches:
+                    futs.append(ex.submit(self.map_batch, batch, rg_id))
+                    if len(futs) >= 2:
+                        yield futs.popleft().result()
+                self._draining = True
+                while futs:
                     yield futs.popleft().result()
-            while futs:
-                yield futs.popleft().result()
+        finally:
+            self._draining = True
 
     def map_batch(self, frags, rg_id: str = "") -> list[list[str]]:
         """Map a batch of fragments; returns per-fragment output lines.
@@ -313,6 +324,18 @@ class DeviceRuntime:
         chunk = 64
         if (not self._share_fixed and self.device_flow
                 and len(frags) >= 2 * chunk and self._fast_ok()):
+            # work-stealing lanes (default; VERDICT r4 #1): the device
+            # lane PULLS bounded chunks from a shared queue instead of
+            # being assigned a share, so a slow lane contributes its
+            # marginal reads instead of striking out and retiring.
+            # MM2TPU_STEAL=0 restores the r4 share controller (kept for
+            # A/B measurement); conftest's MM2TPU_NATIVE_CHAIN_MAX=0
+            # (no host fast lane) also falls back to it.
+            import os as _os3
+            if (_os3.environ.get("MM2TPU_STEAL", "1") == "1"
+                    and self.native_chain_max > 0):
+                from .steal import run_steal_batch
+                return run_steal_batch(self, frags, rg_id)
             self._adopt_state(frags)
             out: list[list[str]] = []
             st = 0

@@ -1,0 +1,329 @@
+"""Work-stealing two-lane batch mapper (VERDICT r4 #1).
+
+The reference answers heterogeneous worker speed with work-stealing
+(kthread.c:59-143): a slow worker contributes exactly what it finishes
+and never holds work hostage.  This module applies that shape to the
+host/device split the r4 share controller managed by static fractions:
+one shared work list per batch, consumed from the FRONT by the HOST
+lane (whole-read batched native driver on the calling thread) and from
+the BACK by the DEVICE lane (fused collect+chain flow + native
+chains-finish on a deprioritized worker thread).  The device lane pulls
+a bounded chunk only when enough work remains to keep the host lane
+busy past the chunk's expected completion (the join-tail rule), so the
+batch never waits on a straggling device chunk longer than the chunk
+saved.  A starved-but-functional lane therefore contributes exactly the
+reads it completes — combined >= host-alone by construction — instead
+of being retired to zero on two strikes (models/runtime.py r4).
+
+CPU economics (VERDICT r4 #3): every device-mapped read costs host-side
+CPU — sketch + pre-dispatch seed stats + packing + anchor re-derivation
++ native finish on the worker thread, plus dispatch marshalling/polling
+on the device-owner thread (utils/device_guard.owner_cpu_s) — and on a
+1-core host that CPU is taken from the host lane.  The loop MEASURES
+both lanes' per-read cost (thread CPU for the device lane, wall for the
+CPU-bound host lane) and PAUSES pulling when a device read costs more
+than MM2TPU_STEAL_GUARD (default 0.9) of a native host read; a paused
+lane re-probes one chunk every MM2TPU_STEAL_PROBE_S seconds instead of
+retiring, so a link/regime recovery is harvested within seconds.  The
+measured decomposition is exported via timers counters
+(steal_cpu_{prep,flowhost,dispatch,finish}_ms) for PERF.md.
+
+Reference analogs: always-offload task posture map.c:423-445; worker
+loop fpga_chaindp.c:83-170.  Output is byte-identical to the host path
+(tests/test_steal.py): each read is mapped by exactly one lane and both
+lanes' per-read output is the same native text contract.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections import deque
+
+HOST_CH = 24                    # host-lane batched-native chunk
+DEV_CH = int(os.environ.get("MM2TPU_STEAL_DEV_CH", "16"))
+GUARD = float(os.environ.get("MM2TPU_STEAL_GUARD", "0.9"))
+PROBE_S = float(os.environ.get("MM2TPU_STEAL_PROBE_S", "20"))
+# EMA weight for per-chunk cost updates: heavy enough that one probe
+# chunk meaningfully refreshes a stale verdict
+_ALPHA = 0.4
+
+
+class StealState:
+    """Per-runtime lane-economics state; survives across batches so later
+    batches start from measured costs, not estimates."""
+
+    def __init__(self):
+        self.dev_cpu_per_read = None    # EMA, seconds of host CPU / read
+        self.host_per_read = None       # EMA, seconds wall (~CPU) / read
+        self.chunk_wall_ema = float(
+            os.environ.get("MM2TPU_STEAL_CHUNK_EST_S", "4.0"))
+        self.paused_at = None           # monotonic time the guard paused
+        self.adopted = False            # persisted verdict consumed
+        self.wkey = None
+
+
+def _ema(prev, x):
+    return x if prev is None else (1.0 - _ALPHA) * prev + _ALPHA * x
+
+
+def _unprofitable(st: StealState) -> bool:
+    return (st.dev_cpu_per_read is not None
+            and st.host_per_read is not None
+            and st.dev_cpu_per_read > GUARD * st.host_per_read)
+
+
+def _wkey(frags) -> str | None:
+    import numpy as np
+    lens = [len(s.seq) for f in frags[:64] for s in f.segs]
+    if not lens:
+        return None
+    return f"rl{int(np.log2(max(float(np.mean(lens)), 64.0)))}"
+
+
+def _adopt_persisted(rt, st: StealState, frags) -> None:
+    """Seed the economics from a TTL'd persisted verdict for this
+    workload key: a run that measured the lane unprofitable seconds ago
+    starts paused (but still probing — never retired).  A probed link
+    2x better than the verdict's paroles it, like the r4 share path."""
+    if st.adopted or rt._interpret:
+        st.adopted = True
+        return
+    st.adopted = True
+    st.wkey = _wkey(frags)
+    if st.wkey is None:
+        return
+    from ..utils import link_state
+    ent = link_state.load().get(f"steal:{st.wkey}")
+    if not link_state.fresh(ent, link_state.RETIRE_TTL_S):
+        return
+    parole = (rt.link_mbps and ent.get("mbps")
+              and rt.link_mbps > 2.0 * float(ent["mbps"]))
+    if parole:
+        return
+    st.dev_cpu_per_read = float(ent["dev_cpu_ms"]) / 1000.0
+    st.host_per_read = float(ent["host_ms"]) / 1000.0
+    if _unprofitable(st):
+        st.paused_at = time.monotonic()
+        rt.timers.count("steal_adopted_paused")
+
+
+def _persist(rt, st: StealState) -> None:
+    if rt._interpret or st.wkey is None \
+            or st.dev_cpu_per_read is None or st.host_per_read is None:
+        return
+    from ..utils import link_state
+    link_state.save({f"steal:{st.wkey}": {
+        "dev_cpu_ms": round(st.dev_cpu_per_read * 1000.0, 3),
+        "host_ms": round(st.host_per_read * 1000.0, 3),
+        "mbps": rt.link_mbps, "t": time.time()}})
+
+
+def _host_map_frag(rt, fr, rg_id):
+    """Exact per-fragment host mapping for the shapes the batched driver
+    does not take (PE pairs, rare contract fallbacks, >2-seg frags)."""
+    from ..native import map_frag_pe_native, map_unit_text_native
+    r = None
+    if len(fr.segs) == 1:
+        r = map_unit_text_native(rt.mi, rt.opt, fr.segs[0], rg_id)
+    elif len(fr.segs) == 2:
+        r = map_frag_pe_native(rt.mi, rt.opt, fr.segs, rg_id)
+    if r is None:
+        from .pipeline import map_fragment_output
+        r = map_fragment_output(rt.mi, rt.opt, fr.segs, rg_id)
+        rt.timers.count("host_fallback_frag")
+    return r
+
+
+def _host_map_chunk(rt, frags, idxs, rg_id) -> dict:
+    """One host-lane chunk: single-segment reads through the one-call
+    batched native driver (whole per-read loop in C, GIL released);
+    everything else per-fragment."""
+    from ..native import map_batch_text_native
+    out = {}
+    se = [i for i in idxs if len(frags[i].segs) == 1]
+    if se:
+        res = map_batch_text_native(
+            rt.mi, rt.opt, [frags[i].segs[0] for i in se], rg_id)
+        if res is not None:
+            for i, lines in zip(se, res):
+                out[i] = lines
+            rt.timers.count("fast_native", len(se))
+            se = []
+    for i in idxs:
+        if i not in out:
+            out[i] = _host_map_frag(rt, frags[i], rg_id)
+    return out
+
+
+def _dev_map_chunk(rt, frags, idxs, rg_id):
+    """One device-lane chunk: prepare + sketch, fused collect+chain on
+    the device (DeviceFlow), then the native post-chain finish
+    (regions -> align -> mapq -> text in one C call).  Reads the flow
+    rejects (overflow, skip-flag, empty) take the full native host map
+    — exact either way.  Returns ({index: lines}, cold)."""
+    from .pipeline import prepare_frag, seed_unit
+    from ..native import map_unit_text_chains_native, map_unit_text_native
+    from ..utils.device_guard import owner_cpu_s
+    tt = time.thread_time
+    t0 = tt()
+    units, order = [], []
+    for i in idxs:
+        work, flipped, us = prepare_frag(rt.opt, frags[i].segs)
+        units.append((us[0], seed_unit(rt.mi, rt.opt, us[0],
+                                       collect_hits=False)))
+        order.append(i)
+    t1 = tt()
+    o0 = owner_cpu_s()
+    flow = rt._get_flow()
+    chains, cold = flow.run(units, rt.timers) if flow is not None \
+        else ({}, False)
+    t2 = tt()
+    o1 = owner_cpu_s()
+    out = {}
+    for k, i in enumerate(order):
+        info = units[k][1]
+        ch = chains.get(k)
+        lines = None
+        if ch is not None and info.sh is not None:
+            lines = map_unit_text_chains_native(
+                rt.mi, rt.opt, frags[i].segs[0], rg_id, ch,
+                info.sh.rep_len, info.sh.mini_pos)
+            if lines is not None:
+                rt.timers.count("native_finish")
+        if lines is None:
+            lines = map_unit_text_native(rt.mi, rt.opt, frags[i].segs[0],
+                                         rg_id)
+            if lines is None:
+                from .pipeline import map_fragment_output
+                lines = map_fragment_output(rt.mi, rt.opt, frags[i].segs,
+                                            rg_id)
+            rt.timers.count("steal_dev_fallback")
+        out[i] = lines
+    t3 = tt()
+    # measured decomposition of the lane's host-side CPU (VERDICT r4 #3)
+    rt.timers.count("steal_cpu_prep_ms", int((t1 - t0) * 1000))
+    rt.timers.count("steal_cpu_flowhost_ms", int((t2 - t1) * 1000))
+    rt.timers.count("steal_cpu_dispatch_ms", int((o1 - o0) * 1000))
+    rt.timers.count("steal_cpu_finish_ms", int((t3 - t2) * 1000))
+    return out, cold
+
+
+def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
+              stop: threading.Event):
+    from ..utils.device_guard import device_bad, owner_cpu_s
+    try:   # deprioritize: under 1-core contention the host lane wins
+        nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
+        if nice:
+            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), nice)
+    except Exception:
+        pass
+    while not stop.is_set() and not device_bad():
+        if _unprofitable(st):
+            if st.paused_at is None:
+                st.paused_at = time.monotonic()
+                rt.timers.count("steal_paused")
+            if time.monotonic() - st.paused_at < PROBE_S:
+                if stop.wait(0.25):
+                    return
+                continue
+            st.paused_at = time.monotonic()   # re-arm, probe one chunk
+            rt.timers.count("steal_probe")
+        # join-tail rule: on the stream's FINAL batch (or a standalone
+        # map_batch) pull only if the host lane has more work left than
+        # this chunk is expected to take, so the run never ends waiting
+        # on a device straggler longer than the chunk saved.  Mid-stream
+        # the join is free — map_stream runs two batches concurrently,
+        # so batch k's join overlaps batch k+1's host mapping — and the
+        # reserve only needs to keep THIS batch's host lane from a bare
+        # queue for an instant.
+        host_rate = (1.0 / st.host_per_read) if st.host_per_read else 600.0
+        if getattr(rt, "_draining", True):
+            reserve = max(2 * DEV_CH, int(st.chunk_wall_ema * host_rate))
+        else:
+            reserve = 2 * DEV_CH
+        with lock:
+            if len(q_any) < DEV_CH + reserve:
+                return
+            idxs = [q_any.pop() for _ in range(DEV_CH)]
+        t0w = time.monotonic()
+        t0c = time.thread_time()
+        o0 = owner_cpu_s()
+        try:
+            out, cold = _dev_map_chunk(rt, frags, idxs, rg_id)
+        except BaseException:
+            with lock:           # hand the chunk back to the host lane
+                q_any.extend(idxs)
+            rt.timers.count("steal_stall_returned", len(idxs))
+            return
+        cpu = (time.thread_time() - t0c) + (owner_cpu_s() - o0)
+        wall = time.monotonic() - t0w
+        with lock:
+            results.update(out)
+        rt.timers.count("steal_device_reads", len(out))
+        rt.timers.count("steal_chunks")
+        rt.timers.count("steal_cpu_ms", int(cpu * 1000))
+        with rt._ctrl_lock:      # latch flow ripeness for later batches
+            rt._ctrl_updates = max(rt._ctrl_updates, 1)
+        if cold:
+            continue             # compile/cache-load time is not lane cost
+        st.dev_cpu_per_read = _ema(st.dev_cpu_per_read, cpu / len(idxs))
+        st.chunk_wall_ema = 0.7 * st.chunk_wall_ema + 0.3 * wall
+        if st.paused_at is not None and not _unprofitable(st):
+            st.paused_at = None
+            rt.timers.count("steal_resumed")
+
+
+def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:
+    """Map one batch through the two stealing lanes; output order ==
+    input order, byte-identical to the host path."""
+    st = getattr(rt, "_steal_state", None)
+    if st is None:
+        st = rt._steal_state = StealState()
+    _adopt_persisted(rt, st, frags)
+    from .device_flow import CAP_BUCKETS, M_BUCKETS
+    from ..utils.device_guard import device_bad
+    dev_qlen_max = min(M_BUCKETS[-1], CAP_BUCKETS[-1]) * 5
+    q_any: deque = deque()       # either lane may take these
+    q_host: deque = deque()      # host-only: PE, oversized, multi-seg
+    for i, fr in enumerate(frags):
+        if len(fr.segs) == 1 and len(fr.segs[0].seq) <= dev_qlen_max:
+            q_any.append(i)
+        else:
+            q_host.append(i)
+    lock = threading.Lock()
+    results: dict[int, list] = {}
+    stop = threading.Event()
+    worker = None
+    if rt._get_flow() is not None and not device_bad():
+        worker = threading.Thread(
+            target=_dev_loop,
+            args=(rt, st, frags, rg_id, q_any, lock, results, stop),
+            daemon=True, name="mm2tpu-steal")
+        worker.start()
+    try:
+        while True:
+            with lock:
+                src = q_host if q_host else q_any
+                idxs = [src.popleft()
+                        for _ in range(min(HOST_CH, len(src)))]
+            if not idxs:
+                break
+            t0 = time.monotonic()
+            out = _host_map_chunk(rt, frags, idxs, rg_id)
+            st.host_per_read = _ema(
+                st.host_per_read, (time.monotonic() - t0) / len(idxs))
+            with lock:
+                results.update(out)
+    finally:
+        stop.set()
+        if worker is not None:
+            worker.join()        # bounded: at most one chunk in flight
+    _persist(rt, st)
+    out_lines = []
+    for i in range(len(frags)):
+        r = results.get(i)
+        if r is None:            # unreachable by construction; exact path
+            r = _host_map_frag(rt, frags[i], rg_id)
+        out_lines.append(r)
+    return out_lines

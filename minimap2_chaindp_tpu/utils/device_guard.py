@@ -52,6 +52,19 @@ def device_bad() -> bool:
     return _bad
 
 
+# CPU seconds the device-owner thread has consumed executing submitted
+# sections (dispatch marshalling, PJRT polling, blocking-fetch CPU). The
+# steal lane's economics (models/steal.py) charge this to the device
+# lane: on a 1-core host it is CPU taken from the host mapping lane.
+# PJRT-internal transfer threads are invisible here — an undercount the
+# guard's margin absorbs. Reads are approximate (no lock; float add).
+_owner_cpu = [0.0]
+
+
+def owner_cpu_s() -> float:
+    return _owner_cpu[0]
+
+
 _exit_hook_armed = False
 
 
@@ -115,14 +128,17 @@ def _worker():
             os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), nice)
     except Exception:
         pass
+    import time as _time
     while True:
         call = _q.get()
+        t0 = _time.thread_time()
         try:
             call.value = call.fn()
             call.status = "ok"
         except BaseException as e:  # noqa: BLE001 — relayed to the waiter
             call.value = e
             call.status = "err"
+        _owner_cpu[0] += _time.thread_time() - t0
         with _ban_lock:   # sequenced against the waiter's abandon path
             if call.abandoned and call.status == "ok" and _bad:
                 # the waiter gave up on THIS call but the device came back

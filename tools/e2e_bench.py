@@ -268,6 +268,26 @@ def main():
                           f"{c.get('flow_client_init_async', 0)} "
                           f"stall_fallback={c.get('stall_fallback', 0)}",
                           file=sys.stderr)
+                    # steal-lane telemetry (models/steal.py): reads the
+                    # device lane completed, its measured host-CPU cost,
+                    # and the guard's pause/probe activity
+                    print(f"steal{it}[tpu]: "
+                          f"steal_reads={c.get('steal_device_reads', 0)} "
+                          f"steal_chunks={c.get('steal_chunks', 0)} "
+                          f"steal_cpu_ms={c.get('steal_cpu_ms', 0)} "
+                          f"steal_prep_ms="
+                          f"{c.get('steal_cpu_prep_ms', 0)} "
+                          f"steal_flowhost_ms="
+                          f"{c.get('steal_cpu_flowhost_ms', 0)} "
+                          f"steal_dispatch_ms="
+                          f"{c.get('steal_cpu_dispatch_ms', 0)} "
+                          f"steal_finish_ms="
+                          f"{c.get('steal_cpu_finish_ms', 0)} "
+                          f"steal_paused={c.get('steal_paused', 0)} "
+                          f"steal_probe={c.get('steal_probe', 0)} "
+                          f"steal_returned="
+                          f"{c.get('steal_stall_returned', 0)}",
+                          file=sys.stderr)
                 if it == 0 and dev == "tpu":
                     mbps = await_link_verdict()
                     if mbps and mbps >= float(os.environ.get(
