@@ -271,10 +271,17 @@ def _e2e_engaged_fields():
     n_reads = int(os.environ.get("MM2TPU_BENCH_ENGAGED_READS", "12000"))
     fields = {"e2e_engaged_reads": n_reads}
     try:
+        # a ~25-min capture may trust a same-hour link verdict: the
+        # default 300 s probe TTL is tuned for short mapping runs, and
+        # re-probing mid-capture costs a 1-4 min first-touch stall per
+        # expiry; 900 s keeps the calibrate/adopt path inside one capture
+        env = {**os.environ}
+        env.setdefault("MM2TPU_PROBE_TTL_S", "900")
         out = subprocess.run(
             [sys.executable, bench, "--reads", str(n_reads),
              "--len", "10000", "--device", "pair", "--steady", "3"],
-            capture_output=True, text=True, timeout=1800, cwd=root)
+            capture_output=True, text=True, timeout=1800, cwd=root,
+            env=env)
         for line in out.stdout.splitlines():
             if "steady[host]:" in line:
                 fields["e2e_engaged_reads_per_s_host"] = float(
@@ -392,8 +399,47 @@ def main():
         rec.update(_e2e_sr150_fields())
     if os.environ.get("MM2TPU_BENCH_ENGAGED", "1") == "1":
         rec.update(_e2e_engaged_fields())
+    if os.environ.get("MM2TPU_BENCH_PROJECTION", "1") == "1":
+        rec.update(_flow_projection_fields())
     rec.update(_drift_fields(rec))
     print(json.dumps(rec))
+
+
+def _flow_projection_fields():
+    """Co-located projection (VERDICT r4 #2): on-chip fused-flow ms/read
+    (pipelined, link-excluded — tools/flow_projection.py) at the 10 kb
+    workload, with the measured host path and the derived co-located
+    reads/s beside it. None-filled when the device is unreachable."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    fields = {"flow_device_ms_per_read": None,
+              "flow_projected_colocated_reads_per_s": None,
+              "flow_projection_host_ms_per_read": None}
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "tools",
+                                          "flow_projection.py"),
+             "--lengths", "10000", "--reads", "48", "--iters", "3",
+             "--json"],
+            capture_output=True, text=True, timeout=900, cwd=root,
+            env={**os.environ, "MM2TPU_PROF": "1"})
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+                r = rec.get("per_length", {}).get("10000", {})
+                if "flow_device_ms_per_read" in r:
+                    fields["flow_device_ms_per_read"] = \
+                        r["flow_device_ms_per_read"]
+                    fields["flow_projected_colocated_reads_per_s"] = \
+                        r["projected_colocated_reads_per_s_1core"]
+                    fields["flow_projection_host_ms_per_read"] = \
+                        r["host_ms_per_read"]
+                    if "cpu" in str(rec.get("device", "")).lower():
+                        fields["flow_projection_note"] = \
+                            "interpret-mode (no TPU): not on-chip time"
+                break
+    except Exception:
+        pass
+    return fields
 
 
 def _drift_fields(rec):

@@ -194,7 +194,8 @@ class DeviceFlow:
     "index" axis — for genomes larger than one chip's HBM — read batches
     are data-parallel, and outputs stay byte-identical to single-chip."""
 
-    def __init__(self, mi, opt, interpret: bool = False, mesh=None):
+    def __init__(self, mi, opt, interpret: bool = False, mesh=None,
+                 ship_anchors: bool | None = None):
         import os
         self.mi = mi
         self.opt = opt
@@ -203,6 +204,10 @@ class DeviceFlow:
         # D2H slimming: by default the host re-derives anchors from its own
         # CSR (see flow_tail) and the reply carries only f/p/flag.
         # MM2TPU_FLOW_SHIP_ANCHORS=1 ships them instead (co-located links).
+        # The steal lane passes ship_anchors=True explicitly: its economics
+        # are host-CPU-denominated (models/steal.py), and shipping trades
+        # ~0.2 ms/read of host re-collection CPU for link bytes whose wait
+        # overlaps the host lane.
         # The mesh step slims too (r3): its 3-key sort ((biased xhi, rpos,
         # global slot id)) provably rebuilds the host expansion order — the
         # global slot id IS the host expansion index (minimizer-slot-major,
@@ -212,8 +217,10 @@ class DeviceFlow:
         # equal-(x) anchors tie-break identically to the host's stable
         # radix sort by x (map.c:233). Byte-identity of the slim mesh flow
         # is asserted by tests/test_mesh_e2e.py.
-        self.ship_anchors = os.environ.get(
-            "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
+        if ship_anchors is None:
+            ship_anchors = os.environ.get(
+                "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
+        self.ship_anchors = ship_anchors
         self._warm: set = set()  # static keys already compiled this process
         if mesh is None:
             from ..ops.seeds_device import DeviceIndex

@@ -364,9 +364,16 @@ class DeviceRuntime:
         """Whether this run has lasted long enough to amortize the
         process's one-off first-touch link stall (see map_batch). Always
         ripe in interpret mode (tests — no link), once the controller has
-        engaged, or past MM2TPU_FLOW_MIN_RUN_S (default 15 s) of mapping
-        wall time in this runtime."""
+        engaged, when THIS PROCESS already paid the one-off costs (a
+        warmed backend — device_guard.is_warmed; the steady-state bench's
+        timed runs then measure the settled engaged regime from their
+        first batch instead of idling through the gate each run), or past
+        MM2TPU_FLOW_MIN_RUN_S (default 15 s) of mapping wall time in this
+        runtime."""
         if self._interpret or self._ctrl_updates > 0:
+            return True
+        from ..utils.device_guard import is_warmed
+        if is_warmed():
             return True
         import os
         import time
@@ -439,6 +446,9 @@ class DeviceRuntime:
         self._interpret = plat == "cpu"
         self._align_exec = DeviceAlignExecutor(
             self.opt, interpret=self._interpret)
+        if plat != "cpu":
+            from ..utils.device_guard import mark_warmed
+            mark_warmed()   # first-touch D2H paid: later runtimes engage
         self._jax = jx   # published LAST: batches gate on it
         self.timers.count("flow_client_init_async")
 
@@ -1013,9 +1023,20 @@ class DeviceRuntime:
                                 f"mesh run with JAX_PLATFORMS=cpu)")
                         devs = np.asarray(avail[:nd * ni]).reshape(nd, ni)
                         mesh = Mesh(devs, ("data", "index"))
+                    import os as _os4
+                    ship = None   # env decides (default: slim D2H)
+                    if (mesh is None and not self._share_fixed
+                            and _os4.environ.get("MM2TPU_STEAL", "1") == "1"
+                            and self.native_chain_max > 0
+                            and _os4.environ.get(
+                                "MM2TPU_FLOW_SHIP_ANCHORS", "") != "0"):
+                        # steal mode: the lane's economics are host-CPU-
+                        # denominated — ship anchors from the device and
+                        # skip the ~0.2 ms/read host re-collection
+                        ship = True
                     self._flow = DeviceFlow(self.mi, self.opt,
                                             interpret=self._interpret,
-                                            mesh=mesh)
+                                            mesh=mesh, ship_anchors=ship)
         return self._flow if self._flow.mode_ok() else None
 
     def _seed_hits(self, units) -> None:

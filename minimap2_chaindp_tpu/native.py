@@ -405,6 +405,10 @@ def _load_ksw_locked():
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
             _c.c_int32, _c.c_int32, _c.c_int32, _c.c_int32,
             _vp, _vp, _vp, _vp, _vp, _vp]
+        lib.mm2tpu_prof_read.restype = None
+        lib.mm2tpu_prof_read.argtypes = [_vp]
+        lib.mm2tpu_prof_reset.restype = None
+        lib.mm2tpu_prof_reset.argtypes = []
         lib.mm2tpu_exts2_batch.restype = None
         lib.mm2tpu_exts2_batch.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
@@ -1640,3 +1644,27 @@ def chain_bottom_native(anchors: np.ndarray, f: np.ndarray, p: np.ndarray,
         ptr(out_a, ctypes.c_uint64), ptr(out_u, ctypes.c_uint64),
         ctypes.byref(n_v))
     return Chains(out_a[:n_v.value].copy(), out_u[:n_u].copy())
+
+
+_PROF_STAGES = ("sketch", "collect", "chain", "finish", "align", "text",
+                "_r6", "_r7")
+
+
+def prof_read() -> dict | None:
+    """Per-stage wall nanoseconds of the native driver since start/reset
+    (align_driver.cc ProfScope; requires MM2TPU_PROF=1 in the process
+    env BEFORE the first native call). Stage 'align' nests inside
+    'finish'. None if the native lib is unavailable."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    out = np.zeros(8, np.int64)
+    lib.mm2tpu_prof_read(_np_ptr(out))
+    return {k: int(v) for k, v in zip(_PROF_STAGES, out)
+            if not k.startswith("_")}
+
+
+def prof_reset() -> None:
+    lib = load_ksw()
+    if lib is not None:
+        lib.mm2tpu_prof_reset()

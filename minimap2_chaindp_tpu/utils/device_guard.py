@@ -65,6 +65,23 @@ def owner_cpu_s() -> float:
     return _owner_cpu[0]
 
 
+# Process-level "the one-off device costs are already paid" latch: set
+# after a successful first-touch D2H (deferred client init's warmup
+# transfer, or a bench harness's explicit warmup). The flow's min-run
+# ripeness gate exists to amortize exactly those costs, so once they are
+# paid IN THIS PROCESS later runtimes may engage the device lane from
+# their first batch instead of idling through the gate again.
+_warmed = [False]
+
+
+def mark_warmed() -> None:
+    _warmed[0] = True
+
+
+def is_warmed() -> bool:
+    return _warmed[0]
+
+
 _exit_hook_armed = False
 
 

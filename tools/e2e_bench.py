@@ -57,7 +57,7 @@ def write_reads(path, reads):
             f.write(f">{name}\n{seq}\n")
 
 
-def await_link_verdict(max_wait_s=120.0):
+def await_link_verdict(max_wait_s=300.0):
     """Steady-state tpu timing only: the warmup run spawns the detached
     link-probe child (models/runtime._start_async_probe); its jax import
     and first-touch device wait overlap the timed repeats on a 1-core
@@ -310,6 +310,9 @@ def main():
                                 import jax.numpy as jnp
                                 np.asarray(jax.block_until_ready(
                                     jnp.arange(1 << 14, dtype=jnp.int32)))
+                                from minimap2_chaindp_tpu.utils import \
+                                    device_guard as dg
+                                dg.mark_warmed()  # timed runs engage at t=0
                             return True
                         t0w = time.perf_counter()
                         try:
