@@ -409,6 +409,10 @@ def _load_ksw_locked():
         lib.mm2tpu_prof_read.argtypes = [_vp]
         lib.mm2tpu_prof_reset.restype = None
         lib.mm2tpu_prof_reset.argtypes = []
+        lib.mm2tpu_collect_prof_read.restype = None
+        lib.mm2tpu_collect_prof_read.argtypes = [_vp]
+        lib.mm2tpu_collect_prof_reset.restype = None
+        lib.mm2tpu_collect_prof_reset.argtypes = []
         lib.mm2tpu_exts2_batch.restype = None
         lib.mm2tpu_exts2_batch.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
@@ -1668,3 +1672,16 @@ def prof_reset() -> None:
     lib = load_ksw()
     if lib is not None:
         lib.mm2tpu_prof_reset()
+        lib.mm2tpu_collect_prof_reset()
+
+
+def collect_prof_read() -> dict | None:
+    """Collect-stage sub-split (MM2TPU_PROF=1): nanoseconds in the key
+    lookup vs occurrence expand+sort — the split that pinned the r5
+    genome-scale collect cost to the per-minimizer key search."""
+    lib = load_ksw()
+    if lib is None:
+        return None
+    out = np.zeros(2, np.int64)
+    lib.mm2tpu_collect_prof_read(_np_ptr(out))
+    return {"key_lookup": int(out[0]), "expand_sort": int(out[1])}

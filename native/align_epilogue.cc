@@ -13,6 +13,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
+#include <ctime>
+#include <mutex>
 #include <vector>
 
 extern "C" {
@@ -329,6 +332,116 @@ struct Mm2tpuCollectOut {
     std::vector<uint64_t> mini_pos;
 };
 
+// ---- key-lookup prefix directory (r5).  At genome scale a per-minimizer
+// binary search over the full key table (184M keys at 3 Gbp = 27 random
+// DRAM+TLB misses each) dominated the whole mapping path: the PROF'd
+// collect stage measured 9.9-27.3 ms/read of an 11.9-30.1 ms total.
+// Minimizer keys are invertible-hash outputs (sketch.c hash64), i.e.
+// uniform over the 2k-bit key domain, so a radix directory over the top
+// D bits narrows every lookup to a ~dozen-key range: dir[p] = first
+// index whose key's top bits >= p.  One linear build pass per index
+// (cached per (keys*, n_keys) with value sentinels, a handful of live
+// indexes per process), then each lookup costs ~2 cache misses.
+
+struct KeyDir {
+    const uint64_t* keys;
+    int64_t n_keys;
+    uint64_t s0, s1, s2;        // sentinel values: first/middle/last key
+    int shift;
+    int64_t np;                 // directory buckets (2^D)
+    std::vector<int32_t> dir;   // np + 1 entries
+};
+
+static std::mutex g_dir_mu;
+static std::vector<KeyDir*> g_dirs;
+
+static const KeyDir* keydir_get(const uint64_t* keys, int64_t n_keys)
+{
+    if (n_keys < (1 << 20) || n_keys >= (1LL << 31))
+        return nullptr;   // small index: plain search beats the build
+    std::lock_guard<std::mutex> g(g_dir_mu);
+    for (auto* d : g_dirs)
+        if (d->keys == keys && d->n_keys == n_keys
+            && d->s0 == keys[0] && d->s1 == keys[n_keys / 2]
+            && d->s2 == keys[n_keys - 1])
+            return d;
+    int D = 0;
+    while ((1LL << (D + 1)) <= n_keys / 8 && D + 1 <= 25) ++D;
+    uint64_t maxk = keys[n_keys - 1];
+    int kb = 64 - __builtin_clzll(maxk | 1);
+    int shift = kb > D ? kb - D : 0;
+    auto* d = new KeyDir();
+    d->keys = keys;
+    d->n_keys = n_keys;
+    d->s0 = keys[0];
+    d->s1 = keys[n_keys / 2];
+    d->s2 = keys[n_keys - 1];
+    d->shift = shift;
+    d->np = 1LL << D;
+    d->dir.resize((size_t)d->np + 1);
+    int64_t p_cur = 0;
+    d->dir[0] = 0;
+    for (int64_t i = 0; i < n_keys; ++i) {
+        int64_t p = (int64_t)(keys[i] >> shift);
+        while (p_cur < p) d->dir[(size_t)++p_cur] = (int32_t)i;
+    }
+    while (p_cur < d->np) d->dir[(size_t)++p_cur] = (int32_t)n_keys;
+    if (g_dirs.size() >= 8) {       // bound the cache: drop the oldest
+        delete g_dirs.front();
+        g_dirs.erase(g_dirs.begin());
+    }
+    g_dirs.push_back(d);
+    return d;
+}
+
+static inline int64_t key_lower_bound(const uint64_t* keys, int64_t n_keys,
+                                      const KeyDir* d, uint64_t key)
+{
+    int64_t lo = 0, hi = n_keys;
+    if (d) {
+        uint64_t p = key >> d->shift;
+        if (p >= (uint64_t)d->np) return n_keys;   // key > every index key
+        lo = d->dir[(size_t)p];
+        hi = d->dir[(size_t)p + 1];
+    }
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (keys[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+// collect sub-stage counters (MM2TPU_PROF=1): 0 = key lookup ns,
+// 1 = occurrence expand + sort ns — the split that pinned the r5
+// genome-scale collect cost to the key search.
+static std::atomic<int64_t> g_coll_ns[2];
+static int g_coll_prof = -1;
+static inline bool coll_prof_on()
+{
+    if (g_coll_prof < 0) {
+        const char* e = getenv("MM2TPU_PROF");
+        g_coll_prof = (e && *e == '1') ? 1 : 0;
+    }
+    return g_coll_prof == 1;
+}
+static inline int64_t coll_now()
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
+extern "C" void mm2tpu_collect_prof_read(int64_t* out2)
+{
+    out2[0] = g_coll_ns[0].load();
+    out2[1] = g_coll_ns[1].load();
+}
+extern "C" void mm2tpu_collect_prof_reset()
+{
+    g_coll_ns[0] = 0;
+    g_coll_ns[1] = 0;
+}
+
 // Extended collect with the ava-mode self/dual skipping (map.c:146-185):
 // cmp(qname, target) is derived from lexicographic name ranks — q_exact is
 // the query's exact rank among target names (or -1), q_ins its insertion
@@ -350,18 +463,27 @@ void* mm2tpu_collect_seeds_ava(
     };
     auto* res = new Mm2tpuCollectOut();
     int64_t rep_len = 0, rep_st = 0, rep_en = 0;
+    const KeyDir* kdir = keydir_get(keys, n_keys);
+    const bool cprof = coll_prof_on();
+    int64_t t_mark = cprof ? coll_now() : 0;
     for (int64_t i = 0; i < n_mv; ++i) {
         uint64_t x = mv[2*i], y = mv[2*i+1];
         uint64_t key = x >> 8;
         int64_t q_span = (int64_t)(x & 0xFF);
         int64_t q_pos = (int64_t)(uint32_t)y;
         uint64_t seg = y >> 32;
-        int64_t lo = 0, hi = n_keys;
-        while (lo < hi) {
-            int64_t mid = (lo + hi) >> 1;
-            if (keys[mid] < key) lo = mid + 1; else hi = mid;
+        if (cprof) {   // everything since the last mark was expand work
+            int64_t t2 = coll_now();
+            g_coll_ns[1] += t2 - t_mark;
+            t_mark = t2;
         }
+        int64_t lo = key_lower_bound(keys, n_keys, kdir, key);
         bool found = lo < n_keys && keys[lo] == key;
+        if (cprof) {
+            int64_t t2 = coll_now();
+            g_coll_ns[0] += t2 - t_mark;
+            t_mark = t2;
+        }
         int64_t cnt = found ? starts[lo+1] - starts[lo] : 0;
         if (cnt >= max_occ) {  // over-occurring: rep_len interval merge
             int64_t en = (q_pos >> 1) + 1, st = en - q_span;
@@ -405,6 +527,7 @@ void* mm2tpu_collect_seeds_ava(
                         const std::pair<uint64_t, uint64_t>& b) {
                          return a.first < b.first;
                      });
+    if (cprof) g_coll_ns[1] += coll_now() - t_mark;
     out_sizes[0] = (int64_t)res->rows.size();
     out_sizes[1] = (int64_t)res->mini_pos.size();
     out_sizes[2] = rep_len;
