@@ -40,6 +40,7 @@ from ..ops.seeds import SeedHits
 M_BUCKETS = (256, 1024, 2048, 4096)
 CAP_BUCKETS = (512, 1024, 2048, 4096, 8192)
 SIGN = np.int32(-0x80000000)
+_WARM_SHAPES: set = set()   # shared across DeviceFlow instances (see init)
 
 
 def host_seed_stats(mi, mv: np.ndarray, max_occ: int):
@@ -159,7 +160,14 @@ def flow_tail(xhi, xlo, yhi, ylo, total, nn, w1, exc, *, cap, max_dist_x,
     return xhi, xlo, yhi, ylo, f, p, flag[:, 0:1]
 
 
+@functools.lru_cache(maxsize=None)
 def _jit_flow(interpret: bool):
+    # module-level cache: the jitted step is INDEX-INDEPENDENT (CSR
+    # tables ride as call arguments), so every DeviceFlow/runtime in the
+    # process shares one jit wrapper and its traced/compiled executables.
+    # Per-instance wrappers re-traced every warm shape on each fresh
+    # runtime (~100-300 ms of host CPU per shape per run — measured as
+    # the steal lane's dominant dispatch cost in the r5 engaged capture).
     import jax
     import jax.numpy as jnp
     from ..ops.seeds_device import _collect_dev_pos
@@ -221,7 +229,12 @@ class DeviceFlow:
             ship_anchors = os.environ.get(
                 "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
         self.ship_anchors = ship_anchors
-        self._warm: set = set()  # static keys already compiled this process
+        # static keys already compiled this process — MODULE-level (r5):
+        # the jit wrapper is shared across runtimes (_jit_flow lru_cache),
+        # so a shape one runtime compiled is warm for every later one;
+        # a per-instance set made each fresh runtime's first chunk look
+        # cold, which the steal controller would skip measuring
+        self._warm = _WARM_SHAPES
         if mesh is None:
             from ..ops.seeds_device import DeviceIndex
             self.dx = DeviceIndex(mi, with_keys=False)

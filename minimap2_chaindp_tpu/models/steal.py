@@ -42,6 +42,11 @@ from collections import deque
 
 HOST_CH = 24                    # host-lane batched-native chunk
 DEV_CH = int(os.environ.get("MM2TPU_STEAL_DEV_CH", "16"))
+# adaptive upper bound: a device chunk's fixed cost (dispatch RTT +
+# per-bucket kernel launch) amortizes over its reads, so warm fast
+# chunks grow toward this cap; the join-tail reserve scales with the
+# measured chunk wall either way
+DEV_CH_MAX = int(os.environ.get("MM2TPU_STEAL_DEV_CH_MAX", "96"))
 GUARD = float(os.environ.get("MM2TPU_STEAL_GUARD", "0.9"))
 PROBE_S = float(os.environ.get("MM2TPU_STEAL_PROBE_S", "20"))
 # EMA weight for per-chunk cost updates: heavy enough that one probe
@@ -58,13 +63,18 @@ class StealState:
         self.host_per_read = None       # EMA, seconds wall (~CPU) / read
         self.chunk_wall_ema = float(
             os.environ.get("MM2TPU_STEAL_CHUNK_EST_S", "4.0"))
+        self.dev_ch = DEV_CH            # adaptive chunk size
         self.paused_at = None           # monotonic time the guard paused
         self.adopted = False            # persisted verdict consumed
         self.wkey = None
 
 
 def _ema(prev, x):
-    return x if prev is None else (1.0 - _ALPHA) * prev + _ALPHA * x
+    if prev is None:
+        return x
+    if x < prev / 3.0 or x > prev * 3.0:
+        return x   # regime change (link/code/load shift): re-learn, don't crawl
+    return (1.0 - _ALPHA) * prev + _ALPHA * x
 
 
 def _unprofitable(st: StealState) -> bool:
@@ -238,14 +248,15 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
         # reserve only needs to keep THIS batch's host lane from a bare
         # queue for an instant.
         host_rate = (1.0 / st.host_per_read) if st.host_per_read else 600.0
+        ch = st.dev_ch
         if getattr(rt, "_draining", True):
-            reserve = max(2 * DEV_CH, int(st.chunk_wall_ema * host_rate))
+            reserve = max(2 * ch, int(st.chunk_wall_ema * host_rate))
         else:
-            reserve = 2 * DEV_CH
+            reserve = 2 * ch
         with lock:
-            if len(q_any) < DEV_CH + reserve:
+            if len(q_any) < ch + reserve:
                 return
-            idxs = [q_any.pop() for _ in range(DEV_CH)]
+            idxs = [q_any.pop() for _ in range(ch)]
         t0w = time.monotonic()
         t0c = time.thread_time()
         o0 = owner_cpu_s()
@@ -269,6 +280,12 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
             continue             # compile/cache-load time is not lane cost
         st.dev_cpu_per_read = _ema(st.dev_cpu_per_read, cpu / len(idxs))
         st.chunk_wall_ema = 0.7 * st.chunk_wall_ema + 0.3 * wall
+        # amortize the chunk's fixed cost (dispatch RTT + per-bucket
+        # launch): warm profitable chunks grow toward DEV_CH_MAX, so the
+        # lane's reads/s rises with the link instead of being pinned at
+        # one RTT per DEV_CH reads
+        if not _unprofitable(st) and st.dev_ch < DEV_CH_MAX:
+            st.dev_ch = min(2 * st.dev_ch, DEV_CH_MAX)
         if st.paused_at is not None and not _unprofitable(st):
             st.paused_at = None
             rt.timers.count("steal_resumed")
