@@ -53,7 +53,10 @@ def host_seed_stats(mi, mv: np.ndarray, max_occ: int):
     if nk == 0:
         z = np.zeros(len(mv), np.int64)
         return 0, 0, np.zeros(len(mv), bool), z, z
-    pos = np.searchsorted(mi.keys, key)
+    from ..native import key_lookup_batch
+    pos = key_lookup_batch(mi.keys, key)   # prefix-directory path (r5):
+    if pos is None:                        # genome-scale searchsorted was
+        pos = np.searchsorted(mi.keys, key)   # the same key-search wall
     pos_c = np.minimum(pos, nk - 1)
     found = mi.keys[pos_c] == key
     cnt = np.where(found,
@@ -236,8 +239,8 @@ class DeviceFlow:
         # cold, which the steal controller would skip measuring
         self._warm = _WARM_SHAPES
         if mesh is None:
-            from ..ops.seeds_device import DeviceIndex
-            self.dx = DeviceIndex(mi, with_keys=False)
+            from ..ops.seeds_device import device_index_cached
+            self.dx = device_index_cached(mi, with_keys=False)
             self._flow = _jit_flow(interpret)
         else:
             import jax

@@ -221,14 +221,27 @@ def _dev_map_chunk(rt, frags, idxs, rg_id):
 
 def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
               stop: threading.Event):
-    from ..utils.device_guard import device_bad, owner_cpu_s
+    from ..utils.device_guard import (COMPILE_TIMEOUT_S, device_bad,
+                                      device_call, owner_cpu_s)
     try:   # deprioritize: under 1-core contention the host lane wins
         nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
         if nice:
             os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), nice)
     except Exception:
         pass
+    # flow construction happens HERE, not on the host-lane thread: at
+    # genome scale it uploads GB-class index tables (minutes over the
+    # tunnel), and under device_call a stalled upload marks the device
+    # bad instead of wedging the batch
+    try:
+        flow = rt._get_flow() if rt._interpret else device_call(
+            rt._get_flow, max(COMPILE_TIMEOUT_S, 600.0))
+    except BaseException:
+        return
+    if flow is None:
+        return
     while not stop.is_set() and not device_bad():
+        probing = False
         if _unprofitable(st):
             if st.paused_at is None:
                 st.paused_at = time.monotonic()
@@ -237,7 +250,11 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
                 if stop.wait(0.25):
                     return
                 continue
-            st.paused_at = time.monotonic()   # re-arm, probe one chunk
+            # probe due: attempt ONE pull; the timer re-arms only after
+            # a pull actually happens, so a drained-queue rejection lets
+            # the NEXT batch's worker probe immediately (batches last
+            # well under PROBE_S at default -K)
+            probing = True
             rt.timers.count("steal_probe")
         # join-tail rule: on the stream's FINAL batch (or a standalone
         # map_batch) pull only if the host lane has more work left than
@@ -257,6 +274,8 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
             if len(q_any) < ch + reserve:
                 return
             idxs = [q_any.pop() for _ in range(ch)]
+        if probing:
+            st.paused_at = time.monotonic()   # re-arm on an actual pull
         t0w = time.monotonic()
         t0c = time.thread_time()
         o0 = owner_cpu_s()
@@ -312,7 +331,9 @@ def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:
     results: dict[int, list] = {}
     stop = threading.Event()
     worker = None
-    if rt._get_flow() is not None and not device_bad():
+    # flow eligibility (and at genome scale its table upload) resolve on
+    # the worker thread — the host lane must never block on them
+    if rt.device_flow and not device_bad():
         worker = threading.Thread(
             target=_dev_loop,
             args=(rt, st, frags, rg_id, q_any, lock, results, stop),

@@ -133,6 +133,9 @@ def _load_align_locked():
         lib.mm2tpu_cal_fuzzy_len.restype = None
         lib.mm2tpu_cal_fuzzy_len.argtypes = [
             _vp, _c.c_int64, _c.c_int64, _vp]
+        lib.mm2tpu_key_lookup_batch.restype = None
+        lib.mm2tpu_key_lookup_batch.argtypes = [
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         lib.mm2tpu_fix_bad_ends.restype = None
         lib.mm2tpu_fix_bad_ends.argtypes = [
             _vp, _c.c_int64, _c.c_int64, _c.c_int64, _c.c_int64,
@@ -1652,6 +1655,24 @@ def chain_bottom_native(anchors: np.ndarray, f: np.ndarray, p: np.ndarray,
 
 _PROF_STAGES = ("sketch", "collect", "chain", "finish", "align", "text",
                 "_r6", "_r7")
+
+
+def key_lookup_batch(keys: np.ndarray, qk: np.ndarray):
+    """Batched lower_bound over the sorted key table via the native
+    prefix directory (== np.searchsorted(keys, qk) positions). None when
+    the native lib is unavailable or the table is small enough that
+    numpy's plain search is already fine (keeps tests on both paths)."""
+    if len(keys) < (1 << 20):
+        return None
+    lib = load_align()
+    if lib is None:
+        return None
+    k = np.ascontiguousarray(keys, dtype=np.uint64)  # no-copy when clean
+    q = np.ascontiguousarray(qk, dtype=np.uint64)
+    out = np.empty(len(q), np.int64)
+    lib.mm2tpu_key_lookup_batch(_np_ptr(k), len(k), _np_ptr(q),
+                                len(q), _np_ptr(out))
+    return out
 
 
 def prof_read() -> dict | None:

@@ -38,6 +38,37 @@ def split_u64(v: np.ndarray):
     return hi, lo
 
 
+def _index_fingerprint(mi, with_keys: bool):
+    """Content fingerprint for the device-table cache: a fresh process
+    re-loads the same .mm2i per run (mmap, new array objects), and at
+    genome scale re-uploading the tables costs minutes over the tunnel —
+    sentinel values make the reuse safe without hashing gigabytes."""
+    nk, nv = len(mi.keys), len(mi.values)
+    if nk == 0:
+        return None
+    return (with_keys, nk, nv, int(mi.keys[0]), int(mi.keys[-1]),
+            int(mi.keys[nk // 2]), int(mi.values[0]), int(mi.values[-1]),
+            int(mi.starts[nk // 2]))
+
+
+_DEVICE_INDEX_CACHE: dict = {}
+
+
+def device_index_cached(mi, with_keys: bool = True):
+    """Process-level DeviceIndex reuse keyed by content fingerprint (at
+    most 2 live entries — an old genome's tables free when evicted)."""
+    fp = _index_fingerprint(mi, with_keys)
+    if fp is None:
+        return DeviceIndex(mi, with_keys=with_keys)
+    dx = _DEVICE_INDEX_CACHE.get(fp)
+    if dx is None:
+        dx = DeviceIndex(mi, with_keys=with_keys)
+        if len(_DEVICE_INDEX_CACHE) >= 2:
+            _DEVICE_INDEX_CACHE.pop(next(iter(_DEVICE_INDEX_CACHE)))
+        _DEVICE_INDEX_CACHE[fp] = dx
+    return dx
+
+
 class DeviceIndex:
     """Device-resident flat index tables (the analog of the fork's B/H/V/P
     FPGA images, index.c:603-720)."""

@@ -431,6 +431,20 @@ static inline int64_t coll_now()
     return ts.tv_sec * 1000000000LL + ts.tv_nsec;
 }
 
+// Batched lower_bound over the key table through the prefix directory:
+// host_seed_stats' np.searchsorted at genome scale pays the same
+// whole-table key-search wall the collect stage did (~27 random misses
+// per query); the directory cuts it to ~2. Same semantics as
+// numpy searchsorted side='left'.
+extern "C" void mm2tpu_key_lookup_batch(
+    const uint64_t* keys, int64_t n_keys,
+    const uint64_t* qk, int64_t n, int64_t* out_pos)
+{
+    const KeyDir* d = keydir_get(keys, n_keys);
+    for (int64_t i = 0; i < n; ++i)
+        out_pos[i] = key_lower_bound(keys, n_keys, d, qk[i]);
+}
+
 extern "C" void mm2tpu_collect_prof_read(int64_t* out2)
 {
     out2[0] = g_coll_ns[0].load();

@@ -103,3 +103,21 @@ def test_keydir_absent_and_extreme_keys(big_index):
                       mi.keys)
     if not present.any():
         assert len(anchors) == 0
+
+
+def test_key_lookup_batch_matches_searchsorted(big_index):
+    """Native batched lookup (prefix directory) == np.searchsorted on
+    hit, miss, below-min and above-max keys."""
+    from minimap2_chaindp_tpu.native import key_lookup_batch
+    mi, _, _ = big_index
+    rng = np.random.default_rng(13)
+    qk = np.concatenate([
+        mi.keys[rng.integers(0, len(mi.keys), 500)],        # hits
+        rng.integers(0, 1 << 34, 500).astype(np.uint64),    # mixed
+        np.array([0, np.uint64(mi.keys[-1]) + np.uint64(1),
+                  np.uint64(0xFFFFFFFFFFFFFFFF)], np.uint64)])
+    got = key_lookup_batch(mi.keys, qk)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    want = np.searchsorted(mi.keys, qk)
+    assert np.array_equal(got, want)

@@ -90,6 +90,9 @@ def test_steal_identity_and_stealing(mt_index, monkeypatch):
     from minimap2_chaindp_tpu.models import steal
     monkeypatch.setattr(steal, "DEV_CH", 8)
     frags = _frags(mt_index)
+    rt._get_flow()   # pre-build: this tiny batch drains in ~100 ms, and
+    # the worker's lazy flow construction (prod: overlapped with 20 s of
+    # host mapping) would otherwise start after the queue is empty
     got = rt.map_batch(frags)
     want = [map_fragment_output(mi, mo, f.segs) for f in frags]
     assert got == want

@@ -69,6 +69,14 @@ def await_link_verdict(max_wait_s=300.0):
     from minimap2_chaindp_tpu.utils import link_state
     if link_state._path() is None:
         return None          # persistence disabled (tests): nothing to await
+    ent = link_state.load().get("probe")
+    if (isinstance(ent, dict) and not ent.get("fail")
+            and link_state.fresh(ent, link_state.PROBE_TTL_S)):
+        # a healthy verdict is already in hand (calibrate adopted it, no
+        # probe child spawned): return it so the caller's backend warmup
+        # still runs — gating only on probe_started silently skipped the
+        # warmup in exactly the engaged regime it exists for
+        return ent.get("mbps")
     if not link_state.fresh(link_state.load().get("probe_started"), 300.0):
         return None          # no child in flight (short runs never spawn
     t0 = time.perf_counter()  # one — the 5 s defer outlives them)
@@ -319,6 +327,18 @@ def main():
                             device_call(_warm, 300.0)
                             print(f"[e2e_bench] backend warmed in "
                                   f"{time.perf_counter() - t0w:.0f}s",
+                                  file=sys.stderr)
+                            # shape-warm pass (untimed): one more tpu run
+                            # now that the engaged regime is live — pays
+                            # the flow's per-process jit traces, XLA
+                            # compile/cache loads and (at genome scale)
+                            # the device index upload, so the TIMED runs
+                            # measure the settled engaged regime
+                            t0s = time.perf_counter()
+                            dts = timed_cli_run("tpu")
+                            print(f"[e2e_bench] shape-warm pass "
+                                  f"{dts:.1f}s (total "
+                                  f"{time.perf_counter() - t0s:.0f}s)",
                                   file=sys.stderr)
                         except Exception as e:
                             print(f"[e2e_bench] backend warmup failed "
