@@ -83,12 +83,17 @@ def _unprofitable(st: StealState) -> bool:
             and st.dev_cpu_per_read > GUARD * st.host_per_read)
 
 
-def _wkey(frags) -> str | None:
+def _wkey(rt, frags) -> str | None:
     import numpy as np
     lens = [len(s.seq) for f in frags[:64] for s in f.segs]
     if not lens:
         return None
-    return f"rl{int(np.log2(max(float(np.mean(lens)), 64.0)))}"
+    # index scale is part of the workload: the lane's savings per read
+    # are collect+chain, which grow ~50x from a 16 kb reference to 3 Gbp
+    # while its costs stay flat — one verdict must not span both
+    nk = max(len(rt.mi.keys), 10)
+    return (f"rl{int(np.log2(max(float(np.mean(lens)), 64.0)))}"
+            f"_nk{int(np.log10(nk))}")
 
 
 def _adopt_persisted(rt, st: StealState, frags) -> None:
@@ -100,7 +105,7 @@ def _adopt_persisted(rt, st: StealState, frags) -> None:
         st.adopted = True
         return
     st.adopted = True
-    st.wkey = _wkey(frags)
+    st.wkey = _wkey(rt, frags)
     if st.wkey is None:
         return
     from ..utils import link_state
