@@ -206,7 +206,7 @@ class DeviceFlow:
     are data-parallel, and outputs stay byte-identical to single-chip."""
 
     def __init__(self, mi, opt, interpret: bool = False, mesh=None,
-                 ship_anchors: bool | None = None):
+                 ship_anchors: bool | None = None, cap_floor: int = 0):
         import os
         self.mi = mi
         self.opt = opt
@@ -232,6 +232,11 @@ class DeviceFlow:
             ship_anchors = os.environ.get(
                 "MM2TPU_FLOW_SHIP_ANCHORS", "0") == "1"
         self.ship_anchors = ship_anchors
+        # steal mode quantizes the compiled-shape space (see runtime
+        # _get_flow): capacity buckets floored to `cap_floor` and the
+        # exc-table kernel variant pinned on — a cold shape's remote
+        # compile stalls the pipeline behind the chunk that hit it
+        self.cap_floor = cap_floor
         # static keys already compiled this process — MODULE-level (r5):
         # the jit wrapper is shared across runtimes (_jit_flow lru_cache),
         # so a shape one runtime compiled is warm for every later one;
@@ -310,7 +315,8 @@ class DeviceFlow:
                 continue
             n, span_sum, over, pos, occ = host_seed_stats(mi, info.mv,
                                                           opt.mid_occ)
-            cb = next((c for c in CAP_BUCKETS if n <= c), None)
+            cb = next((c for c in CAP_BUCKETS
+                       if n <= c and self.cap_floor <= c), None)
             stats[k] = (n, span_sum, over, pos, occ)
             if n == 0:
                 # assemble the empty SeedHits host-side; no device work
@@ -401,7 +407,7 @@ class DeviceFlow:
                 for j, (dd, val) in enumerate(excl):
                     exca[r, 2 * j] = dd
                     exca[r, 2 * j + 1] = val
-            use_exc = CP.infer_use_exc(exca)
+            use_exc = True if self.cap_floor else CP.infer_use_exc(exca)
             # score_bound is a STATIC kernel-variant selector (packed
             # single-reduction epilogue + int16 D2H) — quantize it to two
             # values so compiled shapes stay bounded

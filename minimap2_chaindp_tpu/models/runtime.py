@@ -1025,18 +1025,28 @@ class DeviceRuntime:
                         mesh = Mesh(devs, ("data", "index"))
                     import os as _os4
                     ship = None   # env decides (default: slim D2H)
-                    if (mesh is None and not self._share_fixed
-                            and _os4.environ.get("MM2TPU_STEAL", "1") == "1"
-                            and self.native_chain_max > 0
-                            and _os4.environ.get(
-                                "MM2TPU_FLOW_SHIP_ANCHORS", "") != "0"):
+                    floor = 0
+                    steal_on = (mesh is None and not self._share_fixed
+                                and _os4.environ.get("MM2TPU_STEAL",
+                                                     "1") == "1"
+                                and self.native_chain_max > 0)
+                    if steal_on and _os4.environ.get(
+                            "MM2TPU_FLOW_SHIP_ANCHORS", "") != "0":
                         # steal mode: the lane's economics are host-CPU-
                         # denominated — ship anchors from the device and
                         # skip the ~0.2 ms/read host re-collection
                         ship = True
+                    if steal_on:
+                        # quantize compiled shapes: {16,64}-row chunks x
+                        # one floored capacity x one exc variant, so the
+                        # warm pass can cover the whole space and no
+                        # timed chunk hits a cold remote compile
+                        floor = int(_os4.environ.get(
+                            "MM2TPU_STEAL_CAP_FLOOR", "4096"))
                     self._flow = DeviceFlow(self.mi, self.opt,
                                             interpret=self._interpret,
-                                            mesh=mesh, ship_anchors=ship)
+                                            mesh=mesh, ship_anchors=ship,
+                                            cap_floor=floor)
         return self._flow if self._flow.mode_ok() else None
 
     def _seed_hits(self, units) -> None:

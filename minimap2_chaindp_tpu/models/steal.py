@@ -43,10 +43,14 @@ from collections import deque
 HOST_CH = 24                    # host-lane batched-native chunk
 DEV_CH = int(os.environ.get("MM2TPU_STEAL_DEV_CH", "16"))
 # adaptive upper bound: a device chunk's fixed cost (dispatch RTT +
-# per-bucket kernel launch) amortizes over its reads, so warm fast
-# chunks grow toward this cap; the join-tail reserve scales with the
-# measured chunk wall either way
-DEV_CH_MAX = int(os.environ.get("MM2TPU_STEAL_DEV_CH_MAX", "96"))
+# per-bucket kernel launch) amortizes over its reads, so a warm
+# profitable lane jumps straight to this cap. The ladder is {DEV_CH,
+# DEV_CH_MAX} — exactly two pulled sizes — because every distinct chunk
+# size is a distinct padded row count, i.e. a distinct compiled kernel
+# shape, and a cold shape's remote compile stalls the whole pipeline
+# behind the chunk (measured: two ~50 s compiles turned a 25 s run into
+# 130 s in the r5 3 Gbp capture)
+DEV_CH_MAX = int(os.environ.get("MM2TPU_STEAL_DEV_CH_MAX", "64"))
 GUARD = float(os.environ.get("MM2TPU_STEAL_GUARD", "0.9"))
 PROBE_S = float(os.environ.get("MM2TPU_STEAL_PROBE_S", "20"))
 # EMA weight for per-chunk cost updates: heavy enough that one probe
@@ -309,7 +313,7 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
         # lane's reads/s rises with the link instead of being pinned at
         # one RTT per DEV_CH reads
         if not _unprofitable(st) and st.dev_ch < DEV_CH_MAX:
-            st.dev_ch = min(2 * st.dev_ch, DEV_CH_MAX)
+            st.dev_ch = DEV_CH_MAX   # two-size ladder (see DEV_CH_MAX)
         if st.paused_at is not None and not _unprofitable(st):
             st.paused_at = None
             rt.timers.count("steal_resumed")

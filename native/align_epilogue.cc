@@ -361,10 +361,15 @@ static const KeyDir* keydir_get(const uint64_t* keys, int64_t n_keys)
         return nullptr;   // small index: plain search beats the build
     std::lock_guard<std::mutex> g(g_dir_mu);
     for (auto* d : g_dirs)
-        if (d->keys == keys && d->n_keys == n_keys
+        if (d->n_keys == n_keys
             && d->s0 == keys[0] && d->s1 == keys[n_keys / 2]
-            && d->s2 == keys[n_keys - 1])
+            && d->s2 == keys[n_keys - 1]) {
+            // content match: the directory depends only on key VALUES,
+            // so a re-mmap of the same index (new pointer every run —
+            // rebuilding cost ~2 s/run at 3 Gbp) reuses it
+            d->keys = keys;
             return d;
+        }
     int D = 0;
     while ((1LL << (D + 1)) <= n_keys / 8 && D + 1 <= 25) ++D;
     uint64_t maxk = keys[n_keys - 1];
@@ -480,58 +485,100 @@ void* mm2tpu_collect_seeds_ava(
     const KeyDir* kdir = keydir_get(keys, n_keys);
     const bool cprof = coll_prof_on();
     int64_t t_mark = cprof ? coll_now() : 0;
-    for (int64_t i = 0; i < n_mv; ++i) {
-        uint64_t x = mv[2*i], y = mv[2*i+1];
-        uint64_t key = x >> 8;
-        int64_t q_span = (int64_t)(x & 0xFF);
-        int64_t q_pos = (int64_t)(uint32_t)y;
-        uint64_t seg = y >> 32;
-        if (cprof) {   // everything since the last mark was expand work
-            int64_t t2 = coll_now();
-            g_coll_ns[1] += t2 - t_mark;
-            t_mark = t2;
+    // Block-pipelined gather (r5): the loop's memory traffic is random
+    // single-element reads of three giant tables (dir/keys, starts,
+    // values) — serially dependent per minimizer, so each costs a full
+    // DRAM round trip.  Processing B minimizers per block with prefetch
+    // between phases puts ~B misses in flight at once (memory-level
+    // parallelism); per-minimizer ORDER of all emitted rows/mini_pos and
+    // the rep_len merge is unchanged, so output is bit-identical.
+    constexpr int64_t BLK = 16;
+    int64_t lo_a[BLK];
+    int64_t cnt_a[BLK];
+    bool fnd_a[BLK];
+    for (int64_t base = 0; base < n_mv; base += BLK) {
+        int64_t nb = n_mv - base < BLK ? n_mv - base : BLK;
+        if (kdir) {   // phase 0: directory rows for the whole block
+            for (int64_t j = 0; j < nb; ++j) {
+                uint64_t p = (mv[2 * (base + j)] >> 8) >> kdir->shift;
+                if (p < (uint64_t)kdir->np)
+                    __builtin_prefetch(&kdir->dir[(size_t)p]);
+            }
         }
-        int64_t lo = key_lower_bound(keys, n_keys, kdir, key);
-        bool found = lo < n_keys && keys[lo] == key;
+        // phase 1: narrowed searches; prefetch each hit's starts entry
+        for (int64_t j = 0; j < nb; ++j) {
+            uint64_t key = mv[2 * (base + j)] >> 8;
+            int64_t lo = key_lower_bound(keys, n_keys, kdir, key);
+            bool found = lo < n_keys && keys[lo] == key;
+            lo_a[j] = lo;
+            fnd_a[j] = found;
+            if (found) __builtin_prefetch(&starts[lo]);
+        }
+        // phase 2: counts; prefetch each kept occurrence range
+        for (int64_t j = 0; j < nb; ++j) {
+            int64_t cnt = fnd_a[j] ? starts[lo_a[j] + 1] - starts[lo_a[j]]
+                                   : 0;
+            cnt_a[j] = cnt;
+            if (cnt > 0 && cnt < max_occ) {
+                const uint64_t* v = &values[starts[lo_a[j]]];
+                __builtin_prefetch(v);
+                if (cnt > 8) __builtin_prefetch(v + 8);
+            }
+        }
         if (cprof) {
             int64_t t2 = coll_now();
             g_coll_ns[0] += t2 - t_mark;
             t_mark = t2;
         }
-        int64_t cnt = found ? starts[lo+1] - starts[lo] : 0;
-        if (cnt >= max_occ) {  // over-occurring: rep_len interval merge
-            int64_t en = (q_pos >> 1) + 1, st = en - q_span;
-            if (st > rep_en) { rep_len += rep_en - rep_st; rep_st = st; rep_en = en; }
-            else rep_en = en;
-            continue;
-        }
-        res->mini_pos.push_back((uint64_t)(q_pos >> 1)
-                                | ((uint64_t)q_span << 32));
-        if (!found) continue;
-        bool tnd = (i > 0 && (mv[2*(i-1)] >> 8) == key)
-                || (i + 1 < n_mv && (mv[2*(i+1)] >> 8) == key);
-        uint64_t yflags = (seg << 48) | (tnd ? (1ULL << 42) : 0);
-        for (int64_t o = 0; o < cnt; ++o) {
-            uint64_t r = values[starts[lo] + o];
-            int fwd = (int)(r & 1) == (int)(q_pos & 1);
-            uint64_t self_flag = 0;
-            if (diag_flags & 1) {  // ava self/dual skipping
-                int64_t rid = (int64_t)(r >> 32);
-                int64_t rpos = (int64_t)((uint32_t)r >> 1);
-                int c = cmp_t(rid);
-                if (c == 0 && rpos == (q_pos >> 1)) continue;  // diagonal
-                if (c == 0 && fwd) self_flag = 1ULL << 43;     // MM_SEED_SELF
-                if ((diag_flags & 2) && c > 0) continue;       // dual
+        // phase 3: expand, exactly the original per-minimizer body
+        for (int64_t j = 0; j < nb; ++j) {
+            int64_t i = base + j;
+            uint64_t x = mv[2*i], y = mv[2*i+1];
+            uint64_t key = x >> 8;
+            int64_t q_span = (int64_t)(x & 0xFF);
+            int64_t q_pos = (int64_t)(uint32_t)y;
+            uint64_t seg = y >> 32;
+            int64_t lo = lo_a[j], cnt = cnt_a[j];
+            bool found = fnd_a[j];
+            if (cnt >= max_occ) {  // over-occurring: rep_len merge
+                int64_t en = (q_pos >> 1) + 1, st = en - q_span;
+                if (st > rep_en) { rep_len += rep_en - rep_st; rep_st = st; rep_en = en; }
+                else rep_en = en;
+                continue;
             }
-            if ((skip_mode & 2) && fwd) continue;   // MM_F_REV_ONLY
-            if ((skip_mode & 1) && !fwd) continue;  // MM_F_FOR_ONLY
-            uint64_t ax = ((uint64_t)(fwd ? 0 : 1) << 63)
-                        | ((r >> 32) << 32) | ((uint32_t)r >> 1);
-            int64_t qpo = fwd ? (q_pos >> 1)
-                              : qlen_sum - ((q_pos >> 1) + 1 - q_span) - 1;
-            uint64_t ay = ((uint64_t)q_span << 32) | (uint64_t)qpo | yflags
-                        | self_flag;
-            res->rows.emplace_back(ax, ay);
+            res->mini_pos.push_back((uint64_t)(q_pos >> 1)
+                                    | ((uint64_t)q_span << 32));
+            if (!found) continue;
+            bool tnd = (i > 0 && (mv[2*(i-1)] >> 8) == key)
+                    || (i + 1 < n_mv && (mv[2*(i+1)] >> 8) == key);
+            uint64_t yflags = (seg << 48) | (tnd ? (1ULL << 42) : 0);
+            for (int64_t o = 0; o < cnt; ++o) {
+                uint64_t r = values[starts[lo] + o];
+                int fwd = (int)(r & 1) == (int)(q_pos & 1);
+                uint64_t self_flag = 0;
+                if (diag_flags & 1) {  // ava self/dual skipping
+                    int64_t rid = (int64_t)(r >> 32);
+                    int64_t rpos = (int64_t)((uint32_t)r >> 1);
+                    int c = cmp_t(rid);
+                    if (c == 0 && rpos == (q_pos >> 1)) continue;  // diag
+                    if (c == 0 && fwd) self_flag = 1ULL << 43;  // SEED_SELF
+                    if ((diag_flags & 2) && c > 0) continue;       // dual
+                }
+                if ((skip_mode & 2) && fwd) continue;   // MM_F_REV_ONLY
+                if ((skip_mode & 1) && !fwd) continue;  // MM_F_FOR_ONLY
+                uint64_t ax = ((uint64_t)(fwd ? 0 : 1) << 63)
+                            | ((r >> 32) << 32) | ((uint32_t)r >> 1);
+                int64_t qpo = fwd ? (q_pos >> 1)
+                                  : qlen_sum - ((q_pos >> 1) + 1 - q_span) - 1;
+                uint64_t ay = ((uint64_t)q_span << 32) | (uint64_t)qpo
+                            | yflags | self_flag;
+                res->rows.emplace_back(ax, ay);
+            }
+        }
+        if (cprof) {   // per-block: phases 0-2 -> slot 0, phase 3 -> 1
+            int64_t t2 = coll_now();
+            g_coll_ns[1] += t2 - t_mark;
+            t_mark = t2;
         }
     }
     rep_len += rep_en - rep_st;
