@@ -231,13 +231,33 @@ def _dev_map_chunk(rt, frags, idxs, rg_id):
 def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
               stop: threading.Event):
     from ..utils.device_guard import (COMPILE_TIMEOUT_S, device_bad,
-                                      device_call, owner_cpu_s)
-    try:   # deprioritize: under 1-core contention the host lane wins
-        nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
-        if nice:
-            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), nice)
+                                      device_call, owner_cpu_s,
+                                      set_owner_nice)
+    # priority follows measured profitability: an unproven or losing lane
+    # yields the core to the host lane (nice +10 on both this worker and
+    # the device-owner thread); once the economics say a stolen read
+    # costs LESS host CPU than mapping it natively, the lane competes at
+    # equal priority — its CPU share (and so its steal rate) then rises
+    # exactly where rising pays. Restored to deprioritized on exit.
+    base_nice = 10
+    try:
+        base_nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
     except Exception:
         pass
+    my_tid = threading.get_native_id()
+    cur = [None]
+
+    def _lane_nice(n):
+        if cur[0] == n:
+            return
+        cur[0] = n
+        try:
+            os.setpriority(os.PRIO_PROCESS, my_tid, n)
+        except Exception:
+            pass
+        set_owner_nice(n)
+
+    _lane_nice(base_nice)
     # flow construction happens HERE, not on the host-lane thread: at
     # genome scale it uploads GB-class index tables (minutes over the
     # tunnel), and under device_call a stalled upload marks the device
@@ -249,6 +269,23 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
         return
     if flow is None:
         return
+    try:
+        _dev_loop_body(rt, st, frags, rg_id, q_any, lock, results, stop,
+                       _lane_nice, base_nice)
+    finally:
+        set_owner_nice(base_nice)   # the owner thread outlives this batch
+
+
+def _dev_loop_body(rt, st, frags, rg_id, q_any, lock, results, stop,
+                   _lane_nice, base_nice):
+    from ..utils.device_guard import device_bad, owner_cpu_s
+
+    def _apply_nice():
+        measured = (st.dev_cpu_per_read is not None
+                    and st.host_per_read is not None)
+        _lane_nice(0 if measured and not _unprofitable(st) else base_nice)
+
+    _apply_nice()
     while not stop.is_set() and not device_bad():
         probing = False
         if _unprofitable(st):
@@ -317,6 +354,7 @@ def _dev_loop(rt, st: StealState, frags, rg_id, q_any, lock, results,
         if st.paused_at is not None and not _unprofitable(st):
             st.paused_at = None
             rt.timers.count("steal_resumed")
+        _apply_nice()
 
 
 def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:

@@ -131,6 +131,20 @@ class _Call:
         self.abandoned = False  # waiter timed out before completion
 
 
+_owner_tid = [0]
+
+
+def set_owner_nice(n: int) -> None:
+    """Re-prioritize the device-owner thread (models/steal.py: a lane
+    whose measured economics PAY competes at equal priority; an unproven
+    or losing lane yields the core to the host mapping lane)."""
+    try:
+        if _owner_tid[0]:
+            os.setpriority(os.PRIO_PROCESS, _owner_tid[0], n)
+    except Exception:
+        pass
+
+
 def _worker():
     global _bad
     # deprioritize the device-owner thread (Linux per-thread nice): a
@@ -139,6 +153,7 @@ def _worker():
     # throughput is guaranteed. When the host lane is idle (pure-device
     # phases) the worker still gets the whole core; under contention the
     # host lane wins. MM2TPU_DEVICE_NICE=0 disables.
+    _owner_tid[0] = threading.get_native_id()
     try:
         nice = int(os.environ.get("MM2TPU_DEVICE_NICE", "10"))
         if nice:
