@@ -341,16 +341,17 @@ def _dev_loop_body(rt, st, frags, rg_id, q_any, lock, results, stop,
         rt.timers.count("steal_cpu_ms", int(cpu * 1000))
         with rt._ctrl_lock:      # latch flow ripeness for later batches
             rt._ctrl_updates = max(rt._ctrl_updates, 1)
+        # amortize the chunk's fixed cost (dispatch RTT + per-bucket
+        # launch): a not-yet-unprofitable lane jumps to the DEV_CH_MAX
+        # rung — on COLD chunks too, so the shape-warm pass actually
+        # touches the big-chunk shapes (gating growth on warmth left
+        # R=64 shapes cold until a TIMED run hit their compile stall)
+        if not _unprofitable(st) and st.dev_ch < DEV_CH_MAX:
+            st.dev_ch = DEV_CH_MAX   # two-size ladder (see DEV_CH_MAX)
         if cold:
             continue             # compile/cache-load time is not lane cost
         st.dev_cpu_per_read = _ema(st.dev_cpu_per_read, cpu / len(idxs))
         st.chunk_wall_ema = 0.7 * st.chunk_wall_ema + 0.3 * wall
-        # amortize the chunk's fixed cost (dispatch RTT + per-bucket
-        # launch): warm profitable chunks grow toward DEV_CH_MAX, so the
-        # lane's reads/s rises with the link instead of being pinned at
-        # one RTT per DEV_CH reads
-        if not _unprofitable(st) and st.dev_ch < DEV_CH_MAX:
-            st.dev_ch = DEV_CH_MAX   # two-size ladder (see DEV_CH_MAX)
         if st.paused_at is not None and not _unprofitable(st):
             st.paused_at = None
             rt.timers.count("steal_resumed")

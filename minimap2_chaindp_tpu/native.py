@@ -416,6 +416,9 @@ def _load_ksw_locked():
         lib.mm2tpu_collect_prof_read.argtypes = [_vp]
         lib.mm2tpu_collect_prof_reset.restype = None
         lib.mm2tpu_collect_prof_reset.argtypes = []
+        lib.mm2tpu_key_lookup_batch.restype = None
+        lib.mm2tpu_key_lookup_batch.argtypes = [
+            _vp, _c.c_int64, _vp, _c.c_int64, _vp]
         lib.mm2tpu_exts2_batch.restype = None
         lib.mm2tpu_exts2_batch.argtypes = [
             _vp, _vp, _vp, _c.c_int64, _vp, _vp,
@@ -1664,7 +1667,12 @@ def key_lookup_batch(keys: np.ndarray, qk: np.ndarray):
     numpy's plain search is already fine (keeps tests on both paths)."""
     if len(keys) < (1 << 20):
         return None
-    lib = load_align()
+    # the ksw lib, not the align lib: the per-read driver lives there and
+    # has already built (and content-cached) the directory for this
+    # index — the align .so is a separate copy of the same TU with its
+    # own cache, and building a second 100+ MB directory per process
+    # showed up as the steal lane's first-chunk cost
+    lib = load_ksw()
     if lib is None:
         return None
     k = np.ascontiguousarray(keys, dtype=np.uint64)  # no-copy when clean
