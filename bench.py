@@ -352,6 +352,64 @@ def _e2e_engaged_fields():
     return fields
 
 
+def _e2e_genome_engaged_fields():
+    """Genome-scale engaged capture (r5): the steal lane's economics are
+    index-scale-dependent — at 3 Gbp map-pb (the fork's own flagship
+    regime, run.sh:3) a stolen read saves 3.2 ms of host collect+chain
+    CPU and costs ~3.2 ms total, so the lane PAYS where the MT capture's
+    correctly pauses. Runs only when the 3 Gbp assets from the r5 session
+    exist on this machine (tools/hpc_study.py + an .mm2i dump rebuild
+    them); skips cleanly otherwise. Protocol identical to the MT engaged
+    pair (steal telemetry per run, paired ratio as the contract stat)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    ref = "/tmp/genome_scale/genome3000.fa"
+    idx = "/tmp/genome_scale/pb3000.mm2i"
+    fields = {}
+    if not (os.path.exists(ref) and os.path.exists(idx)):
+        return {"e2e_genome_engaged": "skipped (no 3 Gbp assets on host)"}
+    bench = os.path.join(root, "tools", "e2e_bench.py")
+    try:
+        env = {**os.environ}
+        env.setdefault("MM2TPU_PROBE_TTL_S", "1800")
+        out = subprocess.run(
+            [sys.executable, bench, "--ref-fa", ref, "--index", idx,
+             "--preset", "map-pb", "--reads", "4000", "--len", "10000",
+             "--device", "pair", "--steady", "3"],
+            capture_output=True, text=True, timeout=2400, cwd=root,
+            env=env)
+        for line in out.stdout.splitlines():
+            if "steady[host]:" in line:
+                fields["e2e_genome_engaged_reads_per_s_host"] = float(
+                    line.split("steady[host]:")[1].split()[0])
+            elif "steady[tpu]:" in line:
+                fields["e2e_genome_engaged_reads_per_s_tpu"] = float(
+                    line.split("steady[tpu]:")[1].split()[0])
+            elif "paired_ratio_median:" in line:
+                fields["e2e_genome_engaged_paired_ratio"] = float(
+                    line.split(":")[1])
+        best = {}
+        for line in out.stderr.splitlines():
+            if line.startswith("steal") and "[tpu]:" in line:
+                toks = dict(t.split("=") for t in line.split()[1:])
+                if int(toks.get("steal_reads", 0)) >= int(
+                        best.get("steal_reads", -1)):
+                    best = toks
+        if best:
+            n = int(best.get("steal_reads", 0))
+            fields["e2e_genome_engaged_steal_reads_best_run"] = n
+            fields["e2e_genome_engaged_steal_frac"] = round(n / 4000.0, 3)
+            fields["e2e_genome_engaged_steal_cpu_ms_per_read"] = (
+                round(int(best.get("steal_cpu_ms", 0)) / n, 2) if n
+                else None)
+    except Exception:
+        pass
+    for tag in ("e2e_genome_engaged_reads_per_s_host",
+                "e2e_genome_engaged_reads_per_s_tpu",
+                "e2e_genome_engaged_paired_ratio"):
+        fields.setdefault(tag, None)
+    return fields
+
+
 def main():
     """Driver entry: run the device measurement in a child process with a
     timeout (the tunnel-attached TPU can stall indefinitely), retry, and
@@ -399,6 +457,7 @@ def main():
         rec.update(_e2e_sr150_fields())
     if os.environ.get("MM2TPU_BENCH_ENGAGED", "1") == "1":
         rec.update(_e2e_engaged_fields())
+        rec.update(_e2e_genome_engaged_fields())
     if os.environ.get("MM2TPU_BENCH_PROJECTION", "1") == "1":
         rec.update(_flow_projection_fields())
     rec.update(_drift_fields(rec))

@@ -362,6 +362,13 @@ class DeviceFlow:
             R = 8 if mesh is None else max(8, 8 * self.n_data)
             while R < len(idxs):
                 R *= 2
+            if self.cap_floor:
+                # steal-mode shape quantization: an uneven bucket split
+                # (e.g. a 16-read chunk splitting 11/5 across minimizer
+                # buckets) must not mint an R=8 shape outside the
+                # {16,64} ladder — every new shape is a cold remote
+                # compile stalling the pipeline behind its chunk
+                R = max(R, 16)
             max_qlen = max(units[k][1].qlen_sum for k, _, _ in entries)
             # H2D slimming (single-chip): ship each minimizer's CSR key
             # position (int32, -1 = absent/pad) instead of the 8-byte split

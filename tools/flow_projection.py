@@ -58,6 +58,14 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--preset", default="map-ont")
+    ap.add_argument("--ref", default=None,
+                    help="simulate reads from this FASTA instead of the "
+                         "built-in 6 Mb genome")
+    ap.add_argument("--index", default=None,
+                    help="prebuilt .mm2i to project against (e.g. the "
+                         "3 Gbp map-pb index); --ref supplies the read "
+                         "source")
     args = ap.parse_args()
     os.environ.setdefault("MM2TPU_PROF", "1")
 
@@ -82,20 +90,26 @@ def main():
 
     dev = jax.devices()[0]
     interpret = args.interpret or dev.platform == "cpu"
-    ref = build_ref()
-    io_, mo = set_opt("map-ont")
+    ref = args.ref or build_ref()
+    io_, mo = set_opt(args.preset)
     mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
-    refs = list(read_fastx(ref))
-    mi = build_index([r.name for r in refs], [r.seq for r in refs],
-                     io_.w, io_.k, io_.flag, io_.bucket_bits)
+    if args.index:
+        from minimap2_chaindp_tpu.index.serialize import load_index
+        mi = load_index(args.index)
+    else:
+        refs = list(read_fastx(ref))
+        mi = build_index([r.name for r in refs], [r.seq for r in refs],
+                         io_.w, io_.k, io_.flag, io_.bucket_bits)
     mo.update(mi)
     flow = DeviceFlow(mi, mo, interpret=interpret, ship_anchors=True)
 
     out = {"device": str(dev), "link_excluded": True,
            "pcie_gbps": PCIE_GBPS, "per_length": {}}
+    os.makedirs("/tmp/flow_proj", exist_ok=True)
     for L in [int(x) for x in args.lengths.split(",")]:
-        qpath = f"/tmp/flow_proj/reads_{L}.fa"
-        G.simulate(ref, qpath, args.reads, L, 0.10, seed=11)
+        qpath = f"/tmp/flow_proj/reads_{os.path.basename(ref)}_{L}.fa"
+        if not os.path.exists(qpath):
+            G.simulate(ref, qpath, args.reads, L, 0.10, seed=11)
         segs = list(read_fastx(qpath))
         units, stats, drops = [], [], 0
         for s in segs:
