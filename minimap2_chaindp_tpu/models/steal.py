@@ -65,6 +65,7 @@ class StealState:
     def __init__(self):
         self.dev_cpu_per_read = None    # EMA, seconds of host CPU / read
         self.host_per_read = None       # EMA, seconds wall (~CPU) / read
+        self.host_best = None           # best observed, slow upward decay
         self.chunk_wall_ema = float(
             os.environ.get("MM2TPU_STEAL_CHUNK_EST_S", "4.0"))
         self.dev_ch = DEV_CH            # adaptive chunk size
@@ -82,9 +83,19 @@ def _ema(prev, x):
 
 
 def _unprofitable(st: StealState) -> bool:
-    return (st.dev_cpu_per_read is not None
-            and st.host_per_read is not None
-            and st.dev_cpu_per_read > GUARD * st.host_per_read)
+    if st.dev_cpu_per_read is None or st.host_per_read is None:
+        return False
+    # reference cost = what a host-mapped read SHOULD cost, not what it
+    # costs while the lane itself contends for the core: the running
+    # EMA inflates under lane pressure, which let a marginally-losing
+    # lane keep stealing (r5 full-bench MT capture: lane 2.15 ms/read
+    # vs an inflated host EMA ~2.4 while the uncontended host ran 1.7).
+    # host_best decays upward 2% per update so real slowdowns still
+    # raise the bar eventually.
+    ref = st.host_per_read
+    if st.host_best is not None:
+        ref = min(ref, st.host_best * 1.2)
+    return st.dev_cpu_per_read > GUARD * ref
 
 
 def _wkey(rt, frags) -> str | None:
@@ -397,8 +408,10 @@ def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:
                 break
             t0 = time.monotonic()
             out = _host_map_chunk(rt, frags, idxs, rg_id)
-            st.host_per_read = _ema(
-                st.host_per_read, (time.monotonic() - t0) / len(idxs))
+            r = (time.monotonic() - t0) / len(idxs)
+            st.host_per_read = _ema(st.host_per_read, r)
+            st.host_best = r if st.host_best is None \
+                else min(r, st.host_best * 1.02)
             with lock:
                 results.update(out)
     finally:
