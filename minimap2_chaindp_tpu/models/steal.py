@@ -66,6 +66,7 @@ class StealState:
         self.dev_cpu_per_read = None    # EMA, seconds of host CPU / read
         self.host_per_read = None       # EMA, seconds wall (~CPU) / read
         self.host_best = None           # best observed, slow upward decay
+        self.host_best_t = 0.0          # decay is per SECOND, not per chunk
         self.chunk_wall_ema = float(
             os.environ.get("MM2TPU_STEAL_CHUNK_EST_S", "4.0"))
         self.dev_ch = DEV_CH            # adaptive chunk size
@@ -408,10 +409,17 @@ def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:
                 break
             t0 = time.monotonic()
             out = _host_map_chunk(rt, frags, idxs, rg_id)
-            r = (time.monotonic() - t0) / len(idxs)
+            now = time.monotonic()
+            r = (now - t0) / len(idxs)
             st.host_per_read = _ema(st.host_per_read, r)
-            st.host_best = r if st.host_best is None \
-                else min(r, st.host_best * 1.02)
+            if st.host_best is None:
+                st.host_best = r
+            else:
+                # 2%/SECOND upward decay — per-chunk decay (~20 chunks/s)
+                # eroded the bar to the contended level within a second
+                grow = 1.02 ** min(max(now - st.host_best_t, 0.0), 60.0)
+                st.host_best = min(r, st.host_best * grow)
+            st.host_best_t = now
             with lock:
                 results.update(out)
     finally:
