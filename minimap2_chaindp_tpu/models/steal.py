@@ -415,10 +415,16 @@ def run_steal_batch(rt, frags, rg_id: str = "") -> list[list[str]]:
             if st.host_best is None:
                 st.host_best = r
             else:
-                # 2%/SECOND upward decay — per-chunk decay (~20 chunks/s)
-                # eroded the bar to the contended level within a second
+                # fast-down/slow-up estimate of the host lane's
+                # UNCONTENDED per-read cost: 2%/SECOND upward decay
+                # (per-chunk decay eroded the bar to the contended level
+                # within a second at ~20 chunks/s), and a partial step
+                # down (a raw min latched single scheduler-burst chunks
+                # and under-read the true cost by 2x, spuriously pausing
+                # a profitable lane in the 3 Gbp capture)
                 grow = 1.02 ** min(max(now - st.host_best_t, 0.0), 60.0)
-                st.host_best = min(r, st.host_best * grow)
+                hb = st.host_best * grow
+                st.host_best = 0.7 * hb + 0.3 * r if r < hb else hb
             st.host_best_t = now
             with lock:
                 results.update(out)
