@@ -174,3 +174,28 @@ def test_steal_final_batch_reserve(mt_index, monkeypatch):
     want = [map_fragment_output(mi, mo, f.segs) for f in frags]
     assert got == want
     assert rt.timers.counters.get("steal_device_reads", 0) == 0
+
+
+def test_guard_host_best_semantics():
+    """The profitability bar references the host lane's best-observed
+    (uncontended) cost, not the contention-inflated EMA; burst minima
+    step the estimate down partially rather than latching."""
+    from minimap2_chaindp_tpu.models import steal
+    st = steal.StealState()
+    # no dev measurement yet: never unprofitable
+    st.host_per_read = 0.002
+    assert not steal._unprofitable(st)
+    # lane 2.15 ms vs inflated EMA 2.4 ms but uncontended best 1.7 ms:
+    # must read UNPROFITABLE (the full-bench MT case)
+    st.dev_cpu_per_read = 0.00215
+    st.host_per_read = 0.0024
+    st.host_best = 0.0017
+    assert steal._unprofitable(st)
+    # without host_best the inflated EMA would have let it steal
+    st.host_best = None
+    assert not steal._unprofitable(st)
+    # genome case: lane 3.2 ms vs host ~5.5 -> profitable either way
+    st.dev_cpu_per_read = 0.0032
+    st.host_per_read = 0.0055
+    st.host_best = 0.0046
+    assert not steal._unprofitable(st)
